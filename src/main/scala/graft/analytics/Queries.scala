@@ -1,0 +1,326 @@
+package graft.analytics
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** OLAP query backbone (SURVEY.md §2.B) over the TPC-H-ish tables.
+  *
+  * Conventions for DuckDB-oracle hash parity:
+  *   - every computed column aliased identically in Spark and SQL
+  *   - doubles rounded (2dp money, 4dp ratios/stats) on both sides
+  *   - deterministic total ordering on both sides (ties broken by keys)
+  *   - timestamps only ever emitted as DATE or epoch-second BIGINT
+  *
+  * Scale notes: dimension tables (region/nation/supplier/part/customer
+  * at TPC-H ratios) are broadcast explicitly; fact-fact joins shuffle on
+  * their keys and rely on AQE for skew; aggregates use partial
+  * (map-side) aggregation automatically via groupBy.
+  */
+object Queries {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** (name, dataframe impl, oracle SQL). */
+  val entries: Seq[(String, QFn, Option[String])] = Seq(
+
+    // B1: grouped aggregation with partial agg (TPC-H Q1 flavor).
+    ("q1_pricing_summary", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1999-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 2).as("sum_qty"),
+          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
+          round(avg("l_quantity"), 4).as("avg_qty"),
+          round(avg("l_extendedprice"), 4).as("avg_price"),
+          round(avg("l_discount"), 4).as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }, Some("""
+      SELECT l_returnflag, l_linestatus,
+             round(sum(l_quantity), 2) AS sum_qty,
+             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+             round(avg(l_quantity), 4) AS avg_qty,
+             round(avg(l_extendedprice), 4) AS avg_price,
+             round(avg(l_discount), 4) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1999-09-02'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")),
+
+    // B2: tight filtered scan; predicate + projection pushdown to parquet.
+    ("q6_revenue_filter", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+                col("l_discount") >= 0.0199 && col("l_discount") <= 0.0401 &&
+                col("l_quantity") < 24)
+        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+             count(lit(1)).as("n_rows"))
+    }, Some("""
+      SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+             count(*) AS n_rows
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+        AND l_discount >= 0.0199 AND l_discount <= 0.0401 AND l_quantity < 24""")),
+
+    // B3: broadcast dimension join chain customer -> nation -> region.
+    ("q_cust_region", (s: SparkSession, d: String) => {
+      Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("n_customers"),
+             round(avg("c_acctbal"), 4).as("avg_acctbal"))
+        .orderBy("r_name")
+    }, Some("""
+      SELECT r_name, count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_acctbal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name""")),
+
+    // B4: fact-fact shuffle join + agg + deterministic top-k (TPC-H Q3 flavor).
+    ("q3_top_orders", (s: SparkSession, d: String) => {
+      val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val li = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1996-06-30").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_date"), col("o_orderpriority"))
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc)
+        .limit(10)
+    }, Some("""
+      SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_date, o_orderpriority,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+      WHERE c_mktsegment = 'BUILDING'
+        AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND l_shipdate > TIMESTAMP '1996-06-30'
+      GROUP BY l_orderkey, CAST(o_orderdate AS DATE), o_orderpriority
+      ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""")),
+
+    // B5: 5-way multijoin (TPC-H Q5 flavor; local-supplier constraint).
+    ("q5_supplier_volume", (s: SparkSession, d: String) => {
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
+        .groupBy("r_name", "n_name")
+        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+             count(lit(1)).as("n_items"))
+        .orderBy("r_name", "n_name")
+    }, Some("""
+      SELECT r_name, n_name,
+             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             count(*) AS n_items
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+                    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+                    JOIN nation ON s_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+      GROUP BY r_name, n_name ORDER BY r_name, n_name""")),
+
+    // B6: semi-join / EXISTS (TPC-H Q4 flavor).
+    ("q4_order_priority", (s: SparkSession, d: String) => {
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+      val late = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_shipdate"))
+      ord.join(late, col("o_orderkey") === col("l_orderkey") &&
+                     col("l_shipdate") > col("o_orderdate"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy("o_orderpriority")
+    }, Some("""
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // B7: anti-join — customers with no orders in a window.
+    ("q_anti_customers", (s: SparkSession, d: String) => {
+      val active = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1995-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .select("o_custkey")
+      Tables.customer(s, d)
+        .join(active, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n_inactive"),
+             round(sum("c_acctbal"), 2).as("tot_acctbal"))
+        .orderBy("c_mktsegment")
+    }, Some("""
+      SELECT c_mktsegment, count(*) AS n_inactive, round(sum(c_acctbal), 2) AS tot_acctbal
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderdate >= TIMESTAMP '1995-01-01'
+                          AND o_orderdate < TIMESTAMP '1996-01-01')
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")),
+
+    // B8: window top-k per group (row_number for deterministic ties).
+    ("q_topk_per_cust", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy("o_custkey").orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.orders(s, d)
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .filter(col("o_custkey") < 50)
+        .select(col("o_custkey"), col("rk"), col("o_orderkey"),
+                round(col("o_totalprice"), 2).as("totalprice"))
+        .orderBy("o_custkey", "rk")
+    }, Some("""
+      SELECT o_custkey, rk, o_orderkey, round(o_totalprice, 2) AS totalprice
+      FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+                   row_number() OVER (PARTITION BY o_custkey
+                                      ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+            FROM orders) t
+      WHERE rk <= 3 AND o_custkey < 50
+      ORDER BY o_custkey, rk""")),
+
+    // B9: running total over bounded (monthly) dimension — window after
+    // pre-aggregation so the unpartitioned frame is tiny, never the fact table.
+    ("q_running_total", (s: SparkSession, d: String) => {
+      val monthly = Tables.orders(s, d)
+        .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
+        .agg(round(sum("o_totalprice"), 2).as("month_rev"))
+      val w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      monthly.withColumn("cum_rev", round(sum("month_rev").over(w), 2))
+        .orderBy("month")
+    }, Some("""
+      SELECT month, month_rev, round(sum(month_rev) OVER (ORDER BY month
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_rev
+      FROM (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
+                   round(sum(o_totalprice), 2) AS month_rev
+            FROM orders GROUP BY 1) t
+      ORDER BY month""")),
+
+    // B10: ROLLUP multi-level aggregate.
+    ("q_rollup_returns", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d)
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n_rows"), round(sum("l_quantity"), 2).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }, Some("""
+      SELECT l_returnflag, l_linestatus, count(*) AS n_rows, round(sum(l_quantity), 2) AS sum_qty
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
+    // B11: exact distinct aggregation.
+    ("q_distinct_parts", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(countDistinct("l_partkey").as("n_parts"),
+             countDistinct("l_suppkey").as("n_supps"),
+             count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+             count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // B12: exact percentiles (linear interpolation both engines).
+    ("q_price_percentiles", (s: SparkSession, d: String) => {
+      Tables.orders(s, d)
+        .groupBy("o_orderstatus")
+        .agg(round(expr("percentile(o_totalprice, 0.25)"), 4).as("p25"),
+             round(expr("percentile(o_totalprice, 0.5)"), 4).as("p50"),
+             round(expr("percentile(o_totalprice, 0.75)"), 4).as("p75"),
+             round(expr("percentile(o_totalprice, 0.9)"), 4).as("p90"))
+        .orderBy("o_orderstatus")
+    }, Some("""
+      SELECT o_orderstatus,
+             round(quantile_cont(o_totalprice, 0.25), 4) AS p25,
+             round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+             round(quantile_cont(o_totalprice, 0.75), 4) AS p75,
+             round(quantile_cont(o_totalprice, 0.9), 4) AS p90
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")),
+
+    // B13: pivot-style conditional aggregation.
+    ("q_status_pivot", (s: SparkSession, d: String) => {
+      Tables.orders(s, d)
+        .groupBy("o_orderpriority")
+        .agg(sum(when(col("o_orderstatus") === "O", 1).otherwise(0)).as("n_open"),
+             sum(when(col("o_orderstatus") === "F", 1).otherwise(0)).as("n_filled"),
+             sum(when(col("o_orderstatus") === "P", 1).otherwise(0)).as("n_partial"))
+        .orderBy("o_orderpriority")
+    }, Some("""
+      SELECT o_orderpriority,
+             sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
+             sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
+             sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_partial
+      FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
+
+    // B14: scalar-subquery comparison via broadcast single-row join.
+    ("q_above_avg_balance", (s: SparkSession, d: String) => {
+      val cust = Tables.customer(s, d)
+      val globalAvg = cust.agg(avg("c_acctbal").as("global_avg"))
+      cust.crossJoin(broadcast(globalAvg))
+        .filter(col("c_acctbal") > col("global_avg"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_rich"), round(avg("c_acctbal"), 4).as("avg_bal"))
+        .orderBy("n_name")
+    }, Some("""
+      SELECT n_name, count(*) AS n_rich, round(avg(c_acctbal), 4) AS avg_bal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
+      GROUP BY n_name ORDER BY n_name""")),
+
+    // B15: statistical aggregates.
+    ("q_stats_lineitem", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(stddev_samp("l_quantity"), 4).as("sd_qty"),
+             round(var_samp("l_extendedprice"), 2).as("var_price"),
+             round(corr("l_quantity", "l_extendedprice"), 4).as("corr_qty_price"),
+             round(covar_samp("l_quantity", "l_discount"), 4).as("cov_qty_disc"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag,
+             round(stddev_samp(l_quantity), 4) AS sd_qty,
+             round(var_samp(l_extendedprice), 2) AS var_price,
+             round(corr(l_quantity, l_extendedprice), 4) AS corr_qty_price,
+             round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
+    // B16: UNION + dedup across sources.
+    ("q_union_keys", (s: SparkSession, d: String) => {
+      val a = Tables.orders(s, d).select(col("o_custkey").as("custkey")).withColumn("src", lit("orders"))
+      val b = Tables.customer(s, d).filter(col("c_acctbal") > 5000)
+        .select(col("c_custkey").as("custkey")).withColumn("src", lit("rich"))
+      a.unionByName(b)
+        .groupBy("src")
+        .agg(countDistinct("custkey").as("n_distinct"), count(lit(1)).as("n_rows"))
+        .unionByName(
+          a.unionByName(b).agg(lit("all").as("src"),
+            countDistinct("custkey").as("n_distinct"), count(lit(1)).as("n_rows")))
+        .orderBy("src")
+    }, Some("""
+      WITH u AS (
+        SELECT o_custkey AS custkey, 'orders' AS src FROM orders
+        UNION ALL
+        SELECT c_custkey AS custkey, 'rich' AS src FROM customer WHERE c_acctbal > 5000)
+      SELECT src, count(DISTINCT custkey) AS n_distinct, count(*) AS n_rows FROM u GROUP BY src
+      UNION ALL
+      SELECT 'all' AS src, count(DISTINCT custkey) AS n_distinct, count(*) AS n_rows FROM u
+      ORDER BY src"""))
+  )
+}

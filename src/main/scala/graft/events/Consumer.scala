@@ -1,0 +1,52 @@
+package graft.events
+
+import org.apache.spark.sql.DataFrame
+import scala.collection.concurrent.TrieMap
+
+/** Consumer + error handling (reference: consumer.go,
+  * rpatterns/besteffort.go, rpatterns/deadletter.go,
+  * rsql/errorstable.go).
+  *
+  * A consumer processes one micro-batch DataFrame (the canonical event
+  * projection) at a time. Default semantics are the reference's
+  * fail-fast: any error leaves the cursor untouched and aborts the
+  * run; re-running resumes from the last committed cursor
+  * (at-least-once).
+  */
+final case class Consumer(
+    name: String,
+    fn: DataFrame => Unit,
+    errorMode: ErrorMode = FailFast)
+
+sealed trait ErrorMode
+/** reference run.go: error → cursor not updated, run aborts. */
+case object FailFast extends ErrorMode
+/** rpatterns/besteffort.go: after `retries` attempts, skip the batch. */
+final case class BestEffort(retries: Int) extends ErrorMode
+/** rpatterns/deadletter.go: after `retries` attempts, record the error
+  * and continue; if recording fails, block like FailFast.
+  */
+final case class DeadLetter(retries: Int, errors: ErrorStore) extends ErrorMode
+
+/** rsql/errorstable.go: persistent record of consumer errors. */
+trait ErrorStore {
+  def record(consumerName: String, cursor: Long, msg: String): Unit
+  def list(consumerName: String): Seq[(Long, String)]
+}
+
+final class MemErrorStore extends ErrorStore {
+  private val m = TrieMap.empty[String, Vector[(Long, String)]]
+  def record(name: String, cursor: Long, msg: String): Unit =
+    m.updateWith(name) { v => Some(v.getOrElse(Vector.empty) :+ (cursor, msg)) }
+  def list(name: String): Seq[(Long, String)] = m.getOrElse(name, Vector.empty)
+}
+
+/** Spec ties stream source, cursor store and consumer together
+  * (reference: api.go NewSpec).
+  */
+final case class Spec(
+    log: EventLog,
+    store: CursorStore,
+    consumer: Consumer,
+    filter: Option[EventFilter] = None,
+    batchSize: Int = 1000)

@@ -1,0 +1,102 @@
+package graft.events
+
+import java.sql.Timestamp
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The graft event — re-expression of the reference's event model
+  * (reference: api.go:14-22 `Event{ID, Type, ForeignID, Timestamp,
+  * MetaData}`). Events are immutable state-change notifications; the
+  * log is ordered by monotonically increasing `id`, which doubles as
+  * the consumer cursor.
+  */
+final case class Event(
+    id: Long,
+    eventType: String,
+    foreignId: Long,
+    ts: Timestamp,
+    value: Double,
+    metadata: String)
+
+object Event {
+  /** Canonical projection from the raw `events` table to the event
+    * model. Kept as pure Column expressions so Catalyst prunes the
+    * parquet scan to exactly these columns.
+    *
+    * The parquet `ts` is TIMESTAMP(NANOS), which Spark reads as a
+    * nanos-since-epoch LONG (see `spark.sql.legacy.parquet.nanosAsLong`
+    * in Graft.session); integer-division to µs keeps full precision
+    * (a double roundtrip would lose it — ns epochs exceed 2^53).
+    */
+  def project(df: DataFrame): DataFrame = {
+    val tsCol = df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)").as("ts")
+      case _ => col("ts")
+    }
+    df.select(
+      col("event_id").as("id"),
+      col("event_type").as("eventType"),
+      col("user_id").as("foreignId"),
+      tsCol,
+      col("value"),
+      col("props").as("metadata"))
+  }
+
+  def dataset(df: DataFrame): Dataset[Event] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    project(df).as[Event]
+  }
+}
+
+/** Batch view of an ordered event log with the reference's stream
+  * options re-expressed as Catalyst predicates (reference:
+  * options.go — Lag / StreamFromHead / StreamToHead; api.go Spec).
+  *
+  * All slicing is pushed down: `id > cursor` and the lag bound reach
+  * the parquet reader as row-group-prunable filters, so replaying
+  * from a recent cursor on a 100 TB log touches only the tail
+  * partitions. At scale the log directory is expected to be
+  * partitioned by date(ts), making the lag/cursor prune a partition
+  * prune.
+  */
+final class EventLog(val df: DataFrame) {
+
+  /** Events strictly after the cursor — the core StreamFunc contract. */
+  def after(cursor: Long): DataFrame =
+    df.filter(col("id") > cursor).orderBy("id")
+
+  /** Current head (max id), or -1 for an empty log. */
+  def head(): Long = {
+    val r = df.agg(max("id")).collect()(0)
+    if (r.isNullAt(0)) -1L else r.getLong(0)
+  }
+
+  /** StreamFromHead: only events after the current head snapshot
+    * (reference: options.go:27). On a static batch view this is the
+    * empty tail; the streaming runtime uses the head snapshot as the
+    * starting cursor.
+    */
+  def fromHead(): DataFrame = after(head())
+
+  /** StreamToHead: bounded replay [cursor+1, head-at-snapshot]
+    * (reference: options.go:34) — used for backfills/tests.
+    */
+  def toHead(cursor: Long): DataFrame = {
+    val h = head()
+    df.filter(col("id") > cursor && col("id") <= h).orderBy("id")
+  }
+
+  /** StreamLag: only events older than `lagSeconds` relative to the
+    * watermark `now` (reference: options.go:42).
+    */
+  def withLag(lagSeconds: Long, now: Column): DataFrame =
+    df.filter(col("ts") <= now - expr(s"INTERVAL $lagSeconds SECONDS"))
+
+  def where(f: EventFilter): EventLog = new EventLog(df.filter(f.toColumn))
+}
+
+object EventLog {
+  def apply(spark: SparkSession, sfDir: String): EventLog =
+    new EventLog(Event.project(spark.read.parquet(s"$sfDir/events.parquet")))
+}

@@ -1,0 +1,271 @@
+package graft.events
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Batch-checkable re-expressions of the reference's streaming
+  * semantics (SURVEY.md §2.A). Each entry is an oracle-verified
+  * DataFrame program over the `events` table; the live streaming
+  * runtime (Runner.scala) reuses the same Column logic.
+  *
+  * Oracle-parity conventions: timestamps are only emitted as DATE or
+  * floor-epoch-second BIGINT (the raw column is ns in parquet, µs in
+  * Spark); doubles are rounded; every output is totally ordered.
+  *
+  * Scale notes: windows are always partitioned by `user_id` (high
+  * cardinality) except the explicitly-bounded global batch/gap scans,
+  * which at 100 TB run per-shard (see shardId) — documented inline.
+  */
+object EventOps {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def ev(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/events.parquet")
+
+  private def log(s: SparkSession, d: String): EventLog = EventLog(s, d)
+
+  val entries: Seq[(String, QFn, Option[String])] = Seq(
+
+    // A1: event model projection (api.go:14) — id/type/foreign_id/ts/meta.
+    ("ev_model", (s: SparkSession, d: String) => {
+      Event.project(ev(s, d))
+        .filter(col("id") < 1000)
+        .select(col("id"), col("eventType").as("etype"), col("foreignId").as("fid"),
+          unix_timestamp(col("ts")).as("epoch_s"),
+          round(col("value"), 2).as("val"),
+          get_json_object(col("metadata"), "$.k").cast("int").as("meta_k"))
+        .orderBy("id")
+    }, Some("""
+      SELECT event_id AS id, event_type AS etype, user_id AS fid,
+             CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+             round(value, 2) AS val,
+             CAST(json_extract_string(props, '$.k') AS INTEGER) AS meta_k
+      FROM events WHERE event_id < 1000 ORDER BY id""")),
+
+    // A2: stream after cursor — the StreamFunc contract (api.go Spec).
+    ("ev_after_cursor", (s: SparkSession, d: String) => {
+      log(s, d).after(5000L)
+        .groupBy("eventType")
+        .agg(count(lit(1)).as("n"), min("id").as("min_id"), max("id").as("max_id"))
+        .withColumnRenamed("eventType", "etype")
+        .orderBy("etype")
+    }, Some("""
+      SELECT event_type AS etype, count(*) AS n, min(event_id) AS min_id, max(event_id) AS max_id
+      FROM events WHERE event_id > 5000 GROUP BY event_type ORDER BY etype""")),
+
+    // A3: StreamFromHead (options.go:27) — tail preview of the last 100.
+    ("ev_from_head", (s: SparkSession, d: String) => {
+      val df = Event.project(ev(s, d))
+      val head = df.agg(max("id").as("head"))
+      df.crossJoin(broadcast(head))
+        .filter(col("id") > col("head") - 100)
+        .select(col("id"), col("eventType").as("etype"), col("foreignId").as("fid"))
+        .orderBy("id")
+    }, Some("""
+      SELECT event_id AS id, event_type AS etype, user_id AS fid
+      FROM events WHERE event_id > (SELECT max(event_id) - 100 FROM events)
+      ORDER BY id""")),
+
+    // A4: StreamToHead bounded replay (options.go:34).
+    ("ev_to_head", (s: SparkSession, d: String) => {
+      log(s, d).toHead(1000L)
+        .agg(count(lit(1)).as("n"), min("id").as("first_id"), max("id").as("head_id"))
+    }, Some("""
+      SELECT count(*) AS n, min(event_id) AS first_id, max(event_id) AS head_id
+      FROM events WHERE event_id > 1000""")),
+
+    // A5: StreamLag — eligible only after 1h lag (options.go:42).
+    ("ev_stream_lag", (s: SparkSession, d: String) => {
+      val df = Event.project(ev(s, d))
+      val wm = df.agg(max("ts").as("max_ts"))
+      df.crossJoin(broadcast(wm))
+        .filter(col("ts") <= col("max_ts") - expr("INTERVAL 1 HOUR"))
+        .groupBy(col("eventType").as("etype"))
+        .agg(count(lit(1)).as("n"), max("id").as("max_eligible_id"))
+        .orderBy("etype")
+    }, Some("""
+      SELECT event_type AS etype, count(*) AS n, max(event_id) AS max_eligible_id
+      FROM events WHERE ts <= (SELECT max(ts) FROM events) - INTERVAL 1 HOUR
+      GROUP BY event_type ORDER BY etype""")),
+
+    // A6: EventFilter ofType / IsAnyType (filter.go).
+    ("ev_filter_type", (s: SparkSession, d: String) => {
+      val df = Event.project(ev(s, d))
+      df.groupBy(col("foreignId").as("fid"))
+        .agg(sum(when(EventFilter.ofType("purchase").toColumn, 1).otherwise(0)).as("n_purchase"),
+             sum(when(EventFilter.ofAnyType("purchase", "error").toColumn, 1).otherwise(0)).as("n_purchase_or_error"))
+        .filter(col("n_purchase") > 0)
+        .orderBy("fid")
+    }, Some("""
+      SELECT user_id AS fid,
+             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+             sum(CASE WHEN event_type IN ('purchase','error') THEN 1 ELSE 0 END) AS n_purchase_or_error
+      FROM events GROUP BY user_id
+      HAVING sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
+      ORDER BY fid""")),
+
+    // A7: metadata (JSON props) filter (filters/metadata.go).
+    ("ev_filter_meta", (s: SparkSession, d: String) => {
+      val f = EventFilter.metadataInt("$.k")(k => k % 10 === 0 && k < 50)
+      log(s, d).where(f).df
+        .groupBy(col("eventType").as("etype"))
+        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_val"))
+        .orderBy("etype")
+    }, Some("""
+      SELECT event_type AS etype, count(*) AS n, round(avg(value), 4) AS avg_val
+      FROM events
+      WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 = 0
+        AND CAST(json_extract_string(props, '$.k') AS INTEGER) < 50
+      GROUP BY event_type ORDER BY etype""")),
+
+    // A8: combined filters AND/OR/NOT (filters/combine.go).
+    ("ev_filter_combined", (s: SparkSession, d: String) => {
+      val f = (EventFilter.ofType("click") || EventFilter.Raw(col("value") > 150)) &&
+        EventFilter.Raw(col("foreignId") % 2 === 0)
+      log(s, d).where(f).df
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_val"),
+             min("id").as("min_id"), max("id").as("max_id"))
+    }, Some("""
+      SELECT count(*) AS n, round(sum(value), 2) AS sum_val,
+             min(event_id) AS min_id, max(event_id) AS max_id
+      FROM events
+      WHERE (event_type = 'click' OR value > 150) AND user_id % 2 = 0""")),
+
+    // A9: cursor head snapshot (api.go CursorStore contract).
+    ("ev_cursor_head", (s: SparkSession, d: String) => {
+      Event.project(ev(s, d))
+        .agg(max("id").as("head"), count(lit(1)).as("n"),
+             max(unix_timestamp(col("ts"))).as("last_epoch_s"))
+    }, Some("""
+      SELECT max(event_id) AS head, count(*) AS n,
+             max(CAST(floor(epoch(ts)) AS BIGINT)) AS last_epoch_s
+      FROM events""")),
+
+    // A12: batch pattern — consume in batches of 100 (rpatterns/batch.go).
+    // Global row_number is bounded here; at 100 TB batching runs per shard.
+    ("ev_batch_assign", (s: SparkSession, d: String) => {
+      val w = Window.orderBy("id")
+      Event.project(ev(s, d))
+        .withColumn("batch_no", ((row_number().over(w) - 1) / 100).cast("long"))
+        .filter(col("batch_no") < 20)
+        .groupBy("batch_no")
+        .agg(count(lit(1)).as("n"), min("id").as("min_id"), max("id").as("max_id"))
+        .orderBy("batch_no")
+    }, Some("""
+      SELECT batch_no, count(*) AS n, min(id) AS min_id, max(id) AS max_id
+      FROM (SELECT event_id AS id,
+                   CAST((row_number() OVER (ORDER BY event_id) - 1) // 100 AS BIGINT) AS batch_no
+            FROM events) t
+      WHERE batch_no < 20 GROUP BY batch_no ORDER BY batch_no""")),
+
+    // A13: parallel m-of-n hash shards (rpatterns/parallel.go).
+    ("ev_shard_2_of_4", (s: SparkSession, d: String) => {
+      log(s, d).where(EventFilter.shardMofN(2, 4)).df
+        .groupBy(col("foreignId").as("fid"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("fid")
+    }, Some("""
+      SELECT user_id AS fid, count(*) AS n
+      FROM events
+      WHERE CAST(CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 4) AS INTEGER) % 4 AS INTEGER) = 2
+      GROUP BY user_id ORDER BY fid""")),
+
+    // A15: dead-letter side-output (rpatterns/deadletter.go, rsql/errorstable.go).
+    ("ev_deadletter", (s: SparkSession, d: String) => {
+      Patterns.deadLetters(Event.project(ev(s, d)))
+        .select(col("id"), col("foreignId").as("fid"),
+          unix_timestamp(col("ts")).as("epoch_s"), round(col("value"), 2).as("val"))
+        .orderBy("id")
+    }, Some("""
+      SELECT event_id AS id, user_id AS fid,
+             CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s, round(value, 2) AS val
+      FROM events WHERE event_type = 'error' ORDER BY id""")),
+
+    // A17: await first matching event per foreign id (rpatterns/await.go).
+    ("ev_await", (s: SparkSession, d: String) => {
+      Event.project(ev(s, d))
+        .filter(EventFilter.ofType("signup").toColumn)
+        .groupBy(col("foreignId").as("fid"))
+        .agg(min("id").as("first_signup_id"))
+        .orderBy("fid")
+    }, Some("""
+      SELECT user_id AS fid, min(event_id) AS first_signup_id
+      FROM events WHERE event_type = 'signup' GROUP BY user_id ORDER BY fid""")),
+
+    // A18: gap detection (rsql/gapfill.go) over a view with simulated
+    // in-flight ids (every 97th missing). Bounded global window; at
+    // scale this runs over the head slice only.
+    ("ev_gaps", (s: SparkSession, d: String) => {
+      val visible = Event.project(ev(s, d)).filter(col("id") % 97 =!= 0)
+      Patterns.gaps(visible).orderBy("gap_start")
+    }, Some("""
+      SELECT prev + 1 AS gap_start, id - 1 AS gap_end
+      FROM (SELECT event_id AS id, lag(event_id) OVER (ORDER BY event_id) AS prev
+            FROM events WHERE event_id % 97 <> 0) t
+      WHERE prev IS NOT NULL AND id - prev > 1
+      ORDER BY gap_start""")),
+
+    // A22: latest-state materialization per foreign id (doc.go).
+    ("ev_latest_state", (s: SparkSession, d: String) => {
+      Patterns.latestState(Event.project(ev(s, d)))
+        .select(col("foreignId").as("fid"), col("id").as("last_id"),
+          col("eventType").as("last_type"), round(col("value"), 2).as("last_val"))
+        .orderBy("fid")
+    }, Some("""
+      SELECT user_id AS fid, event_id AS last_id, event_type AS last_type,
+             round(value, 2) AS last_val
+      FROM (SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY event_id DESC) AS rn
+            FROM events) t
+      WHERE rn = 1 ORDER BY fid""")),
+
+    // A23: tumbling-window aggregation (Spark-native extension).
+    ("ev_window_count", (s: SparkSession, d: String) => {
+      Event.project(ev(s, d))
+        .groupBy(date_trunc("day", col("ts")).cast("date").as("day"),
+          col("eventType").as("etype"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_val"))
+        .orderBy("day", "etype")
+    }, Some("""
+      SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type AS etype,
+             count(*) AS n, round(sum(value), 2) AS sum_val
+      FROM events GROUP BY 1, 2 ORDER BY day, etype""")),
+
+    // A24: sessionization, 30-min inactivity gap, per user.
+    ("ev_sessionize", (s: SparkSession, d: String) => {
+      Patterns.sessionize(Event.project(ev(s, d)), gapSeconds = 1800)
+        .orderBy("fid", "sess_seq")
+    }, Some("""
+      WITH t AS (
+        SELECT user_id AS fid, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+               CASE WHEN CAST(floor(epoch(ts)) AS BIGINT)
+                         - lag(CAST(floor(epoch(ts)) AS BIGINT))
+                           OVER (PARTITION BY user_id ORDER BY event_id) > 1800
+                    OR lag(event_id) OVER (PARTITION BY user_id ORDER BY event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events),
+      s AS (
+        SELECT fid, sec,
+               sum(new_sess) OVER (PARTITION BY fid ORDER BY event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_seq
+        FROM t)
+      SELECT fid, sess_seq, count(*) AS n_events,
+             max(sec) - min(sec) AS dur_s
+      FROM s GROUP BY fid, sess_seq ORDER BY fid, sess_seq""")),
+
+    // A25: at-least-once → exactly-once view via id dedup (doc.go note).
+    ("ev_dedup_ids", (s: SparkSession, d: String) => {
+      val base = Event.project(ev(s, d))
+      val replayed = base.filter(col("id") % 10 === 0) // simulated redelivery
+      val merged = base.unionByName(replayed)
+      merged.agg(count(lit(1)).as("n_with_dups"),
+        countDistinct("id").as("n_distinct"))
+    }, Some("""
+      WITH m AS (SELECT event_id FROM events
+                 UNION ALL
+                 SELECT event_id FROM events WHERE event_id % 10 = 0)
+      SELECT count(*) AS n_with_dups, count(DISTINCT event_id) AS n_distinct FROM m"""))
+  )
+}

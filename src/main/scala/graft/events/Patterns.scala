@@ -1,0 +1,95 @@
+package graft.events
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Declarative re-expressions of the reference's consumption patterns
+  * (reference: the rpatterns package). Each takes/returns a DataFrame in the
+  * canonical event projection (Event.project) so they compose with
+  * EventFilter and the streaming runtime.
+  */
+object Patterns {
+
+  /** rpatterns/deadletter.go + rsql/errorstable.go: the error
+    * side-output. In the batch view, "poison" events are routed to a
+    * dead-letter frame instead of blocking the stream; the healthy
+    * complement continues.
+    */
+  def deadLetters(events: DataFrame, isPoison: EventFilter = EventFilter.ofType("error")): DataFrame =
+    events.filter(isPoison.toColumn)
+
+  def healthy(events: DataFrame, isPoison: EventFilter = EventFilter.ofType("error")): DataFrame =
+    events.filter(!isPoison.toColumn)
+
+  /** rpatterns/parallel.go: split the log into n co-located shards by
+    * portable hash of the foreign id. Returned frame carries `shard`;
+    * repartitioning by it co-locates each shard's events without a
+    * second shuffle downstream.
+    */
+  def shards(events: DataFrame, n: Int): DataFrame =
+    events.withColumn("shard", EventFilter.shardId(n))
+
+  /** rpatterns/batch.go: assign monotone batch numbers of size
+    * `batchSize` in id order. The global window is intentional for the
+    * bounded replay/test path; at scale call per shard (compose with
+    * `shards`, window partitioned by shard).
+    */
+  def assignBatches(events: DataFrame, batchSize: Int): DataFrame = {
+    val w = Window.orderBy("id")
+    events.withColumn("batch_no", ((row_number().over(w) - 1) / batchSize).cast("long"))
+  }
+
+  /** rsql/gapfill.go: detect id gaps (candidates for noop fill). */
+  def gaps(events: DataFrame): DataFrame = {
+    val w = Window.orderBy("id")
+    events.select(col("id"))
+      .withColumn("prev", lag("id", 1).over(w))
+      .filter(col("prev").isNotNull && col("id") - col("prev") > 1)
+      .select((col("prev") + 1).as("gap_start"), (col("id") - 1).as("gap_end"))
+  }
+
+  /** rsql/gapfill.go makeFill: materialize the noop events that would
+    * close every gap (idempotent fill set).
+    */
+  def gapFillNoops(events: DataFrame): DataFrame =
+    gaps(events)
+      .select(explode(sequence(col("gap_start"), col("gap_end"))).as("id"))
+      .withColumn("eventType", lit("noop"))
+
+  /** Latest event per foreign id — the event-notification → current
+    * state materialization implied by doc.go. Ordered by id (insertion
+    * order), not timestamp, matching the reference's cursor semantics.
+    */
+  def latestState(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("foreignId").orderBy(col("id").desc)
+    events.withColumn("rn", row_number().over(w)).filter(col("rn") === 1).drop("rn")
+  }
+
+  /** Sessionization with an inactivity gap, per foreign id. Emits one
+    * row per (fid, session): event count and duration in whole
+    * seconds. Windows partition on the high-cardinality foreign id.
+    */
+  def sessionize(events: DataFrame, gapSeconds: Long): DataFrame = {
+    val byUser = Window.partitionBy("foreignId").orderBy("id")
+    val cum = Window.partitionBy("foreignId").orderBy("id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("sec", unix_timestamp(col("ts")))
+      .withColumn("new_sess",
+        when(lag("id", 1).over(byUser).isNull ||
+             col("sec") - lag("sec", 1).over(byUser) > gapSeconds, 1).otherwise(0))
+      .withColumn("sess_seq", sum("new_sess").over(cum))
+      .groupBy(col("foreignId").as("fid"), col("sess_seq"))
+      .agg(count(lit(1)).as("n_events"), (max("sec") - min("sec")).as("dur_s"))
+  }
+
+  /** rpatterns/ack.go batch-cursor semantics: the cursor to commit for
+    * a consumed frame = max id (only safe once every prior event
+    * succeeded — the runtime enforces that).
+    */
+  def commitCursor(events: DataFrame): Long = {
+    val r = events.agg(max("id")).collect()(0)
+    if (r.isNullAt(0)) -1L else r.getLong(0)
+  }
+}

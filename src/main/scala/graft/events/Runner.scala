@@ -1,0 +1,157 @@
+package graft.events
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.concurrent.duration.Duration
+import scala.util.control.NonFatal
+
+/** The consume loop (reference: run.go reflex.Run) re-expressed two
+  * ways:
+  *
+  *  1. `runToHead` — bounded batch replay (StreamToHead semantics):
+  *     slice the log after the committed cursor, process in id-ordered
+  *     micro-batches, commit the cursor after each successful batch.
+  *     At-least-once: a crash between `fn` and `set` replays the batch.
+  *
+  *  2. `runStream` — live Structured Streaming over the event-log
+  *     directory with `foreachBatch`; the same cursor protocol guards
+  *     against source duplicates (exactly-once effect when `fn` is
+  *     idempotent on id).
+  */
+object Runner {
+
+  final case class RunResult(batches: Int, consumed: Long, finalCursor: Long, skipped: Long)
+
+  /** Bounded replay to the head-at-start snapshot. */
+  def runToHead(spec: Spec): RunResult = {
+    val base = spec.filter.fold(spec.log.df)(f => spec.log.df.filter(f.toColumn))
+    val head = spec.log.head()
+    var cursor = spec.store.get(spec.consumer.name).getOrElse(-1L)
+    var batches = 0
+    var consumed = 0L
+    var skipped = 0L
+
+    while (cursor < head) {
+      // The batch window [cursor+1, upper] is defined on the UNFILTERED
+      // log so the cursor advances past filtered-out events too
+      // (reflex filters advance cursors — filter.go). The id predicate
+      // is pushed to the scan; the sort+limit is a TakeOrdered.
+      val slice = spec.log.df.filter(col("id") > cursor && col("id") <= head)
+        .orderBy("id").limit(spec.batchSize)
+      val ids = slice.agg(max("id").as("m")).collect()(0)
+      if (ids.isNullAt(0)) {
+        cursor = head
+      } else {
+        val upper = ids.getLong(0)
+        val visible = base.filter(col("id") > cursor && col("id") <= upper)
+        val n = attempt(spec, visible, cursor)
+        consumed += n._1
+        skipped += n._2
+        cursor = upper
+        spec.store.set(spec.consumer.name, cursor)
+        batches += 1
+      }
+    }
+    RunResult(batches, consumed, cursor, skipped)
+  }
+
+  /** One batch attempt honoring the consumer's error mode.
+    * @return (consumed, skipped)
+    */
+  private def attempt(spec: Spec, batch: DataFrame, cursor: Long): (Long, Long) = {
+    val cached = batch.cache()
+    try {
+      val n = cached.count()
+      if (n == 0) return (0L, 0L)
+      def tryOnce(): Unit = spec.consumer.fn(cached)
+      spec.consumer.errorMode match {
+        case FailFast =>
+          tryOnce(); (n, 0L)
+        case BestEffort(retries) =>
+          retry(retries)(tryOnce()) match {
+            case None => (n, 0L)
+            case Some(_) => (0L, n)
+          }
+        case DeadLetter(retries, errors) =>
+          retry(retries)(tryOnce()) match {
+            case None => (n, 0L)
+            case Some(e) =>
+              errors.record(spec.consumer.name, cursor, e.getMessage)
+              (0L, n)
+          }
+      }
+    } finally cached.unpersist()
+  }
+
+  /** @return None on success, Some(error) after exhausting retries. */
+  private def retry(retries: Int)(body: => Unit): Option[Throwable] = {
+    var last: Option[Throwable] = None
+    var i = 0
+    while (i <= retries) {
+      try { body; return None } catch { case NonFatal(e) => last = Some(e) }
+      i += 1
+    }
+    last
+  }
+
+  /** rpatterns/parallel.go: n hash-sharded consumers, each with its own
+    * cursor (`name_m_of_n`), run concurrently. Co-location note: the
+    * shard predicate is a pushed filter, so each shard scans only its
+    * rows; on a cluster the shards are independent jobs.
+    */
+  def runParallel(spec: Spec, n: Int)(implicit ec: ExecutionContext): Seq[RunResult] = {
+    val futures = (0 until n).map { m =>
+      Future {
+        val shardFilter = EventFilter.shardMofN(m, n)
+        val combined = spec.filter.fold[EventFilter](shardFilter)(f => f && shardFilter)
+        val named = spec.consumer.copy(name = s"${spec.consumer.name}_${m + 1}_of_$n")
+        runToHead(spec.copy(consumer = named, filter = Some(combined)))
+      }
+    }
+    Await.result(Future.sequence(futures), Duration.Inf)
+  }
+
+  /** rpatterns/await.go: first event after `cursor` matching the
+    * foreign id + types, if any has arrived.
+    */
+  def await(log: EventLog, cursor: Long, fid: Long, types: String*): Option[Long] = {
+    val f = EventFilter.foreignId(fid) &&
+      (if (types.isEmpty) EventFilter.Raw(lit(true)) else EventFilter.ofAnyType(types: _*))
+    val r = log.after(cursor).filter(f.toColumn).agg(min("id")).collect()(0)
+    if (r.isNullAt(0)) None else Some(r.getLong(0))
+  }
+
+  /** Live tail via Structured Streaming (reference: run.go in its
+    * long-poll mode). The event-log directory is consumed as a file
+    * stream; each micro-batch is deduped against the committed cursor
+    * before `fn`, then the cursor is committed. `Trigger.AvailableNow`
+    * gives the StreamToHead bounded-backfill behavior.
+    */
+  def runStream(
+      spark: SparkSession,
+      logDir: String,
+      spec: Spec,
+      checkpointDir: String,
+      availableNow: Boolean = true): StreamingQuery = {
+    val schema = spark.read.parquet(logDir).schema
+    val stream = Event.project(spark.readStream.schema(schema).parquet(logDir))
+    val filtered = spec.filter.fold(stream)(f => stream.filter(f.toColumn))
+    val writer = filtered.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val cursor = spec.store.get(spec.consumer.name).getOrElse(-1L)
+        val fresh = batch.filter(col("id") > cursor).cache()
+        try {
+          if (!fresh.isEmpty) {
+            val upper = fresh.agg(max("id")).collect()(0).getLong(0)
+            spec.consumer.fn(fresh.orderBy("id"))
+            spec.store.set(spec.consumer.name, upper)
+          }
+        } finally fresh.unpersist()
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+}

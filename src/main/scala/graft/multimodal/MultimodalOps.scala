@@ -1,0 +1,127 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing (SURVEY.md §2.C12-C14): media payloads
+  * are opaque `binary` columns with typed metadata; decode/feature
+  * extraction is batched per partition.
+  *
+  * The container has no image/audio codecs, so the decode step is a
+  * clearly-marked DETERMINISTIC STUB (`fakeDecode`) — it derives
+  * "features" from the raw bytes. Everything around it — binary
+  * schema, partition-batched iteration, metadata struct, frame
+  * sampling — is the real Spark plumbing a codec-backed decoder would
+  * plug into (swap `fakeDecode` for the JNI/Pandas-UDF call).
+  */
+object MultimodalOps {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  /** The test corpus carries no real media, so we materialize a binary
+    * payload from the document text and assign a media kind
+    * round-robin. At 100 TB the payload column comes straight from
+    * parquet and this projection disappears.
+    */
+  def asMedia(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      col("text").cast("binary").as("payload"),
+      element_at(array(lit("image"), lit("audio"), lit("video")),
+        (col("doc_id") % 3 + 1).cast("int")).as("kind"))
+
+  val featureSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("kind", StringType),
+    StructField("byte_len", IntegerType),
+    StructField("mean_byte", DoubleType),
+    StructField("hist", ArrayType(LongType)),
+    StructField("n_frames", IntegerType)))
+
+  /** DETERMINISTIC STUB decoder: real decoders (JPEG/PCM/H264) are not
+    * in this container. Features are byte statistics; the partition-
+    * batched iterator shape matches what a real codec needs (one
+    * library init per partition, streaming rows).
+    */
+  def fakeDecode(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    val rdd = media.select("doc_id", "kind", "payload").rdd.mapPartitions { it =>
+      // real impl: init codec once per partition here
+      it.map { r =>
+        val id = r.getLong(0)
+        val kind = r.getString(1)
+        val bytes = r.getAs[Array[Byte]](2)
+        val hist = new Array[Long](4)
+        var sum = 0L
+        var i = 0
+        while (i < bytes.length) {
+          val b = bytes(i) & 0xff
+          sum += b
+          hist(b / 64) += 1
+          i += 1
+        }
+        val mean = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
+        val nFrames = if (kind == "video") bytes.length / 100 + 1 else 1
+        Row(id, kind, bytes.length, mean, hist.toSeq, nFrames)
+      }
+    }
+    spark.createDataFrame(rdd, featureSchema)
+  }
+
+  val entries: Seq[(String, QFn, Option[String])] = Seq(
+
+    // C12: binary column + typed metadata extraction (pure Columns).
+    ("mm_binary_meta", (s: SparkSession, d: String) => {
+      val media = asMedia(s.read.parquet(s"$d/documents.parquet"))
+      val h = md5(col("payload"))
+      media.select(
+        col("doc_id"), col("kind"),
+        length(col("payload")).as("byte_len"),
+        sha2(col("payload"), 256).as("sha"),
+        (conv(substring(h, 1, 4), 16, 10).cast("int") % 240 + 16).as("width"),
+        (conv(substring(h, 5, 4), 16, 10).cast("int") % 240 + 16).as("height"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+             CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+             octet_length(encode(text)) AS byte_len,
+             sha256(text) AS sha,
+             CAST(CAST('0x' || substr(md5(text), 1, 4) AS INTEGER) % 240 AS INTEGER) + 16 AS width,
+             CAST(CAST('0x' || substr(md5(text), 5, 4) AS INTEGER) % 240 AS INTEGER) + 16 AS height
+      FROM documents ORDER BY doc_id""")),
+
+    // C13: partition-batched decode via the stub (rows-only oracle —
+    // the stub's features are engine-side by design).
+    ("mm_decode_stub", (s: SparkSession, d: String) => {
+      fakeDecode(asMedia(s.read.parquet(s"$d/documents.parquet")))
+        .select(col("doc_id"), col("kind"), col("byte_len"),
+          round(col("mean_byte"), 4).as("mean_byte"),
+          col("hist")(0).as("h0"), col("hist")(1).as("h1"),
+          col("hist")(2).as("h2"), col("hist")(3).as("h3"),
+          col("n_frames"))
+        .orderBy("doc_id")
+    }, None),
+
+    // C14: frame sampling for video payloads — every 2nd frame.
+    ("mm_frame_sample", (s: SparkSession, d: String) => {
+      val media = asMedia(s.read.parquet(s"$d/documents.parquet"))
+        .filter(col("kind") === "video")
+        .withColumn("n_frames", (floor(length(col("payload")) / 100) + 1).cast("int"))
+        .withColumn("sha", sha2(col("payload"), 256))
+      media
+        .select(col("doc_id"), col("sha"),
+          explode(sequence(lit(0), col("n_frames") - 1, lit(2))).as("frame_idx"))
+        .select(col("doc_id"), col("frame_idx"),
+          md5(concat(col("sha"), lit(":"), col("frame_idx").cast("string"))).as("frame_sha"))
+        .orderBy("doc_id", "frame_idx")
+    }, Some("""
+      WITH v AS (
+        SELECT doc_id, sha256(text) AS sha,
+               CAST(octet_length(encode(text)) // 100 + 1 AS INTEGER) AS n_frames
+        FROM documents WHERE doc_id % 3 = 2)
+      SELECT doc_id, unnest(generate_series(0, n_frames - 1, 2)) AS frame_idx,
+             md5(sha || ':' || CAST(unnest(generate_series(0, n_frames - 1, 2)) AS VARCHAR)) AS frame_sha
+      FROM v ORDER BY doc_id, frame_idx"""))
+  )
+}

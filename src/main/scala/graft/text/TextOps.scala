@@ -1,0 +1,139 @@
+package graft.text
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines (SURVEY.md
+  * §2.C8-C11): language ID, quality scoring, token counting, document
+  * fingerprinting. All pure Column expressions — whole-stage codegen,
+  * no UDFs — so they stream through a 100 TB corpus scan.
+  */
+object TextOps {
+
+  type QFn = (SparkSession, String) => DataFrame
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    s.read.parquet(s"$d/documents.parquet")
+
+  /** lower-case, strip non-alphanumerics, collapse whitespace. */
+  def normalize(c: Column): Column =
+    trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9\\s]", " "), "\\s+", " "))
+
+  /** whitespace tokens of the normalized text. */
+  def tokens(c: Column): Column = split(normalize(c), " ")
+
+  /** BPE-ish pre-tokenizer: letter runs, digit runs, single symbols. */
+  val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
+
+  /** Marker stopword sets for the n-gram/stopword language heuristic. */
+  val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "fast", "slow"),
+    "es" -> Seq("data", "table", "row"),
+    "de" -> Seq("stream", "batch", "merge"),
+    "fr" -> Seq("query", "filter", "join"))
+
+  def stopwordHits(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words)))
+
+  /** md5 content fingerprint of the normalized text. */
+  def fingerprint(c: Column): Column = md5(normalize(c))
+
+  /** First-8-hex-digit bucket of a fingerprint, in [0, nBuckets). */
+  def fpBucket(fp: Column, nBuckets: Int): Column =
+    conv(substring(fp, 1, 8), 16, 10).cast("bigint") % nBuckets
+
+  val entries: Seq[(String, QFn, Option[String])] = Seq(
+
+    // C10: token counting — whitespace + BPE-ish regex.
+    ("tx_tokens", (s: SparkSession, d: String) => {
+      docs(s, d).select(
+        col("doc_id"),
+        size(tokens(col("text"))).as("n_ws_tokens"),
+        size(regexp_extract_all(col("text"), lit(bpeishPattern), lit(0))).as("n_bpeish"),
+        length(col("text")).as("n_chars"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+             length(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS n_ws_tokens,
+             length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish,
+             length(text) AS n_chars
+      FROM documents ORDER BY doc_id""")),
+
+    // C9: quality scoring — length/punctuation/stopword signals.
+    ("tx_quality", (s: SparkSession, d: String) => {
+      val toks = tokens(col("text"))
+      val nTok = size(toks).cast("double")
+      val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
+      val stops = stopwordHits(toks, stopwords).cast("double")
+      val lenC = length(col("text")).cast("double")
+      docs(s, d).select(
+        col("doc_id"),
+        round(punct / lenC, 4).as("punct_ratio"),
+        round(stops / nTok, 4).as("stop_ratio"),
+        round(lenC / nTok, 4).as("chars_per_token"),
+        round(lit(0.5) * (stops / nTok) + lit(0.3) * (lit(1.0) - punct / lenC) +
+          lit(0.2) * least(nTok / 100.0, lit(1.0)), 4).as("quality_score"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id, text,
+               CAST(length(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS DOUBLE) AS n_tok,
+               CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) AS punct,
+               CAST(length(list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE) AS stops,
+               CAST(length(text) AS DOUBLE) AS len
+        FROM documents)
+      SELECT doc_id,
+             round(punct / len, 4) AS punct_ratio,
+             round(stops / n_tok, 4) AS stop_ratio,
+             round(len / n_tok, 4) AS chars_per_token,
+             round(0.5 * (stops / n_tok) + 0.3 * (1.0 - punct / len)
+                   + 0.2 * least(n_tok / 100.0, 1.0), 4) AS quality_score
+      FROM t ORDER BY doc_id""")),
+
+    // C8: language ID — marker-stopword score, deterministic argmax.
+    ("tx_langid", (s: SparkSession, d: String) => {
+      val toks = tokens(col("text"))
+      val scored = docs(s, d).select(
+        (col("doc_id") +: langMarkers.map { case (l, ws) =>
+          stopwordHits(toks, ws).as(s"s_$l")
+        }): _*)
+      scored.withColumn("pred_lang",
+        when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
+          .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+          .when(col("s_de") >= col("s_fr"), "de")
+          .otherwise("fr"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      sc AS (
+        SELECT doc_id,
+               length(list_filter(w, x -> x IN ('the','a','fast','slow'))) AS s_en,
+               length(list_filter(w, x -> x IN ('data','table','row'))) AS s_es,
+               length(list_filter(w, x -> x IN ('stream','batch','merge'))) AS s_de,
+               length(list_filter(w, x -> x IN ('query','filter','join'))) AS s_fr
+        FROM toks)
+      SELECT doc_id, s_en, s_es, s_de, s_fr,
+             CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                  WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                  WHEN s_de >= s_fr THEN 'de'
+                  ELSE 'fr' END AS pred_lang
+      FROM sc ORDER BY doc_id""")),
+
+    // C11: document fingerprint (md5 canonical) + shard bucket.
+    ("tx_fingerprint", (s: SparkSession, d: String) => {
+      val fp = fingerprint(col("text"))
+      docs(s, d).select(
+        col("doc_id"), fp.as("fp"), fpBucket(fp, 1024).as("bucket"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+             md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp,
+             CAST('0x' || substr(md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))), 1, 8) AS BIGINT) % 1024 AS bucket
+      FROM documents ORDER BY doc_id"""))
+  )
+}
