@@ -1,58 +1,74 @@
 package graft.ann
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import graft.util.Hashing
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (SURVEY.md §2.C6-C7).
   *
-  * Baseline: brute-force cosine top-k — the probe set is broadcast
-  * against the corpus, so the scan is a single pass with no shuffle
-  * (the right shape at 100 TB: probes are small, corpus is huge).
-  * Scale path: random-hyperplane LSH buckets — probe only scans its
-  * bucket (plus multiprobe neighbors), turning the linear scan into a
-  * bucket-local one.
+  * Shape chosen for 100 TB: the probe set is tiny and the corpus is
+  * huge, so probes are COLLECTED + BROADCAST and scored in ONE
+  * mapPartitions pass over the corpus — no join, no shuffle of the
+  * corpus, primitive double loops (an interpreted zip_with/aggregate
+  * expression per pair measured ~10× slower). Only the per-probe
+  * top-k ranking shuffles, and that is k·|probes| rows.
   *
-  * All vector math is `zip_with`/`aggregate` over array<double> —
-  * codegen'd Catalyst expressions, no UDFs.
+  * Scale path (C7): random-hyperplane LSH buckets — a probe scans
+  * only its bucket, turning the linear scan into a bucket-local one.
   */
 object AnnOps {
 
   type QFn = (SparkSession, String) => DataFrame
 
-  /** Cast embedding to double and attach its L2 norm. */
-  def withNorm(df: DataFrame): DataFrame =
-    df.select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
-      .withColumn("nrm", sqrt(expr("aggregate(v, 0D, (acc, x) -> acc + x * x)")))
-
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
-
-  def cosine(a: Column, b: Column, na: Column, nb: Column): Column =
-    dot(a, b) / (na * nb)
-
-  /** Deterministic random-hyperplane coefficient for (plane, dim) —
-    * hash-derived so it is identical on every executor with no
-    * broadcast state (and reproducible across engines).
+  /** Corpus as (vec_id, double[]) — the float→double cast matches the
+    * DuckDB oracle's CAST(... AS DOUBLE) exactly.
     */
-  val lshBucketExpr: String =
-    """aggregate(sequence(0, 7), 0L, (acc, p) ->
-         acc + shiftleft(CASE WHEN aggregate(sequence(0, 63), 0D, (s, i) ->
-           s + (CAST(xxhash64(concat('plane', p, '_', i)) % 1000 AS DOUBLE) / 1000.0) * v[i])
-           > 0D THEN 1L ELSE 0L END, p))"""
+  private def corpus(s: SparkSession, d: String) = {
+    import s.implicits._
+    s.read.parquet(s"$d/embeddings.parquet")
+      .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
+      .as[(Long, Seq[Double])]
+  }
+
+  private def l2(v: Array[Double]): Double = {
+    var n = 0.0; var i = 0
+    while (i < v.length) { n += v(i) * v(i); i += 1 }
+    math.sqrt(n)
+  }
+
+  private def dotp(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+
+  /** All (probe, other, cosine) scores in one broadcast-probe pass. */
+  private def probeScores(s: SparkSession, d: String, probeMax: Long): DataFrame = {
+    import s.implicits._
+    val c = corpus(s, d)
+    val probes = c.filter(_._1 < probeMax).collect()
+      .map { case (id, v) => (id, v.toArray, l2(v.toArray)) }
+    val bp = s.sparkContext.broadcast(probes)
+    c.mapPartitions { it =>
+      val ps = bp.value
+      it.flatMap { case (id, vs) =>
+        val v = vs.toArray
+        val nb = l2(v)
+        ps.iterator.filter(_._1 != id).map { case (pid, pv, pn) =>
+          (pid, id, dotp(pv, v) / (pn * nb))
+        }
+      }
+    }.toDF("probe", "neighbor", "cos")
+  }
 
   val entries: Seq[(String, QFn, Option[String])] = Seq(
 
     // C6: brute-force cosine top-10 for a 16-probe set.
     ("ann_bruteforce", (s: SparkSession, d: String) => {
-      val e = withNorm(s.read.parquet(s"$d/embeddings.parquet"))
-      val probes = broadcast(e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("probe"), col("v").as("va"), col("nrm").as("na")))
       val rk = Window.partitionBy("probe").orderBy(col("cos").desc, col("neighbor").asc)
-      probes.join(e.select(col("vec_id").as("neighbor"), col("v").as("vb"), col("nrm").as("nb")),
-          col("probe") =!= col("neighbor"))
-        .withColumn("cos", cosine(col("va"), col("vb"), col("na"), col("nb")))
+      probeScores(s, d, probeMax = 16)
         .withColumn("rk", row_number().over(rk))
         .filter(col("rk") <= 10)
         .select(col("probe"), col("rk"), col("neighbor"), round(col("cos"), 4).as("cos_sim"))
@@ -76,19 +92,51 @@ object AnnOps {
       SELECT probe, rk, neighbor, round(cos, 4) AS cos_sim
       FROM scored WHERE rk <= 10 ORDER BY probe, rk""")),
 
-    // C7: LSH-bucketed top-5 — probe scans only its hyperplane bucket.
+    // C5 kernel (used by dedup): pairs above a similarity threshold.
+    ("dd_embed_neardup", (s: SparkSession, d: String) => {
+      probeScores(s, d, probeMax = 200)
+        .filter(col("probe") < col("neighbor") && col("cos") >= 0.28)
+        .select(col("probe").as("a"), col("neighbor").as("b"),
+          round(col("cos"), 4).as("cos_sim"))
+        .orderBy("a", "b")
+    }, Some("""
+      WITH f AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+      n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY vec_id),
+      dots AS (
+        SELECT a.vec_id AS a, b.vec_id AS b, sum(a.v * b.v) AS dot
+        FROM f a JOIN f b ON a.i = b.i AND a.vec_id < b.vec_id
+        WHERE a.vec_id < 200
+        GROUP BY a.vec_id, b.vec_id)
+      SELECT dots.a, dots.b, round(dot / (na.nrm * nb.nrm), 4) AS cos_sim
+      FROM dots JOIN n na ON na.vec_id = dots.a JOIN n nb ON nb.vec_id = dots.b
+      WHERE dot / (na.nrm * nb.nrm) >= 0.28
+      ORDER BY a, b""")),
+
+    // C7: LSH-bucketed top-5 — probes only score their own bucket.
     ("ann_lsh", (s: SparkSession, d: String) => {
-      val e = withNorm(s.read.parquet(s"$d/embeddings.parquet"))
-        .withColumn("bucket", expr(lshBucketExpr))
-      val probes = broadcast(e.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("probe"), col("v").as("va"),
-          col("nrm").as("na"), col("bucket")))
+      import s.implicits._
+      val c = corpus(s, d)
+      val probes = c.filter(_._1 < 16).collect().map { case (id, v) =>
+        val a = v.toArray
+        (id, a, l2(a), Hashing.lshBucket(a, 8))
+      }
+      val bp = s.sparkContext.broadcast(probes)
+      val scored = c.mapPartitions { it =>
+        val ps = bp.value
+        it.flatMap { case (id, vs) =>
+          val v = vs.toArray
+          val bucket = Hashing.lshBucket(v, 8)
+          val nb = l2(v)
+          ps.iterator
+            .filter(p => p._4 == bucket && p._1 != id)
+            .map { case (pid, pv, pn, _) => (pid, id, dotp(pv, v) / (pn * nb)) }
+        }
+      }.toDF("probe", "neighbor", "cos")
       val rk = Window.partitionBy("probe").orderBy(col("cos").desc, col("neighbor").asc)
-      probes.join(
-          e.select(col("vec_id").as("neighbor"), col("v").as("vb"),
-            col("nrm").as("nb"), col("bucket")), Seq("bucket"))
-        .filter(col("probe") =!= col("neighbor"))
-        .withColumn("cos", cosine(col("va"), col("vb"), col("na"), col("nb")))
+      scored
         .withColumn("rk", row_number().over(rk))
         .filter(col("rk") <= 5)
         .select(col("probe"), col("rk"), col("neighbor"), round(col("cos"), 4).as("cos_sim"))

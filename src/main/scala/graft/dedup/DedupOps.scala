@@ -21,29 +21,49 @@ object DedupOps {
   private def docs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/documents.parquet")
 
-  /** distinct char-4-gram shingles; expects a `norm` column. */
-  val shinglesExpr: String =
-    "array_distinct(transform(sequence(0, greatest(length(norm) - 4, 0)), i -> substring(norm, i + 1, 4)))"
-
-  /** 16-permutation MinHash signature of a shingle set. Permutation k
-    * is xxhash64(shingle || '|' || k) — codegen'd, no UDF.
+  /** Signature computation (shingles → MinHash / tokens → SimHash)
+    * runs as a typed map over the normalized text (graft.util.Hashing)
+    * rather than nested Catalyst higher-order functions: nested array
+    * lambdas are interpreted (no codegen) and projection-collapse
+    * re-evaluates the token-hash array once per permutation, which
+    * measured ~1000× slower than the JVM loop at sf0.1. Everything
+    * downstream of the per-row signature — banding, bucket join, skew
+    * guard, verification — stays declarative and distributed.
     */
-  val minhashSigExpr: String =
-    "transform(sequence(0, 15), k -> array_min(transform(sh, s -> xxhash64(concat(s, '|', cast(k AS string))))))"
+  private def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // 32 permutations, 4 bands × 8 rows: collision prob j^8 per band
+    // keeps the candidate set sparse even on a high-overlap corpus
+    // (4 rows measured 45k candidates at sf0.1; 8 rows ~100× fewer).
+    // Shingles are carried as their 64-bit hashes — Jaccard on hash
+    // sets equals Jaccard on string sets up to negligible collisions,
+    // and the verify intersect on bigints beats string comparison.
+    docs(s, d).select(col("doc_id"), TextOps.normalize(col("text")).as("norm"))
+      .as[(Long, String)]
+      .map { case (id, norm) =>
+        val sh = graft.util.Hashing.charShingles(norm, 4)
+        val shh = sh.map(graft.util.Hashing.string64).distinct.sorted
+        val bands = graft.util.Hashing.bands(graft.util.Hashing.minhashSig(sh, 32), 8)
+        (id, shh.toSeq, bands.toSeq)
+      }
+      .toDF("doc_id", "sh", "bands")
+      // the candidate DAG references signatures up to 4× (bucket stats,
+      // bucket join, two verify joins) — materialize once; signatures
+      // are ~100 bytes/doc, the standard cache point at corpus scale
+      .cache()
+  }
 
-  /** 4 LSH bands of 4 minhash rows each. */
-  val bandsExpr: String =
-    "transform(sequence(0, 3), j -> xxhash64(concat_ws(',', transform(slice(sig, j * 4 + 1, 4), x -> cast(x AS string)))))"
-
-  /** 64-bit SimHash over the distinct word set, materialized as four
-    * 16-bit band values (band k covers bit positions 16k..16k+15).
-    */
-  val simhashBandsExpr: String =
-    """transform(sequence(0, 3), k ->
-         aggregate(sequence(0, 15), 0L, (acc, b) ->
-           acc + shiftleft(CASE WHEN aggregate(w, 0, (a2, t) ->
-             a2 + CASE WHEN (shiftright(xxhash64(t), k * 16 + b) & 1) = 1 THEN 1 ELSE -1 END) > 0
-             THEN 1L ELSE 0L END, b)))"""
+  private def simhashSignatures(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d).select(col("doc_id"), TextOps.normalize(col("text")).as("norm"))
+      .as[(Long, String)]
+      .map { case (id, norm) =>
+        val h = graft.util.Hashing.simhash64(norm.split(" ").distinct)
+        (id, h, graft.util.Hashing.simhashBands(h).toSeq)
+      }
+      .toDF("doc_id", "simhash", "bands")
+      .cache()
+  }
 
   /** Candidate pairs via banded bucket join with a mega-bucket guard. */
   private def bandedCandidates(banded: DataFrame, maxBucket: Int): DataFrame = {
@@ -76,12 +96,9 @@ object DedupOps {
 
     // C2: MinHash + LSH near-dup; banded candidates, exact-Jaccard verify.
     ("dd_minhash_lsh", (s: SparkSession, d: String) => {
-      val base = docs(s, d)
-        .select(col("doc_id"), TextOps.normalize(col("text")).as("norm"))
-        .select(col("doc_id"), expr(shinglesExpr).as("sh"))
-      val sig = base.withColumn("sig", expr(minhashSigExpr))
-      val banded = sig.select(col("doc_id"),
-          posexplode(expr(bandsExpr)).as(Seq("band", "bh")))
+      val base = minhashSignatures(s, d)
+      val banded = base.select(col("doc_id"),
+          posexplode(col("bands")).as(Seq("band", "bh")))
       val cands = bandedCandidates(banded, maxBucket = 50)
       val withSets = cands
         .join(base.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
@@ -97,11 +114,7 @@ object DedupOps {
 
     // C3: SimHash near-dup; band-collision candidates, hamming verify.
     ("dd_simhash", (s: SparkSession, d: String) => {
-      val base = docs(s, d)
-        .select(col("doc_id"), array_distinct(TextOps.tokens(col("text"))).as("w"))
-        .withColumn("bands", expr(simhashBandsExpr))
-        .withColumn("simhash", expr(
-          "bands[0] + shiftleft(bands[1], 16) + shiftleft(bands[2], 32) + shiftleft(bands[3], 48)"))
+      val base = simhashSignatures(s, d)
       val banded = base.select(col("doc_id"),
         posexplode(col("bands")).as(Seq("band", "bh")))
       val cands = bandedCandidates(banded, maxBucket = 50)
@@ -114,19 +127,30 @@ object DedupOps {
         .limit(100)
     }, None),
 
-    // C4: n-gram (word-set) Jaccard — top-5 same-lang neighbors per probe.
+    // C4: n-gram (word-set) Jaccard — top-5 same-lang neighbors per
+    // probe. Set-intersection is computed RELATIONALLY (explode the
+    // token sets, broadcast-join probe tokens, count matches per pair)
+    // instead of a per-pair array_intersect: everything stays in
+    // whole-stage codegen and the probe-token join is a broadcast, so
+    // the corpus streams once. (Pairs sharing zero tokens drop out —
+    // with any real vocabulary overlap they can never rank top-5.)
     ("dd_ngram_jaccard", (s: SparkSession, d: String) => {
       val toks = docs(s, d).select(col("doc_id"), col("lang"),
-        array_distinct(TextOps.tokens(col("text"))).as("w"))
-      val probes = toks.filter(col("doc_id") < 100)
-        .select(col("doc_id").as("probe"), col("lang"), col("w").as("wa"))
-      val pairs = broadcast(probes).join(
-          toks.select(col("doc_id").as("neighbor"), col("lang"), col("w").as("wb")), Seq("lang"))
+          array_distinct(TextOps.tokens(col("text"))).as("w"))
+        .withColumn("nw", size(col("w")))
+      val probeT = toks.filter(col("doc_id") < 100)
+        .select(col("doc_id").as("probe"), col("lang"), col("nw").as("nwa"),
+          explode(col("w")).as("t"))
+      val candT = toks
+        .select(col("doc_id").as("neighbor"), col("lang"), col("nw").as("nwb"),
+          explode(col("w")).as("t"))
+      val inter = broadcast(probeT).join(candT, Seq("lang", "t"))
         .filter(col("probe") =!= col("neighbor"))
-      val inter = size(array_intersect(col("wa"), col("wb"))).cast("double")
-      val uni = (size(col("wa")) + size(col("wb"))).cast("double") - inter
+        .groupBy("probe", "neighbor", "nwa", "nwb")
+        .agg(count(lit(1)).cast("double").as("ni"))
       val rk = Window.partitionBy("probe").orderBy(col("jacc").desc, col("neighbor").asc)
-      pairs.withColumn("jacc", inter / uni)
+      inter
+        .withColumn("jacc", col("ni") / ((col("nwa") + col("nwb")).cast("double") - col("ni")))
         .withColumn("rk", row_number().over(rk))
         .filter(col("rk") <= 5)
         .select(col("probe"), col("rk"), col("neighbor"), round(col("jacc"), 4).as("jaccard"))
@@ -147,34 +171,8 @@ object DedupOps {
                row_number() OVER (PARTITION BY probe ORDER BY jacc DESC, neighbor ASC) AS rk
         FROM pairs)
       SELECT probe, rk, neighbor, round(jacc, 4) AS jaccard
-      FROM ranked WHERE rk <= 5 ORDER BY probe, rk""")),
-
-    // C5: embedding-cosine near-dup over a probe window (double-precision
-    // dot on both engines; see AnnOps for the shared kernel).
-    ("dd_embed_neardup", (s: SparkSession, d: String) => {
-      val e = graft.ann.AnnOps.withNorm(s.read.parquet(s"$d/embeddings.parquet"))
-      val probes = broadcast(e.filter(col("vec_id") < 200)
-        .select(col("vec_id").as("a"), col("v").as("va"), col("nrm").as("na")))
-      val cand = e.select(col("vec_id").as("b"), col("v").as("vb"), col("nrm").as("nb"))
-      probes.join(cand, col("a") < col("b"))
-        .withColumn("cos", graft.ann.AnnOps.cosine(col("va"), col("vb"), col("na"), col("nb")))
-        .filter(col("cos") >= 0.28)
-        .select(col("a"), col("b"), round(col("cos"), 4).as("cos_sim"))
-        .orderBy("a", "b")
-    }, Some("""
-      WITH f AS (
-        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-               CAST(unnest(embedding) AS DOUBLE) AS v
-        FROM embeddings),
-      n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY vec_id),
-      dots AS (
-        SELECT a.vec_id AS a, b.vec_id AS b, sum(a.v * b.v) AS dot
-        FROM f a JOIN f b ON a.i = b.i AND a.vec_id < b.vec_id
-        WHERE a.vec_id < 200
-        GROUP BY a.vec_id, b.vec_id)
-      SELECT dots.a, dots.b, round(dot / (na.nrm * nb.nrm), 4) AS cos_sim
-      FROM dots JOIN n na ON na.vec_id = dots.a JOIN n nb ON nb.vec_id = dots.b
-      WHERE dot / (na.nrm * nb.nrm) >= 0.28
-      ORDER BY a, b"""))
+      FROM ranked WHERE rk <= 5 ORDER BY probe, rk"""))
+    // C5 (dd_embed_neardup) lives in AnnOps — it shares the
+    // broadcast-probe cosine kernel with ann_bruteforce.
   )
 }

@@ -144,12 +144,15 @@ object EventOps {
       FROM events""")),
 
     // A12: batch pattern — consume in batches of 100 (rpatterns/batch.go).
-    // Global row_number is bounded here; at 100 TB batching runs per shard.
+    // Only the first 20 batches are inspected, so the log is sliced
+    // with TakeOrdered (orderBy+limit) BEFORE the global window — the
+    // window then sorts 2000 rows, not the whole log. At 100 TB
+    // batching runs per shard.
     ("ev_batch_assign", (s: SparkSession, d: String) => {
       val w = Window.orderBy("id")
       Event.project(ev(s, d))
+        .orderBy("id").limit(20 * 100)
         .withColumn("batch_no", ((row_number().over(w) - 1) / 100).cast("long"))
-        .filter(col("batch_no") < 20)
         .groupBy("batch_no")
         .agg(count(lit(1)).as("n"), min("id").as("min_id"), max("id").as("max_id"))
         .orderBy("batch_no")

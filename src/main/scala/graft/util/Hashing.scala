@@ -1,0 +1,120 @@
+package graft.util
+
+import scala.util.hashing.MurmurHash3
+
+/** Deterministic 64-bit hashing for signature computation (MinHash /
+  * SimHash / LSH planes). JVM-side on purpose: signature loops are
+  * per-row tight loops over hundreds of tokens × dozens of
+  * permutations — as interpreted Catalyst higher-order functions they
+  * run ~1000× slower than this (nested lambdas are not codegen'd and
+  * projection-collapse re-evaluates the token hash per permutation).
+  * The surrounding plan (bucket joins, verification) stays
+  * declarative.
+  */
+object Hashing {
+
+  /** 64-bit string hash from two 32-bit murmur3 runs. */
+  def string64(s: String): Long =
+    (MurmurHash3.stringHash(s, 0x9747b28c).toLong << 32) |
+      (MurmurHash3.stringHash(s, 0x85ebca6b).toLong & 0xffffffffL)
+
+  /** splitmix64 finalizer — full avalanche of a 64-bit value. */
+  def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** Permutation k of a base hash (universal rehash). */
+  def rehash(h: Long, k: Int): Long = mix64(h ^ (k.toLong * 0xc2b2ae3d27d4eb4fL))
+
+  /** distinct char n-gram shingles. */
+  def charShingles(s: String, n: Int): Array[String] = {
+    if (s.length < n) return if (s.isEmpty) Array.empty else Array(s)
+    val out = new scala.collection.mutable.LinkedHashSet[String]
+    var i = 0
+    while (i + n <= s.length) { out += s.substring(i, i + n); i += 1 }
+    out.toArray
+  }
+
+  /** MinHash signature: one string hash per shingle, cheap integer
+    * rehash per permutation.
+    */
+  def minhashSig(shingles: Array[String], nPerm: Int): Array[Long] = {
+    val sig = Array.fill(nPerm)(Long.MaxValue)
+    var i = 0
+    while (i < shingles.length) {
+      val h = string64(shingles(i))
+      var k = 0
+      while (k < nPerm) {
+        val hk = rehash(h, k)
+        if (hk < sig(k)) sig(k) = hk
+        k += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** LSH band values over a minhash signature (rowsPerBand each). */
+  def bands(sig: Array[Long], rowsPerBand: Int): Array[Long] = {
+    val n = sig.length / rowsPerBand
+    val out = new Array[Long](n)
+    var j = 0
+    while (j < n) {
+      var acc = 0xcbf29ce484222325L
+      var r = 0
+      while (r < rowsPerBand) {
+        acc = mix64(acc ^ sig(j * rowsPerBand + r))
+        r += 1
+      }
+      out(j) = acc
+      j += 1
+    }
+    out
+  }
+
+  /** 64-bit SimHash over a token set; also returns the four 16-bit
+    * band values used for LSH bucketing.
+    */
+  def simhash64(tokens: Array[String]): Long = {
+    val counts = new Array[Int](64)
+    var i = 0
+    while (i < tokens.length) {
+      val h = string64(tokens(i))
+      var b = 0
+      while (b < 64) {
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+        b += 1
+      }
+      i += 1
+    }
+    var r = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) r |= 1L << b; b += 1 }
+    r
+  }
+
+  def simhashBands(h: Long): Array[Long] =
+    Array(h & 0xffffL, (h >>> 16) & 0xffffL, (h >>> 32) & 0xffffL, (h >>> 48) & 0xffffL)
+
+  /** Deterministic random-hyperplane coefficient for (plane, dim) in
+    * [-1, 1) — identical on every executor, no broadcast state.
+    */
+  def planeCoef(plane: Int, dim: Int): Double =
+    (mix64(plane.toLong * 1315423911L + dim) % 100000L) / 100000.0
+
+  def lshBucket(v: Array[Double], nPlanes: Int): Int = {
+    var bucket = 0
+    var p = 0
+    while (p < nPlanes) {
+      var dot = 0.0
+      var i = 0
+      while (i < v.length) { dot += planeCoef(p, i) * v(i); i += 1 }
+      if (dot > 0) bucket |= 1 << p
+      p += 1
+    }
+    bucket
+  }
+}

@@ -1,0 +1,82 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Operator-level invariants that the DuckDB oracle can't express. */
+class OpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private val sf = TestSpark.sf
+
+  test("every declared query runs and q keys have unique names") {
+    val names = SparkEntry.queries.keys.toSeq
+    assert(names.size === names.distinct.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(names.toSet))
+  }
+
+  test("entry (flagship) returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("ann: similarities are valid cosines and exclude self-matches") {
+    val rows = SparkEntry.queries("ann_bruteforce")(spark, sf).collect()
+    rows.foreach { r =>
+      val c = r.getAs[Double]("cos_sim")
+      assert(c >= -1.0001 && c <= 1.0001)
+      assert(r.getAs[Long]("probe") !== r.getAs[Long]("neighbor"))
+    }
+  }
+
+  test("embed near-dup pairs respect the threshold and ordering") {
+    val rows = SparkEntry.queries("dd_embed_neardup")(spark, sf).collect()
+    rows.foreach { r =>
+      assert(r.getAs[Double]("cos_sim") >= 0.28)
+      assert(r.getAs[Long]("a") < r.getAs[Long]("b"))
+    }
+  }
+
+  test("ann_bruteforce neighbors are ranked by descending similarity") {
+    val rows = SparkEntry.queries("ann_bruteforce")(spark, sf)
+      .filter(col("probe") === 0).orderBy("rk").collect()
+    val sims = rows.map(_.getAs[Double]("cos_sim"))
+    assert(sims.toSeq === sims.sortBy(-_).toSeq)
+    assert(rows.length === 10)
+  }
+
+  test("minhash LSH candidates have valid jaccard in [0,1]") {
+    val rows = SparkEntry.queries("dd_minhash_lsh")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val j = r.getAs[Double]("jaccard")
+      assert(j >= 0.0 && j <= 1.0)
+      assert(r.getAs[Long]("a") < r.getAs[Long]("b"))
+    }
+  }
+
+  test("simhash hamming distances are within [0,64]") {
+    val rows = SparkEntry.queries("dd_simhash")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Int]("hamming")
+      assert(h >= 0 && h <= 64)
+    }
+  }
+
+  test("exact dedup canonical ids are group minima") {
+    val rows = SparkEntry.queries("dd_exact")(spark, sf).collect()
+    rows.foreach(r => assert(r.getAs[Long]("canonical_id") <= r.getAs[Long]("doc_id")))
+  }
+
+  test("multimodal stub decode is deterministic and schema-stable") {
+    val a = SparkEntry.queries("mm_decode_stub")(spark, sf).collect()
+    val b = SparkEntry.queries("mm_decode_stub")(spark, sf).collect()
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+    assert(a.length > 0)
+  }
+
+  test("langid prediction is one of the marker languages") {
+    val langs = SparkEntry.queries("tx_langid")(spark, sf)
+      .select("pred_lang").distinct().collect().map(_.getString(0)).toSet
+    assert(langs.subsetOf(Set("en", "es", "de", "fr")))
+  }
+}

@@ -1,0 +1,9 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One shared local session for the whole forked test JVM. */
+object TestSpark {
+  lazy val spark: SparkSession = Graft.session("graft-test", "local[4]")
+  val sf: String = "/root/testdata/sf0.001"
+}

@@ -1,0 +1,45 @@
+package graft.events
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+
+class CursorStoreSpec extends AnyFunSuite {
+
+  test("MemCursorStore get/set with seed") {
+    val cs = new MemCursorStore(Map("seeded" -> 42L))
+    assert(cs.get("seeded") === Some(42L))
+    assert(cs.get("other") === None)
+    cs.set("other", 7L)
+    assert(cs.get("other") === Some(7L))
+  }
+
+  test("FileCursorStore persists across instances (atomic rename commit)") {
+    val dir = Files.createTempDirectory("graft-cursors").toString
+    val a = new FileCursorStore(dir)
+    a.set("c1", 123L)
+    val b = new FileCursorStore(dir)
+    assert(b.get("c1") === Some(123L))
+    b.set("c1", 456L)
+    assert(a.get("c1") === Some(456L))
+  }
+
+  test("readThrough falls back, writes through, and writes go to primary") {
+    val primary = new MemCursorStore()
+    val fallback = new MemCursorStore(Map("c" -> 10L))
+    val rt = CursorStore.readThrough(primary, fallback)
+    assert(rt.get("c") === Some(10L))      // fallback hit
+    assert(primary.get("c") === Some(10L)) // written through
+    rt.set("c", 20L)
+    assert(primary.get("c") === Some(20L))
+    assert(fallback.get("c") === Some(10L)) // fallback untouched
+  }
+
+  test("bootstrap seeds an unset cursor from the head") {
+    val underlying = new MemCursorStore()
+    val bs = CursorStore.bootstrap(underlying, seedCursor = 999L)
+    assert(bs.get("new-consumer") === Some(999L))
+    assert(underlying.get("new-consumer") === Some(999L))
+    bs.set("new-consumer", 1005L)
+    assert(bs.get("new-consumer") === Some(1005L))
+  }
+}

@@ -1,0 +1,100 @@
+package graft.events
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import java.util.concurrent.atomic.AtomicLong
+import scala.concurrent.ExecutionContext
+import graft.TestSpark
+
+class RunnerSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  private lazy val log = EventLog(spark, TestSpark.sf) // ids 0..999
+
+  test("runToHead consumes every event once, in batches, committing the cursor") {
+    val store = new MemCursorStore()
+    val seen = new AtomicLong()
+    val spec = Spec(log, store, Consumer("c-all", b => { seen.addAndGet(b.count()); () }),
+      batchSize = 300)
+    val res = Runner.runToHead(spec)
+    assert(res.consumed === 1000L)
+    assert(seen.get() === 1000L)
+    assert(res.batches === 4) // 300+300+300+100
+    assert(res.finalCursor === 999L)
+    assert(store.get("c-all") === Some(999L))
+    // re-run: nothing new
+    val res2 = Runner.runToHead(spec)
+    assert(res2.consumed === 0L)
+  }
+
+  test("filters advance the cursor past filtered-out events (reflex semantics)") {
+    val store = new MemCursorStore()
+    var n = 0L
+    val spec = Spec(log, store, Consumer("c-filt", b => { n += b.count(); () }),
+      filter = Some(EventFilter.ofType("purchase")), batchSize = 500)
+    Runner.runToHead(spec)
+    assert(store.get("c-filt") === Some(999L)) // cursor at head despite filter
+    assert(n > 0L && n < 1000L)
+  }
+
+  test("FailFast leaves the cursor so a re-run resumes (at-least-once)") {
+    val store = new MemCursorStore()
+    var calls = 0
+    val failing = Consumer("c-fail", _ => {
+      calls += 1
+      if (calls == 2) throw new RuntimeException("boom")
+    })
+    val spec = Spec(log, store, failing, batchSize = 400)
+    intercept[RuntimeException] { Runner.runToHead(spec) }
+    // first batch committed, second failed → cursor after batch 1 only
+    assert(store.get("c-fail") === Some(399L))
+    // re-run completes from there, replaying the failed batch
+    val res = Runner.runToHead(spec)
+    assert(res.finalCursor === 999L)
+    assert(store.get("c-fail") === Some(999L))
+  }
+
+  test("BestEffort skips a poison batch after retries and continues") {
+    val store = new MemCursorStore()
+    var attempts = 0
+    val consumer = Consumer("c-be", b => {
+      if (b.filter("id = 450").count() > 0) { attempts += 1; throw new RuntimeException("poison") }
+    }, errorMode = BestEffort(retries = 2))
+    val res = Runner.runToHead(Spec(log, store, consumer, batchSize = 300))
+    assert(res.finalCursor === 999L)
+    assert(attempts === 3)      // 1 + 2 retries
+    assert(res.skipped === 300L)
+    assert(res.consumed === 700L)
+  }
+
+  test("DeadLetter records the failure and continues") {
+    val store = new MemCursorStore()
+    val errors = new MemErrorStore()
+    val consumer = Consumer("c-dl", b => {
+      if (b.filter("id = 100").count() > 0) throw new RuntimeException("poison-100")
+    }, errorMode = DeadLetter(retries = 0, errors))
+    val res = Runner.runToHead(Spec(log, store, consumer, batchSize = 250))
+    assert(res.finalCursor === 999L)
+    val recorded = errors.list("c-dl")
+    assert(recorded.size === 1)
+    assert(recorded.head._2 === "poison-100")
+  }
+
+  test("runParallel shards cover all events exactly once with per-shard cursors") {
+    implicit val ec: ExecutionContext = ExecutionContext.global
+    val store = new MemCursorStore()
+    val seen = new AtomicLong()
+    val spec = Spec(log, store, Consumer("c-par", b => { seen.addAndGet(b.count()); () }),
+      batchSize = 400)
+    val results = Runner.runParallel(spec, 4)
+    assert(seen.get() === 1000L)
+    assert(results.map(_.consumed).sum === 1000L)
+    (1 to 4).foreach { m => assert(store.get(s"c-par_${m}_of_4") === Some(999L)) }
+  }
+
+  test("await finds the first matching event after the cursor") {
+    val first = Runner.await(log, cursor = -1L, fid = 12L, "signup")
+    assert(first === Some(1L)) // known from the seeded data
+    val none = Runner.await(log, cursor = 999L, fid = 12L, "signup")
+    assert(none === None)
+  }
+}

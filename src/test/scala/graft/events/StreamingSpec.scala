@@ -1,0 +1,64 @@
+package graft.events
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.SaveMode
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+import java.util.concurrent.atomic.AtomicLong
+import graft.TestSpark
+
+/** Live-tail semantics via Structured Streaming (Runner.runStream):
+  * file-source event log + AvailableNow = StreamToHead; a second batch
+  * of files appended later is picked up from the committed cursor.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def freshDirs(): (String, String) = (
+    Files.createTempDirectory("graft-log").toString,
+    Files.createTempDirectory("graft-ckpt").toString)
+
+  private def writeSlice(logDir: String, lo: Long, hi: Long): Unit =
+    spark.read.parquet(s"${TestSpark.sf}/events.parquet")
+      .filter(col("event_id") >= lo && col("event_id") < hi)
+      .write.mode(SaveMode.Append).parquet(logDir)
+
+  test("bounded stream replay consumes the log and commits the cursor; new files resume") {
+    val (logDir, ckpt) = freshDirs()
+    writeSlice(logDir, 0, 600)
+    val store = new MemCursorStore()
+    val seen = new AtomicLong()
+    val maxSeen = new AtomicLong(-1)
+    val spec = Spec(null, store, Consumer("s1", b => {
+      seen.addAndGet(b.count())
+      val m = b.agg(max("id")).collect()(0).getLong(0)
+      maxSeen.updateAndGet(x => math.max(x, m))
+      ()
+    }))
+    val q1 = Runner.runStream(spark, logDir, spec, ckpt)
+    q1.awaitTermination()
+    assert(seen.get() === 600L)
+    assert(store.get("s1") === Some(599L))
+
+    // append the tail; a new AvailableNow run picks up only new events
+    writeSlice(logDir, 600, 1000)
+    val q2 = Runner.runStream(spark, logDir, spec, ckpt)
+    q2.awaitTermination()
+    assert(seen.get() === 1000L)
+    assert(store.get("s1") === Some(999L))
+    assert(maxSeen.get() === 999L)
+  }
+
+  test("stream-side filter applies before the consumer") {
+    val (logDir, ckpt) = freshDirs()
+    writeSlice(logDir, 0, 300)
+    val store = new MemCursorStore()
+    val seen = new AtomicLong()
+    val spec = Spec(null, store, Consumer("s2", b => { seen.addAndGet(b.count()); () }),
+      filter = Some(EventFilter.ofType("purchase")))
+    Runner.runStream(spark, logDir, spec, ckpt).awaitTermination()
+    val expected = spark.read.parquet(s"${TestSpark.sf}/events.parquet")
+      .filter(col("event_id") < 300 && col("event_type") === "purchase").count()
+    assert(seen.get() === expected)
+  }
+}
