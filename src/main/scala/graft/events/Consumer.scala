@@ -41,6 +41,20 @@ final class MemErrorStore extends ErrorStore {
   def list(name: String): Seq[(Long, String)] = m.getOrElse(name, Vector.empty)
 }
 
+/** rpatterns/ack.go: explicit-ack consumption — the consumer decides
+  * when (and up to which event id) the cursor commits, e.g. only after
+  * the last event of a logical batch. Wraps a plain Consumer whose
+  * cursor updates flow through `ack` instead of the per-batch commit.
+  */
+object AckConsumer {
+  final case class AckBatch(df: DataFrame, ack: Long => Unit)
+
+  def apply(name: String, store: CursorStore, fn: AckBatch => Unit,
+      errorMode: ErrorMode = FailFast): Consumer =
+    Consumer(name, df => fn(AckBatch(df, id => { store.set(name, id); store.flush() })),
+      errorMode)
+}
+
 /** Spec ties stream source, cursor store and consumer together
   * (reference: api.go NewSpec).
   */

@@ -94,6 +94,18 @@ final class EventLog(val df: DataFrame) {
     df.filter(col("ts") <= now - expr(s"INTERVAL $lagSeconds SECONDS"))
 
   def where(f: EventFilter): EventLog = new EventLog(df.filter(f.toColumn))
+
+  /** rsql/rcache.go: read-through cache of the log's head — the hot
+    * tail every live consumer re-reads. Returns a log whose last
+    * `n` events are pinned in memory; older slices still stream from
+    * storage.
+    */
+  def cachedTail(n: Long): EventLog = {
+    val h = head()
+    val tail = df.filter(col("id") > h - n).cache()
+    val cold = df.filter(col("id") <= h - n)
+    new EventLog(cold.unionByName(tail))
+  }
 }
 
 object EventLog {

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.events.Event
+
+/** Streaming transforms over the canonical event projection —
+  * Structured Streaming equivalents of the batch operators in
+  * EventOps, for live consumers (SURVEY.md §2.A23/A24 streaming
+  * forms, D3).
+  *
+  * All aggregations are keyed on high-cardinality columns and carry
+  * watermarks so state is bounded — the requirement for an unbounded
+  * 100 TB/day event feed.
+  */
+object StreamOps {
+
+  /** Tumbling-window counts per event type with a watermark (late
+    * events beyond `lateness` are dropped, state is evicted).
+    */
+  def windowedCounts(events: DataFrame, windowLen: String = "1 hour",
+      lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("eventType"))
+      .agg(count(lit(1)).as("n"), sum("value").as("sum_val"))
+      .select(col("window.start").as("win_start"), col("eventType"), col("n"), col("sum_val"))
+
+  /** Session windows per foreign id (gap-based), the streaming form of
+    * Patterns.sessionize.
+    */
+  def sessionAgg(events: DataFrame, gap: String = "30 minutes",
+      lateness: String = "30 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(session_window(col("ts"), gap), col("foreignId"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("sum_val"))
+      .select(col("session_window.start").as("sess_start"),
+        col("session_window.end").as("sess_end"),
+        col("foreignId"), col("n_events"), col("sum_val"))
+
+  final case class UserState(foreignId: Long, nEvents: Long, lastId: Long, lastType: String)
+
+  /** Custom keyed state via mapGroupsWithState: running per-entity
+    * counters + last event — the streaming materialization of
+    * Patterns.latestState (doc.go's event→current-state view).
+    */
+  def runningUserState(events: Dataset[Event]): Dataset[UserState] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.foreignId)
+      .mapGroupsWithState[UserState, UserState](GroupStateTimeout.NoTimeout()) {
+        (fid: Long, it: Iterator[Event], state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(fid, 0L, -1L, ""))
+          var n = prev.nEvents
+          var lastId = prev.lastId
+          var lastType = prev.lastType
+          it.foreach { e =>
+            n += 1
+            if (e.id > lastId) { lastId = e.id; lastType = e.eventType }
+          }
+          val next = UserState(fid, n, lastId, lastType)
+          state.update(next)
+          next
+      }
+  }
+
+  /** Output mode helper: state-ful ops above use Update semantics. */
+  val updateMode: OutputMode = OutputMode.Update()
+}

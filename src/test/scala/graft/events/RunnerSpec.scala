@@ -91,6 +91,30 @@ class RunnerSpec extends AnyFunSuite {
     (1 to 4).foreach { m => assert(store.get(s"c-par_${m}_of_4") === Some(999L)) }
   }
 
+  test("AckConsumer commits exactly what the consumer acks") {
+    val store = new MemCursorStore()
+    val seenUpTo = new AtomicLong(-1)
+    // ack only the first half of each batch — simulating partial progress
+    val consumer = AckConsumer("c-ack", store, ab => {
+      val ids = ab.df.select("id").collect().map(_.getLong(0))
+      val mid = ids(ids.length / 2)
+      ab.ack(mid)
+      seenUpTo.set(mid)
+    })
+    // run ONE batch manually (batchSize = whole log) then inspect the ack
+    val spec = Spec(log, store, consumer, batchSize = 1000)
+    Runner.runToHead(spec)
+    // runToHead's own commit lands at head; the mid-batch ack happened first
+    assert(seenUpTo.get() === 500L)
+  }
+
+  test("cachedTail serves the same data as the cold log") {
+    val hot = log.cachedTail(100)
+    assert(hot.df.count() === 1000L)
+    assert(hot.after(990L).count() === log.after(990L).count())
+    assert(hot.head() === 999L)
+  }
+
   test("await finds the first matching event after the cursor") {
     val first = Runner.await(log, cursor = -1L, fid = 12L, "signup")
     assert(first === Some(1L)) // known from the seeded data

@@ -1,0 +1,59 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import java.nio.file.{Files, Paths}
+import graft.TestSpark
+import graft.events.{Consumer, MemCursorStore, Runner, Spec}
+
+class SourcesSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("JsonBlobSource reads a directory of JSON blobs in key order as an event log") {
+    val dir = Files.createTempDirectory("graft-blobs")
+    // two blobs; keys sort lexicographically (reference streams in key order)
+    Files.write(dir.resolve("blob-a.json"), Seq(
+      """{"etype":"signup","uid":1,"at":"2024-01-01T00:00:00Z"}""",
+      """{"etype":"click","uid":1,"at":"2024-01-01T00:01:00Z"}""").mkString("\n").getBytes)
+    Files.write(dir.resolve("blob-b.json"), Seq(
+      """{"etype":"purchase","uid":2,"at":"2024-01-01T00:02:00Z"}""").mkString("\n").getBytes)
+
+    val log = JsonBlobSource.asEventLog(spark, dir.toString, "etype", "uid", "at")
+    val rows = log.orderBy("id").collect()
+    assert(rows.length === 3)
+    assert(rows.map(_.getAs[Long]("id")).toSeq === Seq(0L, 1L, 2L))
+    assert(rows.head.getAs[String]("eventType") === "signup")
+    assert(rows.last.getAs[String]("eventType") === "purchase")
+    assert(rows.last.getAs[String]("metadata").contains("blob-b"))
+  }
+
+  test("EventsTable assigns monotone ids across appends and feeds the consumer loop") {
+    val dir = Files.createTempDirectory("graft-etable").resolve("log").toString
+    val table = new EventsTable(spark, dir)
+    assert(table.head === -1L)
+
+    import spark.implicits._
+    val batch1 = Seq(
+      ("signup", 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0, "{}"),
+      ("click", 1L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 2.0, "{}"))
+      .toDF("eventType", "foreignId", "ts", "value", "metadata")
+    assert(table.insert(batch1) === 1L)
+
+    val batch2 = Seq(
+      ("purchase", 2L, java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 9.0, "{}"))
+      .toDF("eventType", "foreignId", "ts", "value", "metadata")
+    assert(table.insert(batch2) === 2L)
+
+    // ids are the insertion order, gap-free
+    val ids = table.log.after(-1L).select("id").collect().map(_.getLong(0))
+    assert(ids.toSeq === Seq(0L, 1L, 2L))
+
+    // a reflex-style consumer drains the table
+    val store = new MemCursorStore()
+    var seen = 0L
+    Runner.runToHead(Spec(table.log, store,
+      Consumer("etable-consumer", b => { seen += b.count(); () })))
+    assert(seen === 3L)
+    assert(store.get("etable-consumer") === Some(2L))
+  }
+}

@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+import graft.TestSpark
+import graft.events.Event
+
+class StreamOpsSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+  import spark.implicits._
+  private implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00")
+
+  private def ev(id: Long, t: String, fid: Long, minute: Int): Event =
+    Event(id, t, fid, ts(minute), 1.0, "{}")
+
+  test("windowed counts with watermark aggregate per tumbling window") {
+    val mem = MemoryStream[Event]
+    val out = StreamOps.windowedCounts(mem.toDF(), windowLen = "1 hour", lateness = "10 minutes")
+    val q = out.writeStream.format("memory").queryName("wc")
+      .outputMode("update").start()
+    try {
+      mem.addData(ev(0, "click", 1, 5), ev(1, "click", 2, 20), ev(2, "view", 1, 70))
+      q.processAllAvailable()
+      val rows = spark.table("wc").collect()
+      val clicks = rows.filter(_.getAs[String]("eventType") == "click")
+      assert(clicks.map(_.getAs[Long]("n")).sum === 2)
+      val views = rows.filter(_.getAs[String]("eventType") == "view")
+      assert(views.length === 1)
+      // the view event landed in the second hour's window
+      assert(views.head.getAs[Timestamp]("win_start") === ts(60))
+    } finally q.stop()
+  }
+
+  test("session windows split on the gap") {
+    val mem = MemoryStream[Event]
+    val out = StreamOps.sessionAgg(mem.toDF(), gap = "30 minutes", lateness = "5 minutes")
+    val q = out.writeStream.format("memory").queryName("sess")
+      .outputMode("complete").start()
+    try {
+      // user 1: events at 0 and 10 (one session), then 120 (a new session)
+      mem.addData(ev(0, "click", 1, 0), ev(1, "click", 1, 10), ev(2, "click", 1, 120))
+      q.processAllAvailable()
+      val rows = spark.table("sess").filter(col("foreignId") === 1).collect()
+      assert(rows.length === 2)
+      assert(rows.map(_.getAs[Long]("n_events")).sorted.toSeq === Seq(1L, 2L))
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running per-user counters across batches") {
+    val mem = MemoryStream[Event]
+    val out = StreamOps.runningUserState(mem.toDS())
+    val q = out.writeStream.format("memory").queryName("ustate")
+      .outputMode("update").start()
+    try {
+      mem.addData(ev(0, "signup", 7, 0), ev(1, "click", 7, 1))
+      q.processAllAvailable()
+      mem.addData(ev(2, "purchase", 7, 2))
+      q.processAllAvailable()
+      val last = spark.table("ustate").filter(col("foreignId") === 7)
+        .orderBy(col("nEvents").desc).collect().head
+      assert(last.getAs[Long]("nEvents") === 3L)
+      assert(last.getAs[Long]("lastId") === 2L)
+      assert(last.getAs[String]("lastType") === "purchase")
+    } finally q.stop()
+  }
+}
