@@ -187,7 +187,7 @@ object Queries {
                 round(col("o_totalprice"), 2).as("totalprice"))
         .orderBy("o_custkey", "rk")
     }, Some("""
-      SELECT o_custkey, rk, o_orderkey, round(o_totalprice, 2) AS totalprice
+      SELECT o_custkey, CAST(rk AS INTEGER) AS rk, o_orderkey, round(o_totalprice, 2) AS totalprice
       FROM (SELECT o_custkey, o_orderkey, o_totalprice,
                    row_number() OVER (PARTITION BY o_custkey
                                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
@@ -263,9 +263,9 @@ object Queries {
         .orderBy("o_orderpriority")
     }, Some("""
       SELECT o_orderpriority,
-             sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS n_open,
-             sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS n_filled,
-             sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS n_partial
+             CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_filled,
+             CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_partial
       FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""")),
 
     // B14: scalar-subquery comparison via broadcast single-row join.

@@ -75,7 +75,7 @@ object AnnOps {
                row_number() OVER (PARTITION BY probe
                  ORDER BY dot / (na.nrm * nb.nrm) DESC, neighbor ASC) AS rk
         FROM dots JOIN n na ON na.vec_id = probe JOIN n nb ON nb.vec_id = neighbor)
-      SELECT probe, rk, neighbor, round(cos, 4) AS cos_sim
+      SELECT probe, CAST(rk AS INTEGER) AS rk, neighbor, round(cos, 4) AS cos_sim
       FROM scored WHERE rk <= 10 ORDER BY probe, rk""")),
 
     // C5: embedding-cosine near-dup pairs over a probe window.

@@ -170,7 +170,7 @@ object DedupOps {
         SELECT probe, neighbor, jacc,
                row_number() OVER (PARTITION BY probe ORDER BY jacc DESC, neighbor ASC) AS rk
         FROM pairs)
-      SELECT probe, rk, neighbor, round(jacc, 4) AS jaccard
+      SELECT probe, CAST(rk AS INTEGER) AS rk, neighbor, round(jacc, 4) AS jaccard
       FROM ranked WHERE rk <= 5 ORDER BY probe, rk"""))
     // C5 (dd_embed_neardup) lives in AnnOps — it shares the
     // broadcast-probe cosine kernel with ann_bruteforce.

@@ -100,8 +100,8 @@ object EventOps {
         .orderBy("fid")
     }, Some("""
       SELECT user_id AS fid,
-             sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
-             sum(CASE WHEN event_type IN ('purchase','error') THEN 1 ELSE 0 END) AS n_purchase_or_error
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+             CAST(sum(CASE WHEN event_type IN ('purchase','error') THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase_or_error
       FROM events GROUP BY user_id
       HAVING sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) > 0
       ORDER BY fid""")),
@@ -254,7 +254,7 @@ object EventOps {
                sum(new_sess) OVER (PARTITION BY fid ORDER BY event_id
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_seq
         FROM t)
-      SELECT fid, sess_seq, count(*) AS n_events,
+      SELECT fid, CAST(sess_seq AS BIGINT) AS sess_seq, count(*) AS n_events,
              max(sec) - min(sec) AS dur_s
       FROM s GROUP BY fid, sess_seq ORDER BY fid, sess_seq""")),
 

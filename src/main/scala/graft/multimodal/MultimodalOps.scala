@@ -85,7 +85,7 @@ object MultimodalOps {
     }, Some("""
       SELECT doc_id,
              CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
-             octet_length(encode(text)) AS byte_len,
+             CAST(octet_length(encode(text)) AS INTEGER) AS byte_len,
              sha256(text) AS sha,
              CAST(CAST('0x' || substr(md5(text), 1, 4) AS INTEGER) % 240 AS INTEGER) + 16 AS width,
              CAST(CAST('0x' || substr(md5(text), 5, 4) AS INTEGER) % 240 AS INTEGER) + 16 AS height
@@ -120,7 +120,7 @@ object MultimodalOps {
         SELECT doc_id, sha256(text) AS sha,
                CAST(octet_length(encode(text)) // 100 + 1 AS INTEGER) AS n_frames
         FROM documents WHERE doc_id % 3 = 2)
-      SELECT doc_id, unnest(generate_series(0, n_frames - 1, 2)) AS frame_idx,
+      SELECT doc_id, CAST(unnest(generate_series(0, n_frames - 1, 2)) AS INTEGER) AS frame_idx,
              md5(sha || ':' || CAST(unnest(generate_series(0, n_frames - 1, 2)) AS VARCHAR)) AS frame_sha
       FROM v ORDER BY doc_id, frame_idx"""))
   )

@@ -56,9 +56,9 @@ object TextOps {
         .orderBy("doc_id")
     }, Some("""
       SELECT doc_id,
-             length(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS n_ws_tokens,
-             length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS n_bpeish,
-             length(text) AS n_chars
+             CAST(length(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS INTEGER) AS n_ws_tokens,
+             CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpeish,
+             CAST(length(text) AS INTEGER) AS n_chars
       FROM documents ORDER BY doc_id""")),
 
     // C9: quality scoring — length/punctuation/stopword signals.
@@ -112,10 +112,10 @@ object TextOps {
         FROM documents),
       sc AS (
         SELECT doc_id,
-               length(list_filter(w, x -> x IN ('the','a','fast','slow'))) AS s_en,
-               length(list_filter(w, x -> x IN ('data','table','row'))) AS s_es,
-               length(list_filter(w, x -> x IN ('stream','batch','merge'))) AS s_de,
-               length(list_filter(w, x -> x IN ('query','filter','join'))) AS s_fr
+               CAST(length(list_filter(w, x -> x IN ('the','a','fast','slow'))) AS INTEGER) AS s_en,
+               CAST(length(list_filter(w, x -> x IN ('data','table','row'))) AS INTEGER) AS s_es,
+               CAST(length(list_filter(w, x -> x IN ('stream','batch','merge'))) AS INTEGER) AS s_de,
+               CAST(length(list_filter(w, x -> x IN ('query','filter','join'))) AS INTEGER) AS s_fr
         FROM toks)
       SELECT doc_id, s_en, s_es, s_de, s_fr,
              CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'

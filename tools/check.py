@@ -56,9 +56,22 @@ def main(sf_dir, out_dir):
         try:
             res = con.sql(oracle[name])
             ocols = [c.lower() for c in res.columns]
+            oarrow = con.sql(oracle[name]).arrow()
             orows = res.fetchall()
         except Exception as e:
             print(f"  ✗ {name}: ORACLE SQL ERROR: {e}")
+            n_fail += 1
+            continue
+        # strict type parity (the driver may compare schemas strictly)
+        def tnorm(t):
+            s = str(t)
+            return {"large_string": "string", "large_utf8": "string", "utf8": "string"}.get(s, s)
+        stypes = {c.lower(): tnorm(tbl.schema.field(i).type) for i, c in enumerate(tbl.column_names)}
+        otypes = {c.lower(): tnorm(oarrow.schema.field(i).type) for i, c in enumerate(oarrow.column_names)}
+        if stypes != otypes:
+            diff = {k: (stypes.get(k), otypes.get(k)) for k in set(stypes) | set(otypes)
+                    if stypes.get(k) != otypes.get(k)}
+            print(f"  ✗ {name}: TYPE mismatch {diff}")
             n_fail += 1
             continue
         sc, sr = norm_rows(scols, srows)
