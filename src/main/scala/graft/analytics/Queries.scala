@@ -301,6 +301,57 @@ object Queries {
              round(covar_samp(l_quantity, l_discount), 4) AS cov_qty_disc
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // B17: LIKE filter + conditional-aggregate ratio (TPC-H Q14 flavor).
+    ("q_promo_share", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .agg((lit(100.0) *
+            sum(when(col("p_type").like("PROMO%"), col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) /
+            sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("raw"))
+        .select(round(col("raw"), 4).as("promo_share_pct"))
+    }, Some("""
+      SELECT round(100.0 *
+               sum(CASE WHEN p_type LIKE 'PROMO%'
+                        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
+               / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'""")),
+
+    // B18: argmin per group (correlated-subquery equivalent, TPC-H Q2
+    // flavor): cheapest supplier per part via a window, not a per-row
+    // subquery — one shuffle instead of N lookups.
+    ("q_min_cost_supplier", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy("l_partkey").orderBy(col("cost").asc, col("l_suppkey").asc)
+      Tables.lineitem(s, d)
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(round(avg(col("l_extendedprice") / col("l_quantity")), 4).as("cost"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1 && col("l_partkey") < 50)
+        .select(col("l_partkey"), col("l_suppkey").as("cheapest_supp"), col("cost"))
+        .orderBy("l_partkey")
+    }, Some("""
+      SELECT l_partkey, cheapest_supp, cost FROM (
+        SELECT l_partkey, l_suppkey AS cheapest_supp, cost,
+               row_number() OVER (PARTITION BY l_partkey
+                 ORDER BY cost ASC, l_suppkey ASC) AS rn
+        FROM (SELECT l_partkey, l_suppkey,
+                     round(avg(l_extendedprice / l_quantity), 4) AS cost
+              FROM lineitem GROUP BY l_partkey, l_suppkey) c) t
+      WHERE rn = 1 AND l_partkey < 50 ORDER BY l_partkey""")),
+
+    // B19: CUBE over two dimensions.
+    ("q_cube_status", (s: SparkSession, d: String) => {
+      Tables.orders(s, d)
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("tot"))
+        .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }, Some("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS tot
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
+
     // B16: UNION + dedup across sources.
     ("q_union_keys", (s: SparkSession, d: String) => {
       val a = Tables.orders(s, d).select(col("o_custkey").as("custkey")).withColumn("src", lit("orders"))
