@@ -16,7 +16,12 @@ import scala.collection.concurrent.TrieMap
 final case class Consumer(
     name: String,
     fn: DataFrame => Unit,
-    errorMode: ErrorMode = FailFast)
+    errorMode: ErrorMode = FailFast,
+    /** reference consumer.go WithRecoverFunction: called when a batch
+      * errors; returning None eliminates the error (the batch counts
+      * as consumed), Some(e) re-raises into the error mode.
+      */
+    recover: Option[(Throwable, DataFrame) => Option[Throwable]] = None)
 
 sealed trait ErrorMode
 /** reference run.go: error → cursor not updated, run aborts. */

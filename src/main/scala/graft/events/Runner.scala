@@ -65,7 +65,15 @@ object Runner {
     try {
       val n = cached.count()
       if (n == 0) return (0L, 0L)
-      def tryOnce(): Unit = spec.consumer.fn(cached)
+      def tryOnce(): Unit =
+        try spec.consumer.fn(cached)
+        catch {
+          case NonFatal(e) =>
+            spec.consumer.recover match {
+              case Some(r) => r(e, cached).foreach(throw _) // None → recovered
+              case None => throw e
+            }
+        }
       spec.consumer.errorMode match {
         case FailFast =>
           tryOnce(); (n, 0L)
@@ -111,6 +119,22 @@ object Runner {
       }
     }
     Await.result(Future.sequence(futures), Duration.Inf)
+  }
+
+  /** Consumer-lag monitoring (reference: consumer.go
+    * WithConsumerLagAlert + internal/metrics): how far behind the head
+    * the committed cursor is, in events and in seconds of event time.
+    */
+  def lag(log: EventLog, store: CursorStore, consumerName: String): (Long, Long) = {
+    val cursor = store.get(consumerName).getOrElse(-1L)
+    val r = log.df.agg(max("id"), max(unix_timestamp(col("ts")))).collect()(0)
+    if (r.isNullAt(0)) return (0L, 0L)
+    val head = r.getLong(0)
+    val headTs = r.getLong(1)
+    val behindTs = log.df.filter(col("id") === cursor)
+      .agg(max(unix_timestamp(col("ts")))).collect()(0)
+    val secLag = if (cursor < 0 || behindTs.isNullAt(0)) 0L else headTs - behindTs.getLong(0)
+    (math.max(head - cursor, 0L), math.max(secLag, 0L))
   }
 
   /** rpatterns/await.go: first event after `cursor` matching the

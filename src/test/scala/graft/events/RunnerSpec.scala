@@ -91,6 +91,27 @@ class RunnerSpec extends AnyFunSuite {
     (1 to 4).foreach { m => assert(store.get(s"c-par_${m}_of_4") === Some(999L)) }
   }
 
+  test("recover function can eliminate an error (batch counts as consumed)") {
+    val store = new MemCursorStore()
+    var recovered = 0
+    val consumer = Consumer("c-rec", b => {
+      if (b.filter("id = 450").count() > 0) throw new RuntimeException("flaky")
+    }, recover = Some((e, _) => { recovered += 1; None })) // swallow
+    val res = Runner.runToHead(Spec(log, store, consumer, batchSize = 300))
+    assert(res.finalCursor === 999L)
+    assert(recovered === 1)
+    assert(res.skipped === 0L) // recovered, not skipped
+  }
+
+  test("lag reports events and event-time seconds behind the head") {
+    val store = new MemCursorStore(Map("c-lag" -> 499L))
+    val (events, secs) = Runner.lag(log, store, "c-lag")
+    assert(events === 500L)
+    assert(secs > 0L)
+    store.set("c-lag", 999L)
+    assert(Runner.lag(log, store, "c-lag") === ((0L, 0L)))
+  }
+
   test("AckConsumer commits exactly what the consumer acks") {
     val store = new MemCursorStore()
     val seenUpTo = new AtomicLong(-1)
