@@ -66,6 +66,16 @@ object StreamOps {
       }
   }
 
+  /** At-least-once → exactly-once on a live stream: duplicate event
+    * ids within the watermark horizon are dropped with bounded state
+    * (the streaming form of the ev_dedup_ids batch operator; doc.go's
+    * at-least-once note).
+    */
+  def exactlyOnceIds(events: DataFrame, lateness: String = "1 hour"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark("id")
+
   /** Output mode helper: state-ful ops above use Update semantics. */
   val updateMode: OutputMode = OutputMode.Update()
 }

@@ -134,6 +134,68 @@ object TextOps {
       SELECT doc_id,
              md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp,
              CAST('0x' || substr(md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))), 1, 8) AS BIGINT) % 1024 AS bucket
-      FROM documents ORDER BY doc_id"""))
+      FROM documents ORDER BY doc_id""")),
+
+    // Flagship composition: the full training-data preparation pass —
+    // exact-dedup to canonical docs, token/quality gates, language ID —
+    // in ONE streaming-friendly plan (single scan + one window).
+    ("pipeline_prepare_corpus", (s: SparkSession, d: String) => {
+      val toks = tokens(col("text"))
+      val nTok = size(toks).cast("double")
+      val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
+      val stops = stopwordHits(toks, stopwords).cast("double")
+      val lenC = length(col("text")).cast("double")
+      val quality = round(lit(0.5) * (stops / nTok) + lit(0.3) * (lit(1.0) - punct / lenC) +
+        lit(0.2) * least(nTok / 100.0, lit(1.0)), 4)
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
+      val markerCols = langMarkers.map { case (l, ws) => stopwordHits(toks, ws).as(s"s_$l") }
+      val scored = docs(s, d).select(
+        Seq(col("doc_id"), fingerprint(col("text")).as("fp"),
+          size(toks).as("n_tokens"), quality.as("quality")) ++ markerCols: _*)
+      scored
+        .withColumn("canonical_id", min("doc_id").over(w))
+        .filter(col("doc_id") === col("canonical_id"))
+        .filter(col("n_tokens") >= 10 && col("quality") >= 0.35)
+        .withColumn("pred_lang",
+          when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
+            .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+            .when(col("s_de") >= col("s_fr"), "de")
+            .otherwise("fr"))
+        .select(col("doc_id"), col("fp"), col("n_tokens"), col("quality"), col("pred_lang"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH norm AS (
+        SELECT doc_id, text,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nrm
+        FROM documents),
+      t AS (
+        SELECT doc_id, text, md5(nrm) AS fp,
+               regexp_split_to_array(nrm, ' ') AS w,
+               CAST(length(regexp_split_to_array(nrm, ' ')) AS DOUBLE) AS n_tok,
+               CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) AS punct,
+               CAST(length(list_filter(regexp_split_to_array(nrm, ' '), x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE) AS stops,
+               CAST(length(text) AS DOUBLE) AS len
+        FROM norm),
+      q AS (
+        SELECT doc_id, fp, w,
+               CAST(n_tok AS INTEGER) AS n_tokens,
+               round(0.5 * (stops / n_tok) + 0.3 * (1.0 - punct / len)
+                     + 0.2 * least(n_tok / 100.0, 1.0), 4) AS quality,
+               min(doc_id) OVER (PARTITION BY fp) AS canonical_id
+        FROM t),
+      kept AS (
+        SELECT doc_id, fp, n_tokens, quality,
+               CAST(length(list_filter(w, x -> x IN ('the','a','fast','slow'))) AS INTEGER) AS s_en,
+               CAST(length(list_filter(w, x -> x IN ('data','table','row'))) AS INTEGER) AS s_es,
+               CAST(length(list_filter(w, x -> x IN ('stream','batch','merge'))) AS INTEGER) AS s_de,
+               CAST(length(list_filter(w, x -> x IN ('query','filter','join'))) AS INTEGER) AS s_fr
+        FROM q
+        WHERE doc_id = canonical_id AND n_tokens >= 10 AND quality >= 0.35)
+      SELECT doc_id, fp, n_tokens, quality,
+             CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                  WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                  WHEN s_de >= s_fr THEN 'de'
+                  ELSE 'fr' END AS pred_lang
+      FROM kept ORDER BY doc_id"""))
   )
 }

@@ -51,6 +51,22 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("exactlyOnceIds drops redelivered duplicates within the watermark") {
+    val mem = MemoryStream[Event]
+    val out = StreamOps.exactlyOnceIds(mem.toDF(), lateness = "1 hour")
+    val q = out.writeStream.format("memory").queryName("eo")
+      .outputMode("append").start()
+    try {
+      mem.addData(ev(0, "click", 1, 0), ev(1, "click", 1, 1))
+      q.processAllAvailable()
+      // redelivery of id 1 plus a new event
+      mem.addData(ev(1, "click", 1, 1), ev(2, "view", 1, 2))
+      q.processAllAvailable()
+      val ids = spark.table("eo").select("id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq === Seq(0L, 1L, 2L))
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running per-user counters across batches") {
     val mem = MemoryStream[Event]
     val out = StreamOps.runningUserState(mem.toDS())
