@@ -96,18 +96,17 @@ object DedupOps {
 
     // C2: MinHash + LSH near-dup; banded candidates, exact-Jaccard verify.
     ("dd_minhash_lsh", (s: SparkSession, d: String) => {
+      graft.functions.GraftFunctions.register(s)
       val base = minhashSignatures(s, d)
       val banded = base.select(col("doc_id"),
           posexplode(col("bands")).as(Seq("band", "bh")))
       val cands = bandedCandidates(banded, maxBucket = 50)
-      val withSets = cands
+      cands
         .join(base.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
         .join(base.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
-      val inter = size(array_intersect(col("sha"), col("shb"))).cast("double")
-      val uni = (size(col("sha")) + size(col("shb"))).cast("double") - inter
-      withSets
-        .withColumn("jacc", inter / uni)
-        .select(col("a"), col("b"), round(col("jacc"), 4).as("jaccard"))
+        // sha/shb are sorted distinct hash arrays — the native merge
+        // expression verifies exact Jaccard inside codegen
+        .selectExpr("a", "b", "round(jaccard_sorted(sha, shb), 4) AS jaccard")
         .orderBy(col("jaccard").desc, col("a"), col("b"))
         .limit(100)
     }, None),

@@ -82,21 +82,35 @@ object GraftFunctions {
       s"cosine_sim expects 2 arguments, got ${other.size}")
   }
 
+  val jaccardSortedBuilder: Seq[Expression] => Expression = {
+    case Seq(a, b) => JaccardSorted(a, b)
+    case other => throw new IllegalArgumentException(
+      s"jaccard_sorted expects 2 arguments, got ${other.size}")
+  }
+
   /** Imperative registration for sessions not built with the
     * extensions config.
     */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "cosine_sim", cosineSimBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "jaccard_sorted", jaccardSortedBuilder, "built-in")
+  }
 }
 
 /** SparkSessionExtensions injector — enable with
   * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`.
   */
 class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
-  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit =
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       GraftFunctions.cosineSimBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("jaccard_sorted"),
+      new ExpressionInfo(classOf[JaccardSorted].getName, "jaccard_sorted"),
+      GraftFunctions.jaccardSortedBuilder))
+  }
 }

@@ -16,7 +16,13 @@ import graft.events.EventLog
   * zipWithIndex — per-partition offsets, no global sort, so an insert
   * of 10^9 rows assigns ids with one count and no shuffle.
   */
-final class EventsTable(spark: SparkSession, dir: String) {
+final class EventsTable(spark: SparkSession, dir: String,
+    /** partition the log by event date — at 100 TB this is what makes
+      * cursor/lag slicing a partition prune instead of a full scan
+      * (SURVEY.md §5); consumers near the head only open the newest
+      * date partitions.
+      */
+    partitionByDate: Boolean = false) {
 
   val schema: StructType = StructType(Seq(
     StructField("id", LongType, nullable = false),
@@ -28,7 +34,17 @@ final class EventsTable(spark: SparkSession, dir: String) {
 
   def exists: Boolean = new java.io.File(dir).exists()
 
-  def log: EventLog = new EventLog(spark.read.schema(schema).parquet(dir))
+  def log: EventLog = {
+    val df =
+      if (partitionByDate) spark.read.parquet(dir).drop("date")
+      else spark.read.schema(schema).parquet(dir)
+    new EventLog(df)
+  }
+
+  /** Raw frame incl. the partition column — filter on `date` to see
+    * PartitionFilters pruning in the plan.
+    */
+  def raw: DataFrame = spark.read.parquet(dir)
 
   def head: Long = if (!exists) -1L else log.head()
 
@@ -43,8 +59,12 @@ final class EventsTable(spark: SparkSession, dir: String) {
     val withIds = src.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq((base + 1 + i) +: r.toSeq)
     }
-    spark.createDataFrame(withIds, schema)
-      .write.mode(SaveMode.Append).parquet(dir)
+    val df = spark.createDataFrame(withIds, schema)
+    val writer =
+      if (partitionByDate)
+        df.withColumn("date", to_date(col("ts"))).write.partitionBy("date")
+      else df.write
+    writer.mode(SaveMode.Append).parquet(dir)
     head
   }
 }

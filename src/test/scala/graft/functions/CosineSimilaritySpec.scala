@@ -31,6 +31,20 @@ class CosineSimilaritySpec extends AnyFunSuite {
       e.getMessage.toLowerCase.contains("type"))
   }
 
+  test("jaccard_sorted matches set semantics on sorted arrays") {
+    GraftFunctions.register(spark)
+    val r = spark.sql(
+      """SELECT jaccard_sorted(array(1L, 2L, 3L, 5L), array(2L, 3L, 4L)) AS j,
+                jaccard_sorted(array(1L, 2L), array(1L, 2L)) AS eq,
+                jaccard_sorted(array(1L), array(9L)) AS disj,
+                jaccard_sorted(CAST(array() AS ARRAY<BIGINT>), CAST(array() AS ARRAY<BIGINT>)) AS empty
+      """).collect()(0)
+    assert(math.abs(r.getDouble(0) - 2.0 / 5.0) < 1e-12)
+    assert(r.getDouble(1) === 1.0)
+    assert(r.getDouble(2) === 0.0)
+    assert(r.getDouble(3) === 0.0)
+  }
+
   test("nulls propagate (null-safe binary expression)") {
     GraftFunctions.register(spark)
     val df = spark.sql("SELECT cosine_sim(CAST(NULL AS ARRAY<DOUBLE>), array(1.0D, 2.0D)) AS c")

@@ -27,6 +27,26 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows.last.getAs[String]("metadata").contains("blob-b"))
   }
 
+  test("date-partitioned EventsTable prunes partitions on date filters") {
+    val dir = Files.createTempDirectory("graft-etable-part").resolve("log").toString
+    val table = new EventsTable(spark, dir, partitionByDate = true)
+    import spark.implicits._
+    val batch = (0 until 48).map { h =>
+      ("click", (h % 5).toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-${h / 24 + 1}%02d ${h % 24}%02d:00:00"), 1.0, "{}")
+    }.toDF("eventType", "foreignId", "ts", "value", "metadata")
+    table.insert(batch)
+    assert(table.head === 47L)
+    // two date partitions on disk
+    val parts = new java.io.File(dir).listFiles().filter(_.getName.startsWith("date=")).map(_.getName).sorted
+    assert(parts.toSeq === Seq("date=2024-01-01", "date=2024-01-02"))
+    // a date filter becomes a PartitionFilter, not a data filter
+    val plan = table.raw.filter(col("date") === "2024-01-02")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("2024-01-02"))
+    assert(table.raw.filter(col("date") === "2024-01-02").count() === 24L)
+  }
+
   test("EventsTable assigns monotone ids across appends and feeds the consumer loop") {
     val dir = Files.createTempDirectory("graft-etable").resolve("log").toString
     val table = new EventsTable(spark, dir)
