@@ -10,9 +10,13 @@ import org.apache.spark.sql.SparkSession
   * overrides via `SPARK_GRAFT_CPUS` on bigger machines).
   */
 object Graft {
-  def session(appName: String = "graft", master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]"): SparkSession = {
+  def session(appName: String = "graft",
+      master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]",
+      extraConfs: Map[String, String] = Map.empty): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
+    val builder = SparkSession.builder()
+    extraConfs.foreach { case (k, v) => builder.config(k, v) }
+    val spark = builder
       .appName(appName)
       .master(master)
       .config("spark.sql.shuffle.partitions", cpus)

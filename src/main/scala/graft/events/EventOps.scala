@@ -258,6 +258,32 @@ object EventOps {
              max(sec) - min(sec) AS dur_s
       FROM s GROUP BY fid, sess_seq ORDER BY fid, sess_seq""")),
 
+    // A32: as-of enrichment — each purchase gets the user's most
+    // recent prior signup/view event (operators.AsOfJoin: union-tag +
+    // one window, not an inequality join).
+    ("ev_asof_enrich", (s: SparkSession, d: String) => {
+      val evs = Event.project(ev(s, d))
+      val purchases = evs.filter(col("eventType") === "purchase")
+        .select(col("id"), col("foreignId").as("fid"))
+      val refs = evs.filter(col("eventType").isin("signup", "view"))
+        .select(col("foreignId").as("fid"), col("id"), col("id").as("ref_id"))
+      graft.operators.AsOfJoin.lastBefore(purchases, refs, "fid", "id", Seq("ref_id"))
+        .orderBy("id")
+    }, Some("""
+      WITH tagged AS (
+        SELECT event_id AS id, user_id AS fid, 1 AS side, CAST(NULL AS BIGINT) AS ref
+        FROM events WHERE event_type = 'purchase'
+        UNION ALL
+        SELECT event_id, user_id, 0, event_id
+        FROM events WHERE event_type IN ('signup','view')),
+      c AS (
+        SELECT id, fid, side,
+               last_value(ref IGNORE NULLS) OVER (PARTITION BY fid
+                 ORDER BY id, side
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_ref_id
+        FROM tagged)
+      SELECT id, fid, asof_ref_id FROM c WHERE side = 1 ORDER BY id""")),
+
     // A25: at-least-once → exactly-once view via id dedup (doc.go note).
     ("ev_dedup_ids", (s: SparkSession, d: String) => {
       val base = Event.project(ev(s, d))

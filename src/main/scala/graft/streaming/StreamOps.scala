@@ -76,6 +76,21 @@ object StreamOps {
       .withWatermark("ts", lateness)
       .dropDuplicatesWithinWatermark("id")
 
+  /** Stream-stream interval join: each left event matched with right
+    * events for the same entity within `withinSeconds` AFTER the right
+    * event (e.g. purchases within an hour of a view). Watermarks on
+    * both sides bound the join state.
+    */
+  def joinWithin(left: DataFrame, right: DataFrame, withinSeconds: Long,
+      lateness: String = "30 minutes"): DataFrame = {
+    val l = left.select(col("id").as("l_id"), col("foreignId").as("l_fid"),
+      col("ts").as("l_ts")).withWatermark("l_ts", lateness)
+    val r = right.select(col("id").as("r_id"), col("foreignId").as("r_fid"),
+      col("ts").as("r_ts")).withWatermark("r_ts", lateness)
+    l.join(r, expr(
+      s"l_fid = r_fid AND l_ts >= r_ts AND l_ts <= r_ts + INTERVAL $withinSeconds SECONDS"))
+  }
+
   /** Output mode helper: state-ful ops above use Update semantics. */
   val updateMode: OutputMode = OutputMode.Update()
 }

@@ -4,6 +4,8 @@ import org.apache.spark.sql.SparkSession
 
 /** One shared local session for the whole forked test JVM. */
 object TestSpark {
-  lazy val spark: SparkSession = Graft.session("graft-test", "local[4]")
+  lazy val spark: SparkSession = Graft.session("graft-test", "local[4]",
+    Map("spark.sql.warehouse.dir" ->
+      java.nio.file.Files.createTempDirectory("graft-warehouse").toString))
   val sf: String = "/root/testdata/sf0.001"
 }

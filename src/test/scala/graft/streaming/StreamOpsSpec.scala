@@ -51,6 +51,25 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches events for the same entity in the window") {
+    val views = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val out = StreamOps.joinWithin(purchases.toDF(), views.toDF(), withinSeconds = 3600)
+    val q = out.writeStream.format("memory").queryName("ssj")
+      .outputMode("append").start()
+    try {
+      views.addData(ev(0, "view", 1, 0), ev(1, "view", 2, 0))
+      purchases.addData(
+        ev(10, "purchase", 1, 30),   // within the hour of view 0 → match
+        ev(11, "purchase", 1, 90),   // 90 min after → no match
+        ev(12, "purchase", 3, 30))   // no view for user 3 → no match
+      q.processAllAvailable()
+      val rows = spark.table("ssj").select("l_id", "r_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(rows === Set((10L, 0L)))
+    } finally q.stop()
+  }
+
   test("exactlyOnceIds drops redelivered duplicates within the watermark") {
     val mem = MemoryStream[Event]
     val out = StreamOps.exactlyOnceIds(mem.toDF(), lateness = "1 hour")
