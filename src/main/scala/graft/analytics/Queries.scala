@@ -352,6 +352,19 @@ object Queries {
       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
 
+    // B20: sketch aggregates — HLL distinct + approximate quantiles.
+    // rows-only oracle: sketch estimates are engine-specific by nature;
+    // OpsSpec asserts the estimates against exact values instead.
+    ("q_sketch_aggs", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct("l_partkey", 0.02).as("approx_parts"),
+             expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("approx_p"))
+        .select(col("l_returnflag"), col("approx_parts"),
+          col("approx_p")(0).as("approx_p50"), col("approx_p")(1).as("approx_p95"))
+        .orderBy("l_returnflag")
+    }, None),
+
     // B16: UNION + dedup across sources.
     ("q_union_keys", (s: SparkSession, d: String) => {
       val a = Tables.orders(s, d).select(col("o_custkey").as("custkey")).withColumn("src", lit("orders"))

@@ -103,6 +103,36 @@ object MultimodalOps {
         .orderBy("doc_id")
     }, None),
 
+    // C13b: media → embedding stub: a deterministic 16-dim "embedding"
+    // from payload bytes (real impl: a vision/audio encoder), then
+    // nearest media neighbors via the native cosine expression — the
+    // multimodal→ANN composition path (rows-only oracle).
+    ("mm_embed_ann", (s: SparkSession, d: String) => {
+      graft.functions.GraftFunctions.register(s)
+      import s.implicits._
+      val emb = asMedia(s.read.parquet(s"$d/documents.parquet"))
+        .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
+        .map { case (id, bytes) =>
+          // STUB encoder: byte histogram folded into 16 dims, L2-normalized
+          val v = new Array[Double](16)
+          var i = 0
+          while (i < bytes.length) { v((bytes(i) & 0xff) % 16) += 1.0; i += 1 }
+          val n = math.sqrt(v.map(x => x * x).sum)
+          (id, if (n == 0) v.toSeq else v.map(_ / n).toSeq)
+        }.toDF("doc_id", "emb")
+      val probes = broadcast(emb.filter(col("doc_id") < 8)
+        .select(col("doc_id").as("probe"), col("emb").as("pe")))
+      val rk = org.apache.spark.sql.expressions.Window
+        .partitionBy("probe").orderBy(col("cos").desc, col("neighbor").asc)
+      probes.join(emb.select(col("doc_id").as("neighbor"), col("emb").as("ne")),
+          col("probe") =!= col("neighbor"))
+        .selectExpr("probe", "neighbor", "cosine_sim(pe, ne) AS cos")
+        .withColumn("rk", row_number().over(rk))
+        .filter(col("rk") <= 5)
+        .select(col("probe"), col("rk"), col("neighbor"), round(col("cos"), 4).as("cos_sim"))
+        .orderBy("probe", "rk")
+    }, None),
+
     // C14: frame sampling for video payloads — every 2nd frame.
     ("mm_frame_sample", (s: SparkSession, d: String) => {
       val media = asMedia(s.read.parquet(s"$d/documents.parquet"))

@@ -74,6 +74,24 @@ class OpsSpec extends AnyFunSuite {
     assert(a.length > 0)
   }
 
+  test("sketch aggregates land within tolerance of exact values") {
+    val sk = SparkEntry.queries("q_sketch_aggs")(spark, sf).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r).toMap
+    val exact = SparkEntry.queries("q_distinct_parts")(spark, sf).collect()
+      .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("n_parts")).toMap
+    exact.foreach { case (flag, n) =>
+      val est = sk(flag).getAs[Long]("approx_parts")
+      assert(math.abs(est - n).toDouble / n < 0.1, s"$flag: est=$est exact=$n")
+    }
+  }
+
+  test("media embedding stub neighbors are valid and deterministic") {
+    val a = SparkEntry.queries("mm_embed_ann")(spark, sf).collect()
+    val b = SparkEntry.queries("mm_embed_ann")(spark, sf).collect()
+    assert(a.nonEmpty)
+    assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
+  }
+
   test("langid prediction is one of the marker languages") {
     val langs = SparkEntry.queries("tx_langid")(spark, sf)
       .select("pred_lang").distinct().collect().map(_.getString(0)).toSet
