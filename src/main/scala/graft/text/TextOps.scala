@@ -140,18 +140,22 @@ object TextOps {
     // exact-dedup to canonical docs, token/quality gates, language ID —
     // in ONE streaming-friendly plan (single scan + one window).
     ("pipeline_prepare_corpus", (s: SparkSession, d: String) => {
-      val toks = tokens(col("text"))
-      val nTok = size(toks).cast("double")
+      // materialize the token array ONCE — the quality ratios and four
+      // marker scores otherwise each re-normalize + re-split the text
+      // (~6 regex passes per row, the whole pipeline's hot cost)
+      val withToks = docs(s, d).withColumn("w", tokens(col("text")))
+      val nTok = size(col("w")).cast("double")
       val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
-      val stops = stopwordHits(toks, stopwords).cast("double")
+      val stops = stopwordHits(col("w"), stopwords).cast("double")
       val lenC = length(col("text")).cast("double")
       val quality = round(lit(0.5) * (stops / nTok) + lit(0.3) * (lit(1.0) - punct / lenC) +
         lit(0.2) * least(nTok / 100.0, lit(1.0)), 4)
       val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-      val markerCols = langMarkers.map { case (l, ws) => stopwordHits(toks, ws).as(s"s_$l") }
-      val scored = docs(s, d).select(
-        Seq(col("doc_id"), fingerprint(col("text")).as("fp"),
-          size(toks).as("n_tokens"), quality.as("quality")) ++ markerCols: _*)
+      val markerCols = langMarkers.map { case (l, ws) => stopwordHits(col("w"), ws).as(s"s_$l") }
+      // fp from the token array (join-by-space == normalized text)
+      val scored = withToks.select(
+        Seq(col("doc_id"), md5(array_join(col("w"), " ")).as("fp"),
+          size(col("w")).as("n_tokens"), quality.as("quality")) ++ markerCols: _*)
       scored
         .withColumn("canonical_id", min("doc_id").over(w))
         .filter(col("doc_id") === col("canonical_id"))
