@@ -352,6 +352,75 @@ object Queries {
       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
 
+    // B21: ntile bucketing over a window.
+    ("q_ntile_custspend", (s: SparkSession, d: String) => {
+      val spend = Tables.orders(s, d)
+        .groupBy("o_custkey")
+        .agg(round(sum("o_totalprice"), 2).as("spend"))
+      val w = Window.orderBy(col("spend").desc, col("o_custkey").asc)
+      spend.withColumn("quartile", ntile(4).over(w))
+        .groupBy("quartile")
+        .agg(count(lit(1)).as("n_cust"), round(sum("spend"), 2).as("tot_spend"))
+        .orderBy("quartile")
+    }, Some("""
+      SELECT CAST(quartile AS INTEGER) AS quartile, count(*) AS n_cust, round(sum(spend), 2) AS tot_spend
+      FROM (SELECT o_custkey, spend,
+                   ntile(4) OVER (ORDER BY spend DESC, o_custkey ASC) AS quartile
+            FROM (SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+                  FROM orders GROUP BY o_custkey) sp) t
+      GROUP BY quartile ORDER BY quartile""")),
+
+    // B22: EXCEPT / INTERSECT set operations.
+    ("q_set_ops", (s: SparkSession, d: String) => {
+      val buyers95 = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+        .select("o_custkey")
+      val buyers00 = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+        .select("o_custkey")
+      val churned = buyers95.except(buyers00).agg(count(lit(1)).as("n")).withColumn("seg", lit("churned"))
+      val retained = buyers95.intersect(buyers00).agg(count(lit(1)).as("n")).withColumn("seg", lit("retained"))
+      churned.unionByName(retained).select("seg", "n").orderBy("seg")
+    }, Some("""
+      WITH a AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1996-01-01'),
+           b AS (SELECT DISTINCT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '2000-01-01')
+      SELECT 'churned' AS seg, count(*) AS n FROM (SELECT * FROM a EXCEPT SELECT * FROM b) t
+      UNION ALL
+      SELECT 'retained' AS seg, count(*) AS n FROM (SELECT * FROM a INTERSECT SELECT * FROM b) t
+      ORDER BY seg""")),
+
+    // B23: scalar string-function surface.
+    ("q_string_funcs", (s: SparkSession, d: String) => {
+      Tables.part(s, d)
+        .filter(col("p_partkey") < 50)
+        .select(
+          col("p_partkey"),
+          upper(col("p_brand")).as("brand_up"),
+          substring(col("p_type"), 1, 3).as("type3"),
+          concat_ws("-", col("p_brand"), col("p_type")).as("brand_type"),
+          regexp_replace(col("p_name"), "[aeiou]", "_").as("devoweled"),
+          length(col("p_name")).as("name_len"))
+        .orderBy("p_partkey")
+    }, Some("""
+      SELECT p_partkey, upper(p_brand) AS brand_up, substr(p_type, 1, 3) AS type3,
+             concat_ws('-', p_brand, p_type) AS brand_type,
+             regexp_replace(p_name, '[aeiou]', '_', 'g') AS devoweled,
+             CAST(length(p_name) AS INTEGER) AS name_len
+      FROM part WHERE p_partkey < 50 ORDER BY p_partkey""")),
+
+    // B24: date-part extraction (year/month/quarter — identical
+    // semantics in both engines; dayofweek origins differ, avoided).
+    ("q_date_parts", (s: SparkSession, d: String) => {
+      Tables.orders(s, d)
+        .groupBy(year(col("o_orderdate")).as("yr"), quarter(col("o_orderdate")).as("qtr"))
+        .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 4).as("avg_price"))
+        .orderBy("yr", "qtr")
+    }, Some("""
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+             CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
+             count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+      FROM orders GROUP BY 1, 2 ORDER BY yr, qtr""")),
+
     // B20: sketch aggregates — HLL distinct + approximate quantiles.
     // rows-only oracle: sketch estimates are engine-specific by nature;
     // OpsSpec asserts the estimates against exact values instead.
