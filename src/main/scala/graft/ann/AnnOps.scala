@@ -117,7 +117,12 @@ object AnnOps {
           Seq("bucket"))
         .filter(col("probe") =!= col("neighbor"))
         .selectExpr("probe", "neighbor", "cosine_sim(pv, nv) AS cos")
-      topK(scored, 5)
+      // custom TopKPerKey plan node (graft.plans): bounded per-probe
+      // heaps in each partition, only |probes|·k candidates move —
+      // the final rank runs on that tiny result
+      val top = graft.plans.TopKPerKeyOps.topK(scored, Seq("probe"),
+        Seq(col("cos").desc, col("neighbor").asc), 5)
+      topK(top, 5)
     }, None)
   )
 }

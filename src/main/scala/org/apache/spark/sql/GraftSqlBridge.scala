@@ -1,0 +1,16 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+
+/** Minimal bridge into the private[sql] Dataset constructor so graft
+  * can materialize DataFrames from its own LogicalPlan nodes (the
+  * supported extension technique for custom operators registered via
+  * SparkSessionExtensions).
+  */
+object GraftSqlBridge {
+  def ofRows(spark: classic.SparkSession, plan: LogicalPlan): classic.DataFrame =
+    classic.Dataset.ofRows(spark, plan)
+
+  def expr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    classic.ExpressionUtils.expression(c)
+}
