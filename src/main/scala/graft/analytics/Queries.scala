@@ -1,6 +1,6 @@
 package graft.analytics
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -22,6 +22,18 @@ object Queries {
 
   type QFn = (SparkSession, String) => DataFrame
 
+  /** Exact-cents kernel for DuckDB-parity money aggregates: 2-decimal
+    * inputs become exact int64 "cents", whose sums are order-
+    * insensitive (unlike double sums, where partial-agg order differs
+    * between engines and can flip a round() half-boundary — observed
+    * on avg(o_totalprice) at sf0.001). Division back to currency then
+    * happens on identical operands in both engines.
+    */
+  def cents(c: Column): Column = round(c * 100).cast("long")
+
+  def exactAvg(c: Column, scale: Int): Column =
+    round(sum(cents(c)) / (count(c) * 100.0), scale)
+
   /** (name, dataframe impl, oracle SQL). */
   val entries: Seq[(String, QFn, Option[String])] = Seq(
 
@@ -33,22 +45,22 @@ object Queries {
         .agg(
           round(sum("l_quantity"), 2).as("sum_qty"),
           round(sum("l_extendedprice"), 2).as("sum_base_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
-          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) * (lit(1) + col("l_tax"))), 2).as("sum_charge"),
-          round(avg("l_quantity"), 4).as("avg_qty"),
-          round(avg("l_extendedprice"), 4).as("avg_price"),
-          round(avg("l_discount"), 4).as("avg_disc"),
+          round(sum(cents(col("l_extendedprice")) * cents(lit(1) - col("l_discount"))) / 1e4, 2).as("sum_disc_price"),
+          round(sum(cents(col("l_extendedprice")) * cents(lit(1) - col("l_discount")) * cents(lit(1) + col("l_tax"))) / 1e6, 2).as("sum_charge"),
+          exactAvg(col("l_quantity"), 4).as("avg_qty"),
+          exactAvg(col("l_extendedprice"), 4).as("avg_price"),
+          exactAvg(col("l_discount"), 4).as("avg_disc"),
           count(lit(1)).as("count_order"))
         .orderBy("l_returnflag", "l_linestatus")
     }, Some("""
       SELECT l_returnflag, l_linestatus,
              round(sum(l_quantity), 2) AS sum_qty,
              round(sum(l_extendedprice), 2) AS sum_base_price,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-             round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-             round(avg(l_quantity), 4) AS avg_qty,
-             round(avg(l_extendedprice), 4) AS avg_price,
-             round(avg(l_discount), 4) AS avg_disc,
+             round(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT)) / 1e4, 2) AS sum_disc_price,
+             round(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT) * CAST(round((1 + l_tax) * 100) AS BIGINT)) / 1e6, 2) AS sum_charge,
+             round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / (count(*) * 100.0), 4) AS avg_qty,
+             round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / (count(*) * 100.0), 4) AS avg_price,
+             round(sum(CAST(round(l_discount * 100) AS BIGINT)) / (count(*) * 100.0), 4) AS avg_disc,
              count(*) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1999-09-02'
@@ -62,10 +74,10 @@ object Queries {
                 col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
                 col("l_discount") >= 0.0199 && col("l_discount") <= 0.0401 &&
                 col("l_quantity") < 24)
-        .agg(round(sum(col("l_extendedprice") * col("l_discount")), 2).as("revenue"),
+        .agg(round(sum(cents(col("l_extendedprice")) * cents(col("l_discount"))) / 1e4, 2).as("revenue"),
              count(lit(1)).as("n_rows"))
     }, Some("""
-      SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+      SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round(l_discount * 100) AS BIGINT)) / 1e4, 2) AS revenue,
              count(*) AS n_rows
       FROM lineitem
       WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
@@ -78,10 +90,11 @@ object Queries {
         .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name")
         .agg(count(lit(1)).as("n_customers"),
-             round(avg("c_acctbal"), 4).as("avg_acctbal"))
+             exactAvg(col("c_acctbal"), 4).as("avg_acctbal"))
         .orderBy("r_name")
     }, Some("""
-      SELECT r_name, count(*) AS n_customers, round(avg(c_acctbal), 4) AS avg_acctbal
+      SELECT r_name, count(*) AS n_customers,
+             round(sum(CAST(round(c_acctbal * 100) AS BIGINT)) / (count(*) * 100.0), 4) AS avg_acctbal
       FROM customer JOIN nation ON c_nationkey = n_nationkey
                     JOIN region ON n_regionkey = r_regionkey
       GROUP BY r_name ORDER BY r_name""")),
@@ -94,12 +107,12 @@ object Queries {
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_date"), col("o_orderpriority"))
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+        .agg(round(sum(cents(col("l_extendedprice")) * cents(lit(1) - col("l_discount"))) / 1e4, 2).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)
     }, Some("""
       SELECT l_orderkey, CAST(o_orderdate AS DATE) AS o_date, o_orderpriority,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+             round(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT)) / 1e4, 2) AS revenue
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                     JOIN customer ON o_custkey = c_custkey
       WHERE c_mktsegment = 'BUILDING'
@@ -121,12 +134,12 @@ object Queries {
         .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
-        .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+        .agg(round(sum(cents(col("l_extendedprice")) * cents(lit(1) - col("l_discount"))) / 1e4, 2).as("revenue"),
              count(lit(1)).as("n_items"))
         .orderBy("r_name", "n_name")
     }, Some("""
       SELECT r_name, n_name,
-             round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+             round(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT)) / 1e4, 2) AS revenue,
              count(*) AS n_items
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
                     JOIN customer ON o_custkey = c_custkey
@@ -276,10 +289,11 @@ object Queries {
         .filter(col("c_acctbal") > col("global_avg"))
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
-        .agg(count(lit(1)).as("n_rich"), round(avg("c_acctbal"), 4).as("avg_bal"))
+        .agg(count(lit(1)).as("n_rich"), exactAvg(col("c_acctbal"), 4).as("avg_bal"))
         .orderBy("n_name")
     }, Some("""
-      SELECT n_name, count(*) AS n_rich, round(avg(c_acctbal), 4) AS avg_bal
+      SELECT n_name, count(*) AS n_rich,
+             round(sum(CAST(round(c_acctbal * 100) AS BIGINT)) / (count(*) * 100.0), 4) AS avg_bal
       FROM customer JOIN nation ON c_nationkey = n_nationkey
       WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer)
       GROUP BY n_name ORDER BY n_name""")),
@@ -308,14 +322,15 @@ object Queries {
         .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
                 col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
         .agg((lit(100.0) *
-            sum(when(col("p_type").like("PROMO%"), col("l_extendedprice") * (lit(1) - col("l_discount"))).otherwise(0.0)) /
-            sum(col("l_extendedprice") * (lit(1) - col("l_discount")))).as("raw"))
+            sum(when(col("p_type").like("PROMO%"), cents(col("l_extendedprice")) * cents(lit(1) - col("l_discount"))).otherwise(0L)) /
+            sum(cents(col("l_extendedprice")) * cents(lit(1) - col("l_discount")))).as("raw"))
         .select(round(col("raw"), 4).as("promo_share_pct"))
     }, Some("""
       SELECT round(100.0 *
                sum(CASE WHEN p_type LIKE 'PROMO%'
-                        THEN l_extendedprice * (1 - l_discount) ELSE 0.0 END)
-               / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share_pct
+                        THEN CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT)
+                        ELSE 0 END)
+               / sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT)), 4) AS promo_share_pct
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'""")),
 
@@ -413,12 +428,13 @@ object Queries {
     ("q_date_parts", (s: SparkSession, d: String) => {
       Tables.orders(s, d)
         .groupBy(year(col("o_orderdate")).as("yr"), quarter(col("o_orderdate")).as("qtr"))
-        .agg(count(lit(1)).as("n"), round(avg("o_totalprice"), 4).as("avg_price"))
+        .agg(count(lit(1)).as("n"), exactAvg(col("o_totalprice"), 4).as("avg_price"))
         .orderBy("yr", "qtr")
     }, Some("""
       SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
              CAST(quarter(o_orderdate) AS INTEGER) AS qtr,
-             count(*) AS n, round(avg(o_totalprice), 4) AS avg_price
+             count(*) AS n,
+             round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / (count(*) * 100.0), 4) AS avg_price
       FROM orders GROUP BY 1, 2 ORDER BY yr, qtr""")),
 
     // B20: sketch aggregates — HLL distinct + approximate quantiles.

@@ -115,10 +115,12 @@ object EventOps {
         .withColumn("k", get_json_object(col("metadata"), "$.k").cast("int"))
         .filter(col("k") % 10 === 0 && col("k") < 50)
         .groupBy(col("eventType").as("etype"))
-        .agg(count(lit(1)).as("n"), round(avg("value"), 4).as("avg_val"))
+        .agg(count(lit(1)).as("n"),
+          graft.analytics.Queries.exactAvg(col("value"), 4).as("avg_val"))
         .orderBy("etype")
     }, Some("""
-      SELECT event_type AS etype, count(*) AS n, round(avg(value), 4) AS avg_val
+      SELECT event_type AS etype, count(*) AS n,
+             round(sum(CAST(round(value * 100) AS BIGINT)) / (count(*) * 100.0), 4) AS avg_val
       FROM events
       WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 = 0
         AND CAST(json_extract_string(props, '$.k') AS INTEGER) < 50
@@ -238,6 +240,26 @@ object EventOps {
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type AS etype,
              count(*) AS n, round(sum(value), 2) AS sum_val
       FROM events GROUP BY 1, 2 ORDER BY day, etype""")),
+
+    // A23b: sliding-window aggregation (1-day windows every 12h) —
+    // Spark's window() assigns each event to both overlapping slots;
+    // the oracle reproduces the slot arithmetic with epoch math.
+    ("ev_sliding_counts", (s: SparkSession, d: String) => {
+      Event.project(ev(s, d))
+        .groupBy(window(col("ts"), "1 day", "12 hours"), col("eventType").as("etype"))
+        .agg(count(lit(1)).as("n"))
+        .select(unix_timestamp(col("window.start")).as("win_start_s"),
+          col("etype"), col("n"))
+        .orderBy("win_start_s", "etype")
+    }, Some("""
+      WITH slots AS (
+        SELECT event_type AS etype,
+               unnest(ARRAY[
+                 CAST(floor(epoch(ts) / 43200) * 43200 AS BIGINT),
+                 CAST(floor(epoch(ts) / 43200) * 43200 - 43200 AS BIGINT)]) AS win_start_s
+        FROM events)
+      SELECT win_start_s, etype, count(*) AS n
+      FROM slots GROUP BY win_start_s, etype ORDER BY win_start_s, etype""")),
 
     // A24: sessionization, 30-min inactivity gap, per user.
     ("ev_sessionize", (s: SparkSession, d: String) => {
