@@ -33,13 +33,18 @@ object Event {
       case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)").as("ts")
       case _ => col("ts")
     }
-    df.select(
-      col("event_id").as("id"),
-      col("event_type").as("eventType"),
-      col("user_id").as("foreignId"),
-      tsCol,
-      col("value"),
-      col("props").as("metadata"))
+    // idempotent: EventsTable logs are already canonical
+    if (df.columns.contains("id") && df.columns.contains("eventType"))
+      df.select(col("id"), col("eventType"), col("foreignId"), tsCol,
+        col("value"), col("metadata"))
+    else
+      df.select(
+        col("event_id").as("id"),
+        col("event_type").as("eventType"),
+        col("user_id").as("foreignId"),
+        tsCol,
+        col("value"),
+        col("props").as("metadata"))
   }
 
   def dataset(df: DataFrame): Dataset[Event] = {

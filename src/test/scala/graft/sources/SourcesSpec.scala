@@ -47,6 +47,32 @@ class SourcesSpec extends AnyFunSuite {
     assert(table.raw.filter(col("date") === "2024-01-02").count() === 24L)
   }
 
+  test("live tail: a running stream consumes EventsTable appends as they land") {
+    val dir = Files.createTempDirectory("graft-live").resolve("log").toString
+    val ckpt = Files.createTempDirectory("graft-live-ckpt").toString
+    val table = new EventsTable(spark, dir)
+    import spark.implicits._
+    def batch(ids: Range) = ids.map { i =>
+      ("click", (i % 3).toLong, java.sql.Timestamp.valueOf(f"2024-01-01 00:${i % 60}%02d:00"), 1.0, "{}")
+    }.toDF("eventType", "foreignId", "ts", "value", "metadata")
+
+    table.insert(batch(0 until 10))
+    val store = new MemCursorStore()
+    val seen = new java.util.concurrent.atomic.AtomicLong()
+    val spec = Spec(null, store, Consumer("live", b => { seen.addAndGet(b.count()); () }))
+    val q = Runner.runStream(spark, dir, spec, ckpt, availableNow = false)
+    try {
+      q.processAllAvailable()
+      assert(seen.get() === 10L)
+      assert(store.get("live") === Some(9L))
+      // producer appends while the consumer is live
+      table.insert(batch(0 until 5))
+      q.processAllAvailable()
+      assert(seen.get() === 15L)
+      assert(store.get("live") === Some(14L))
+    } finally q.stop()
+  }
+
   test("EventsTable assigns monotone ids across appends and feeds the consumer loop") {
     val dir = Files.createTempDirectory("graft-etable").resolve("log").toString
     val table = new EventsTable(spark, dir)
