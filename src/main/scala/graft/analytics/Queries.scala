@@ -367,6 +367,117 @@ object Queries {
       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
 
+    // B25: nation-pair trade volume (TPC-H Q7 flavor) — two different
+    // dimension roles (supplier nation vs customer nation) off one
+    // fact scan, both broadcast.
+    ("q7_nation_volume", (s: SparkSession, d: String) => {
+      val supNation = broadcast(Tables.supplier(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("n_name").as("supp_nation")))
+      val custNation = broadcast(Tables.customer(s, d)
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .select(col("c_custkey"), col("n_name").as("cust_nation")))
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(supNation, col("l_suppkey") === col("s_suppkey"))
+        .join(custNation, col("o_custkey") === col("c_custkey"))
+        .filter(col("supp_nation") < col("cust_nation"))
+        .groupBy("supp_nation", "cust_nation")
+        .agg(round(sum(cents(col("l_extendedprice")) * cents(lit(1) - col("l_discount"))) / 1e4, 2).as("volume"),
+             count(lit(1)).as("n_items"))
+        .filter(col("n_items") >= 20)
+        .orderBy("supp_nation", "cust_nation")
+    }, Some("""
+      SELECT supp_nation, cust_nation,
+             round(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT)) / 1e4, 2) AS volume,
+             count(*) AS n_items
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN (SELECT s_suppkey, n_name AS supp_nation FROM supplier JOIN nation ON s_nationkey = n_nationkey) sn
+          ON l_suppkey = sn.s_suppkey
+        JOIN (SELECT c_custkey, n_name AS cust_nation FROM customer JOIN nation ON c_nationkey = n_nationkey) cn
+          ON o_custkey = cn.c_custkey
+      WHERE supp_nation < cust_nation
+      GROUP BY supp_nation, cust_nation
+      HAVING count(*) >= 20
+      ORDER BY supp_nation, cust_nation""")),
+
+    // B26: shipping-priority split (TPC-H Q12 flavor).
+    ("q12_priority_split", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_linestatus"))
+        .agg(
+          sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)).cast("long").as("high_line_count"),
+          sum(when(!col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1).otherwise(0)).cast("long").as("low_line_count"))
+        .orderBy("l_linestatus")
+    }, Some("""
+      SELECT l_linestatus,
+             CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+             CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+      GROUP BY l_linestatus ORDER BY l_linestatus""")),
+
+    // B27: customer order-count distribution (TPC-H Q13 flavor) —
+    // left join keeps zero-order customers, then a second grouping.
+    ("q13_cust_distribution", (s: SparkSession, d: String) => {
+      val counts = Tables.customer(s, d)
+        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy("c_custkey")
+        .agg(count(col("o_orderkey")).as("c_count"))
+      counts.groupBy("c_count")
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    }, Some("""
+      SELECT c_count, count(*) AS custdist
+      FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_custkey) t
+      GROUP BY c_count ORDER BY custdist DESC, c_count DESC""")),
+
+    // B28: large-volume orders (TPC-H Q18 flavor) — group-having then
+    // join the qualifying keys back to the fact.
+    ("q18_large_orders", (s: SparkSession, d: String) => {
+      val big = Tables.lineitem(s, d)
+        .groupBy("l_orderkey")
+        .agg(round(sum("l_quantity"), 2).as("total_qty"))
+        .filter(col("total_qty") > 150)
+      big.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .select(col("o_orderkey"), col("o_custkey"),
+          col("o_orderdate").cast("date").as("o_date"),
+          round(col("o_totalprice"), 2).as("totalprice"), col("total_qty"))
+        .orderBy(col("total_qty").desc, col("o_orderkey").asc)
+        .limit(50)
+    }, Some("""
+      SELECT o_orderkey, o_custkey, CAST(o_orderdate AS DATE) AS o_date,
+             round(o_totalprice, 2) AS totalprice, total_qty
+      FROM (SELECT l_orderkey, round(sum(l_quantity), 2) AS total_qty
+            FROM lineitem GROUP BY l_orderkey
+            HAVING round(sum(l_quantity), 2) > 150) b
+        JOIN orders ON l_orderkey = o_orderkey
+      ORDER BY total_qty DESC, o_orderkey ASC LIMIT 50""")),
+
+    // B29: bracketed OR-of-ANDs predicate revenue (TPC-H Q19 flavor).
+    ("q19_bracket_revenue", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#1" && col("p_size").between(1, 15) && col("l_quantity").between(1, 20)) ||
+          (col("p_brand") === "Brand#7" && col("p_size").between(10, 30) && col("l_quantity").between(10, 35)) ||
+          (col("p_brand") === "Brand#13" && col("p_size").between(20, 50) && col("l_quantity").between(20, 50)))
+        .agg(round(sum(cents(col("l_extendedprice")) * cents(lit(1) - col("l_discount"))) / 1e4, 2).as("revenue"),
+             count(lit(1)).as("n_rows"))
+    }, Some("""
+      SELECT round(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT)) / 1e4, 2) AS revenue,
+             count(*) AS n_rows
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 20)
+         OR (p_brand = 'Brand#7' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
+         OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)""")),
+
     // B21: ntile bucketing over a window.
     ("q_ntile_custspend", (s: SparkSession, d: String) => {
       val spend = Tables.orders(s, d)
