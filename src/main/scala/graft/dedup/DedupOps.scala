@@ -30,15 +30,16 @@ object DedupOps {
     * downstream of the per-row signature — banding, bucket join, skew
     * guard, verification — stays declarative and distributed.
     */
-  private def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+  // 32 permutations, 4 bands × 8 rows: collision prob j^8 per band
+  // keeps the candidate set sparse even on a high-overlap corpus
+  // (4 rows measured 45k candidates at sf0.1; 8 rows ~100× fewer).
+  // Shingles are carried as their 64-bit hashes — Jaccard on hash
+  // sets equals Jaccard on string sets up to negligible collisions,
+  // and the verify intersect on bigints beats string comparison.
+  def minhashSignatures(documents: DataFrame): DataFrame = {
+    val s = documents.sparkSession
     import s.implicits._
-    // 32 permutations, 4 bands × 8 rows: collision prob j^8 per band
-    // keeps the candidate set sparse even on a high-overlap corpus
-    // (4 rows measured 45k candidates at sf0.1; 8 rows ~100× fewer).
-    // Shingles are carried as their 64-bit hashes — Jaccard on hash
-    // sets equals Jaccard on string sets up to negligible collisions,
-    // and the verify intersect on bigints beats string comparison.
-    docs(s, d).select(col("doc_id"), TextOps.normalize(col("text")).as("norm"))
+    documents.select(col("doc_id"), TextOps.normalize(col("text")).as("norm"))
       .as[(Long, String)]
       .map { case (id, norm) =>
         val sh = graft.util.Hashing.charShingles(norm, 4)
@@ -53,9 +54,10 @@ object DedupOps {
       .cache()
   }
 
-  private def simhashSignatures(s: SparkSession, d: String): DataFrame = {
+  def simhashSignatures(documents: DataFrame): DataFrame = {
+    val s = documents.sparkSession
     import s.implicits._
-    docs(s, d).select(col("doc_id"), TextOps.normalize(col("text")).as("norm"))
+    documents.select(col("doc_id"), TextOps.normalize(col("text")).as("norm"))
       .as[(Long, String)]
       .map { case (id, norm) =>
         val h = graft.util.Hashing.simhash64(norm.split(" ").distinct)
@@ -66,7 +68,7 @@ object DedupOps {
   }
 
   /** Candidate pairs via banded bucket join with a mega-bucket guard. */
-  private def bandedCandidates(banded: DataFrame, maxBucket: Int): DataFrame = {
+  def bandedCandidates(banded: DataFrame, maxBucket: Int): DataFrame = {
     val ok = banded.groupBy("band", "bh").agg(count(lit(1)).as("bn"))
       .filter(col("bn") <= maxBucket).drop("bn")
     val small = banded.join(ok, Seq("band", "bh"))
@@ -75,6 +77,24 @@ object DedupOps {
           col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
       .distinct()
+  }
+
+  /** Verified near-dup candidate pairs with exact Jaccard, via
+    * banded MinHash LSH (reusable DataFrame API; the dd_minhash_lsh
+    * query entry is this over the documents table).
+    */
+  def minhashPairs(documents: DataFrame, maxBucket: Int = 50): DataFrame = {
+    graft.functions.GraftFunctions.register(documents.sparkSession)
+    val base = minhashSignatures(documents)
+    val banded = base.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band", "bh")))
+    val cands = bandedCandidates(banded, maxBucket)
+    cands
+      .join(base.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(base.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      // sha/shb are sorted distinct hash arrays — the native merge
+      // expression verifies exact Jaccard inside codegen
+      .selectExpr("a", "b", "round(jaccard_sorted(sha, shb), 4) AS jaccard")
   }
 
   val entries: Seq[(String, QFn, Option[String])] = Seq(
@@ -96,24 +116,14 @@ object DedupOps {
 
     // C2: MinHash + LSH near-dup; banded candidates, exact-Jaccard verify.
     ("dd_minhash_lsh", (s: SparkSession, d: String) => {
-      graft.functions.GraftFunctions.register(s)
-      val base = minhashSignatures(s, d)
-      val banded = base.select(col("doc_id"),
-          posexplode(col("bands")).as(Seq("band", "bh")))
-      val cands = bandedCandidates(banded, maxBucket = 50)
-      cands
-        .join(base.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
-        .join(base.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
-        // sha/shb are sorted distinct hash arrays — the native merge
-        // expression verifies exact Jaccard inside codegen
-        .selectExpr("a", "b", "round(jaccard_sorted(sha, shb), 4) AS jaccard")
+      minhashPairs(docs(s, d))
         .orderBy(col("jaccard").desc, col("a"), col("b"))
         .limit(100)
     }, None),
 
     // C3: SimHash near-dup; band-collision candidates, hamming verify.
     ("dd_simhash", (s: SparkSession, d: String) => {
-      val base = simhashSignatures(s, d)
+      val base = simhashSignatures(docs(s, d))
       val banded = base.select(col("doc_id"),
         posexplode(col("bands")).as(Seq("band", "bh")))
       val cands = bandedCandidates(banded, maxBucket = 50)
