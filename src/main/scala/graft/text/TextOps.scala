@@ -2,6 +2,7 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Text-analysis operators for training-data pipelines (SURVEY.md
   * §2.C8-C11): language ID, quality scoring, token counting, document
@@ -123,6 +124,37 @@ object TextOps {
                   WHEN s_de >= s_fr THEN 'de'
                   ELSE 'fr' END AS pred_lang
       FROM sc ORDER BY doc_id""")),
+
+    // C8b: character n-gram frequency profile per labeled language —
+    // the statistical basis real language ID models train on.
+    ("tx_ngram_profile", (s: SparkSession, d: String) => {
+      val rk = Window.partitionBy("lang").orderBy(col("n").desc, col("gram").asc)
+      docs(s, d)
+        .select(col("lang"), TextOps.normalize(col("text")).as("norm"))
+        .select(col("lang"), explode(expr(
+          "transform(sequence(0, greatest(length(norm) - 3, 0)), i -> substring(norm, i + 1, 3))")).as("gram"))
+        .filter(length(col("gram")) === 3)
+        .groupBy("lang", "gram")
+        .agg(count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(rk))
+        .filter(col("rk") <= 10)
+        .select(col("lang"), col("rk"), col("gram"), col("n"))
+        .orderBy("lang", "rk")
+    }, Some("""
+      WITH norm AS (
+        SELECT lang,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nrm
+        FROM documents),
+      grams AS (
+        SELECT lang, substr(nrm, i, 3) AS gram
+        FROM norm, unnest(generate_series(1, greatest(length(nrm) - 2, 1))) AS t(i)
+        WHERE length(substr(nrm, i, 3)) = 3),
+      counted AS (
+        SELECT lang, gram, count(*) AS n,
+               row_number() OVER (PARTITION BY lang ORDER BY count(*) DESC, gram ASC) AS rk
+        FROM grams GROUP BY lang, gram)
+      SELECT lang, CAST(rk AS INTEGER) AS rk, gram, n
+      FROM counted WHERE rk <= 10 ORDER BY lang, rk""")),
 
     // C11: document fingerprint (md5 canonical) + shard bucket.
     ("tx_fingerprint", (s: SparkSession, d: String) => {

@@ -1,0 +1,57 @@
+package graft.ann
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.TestSpark
+import graft.util.Hashing
+
+/** Quality proof for the hyperplane-LSH path: tiny perturbations of a
+  * vector must land in the same bucket (so the bucket-local scan finds
+  * them), while the bucketing still splits the corpus.
+  */
+class AnnRecallSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  test("perturbed clones share the LSH bucket; buckets partition the corpus") {
+    import spark.implicits._
+    val vecs = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().take(100)
+
+    var sameBucket = 0
+    vecs.foreach { case (_, v) =>
+      val a = v.map(_.toDouble).toArray
+      val clone = a.clone()
+      clone(0) += 1e-4 // tiny perturbation
+      if (Hashing.lshBucket(a, 8) == Hashing.lshBucket(clone, 8)) sameBucket += 1
+    }
+    // a 1e-4 nudge flips a hyperplane side only when the dot product is
+    // within 1e-4 of zero — rare
+    assert(sameBucket >= 95, s"only $sameBucket/100 clones kept their bucket")
+
+    val buckets = vecs.map { case (_, v) => Hashing.lshBucket(v.map(_.toDouble).toArray, 8) }
+    assert(buckets.distinct.length >= 16, "bucketing should spread the corpus")
+  }
+
+  test("brute-force top-1 of a planted clone is the original vector") {
+    import spark.implicits._
+    val base = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().take(8)
+    // corpus = originals + clones with ids shifted; probe ids 0..7 are clones
+    val clones = base.map { case (id, v) =>
+      (id - 1000L, v.updated(0, v.head + 1e-3f))
+    }
+    // make clones the probes (vec_id < 16 after shifting into range 0..7)
+    val rows = clones.zipWithIndex.map { case ((_, v), i) => (i.toLong, v) } ++
+      base.map { case (id, v) => (id + 100L, v) }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann").toString
+    rows.toSeq.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+
+    val top1 = graft.SparkEntry.queries("ann_bruteforce")(spark, dir)
+      .filter("rk = 1").collect()
+      .map(r => r.getAs[Long]("probe") -> r.getAs[Long]("neighbor")).toMap
+    base.zipWithIndex.foreach { case ((id, _), i) =>
+      assert(top1(i.toLong) === id + 100L,
+        s"probe $i should match its original ${id + 100L}, got ${top1(i.toLong)}")
+    }
+  }
+}
