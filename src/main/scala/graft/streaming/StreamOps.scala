@@ -91,6 +91,14 @@ object StreamOps {
       s"l_fid = r_fid AND l_ts >= r_ts AND l_ts <= r_ts + INTERVAL $withinSeconds SECONDS"))
   }
 
+  /** Exactly-once parquet sink for foreachBatch: each micro-batch
+    * lands in its own `batch_id=N` partition with overwrite, so a
+    * replayed batch (at-least-once delivery) overwrites itself instead
+    * of duplicating — the standard idempotent-sink pattern.
+    */
+  def idempotentParquetSink(dir: String)(batch: DataFrame, batchId: Long): Unit =
+    batch.write.mode("overwrite").parquet(s"$dir/batch_id=$batchId")
+
   /** Output mode helper: state-ful ops above use Update semantics. */
   val updateMode: OutputMode = OutputMode.Update()
 }
