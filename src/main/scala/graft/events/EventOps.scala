@@ -310,6 +310,72 @@ object EventOps {
         FROM tagged)
       SELECT id, fid, asof_ref_id FROM c WHERE side = 1 ORDER BY id""")),
 
+    // A36: sequential funnel — signup → later view → later purchase,
+    // per user (ordered pattern matching over the event log; min-id
+    // chaining keeps it one aggregation per stage, no self-join).
+    ("ev_funnel", (s: SparkSession, d: String) => {
+      val evs = Event.project(ev(s, d))
+      val stages = evs.groupBy(col("foreignId").as("fid"))
+        .agg(
+          min(when(col("eventType") === "signup", col("id"))).as("s1"),
+          count(lit(1)).as("n_events"))
+      val afterS1 = evs.join(stages.select(col("fid"), col("s1")),
+          evs("foreignId") === col("fid"))
+        .filter(col("s1").isNotNull)
+      val s2 = afterS1.filter(col("eventType") === "view" && col("id") > col("s1"))
+        .groupBy("fid").agg(min("id").as("s2"))
+      val s3 = afterS1.join(s2, "fid")
+        .filter(col("eventType") === "purchase" && col("id") > col("s2"))
+        .groupBy("fid").agg(min("id").as("s3"))
+      stages.join(s2, Seq("fid"), "left").join(s3, Seq("fid"), "left")
+        .agg(
+          count(lit(1)).as("n_users"),
+          count(col("s1")).as("n_signup"),
+          count(col("s2")).as("n_signup_then_view"),
+          count(col("s3")).as("n_full_funnel"))
+    }, Some("""
+      WITH s1 AS (
+        SELECT user_id AS fid, min(CASE WHEN event_type = 'signup' THEN event_id END) AS s1
+        FROM events GROUP BY user_id),
+      s2 AS (
+        SELECT e.user_id AS fid, min(e.event_id) AS s2
+        FROM events e JOIN s1 ON e.user_id = s1.fid
+        WHERE s1.s1 IS NOT NULL AND e.event_type = 'view' AND e.event_id > s1.s1
+        GROUP BY e.user_id),
+      s3 AS (
+        SELECT e.user_id AS fid, min(e.event_id) AS s3
+        FROM events e JOIN s2 ON e.user_id = s2.fid
+        WHERE e.event_type = 'purchase' AND e.event_id > s2.s2
+        GROUP BY e.user_id)
+      SELECT count(*) AS n_users, count(s1.s1) AS n_signup,
+             count(s2.s2) AS n_signup_then_view, count(s3.s3) AS n_full_funnel
+      FROM s1 LEFT JOIN s2 ON s1.fid = s2.fid LEFT JOIN s3 ON s1.fid = s3.fid""")),
+
+    // A37: cohort retention — users grouped by first-activity day,
+    // still active ≥7/≥21 days later.
+    ("ev_retention", (s: SparkSession, d: String) => {
+      val evs = Event.project(ev(s, d))
+        .select(col("foreignId").as("fid"), to_date(col("ts")).as("day"))
+      val spans = evs.groupBy("fid")
+        .agg(min("day").as("cohort_day"), max("day").as("last_day"))
+      spans.groupBy("cohort_day")
+        .agg(
+          count(lit(1)).as("n_users"),
+          sum(when(datediff(col("last_day"), col("cohort_day")) >= 7, 1).otherwise(0))
+            .cast("long").as("retained_7d"),
+          sum(when(datediff(col("last_day"), col("cohort_day")) >= 21, 1).otherwise(0))
+            .cast("long").as("retained_21d"))
+        .orderBy("cohort_day")
+    }, Some("""
+      WITH spans AS (
+        SELECT user_id AS fid, min(CAST(ts AS DATE)) AS cohort_day,
+               max(CAST(ts AS DATE)) AS last_day
+        FROM events GROUP BY user_id)
+      SELECT cohort_day, count(*) AS n_users,
+             CAST(sum(CASE WHEN last_day - cohort_day >= 7 THEN 1 ELSE 0 END) AS BIGINT) AS retained_7d,
+             CAST(sum(CASE WHEN last_day - cohort_day >= 21 THEN 1 ELSE 0 END) AS BIGINT) AS retained_21d
+      FROM spans GROUP BY cohort_day ORDER BY cohort_day""")),
+
     // A25: at-least-once → exactly-once view via id dedup (doc.go note).
     ("ev_dedup_ids", (s: SparkSession, d: String) => {
       val base = Event.project(ev(s, d))
