@@ -101,6 +101,26 @@ object AnnOps {
       WHERE dot / (na.nrm * nb.nrm) >= 0.28
       ORDER BY a, b""")),
 
+    // C20: per-label centroids — dimension-wise vector aggregation in
+    // long format (label, dim, centroid); the building block for IVF
+    // coarse quantizers and class prototypes.
+    ("ann_label_centroids", (s: SparkSession, d: String) => {
+      s.read.parquet(s"$d/embeddings.parquet")
+        .select(col("label"), posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+        .filter(col("dim") < 8) // bounded output; full width at scale
+        .groupBy("label", "dim")
+        .agg(round(avg("x"), 4).as("centroid"), count(lit(1)).as("n"))
+        .orderBy("label", "dim")
+    }, Some("""
+      WITH f AS (
+        SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
+               CAST(unnest(embedding) AS DOUBLE) AS x
+        FROM embeddings)
+      SELECT label, CAST(dim AS INTEGER) AS dim,
+             round(avg(x), 4) AS centroid, count(*) AS n
+      FROM f WHERE dim < 8
+      GROUP BY label, dim ORDER BY label, dim""")),
+
     // C7: LSH-bucketed top-5 — probes only score their own bucket.
     // Bucket assignment is a cheap typed map (hash-derived hyperplanes,
     // no broadcast state); scoring reuses the native expression.

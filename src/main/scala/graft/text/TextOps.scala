@@ -168,6 +168,60 @@ object TextOps {
              CAST('0x' || substr(md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))), 1, 8) AS BIGINT) % 1024 AS bucket
       FROM documents ORDER BY doc_id""")),
 
+    // C18: deterministic stratified sampling — hash-based (NOT rand())
+    // so replays/retries keep the same sample at any scale; plus the
+    // per-stratum reweighting factor to hit a uniform target mixture.
+    ("tx_stratified_sample", (s: SparkSession, d: String) => {
+      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 100
+      val sampled = docs(s, d)
+        .withColumn("in_sample", (bucket < 20).cast("int"))
+      val total = sampled.count().toDouble
+      sampled.groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("in_sample").cast("long").as("n_sampled"))
+        .withColumn("target_weight",
+          round(lit(0.2) / (col("n_docs") / lit(total)), 4))
+        .orderBy("lang")
+    }, Some("""
+      WITH t AS (
+        SELECT lang,
+               CASE WHEN CAST(CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 AS INTEGER) < 20
+                    THEN 1 ELSE 0 END AS in_sample
+        FROM documents)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(in_sample) AS BIGINT) AS n_sampled,
+             round(0.2 / (count(*) / (SELECT CAST(count(*) AS DOUBLE) FROM documents)), 4) AS target_weight
+      FROM t GROUP BY lang ORDER BY lang""")),
+
+    // C19: token-budget sharding — docs packed in id order into shards
+    // of ≤5000 tokens (how training corpora are chunked for loaders).
+    ("tx_token_shards", (s: SparkSession, d: String) => {
+      val w = Window.orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, d)
+        .select(col("doc_id"), size(tokens(col("text"))).as("n_tok"))
+        .withColumn("cum", sum("n_tok").over(w))
+        .withColumn("shard", ((col("cum") - 1) / 5000).cast("long"))
+        .groupBy("shard")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").cast("long").as("shard_tokens"),
+          min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+        .orderBy("shard")
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(length(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS INTEGER) AS n_tok
+        FROM documents),
+      c AS (
+        SELECT doc_id, n_tok,
+               sum(n_tok) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+        FROM t)
+      SELECT CAST((cum_last - 1) // 5000 AS BIGINT) AS shard, count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS shard_tokens,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM (SELECT doc_id, n_tok, cum AS cum_last FROM c) x
+      GROUP BY 1 ORDER BY shard""")),
+
     // Flagship composition: the full training-data preparation pass —
     // exact-dedup to canonical docs, token/quality gates, language ID —
     // in ONE streaming-friendly plan (single scan + one window).
