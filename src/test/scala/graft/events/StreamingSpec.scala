@@ -49,6 +49,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(maxSeen.get() === 999L)
   }
 
+  test("materialized state table converges to latest-per-entity across incremental runs") {
+    val (logDir, ckpt) = freshDirs()
+    val stateDir = Files.createTempDirectory("graft-state").toString + "/state"
+    writeSlice(logDir, 0, 500)
+    Runner.materializeLatestState(spark, logDir, stateDir, ckpt).awaitTermination()
+
+    // append the rest; only new events are processed, state is merged
+    writeSlice(logDir, 500, 1000)
+    Runner.materializeLatestState(spark, logDir, stateDir, ckpt).awaitTermination()
+
+    val state = spark.read.parquet(stateDir)
+    val expected = Patterns.latestState(
+      Event.project(spark.read.parquet(s"${TestSpark.sf}/events.parquet")))
+    assert(state.count() === expected.count())
+    val got = state.select("foreignId", "id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    expected.select("foreignId", "id").collect().foreach { r =>
+      assert(got(r.getLong(0)) === r.getLong(1))
+    }
+  }
+
   test("stream-side filter applies before the consumer") {
     val (logDir, ckpt) = freshDirs()
     writeSlice(logDir, 0, 300)
