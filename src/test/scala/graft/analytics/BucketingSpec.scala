@@ -7,6 +7,19 @@ import graft.{Tables, TestSpark}
 class BucketingSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  test("latestState over a foreignId-bucketed log runs without a shuffle") {
+    import graft.events.{Event, Patterns}
+    val events = Event.project(
+      spark.read.parquet(s"${TestSpark.sf}/events.parquet"))
+    Bucketing.writeBucketed(events, "b_events", "foreignId", 8)
+    val plan = Patterns.latestState(spark.table("b_events"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning"),
+      s"bucketed window should not shuffle:\n$plan")
+    assert(Patterns.latestState(spark.table("b_events")).count() ===
+      Patterns.latestState(events).count())
+  }
+
   test("same-bucketed tables join without a shuffle exchange") {
     Bucketing.writeBucketed(
       Tables.orders(spark, TestSpark.sf).select("o_orderkey", "o_orderstatus"),
