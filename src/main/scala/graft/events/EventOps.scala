@@ -376,6 +376,20 @@ object EventOps {
              CAST(sum(CASE WHEN last_day - cohort_day >= 21 THEN 1 ELSE 0 END) AS BIGINT) AS retained_21d
       FROM spans GROUP BY cohort_day ORDER BY cohort_day""")),
 
+    // A41: value histogram — fixed-width buckets over the event value
+    // distribution (monitoring/alerting building block).
+    ("ev_value_histogram", (s: SparkSession, d: String) => {
+      Event.project(ev(s, d))
+        .withColumn("bucket", floor(col("value") / 50).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n"), round(min("value"), 2).as("lo"),
+          round(max("value"), 2).as("hi"))
+        .orderBy("bucket")
+    }, Some("""
+      SELECT CAST(floor(value / 50) AS BIGINT) AS bucket, count(*) AS n,
+             round(min(value), 2) AS lo, round(max(value), 2) AS hi
+      FROM events GROUP BY 1 ORDER BY bucket""")),
+
     // A25: at-least-once → exactly-once view via id dedup (doc.go note).
     ("ev_dedup_ids", (s: SparkSession, d: String) => {
       val base = Event.project(ev(s, d))
