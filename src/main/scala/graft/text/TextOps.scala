@@ -168,6 +168,56 @@ object TextOps {
              CAST('0x' || substr(md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))), 1, 8) AS BIGINT) % 1024 AS bucket
       FROM documents ORDER BY doc_id""")),
 
+    // C21: redaction pass (the PII-scrub pattern: swap a class of
+    // spans for a placeholder, report what changed) — here digit runs,
+    // the same plumbing as email/phone/URL scrubbing.
+    ("tx_redact_numbers", (s: SparkSession, d: String) => {
+      val redacted = regexp_replace(col("text"), "[0-9]+", "<num>")
+      docs(s, d).select(
+          col("doc_id"),
+          size(regexp_extract_all(col("text"), lit("[0-9]+"), lit(0))).as("n_redactions"),
+          md5(redacted).as("redacted_fp"),
+          (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))).as("digits_removed"))
+        .orderBy("doc_id")
+    }, Some("""
+      SELECT doc_id,
+             CAST(length(regexp_extract_all(text, '[0-9]+')) AS INTEGER) AS n_redactions,
+             md5(regexp_replace(text, '[0-9]+', '<num>', 'g')) AS redacted_fp,
+             CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INTEGER) AS digits_removed
+      FROM documents ORDER BY doc_id""")),
+
+    // C22: benchmark decontamination — flag corpus docs sharing any
+    // char-30-gram with a held-out benchmark set (docs 0-9 here).
+    // Shingles join relationally (broadcast benchmark grams), the
+    // standard eval-contamination sweep before training.
+    ("tx_decontaminate", (s: SparkSession, d: String) => {
+      val grams = docs(s, d)
+        .select(col("doc_id"), normalize(col("text")).as("norm"))
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, greatest(length(norm) - 30, 0)), i -> substring(norm, i + 1, 30))")).as("g"))
+        .filter(length(col("g")) === 30)
+      val bench = broadcast(grams.filter(col("doc_id") < 10)
+        .select(col("g")).distinct())
+      grams.filter(col("doc_id") >= 10)
+        .join(bench, "g")
+        .groupBy("doc_id")
+        .agg(countDistinct("g").as("n_shared_grams"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nrm
+        FROM documents),
+      grams AS (
+        SELECT doc_id, substr(nrm, i, 30) AS g
+        FROM norm, unnest(generate_series(1, greatest(length(nrm) - 29, 1))) AS t(i)
+        WHERE length(substr(nrm, i, 30)) = 30),
+      bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 10)
+      SELECT doc_id, count(DISTINCT grams.g) AS n_shared_grams
+      FROM grams JOIN bench ON grams.g = bench.g
+      WHERE doc_id >= 10
+      GROUP BY doc_id ORDER BY doc_id""")),
+
     // C18: deterministic stratified sampling — hash-based (NOT rand())
     // so replays/retries keep the same sample at any scale; plus the
     // per-stratum reweighting factor to hit a uniform target mixture.
