@@ -548,6 +548,23 @@ object Queries {
              round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / (count(*) * 100.0), 4) AS avg_price
       FROM orders GROUP BY 1, 2 ORDER BY yr, qtr""")),
 
+    // B30: quantity-weighted average price — exact-cents numerator so
+    // summation order cannot flip the rounding (§6).
+    ("q_weighted_avg_price", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(round(
+          sum(cents(col("l_extendedprice")) * col("l_quantity").cast("long")) /
+            (sum(col("l_quantity").cast("long")) * 100.0), 4).as("wavg_price"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag,
+             round(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(l_quantity AS BIGINT))
+                   / (sum(CAST(l_quantity AS BIGINT)) * 100.0), 4) AS wavg_price,
+             count(*) AS n_rows
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // B20: sketch aggregates — HLL distinct + approximate quantiles.
     // rows-only oracle: sketch estimates are engine-specific by nature;
     // OpsSpec asserts the estimates against exact values instead.

@@ -376,6 +376,25 @@ object EventOps {
              CAST(sum(CASE WHEN last_day - cohort_day >= 21 THEN 1 ELSE 0 END) AS BIGINT) AS retained_21d
       FROM spans GROUP BY cohort_day ORDER BY cohort_day""")),
 
+    // A42: event-type transition matrix — counts of consecutive
+    // (prev_type → type) per-user transitions (Markov-chain view of
+    // the event stream; lag window per user).
+    ("ev_type_transitions", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy("foreignId").orderBy("id")
+      Event.project(ev(s, d))
+        .withColumn("prev_type", lag("eventType", 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type"), col("eventType").as("next_type"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("prev_type", "next_type")
+    }, Some("""
+      SELECT prev_type, next_type, count(*) AS n
+      FROM (SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type,
+                   event_type AS next_type
+            FROM events) t
+      WHERE prev_type IS NOT NULL
+      GROUP BY prev_type, next_type ORDER BY prev_type, next_type""")),
+
     // A41: value histogram — fixed-width buckets over the event value
     // distribution (monitoring/alerting building block).
     ("ev_value_histogram", (s: SparkSession, d: String) => {

@@ -92,6 +92,25 @@ class OpsSpec extends AnyFunSuite {
     assert(a.map(_.toString).toSeq === b.map(_.toString).toSeq)
   }
 
+  test("fake decoder histogram buckets sum to the payload length") {
+    val rows = multimodal.MultimodalOps.fakeDecode(
+      multimodal.MultimodalOps.asMedia(
+        spark.read.parquet(s"$sf/documents.parquet"))).collect()
+    rows.foreach { r =>
+      val histSum = r.getAs[Seq[Long]]("hist").sum
+      assert(histSum === r.getAs[Int]("byte_len").toLong)
+    }
+  }
+
+  test("type transition counts cover exactly n_events - n_users") {
+    val trans = SparkEntry.queries("ev_type_transitions")(spark, sf)
+      .agg(sum("n")).collect()(0).getLong(0)
+    val nEvents = spark.read.parquet(s"$sf/events.parquet").count()
+    val nUsers = spark.read.parquet(s"$sf/events.parquet")
+      .select("user_id").distinct().count()
+    assert(trans === nEvents - nUsers) // each user's first event has no prev
+  }
+
   test("langid prediction is one of the marker languages") {
     val langs = SparkEntry.queries("tx_langid")(spark, sf)
       .select("pred_lang").distinct().collect().map(_.getString(0)).toSet
