@@ -23,6 +23,30 @@ class CursorStoreSpec extends AnyFunSuite {
     assert(a.get("c1") === Some(456L))
   }
 
+  test("consumer resumes across 'process restarts' via FileCursorStore") {
+    import graft.TestSpark
+    val dir = Files.createTempDirectory("graft-resume").toString
+    val log = EventLog(TestSpark.spark, TestSpark.sf)
+    var n1 = 0L
+    // first process: crash after 400 events (simulated via FailFast)
+    val crashing = Consumer("resume-c", b => {
+      n1 += b.count()
+      if (n1 >= 400) throw new RuntimeException("simulated crash")
+    })
+    intercept[RuntimeException] {
+      Runner.runToHead(Spec(log, new FileCursorStore(dir), crashing, batchSize = 200))
+    }
+    // second process: fresh store instance, same directory
+    var n2 = 0L
+    val res = Runner.runToHead(Spec(log, new FileCursorStore(dir),
+      Consumer("resume-c", b => { n2 += b.count(); () }), batchSize = 200))
+    assert(res.finalCursor === 999L)
+    // at-least-once: everything from the last committed cursor was
+    // replayed; the two runs together covered the full log
+    assert(n1 + n2 >= 1000L)
+    assert(new FileCursorStore(dir).get("resume-c") === Some(999L))
+  }
+
   test("readThrough falls back, writes through, and writes go to primary") {
     val primary = new MemCursorStore()
     val fallback = new MemCursorStore(Map("c" -> 10L))
