@@ -132,17 +132,35 @@ object DedupOps {
         .limit(100)
     }, None),
 
-    // C3: SimHash near-dup; band-collision candidates, hamming verify.
+    // C3: SimHash near-dup. Identical signatures are COLLAPSED first
+    // (exact-dup groups emit their hamming-0 pairs directly; the
+    // banded LSH join then runs over distinct signatures only) — on a
+    // clone-heavy corpus this shrinks the candidate join by the clone
+    // multiplicity squared, the standard exact-before-near dedup
+    // ordering at corpus scale.
     ("dd_simhash", (s: SparkSession, d: String) => {
       val base = simhashSignatures(docs(s, d))
-      val banded = base.select(col("doc_id"),
+      // representatives: one doc per distinct signature
+      val reps = base.groupBy("simhash")
+        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("grp_n"))
+      // hamming-0 pairs inside each identical-signature group (guarded)
+      val grouped = base.join(reps.select(col("simhash"), col("grp_n")), "simhash")
+        .filter(col("grp_n") <= 50)
+      val zeroPairs = grouped.as("x").join(grouped.as("y"),
+          col("x.simhash") === col("y.simhash") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), lit(0).as("hamming"))
+      // banded LSH over DISTINCT signatures only
+      val repBase = reps.select(col("doc_id"), col("simhash"))
+        .join(base.select(col("doc_id"), col("bands")), "doc_id")
+      val banded = repBase.select(col("doc_id"),
         posexplode(col("bands")).as(Seq("band", "bh")))
-      val cands = bandedCandidates(banded, maxBucket = 50)
-      cands
-        .join(base.select(col("doc_id").as("a"), col("simhash").as("ha")), "a")
-        .join(base.select(col("doc_id").as("b"), col("simhash").as("hb")), "b")
-        .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))))
+      val nearPairs = bandedCandidates(banded, maxBucket = 50)
+        .join(repBase.select(col("doc_id").as("a"), col("simhash").as("ha")), "a")
+        .join(repBase.select(col("doc_id").as("b"), col("simhash").as("hb")), "b")
+        .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+        .filter(col("hamming") > 0)
         .select("a", "b", "hamming")
+      zeroPairs.unionByName(nearPairs)
         .orderBy(col("hamming").asc, col("a"), col("b"))
         .limit(100)
     }, None),
