@@ -276,22 +276,46 @@ object TextOps {
     // exact-dedup to canonical docs, token/quality gates, language ID —
     // in ONE streaming-friendly plan (single scan + one window).
     ("pipeline_prepare_corpus", (s: SparkSession, d: String) => {
-      // materialize the token array ONCE — the quality ratios and four
-      // marker scores otherwise each re-normalize + re-split the text
-      // (~6 regex passes per row, the whole pipeline's hot cost)
-      val withToks = docs(s, d).withColumn("w", tokens(col("text")))
-      val nTok = size(col("w")).cast("double")
-      val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
-      val stops = stopwordHits(col("w"), stopwords).cast("double")
-      val lenC = length(col("text")).cast("double")
-      val quality = round(lit(0.5) * (stops / nTok) + lit(0.3) * (lit(1.0) - punct / lenC) +
-        lit(0.2) * least(nTok / 100.0, lit(1.0)), 4)
+      // Per-row scoring runs as ONE typed pass: tokenization +
+      // stopword/marker counts + quality arithmetic in a JVM loop.
+      // Semantics are bit-identical to the declarative form (same
+      // java.util.regex patterns Spark uses, same IEEE order, Spark's
+      // BigDecimal.valueOf HALF_UP rounding) — interpreted lambda
+      // filters over token arrays were the pipeline's hot cost at 10×.
+      // Dedup/gates/langid stay declarative.
+      import s.implicits._
+      val markerSets = langMarkers.map { case (_, ws) => ws.toSet }
+      val stopSet = stopwords.toSet
+      val scored = docs(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.map { case (id, text) =>
+            val toks = text.toLowerCase.replaceAll("[^a-z0-9\\s]", " ")
+              .replaceAll("\\s+", " ").trim.split(" ")
+            val nTok = toks.length.toDouble
+            var punct = 0
+            var i = 0
+            while (i < text.length) {
+              val c = text.charAt(i)
+              val alnum = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+              val ws = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+              if (!alnum && !ws) punct += 1
+              i += 1
+            }
+            val stops = toks.count(stopSet)
+            val markers = markerSets.map(ms => toks.count(ms))
+            val raw = 0.5 * (stops / nTok) + 0.3 * (1.0 - punct / text.length.toDouble) +
+              0.2 * math.min(nTok / 100.0, 1.0)
+            val quality = java.math.BigDecimal.valueOf(raw)
+              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+            md.reset()
+            val fp = md.digest(toks.mkString(" ").getBytes("UTF-8"))
+              .map("%02x".format(_)).mkString
+            (id, fp, toks.length, quality, markers(0), markers(1), markers(2), markers(3))
+          }
+        }
+        .toDF("doc_id", "fp", "n_tokens", "quality", "s_en", "s_es", "s_de", "s_fr")
       val w = org.apache.spark.sql.expressions.Window.partitionBy("fp")
-      val markerCols = langMarkers.map { case (l, ws) => stopwordHits(col("w"), ws).as(s"s_$l") }
-      // fp from the token array (join-by-space == normalized text)
-      val scored = withToks.select(
-        Seq(col("doc_id"), md5(array_join(col("w"), " ")).as("fp"),
-          size(col("w")).as("n_tokens"), quality.as("quality")) ++ markerCols: _*)
       scored
         .withColumn("canonical_id", min("doc_id").over(w))
         .filter(col("doc_id") === col("canonical_id"))
