@@ -40,6 +40,16 @@ object Patterns {
     events.withColumn("batch_no", ((row_number().over(w) - 1) / batchSize).cast("long"))
   }
 
+  /** Per-shard batch assignment — the scale form of `assignBatches`:
+    * the window partitions on the shard id, so no global sort exists
+    * anywhere in the plan.
+    */
+  def assignBatchesPerShard(events: DataFrame, nShards: Int, batchSize: Int): DataFrame = {
+    val w = Window.partitionBy("shard").orderBy("id")
+    shards(events, nShards)
+      .withColumn("batch_no", ((row_number().over(w) - 1) / batchSize).cast("long"))
+  }
+
   /** rsql/gapfill.go: detect id gaps (candidates for noop fill). */
   def gaps(events: DataFrame): DataFrame = {
     val w = Window.orderBy("id")

@@ -204,9 +204,15 @@ object Runner {
       logDir: String,
       spec: Spec,
       checkpointDir: String,
-      availableNow: Boolean = true): StreamingQuery = {
+      availableNow: Boolean = true,
+      /** backpressure: bound files ingested per micro-batch (the
+        * maxInFlight analog of rpatterns/concurrent.go).
+        */
+      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
     val schema = spark.read.parquet(logDir).schema
-    val stream = Event.project(spark.readStream.schema(schema).parquet(logDir))
+    val reader = spark.readStream.schema(schema)
+    maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    val stream = Event.project(reader.parquet(logDir))
     val filtered = spec.filter.fold(stream)(f => stream.filter(f.toColumn))
     val writer = filtered.writeStream
       .option("checkpointLocation", checkpointDir)

@@ -41,6 +41,18 @@ class PatternsSpec extends AnyFunSuite {
     assert(sizes.map(_._2).sum === 1000L)
   }
 
+  test("per-shard batch assignment needs no global sort and covers the log") {
+    val b = Patterns.assignBatchesPerShard(events, nShards = 4, batchSize = 64)
+    assert(b.count() === 1000L)
+    // plan has no single-partition global sort window
+    val plan = b.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    // batches within each shard are contiguous and bounded
+    import org.apache.spark.sql.functions._
+    val sizes = b.groupBy("shard", "batch_no").count()
+    assert(sizes.filter(col("count") > 64).isEmpty)
+  }
+
   test("sessionize splits on the inactivity gap") {
     val sess = Patterns.sessionize(events, gapSeconds = 1800)
     // session event counts must add back up to the log
