@@ -376,6 +376,38 @@ object EventOps {
              CAST(sum(CASE WHEN last_day - cohort_day >= 21 THEN 1 ELSE 0 END) AS BIGINT) AS retained_21d
       FROM spans GROUP BY cohort_day ORDER BY cohort_day""")),
 
+    // A43: DAU/WAU — daily active users and 7-day rolling distinct
+    // actives. Rolling DISTINCT isn't window-expressible; the
+    // (day, user) distinct pairs join the small day dimension for the
+    // trailing range — day cardinality is tiny, so the join is
+    // broadcast and exact.
+    ("ev_active_users", (s: SparkSession, d: String) => {
+      val pairs = Event.project(ev(s, d))
+        .select(to_date(col("ts")).as("day"), col("foreignId").as("fid"))
+        .distinct()
+      val days = pairs.select(col("day").as("anchor")).distinct()
+      val dau = pairs.groupBy(col("day").as("anchor"))
+        .agg(count(lit(1)).as("dau"))
+      val wau = broadcast(days)
+        .join(pairs, col("day").between(date_sub(col("anchor"), 6), col("anchor")))
+        .groupBy("anchor")
+        .agg(countDistinct("fid").as("wau"))
+      dau.join(wau, "anchor")
+        .select(col("anchor").as("day"), col("dau"), col("wau"))
+        .orderBy("day")
+    }, Some("""
+      WITH pairs AS (
+        SELECT DISTINCT CAST(ts AS DATE) AS day, user_id AS fid FROM events),
+      days AS (SELECT DISTINCT day AS anchor FROM pairs),
+      dau AS (SELECT day AS anchor, count(*) AS dau FROM pairs GROUP BY day),
+      wau AS (
+        SELECT anchor, count(DISTINCT fid) AS wau
+        FROM days JOIN pairs ON pairs.day BETWEEN anchor - 6 AND anchor
+        GROUP BY anchor)
+      SELECT dau.anchor AS day, dau, wau
+      FROM dau JOIN wau ON dau.anchor = wau.anchor
+      ORDER BY day""")),
+
     // A42: event-type transition matrix — counts of consecutive
     // (prev_type → type) per-user transitions (Markov-chain view of
     // the event stream; lag window per user).

@@ -41,6 +41,17 @@ class EventLogSpec extends AnyFunSuite {
     assert(rows.forall(_.getAs[Long]("foreignId") < 10))
   }
 
+  test("metadata filter composes with type filters") {
+    val f = EventFilter.metadataInt("$.k")(k => k < 10) && EventFilter.ofType("click")
+    val rows = log.where(f).df.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[String]("eventType") === "click")
+      val k = r.getAs[String]("metadata") // {"k": n}
+      assert(k.replaceAll("[^0-9]", "").toInt < 10)
+    }
+  }
+
   test("shard filters partition the log completely and disjointly") {
     val n = 4
     val counts = (0 until n).map { m =>
