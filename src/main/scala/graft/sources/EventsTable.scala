@@ -48,6 +48,35 @@ final class EventsTable(spark: SparkSession, dir: String,
 
   def head: Long = if (!exists) -1L else log.head()
 
+  /** Right-to-be-forgotten compaction: rewrite the log without the
+    * entity's events. Remaining ids are untouched (monotonicity
+    * preserved; the resulting id gaps are exactly what the gap-fill
+    * machinery tolerates — rsql/gapfill.go semantics). The rewrite is
+    * an atomic directory swap, so concurrent readers see the old or
+    * the new log, never a partial one.
+    */
+  def forget(foreignId: Long): Long = {
+    val remaining = log.df.filter(col("id").isNotNull && col("foreignId") =!= foreignId)
+    val tmp = dir + ".tmp"
+    val writer =
+      if (partitionByDate)
+        remaining.withColumn("date", to_date(col("ts"))).write.partitionBy("date")
+      else remaining.write
+    writer.mode(SaveMode.Overwrite).parquet(tmp)
+    val out = new java.io.File(dir)
+    val old = new java.io.File(dir + ".old")
+    deleteRec(old)
+    out.renameTo(old)
+    new java.io.File(tmp).renameTo(out)
+    deleteRec(old)
+    head
+  }
+
+  private def deleteRec(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRec)
+    if (f.exists()) { f.delete(); () }
+  }
+
   /** Insert a batch of events (columns: eventType, foreignId, ts,
     * value, metadata), assigning the next id range. Returns the new
     * head.

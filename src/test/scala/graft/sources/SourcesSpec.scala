@@ -27,6 +27,33 @@ class SourcesSpec extends AnyFunSuite {
     assert(rows.last.getAs[String]("metadata").contains("blob-b"))
   }
 
+  test("forget removes an entity's events, keeps ids monotone with gaps") {
+    val dir = Files.createTempDirectory("graft-forget").resolve("log").toString
+    val table = new EventsTable(spark, dir)
+    import spark.implicits._
+    val batch = (0 until 30).map { i =>
+      ("click", (i % 3).toLong, java.sql.Timestamp.valueOf(f"2024-01-01 00:${i}%02d:00"), 1.0, "{}")
+    }.toDF("eventType", "foreignId", "ts", "value", "metadata")
+    table.insert(batch)
+    assert(table.head === 29L)
+
+    table.forget(1L)
+    val remaining = table.log.df
+    assert(remaining.filter(col("foreignId") === 1L).isEmpty)
+    assert(remaining.count() === 20L)
+    // surviving ids are unchanged (gaps where user 1's events were)
+    val ids = remaining.select("id").collect().map(_.getLong(0)).sorted
+    assert(ids.toSeq === (0 until 30).filter(_ % 3 != 1).map(_.toLong))
+    // the gap detector sees exactly those holes
+    val gaps = graft.events.Patterns.gaps(remaining).count()
+    assert(gaps > 0)
+    // a consumer replays the compacted log cleanly
+    val store = new MemCursorStore()
+    val res = Runner.runToHead(graft.events.Spec(table.log, store,
+      Consumer("post-forget", _ => ())))
+    assert(res.finalCursor === 29L)
+  }
+
   test("date-partitioned EventsTable prunes partitions on date filters") {
     val dir = Files.createTempDirectory("graft-etable-part").resolve("log").toString
     val table = new EventsTable(spark, dir, partitionByDate = true)
