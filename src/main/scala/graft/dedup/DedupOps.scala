@@ -132,6 +132,41 @@ object DedupOps {
         .limit(100)
     }, None),
 
+    // C2b: ORACLE-CHECKED LSH path — the corpus is unioned with exact
+    // clones (doc_id+10^6, same text). Identical text ⇒ identical
+    // signature ⇒ same bucket in every band, so banded MinHash MUST
+    // emit every clone pair with jaccard 1.0 — which DuckDB can
+    // predict from content equality alone. This hash-verifies the
+    // banding/bucketing/verification machinery end-to-end (the
+    // probabilistic near-dup path stays rows-only by nature).
+    ("dd_minhash_planted", (s: SparkSession, d: String) => {
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+      val clones = base.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
+      val corpus = base.unionByName(clones)
+      minhashPairs(corpus, maxBucket = 200)
+        .filter(col("jaccard") === 1.0)
+        .select(col("a"), col("b"))
+        .orderBy("a", "b")
+    }, Some("""
+      WITH c AS (
+        SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nrm
+        FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))
+        FROM documents),
+      g AS (
+        SELECT doc_id, substr(nrm, i, 4) AS g
+        FROM c, unnest(generate_series(1, greatest(length(nrm) - 3, 1))) AS t(i)
+        WHERE length(substr(nrm, i, 4)) = 4),
+      -- jaccard 1.0 means equal SHINGLE SETS, not equal text: canonical
+      -- fingerprint = md5 of the sorted distinct 4-gram set
+      sets AS (
+        SELECT doc_id, md5(string_agg(DISTINCT g, '|' ORDER BY g)) AS fp
+        FROM g GROUP BY doc_id)
+      SELECT x.doc_id AS a, y.doc_id AS b
+      FROM sets x JOIN sets y ON x.fp = y.fp AND x.doc_id < y.doc_id
+      ORDER BY a, b""")),
+
     // C3: SimHash near-dup. Identical signatures are COLLAPSED first
     // (exact-dup groups emit their hamming-0 pairs directly; the
     // banded LSH join then runs over distinct signatures only) — on a
