@@ -220,13 +220,17 @@ object DedupOps {
       val inter = broadcast(probeT).join(candT, Seq("lang", "t"))
         .filter(col("probe") =!= col("neighbor"))
         .groupBy("probe", "neighbor", "nwa", "nwb")
-        .agg(count(lit(1)).cast("double").as("ni"))
+        .agg(count(lit(1)).as("ni"))
       val rk = Window.partitionBy("probe").orderBy(col("jacc").desc, col("neighbor").asc)
       inter
-        .withColumn("jacc", col("ni") / ((col("nwa") + col("nwb")).cast("double") - col("ni")))
+        .withColumn("u", (col("nwa") + col("nwb")).cast("long") - col("ni"))
+        // ordering uses the raw ratio (identical operands both engines);
+        // the DISPLAYED value rounds in exact integer space (ratio4)
+        .withColumn("jacc", col("ni").cast("double") / col("u").cast("double"))
         .withColumn("rk", row_number().over(rk))
         .filter(col("rk") <= 5)
-        .select(col("probe"), col("rk"), col("neighbor"), round(col("jacc"), 4).as("jaccard"))
+        .select(col("probe"), col("rk"), col("neighbor"),
+          graft.text.TextOps.ratio4(col("ni"), col("u")).as("jaccard"))
         .orderBy("probe", "rk")
     }, Some("""
       WITH toks AS (
@@ -235,15 +239,18 @@ object DedupOps {
         FROM documents),
       pairs AS (
         SELECT a.doc_id AS probe, b.doc_id AS neighbor,
-               CAST(length(list_intersect(a.w, b.w)) AS DOUBLE)
-                 / (CAST(length(a.w) + length(b.w) AS DOUBLE) - CAST(length(list_intersect(a.w, b.w)) AS DOUBLE)) AS jacc
+               CAST(length(list_intersect(a.w, b.w)) AS BIGINT) AS ni,
+               CAST(length(a.w) + length(b.w) AS BIGINT)
+                 - CAST(length(list_intersect(a.w, b.w)) AS BIGINT) AS u
         FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id <> b.doc_id
         WHERE a.doc_id < 100),
       ranked AS (
-        SELECT probe, neighbor, jacc,
-               row_number() OVER (PARTITION BY probe ORDER BY jacc DESC, neighbor ASC) AS rk
+        SELECT probe, neighbor, ni, u,
+               row_number() OVER (PARTITION BY probe
+                 ORDER BY CAST(ni AS DOUBLE) / CAST(u AS DOUBLE) DESC, neighbor ASC) AS rk
         FROM pairs)
-      SELECT probe, CAST(rk AS INTEGER) AS rk, neighbor, round(jacc, 4) AS jaccard
+      SELECT probe, CAST(rk AS INTEGER) AS rk, neighbor,
+             ((20000 * ni + u) // (2 * u)) / 10000.0 AS jaccard
       FROM ranked WHERE rk <= 5 ORDER BY probe, rk"""))
     // C5 (dd_embed_neardup) lives in AnnOps — it shares the
     // broadcast-probe cosine kernel with ann_bruteforce.

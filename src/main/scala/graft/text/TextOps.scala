@@ -38,6 +38,14 @@ object TextOps {
   def stopwordHits(toks: Column, words: Seq[String]): Column =
     size(filter(toks, t => t.isInCollection(words)))
 
+  /** Exact half-up rounding of the rational num/den to 4 decimals,
+    * computed entirely in int64 — floor((20000·N + D) / (2·D)) / 10^4.
+    * Engine-independent: no double ever holds an unrounded ratio.
+    */
+  def ratio4(num: Column, den: Column): Column =
+    ((num * 20000L + den).cast("long").divide(den * 2L)).cast("long")
+      .cast("double") / 10000.0
+
   /** md5 content fingerprint of the normalized text. */
   def fingerprint(c: Column): Column = md5(normalize(c))
 
@@ -63,34 +71,41 @@ object TextOps {
       FROM documents ORDER BY doc_id""")),
 
     // C9: quality scoring — length/punctuation/stopword signals.
+    // Ratio rounding runs in EXACT integer arithmetic (see ratio4/
+    // quality formula): floor((20000·N + D) / (2·D)) / 10^4 is half-up
+    // on the true rational, so engine-specific double-round behavior
+    // at half boundaries (observed: DuckDB rounds 0.42574999999999996
+    // up, Java down) cannot diverge.
     ("tx_quality", (s: SparkSession, d: String) => {
       val toks = tokens(col("text"))
-      val nTok = size(toks).cast("double")
-      val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("double")
-      val stops = stopwordHits(toks, stopwords).cast("double")
-      val lenC = length(col("text")).cast("double")
+      val n = size(toks).cast("long")
+      val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+      val stops = stopwordHits(toks, stopwords).cast("long")
+      val l = length(col("text")).cast("long")
+      val qn = lit(500L) * stops * l + lit(300L) * (l - punct) * n +
+        lit(2L) * least(n, lit(100L)) * n * l
+      val qd = lit(1000L) * n * l
       docs(s, d).select(
         col("doc_id"),
-        round(punct / lenC, 4).as("punct_ratio"),
-        round(stops / nTok, 4).as("stop_ratio"),
-        round(lenC / nTok, 4).as("chars_per_token"),
-        round(lit(0.5) * (stops / nTok) + lit(0.3) * (lit(1.0) - punct / lenC) +
-          lit(0.2) * least(nTok / 100.0, lit(1.0)), 4).as("quality_score"))
+        ratio4(punct, l).as("punct_ratio"),
+        ratio4(stops, n).as("stop_ratio"),
+        ratio4(l, n).as("chars_per_token"),
+        ratio4(qn, qd).as("quality_score"))
         .orderBy("doc_id")
     }, Some("""
       WITH t AS (
         SELECT doc_id, text,
-               CAST(length(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS DOUBLE) AS n_tok,
-               CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) AS punct,
-               CAST(length(list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE) AS stops,
-               CAST(length(text) AS DOUBLE) AS len
+               CAST(length(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n,
+               CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS punct,
+               CAST(length(list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) AS stops,
+               CAST(length(text) AS BIGINT) AS len
         FROM documents)
       SELECT doc_id,
-             round(punct / len, 4) AS punct_ratio,
-             round(stops / n_tok, 4) AS stop_ratio,
-             round(len / n_tok, 4) AS chars_per_token,
-             round(0.5 * (stops / n_tok) + 0.3 * (1.0 - punct / len)
-                   + 0.2 * least(n_tok / 100.0, 1.0), 4) AS quality_score
+             ((20000 * punct + len) // (2 * len)) / 10000.0 AS punct_ratio,
+             ((20000 * stops + n) // (2 * n)) / 10000.0 AS stop_ratio,
+             ((20000 * len + n) // (2 * n)) / 10000.0 AS chars_per_token,
+             ((20000 * (500 * stops * len + 300 * (len - punct) * n + 2 * least(n, 100) * n * len)
+               + 1000 * n * len) // (2 * 1000 * n * len)) / 10000.0 AS quality_score
       FROM t ORDER BY doc_id""")),
 
     // C8: language ID — marker-stopword score, deterministic argmax.
@@ -304,10 +319,13 @@ object TextOps {
             }
             val stops = toks.count(stopSet)
             val markers = markerSets.map(ms => toks.count(ms))
-            val raw = 0.5 * (stops / nTok) + 0.3 * (1.0 - punct / text.length.toDouble) +
-              0.2 * math.min(nTok / 100.0, 1.0)
-            val quality = java.math.BigDecimal.valueOf(raw)
-              .setScale(4, java.math.RoundingMode.HALF_UP).doubleValue()
+            // exact integer half-up (see ratio4): engine-independent
+            val nL = toks.length.toLong
+            val lL = text.length.toLong
+            val qn = 500L * stops * lL + 300L * (lL - punct) * nL +
+              2L * math.min(nL, 100L) * nL * lL
+            val qd = 1000L * nL * lL
+            val quality = ((20000L * qn + qd) / (2L * qd)).toDouble / 10000.0
             md.reset()
             val fp = md.digest(toks.mkString(" ").getBytes("UTF-8"))
               .map("%02x".format(_)).mkString
@@ -343,8 +361,11 @@ object TextOps {
       q AS (
         SELECT doc_id, fp, w,
                CAST(n_tok AS INTEGER) AS n_tokens,
-               round(0.5 * (stops / n_tok) + 0.3 * (1.0 - punct / len)
-                     + 0.2 * least(n_tok / 100.0, 1.0), 4) AS quality,
+               ((20000 * (500 * CAST(stops AS BIGINT) * CAST(len AS BIGINT)
+                          + 300 * (CAST(len AS BIGINT) - CAST(punct AS BIGINT)) * CAST(n_tok AS BIGINT)
+                          + 2 * least(CAST(n_tok AS BIGINT), 100) * CAST(n_tok AS BIGINT) * CAST(len AS BIGINT))
+                 + 1000 * CAST(n_tok AS BIGINT) * CAST(len AS BIGINT))
+                // (2 * 1000 * CAST(n_tok AS BIGINT) * CAST(len AS BIGINT))) / 10000.0 AS quality,
                min(doc_id) OVER (PARTITION BY fp) AS canonical_id
         FROM t),
       kept AS (
