@@ -149,48 +149,30 @@ object Runner {
 
   /** Incrementally maintained current-state table — THE reference use
     * case (doc.go: events are pointers to state changes; consumers
-    * materialize state). Each micro-batch merges its latest-per-entity
-    * rows into a parquet state table: read current state, union the
-    * batch, keep the max-id row per foreign id, atomically swap.
-    * At scale the swap is a partition-level MERGE (Delta/Iceberg); the
-    * merge logic itself is this exact plan.
+    * materialize state). Each micro-batch MERGE-upserts its
+    * latest-per-entity rows into a bucket-partitioned state table
+    * (graft.sources.StateTable): only the foreignId-buckets the batch
+    * touches are read and rewritten, so per-batch cost is O(batch key
+    * spread), not O(state). Each rewritten bucket swaps atomically —
+    * the partition-granular commit a Delta/Iceberg MERGE would make.
     */
   def materializeLatestState(
       spark: SparkSession,
       logDir: String,
       stateDir: String,
-      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+      checkpointDir: String,
+      nBuckets: Int = 64): org.apache.spark.sql.streaming.StreamingQuery = {
+    val table = new graft.sources.StateTable(spark, stateDir, nBuckets)
     val schema = spark.read.parquet(logDir).schema
     val stream = Event.project(spark.readStream.schema(schema).parquet(logDir))
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val incoming = Patterns.latestState(batch)
-        val current =
-          if (new java.io.File(stateDir).exists())
-            spark.read.parquet(stateDir)
-          else incoming.limit(0)
-        val merged = Patterns.latestState(current.unionByName(incoming))
-        val tmp = stateDir + ".tmp"
-        merged.write.mode("overwrite").parquet(tmp)
-        // atomic swap: state readers see old or new, never partial
-        val out = new java.io.File(stateDir)
-        if (out.exists()) {
-          val old = new java.io.File(stateDir + ".old")
-          deleteRec(old)
-          out.renameTo(old)
-        }
-        new java.io.File(tmp).renameTo(out)
-        deleteRec(new java.io.File(stateDir + ".old"))
+        table.upsert(batch)
         ()
       }
       .start()
-  }
-
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRec)
-    if (f.exists()) { f.delete(); () }
   }
 
   /** Live tail via Structured Streaming (reference: run.go in its

@@ -51,30 +51,42 @@ final class EventsTable(spark: SparkSession, dir: String,
   /** Right-to-be-forgotten compaction: rewrite the log without the
     * entity's events. Remaining ids are untouched (monotonicity
     * preserved; the resulting id gaps are exactly what the gap-fill
-    * machinery tolerates — rsql/gapfill.go semantics). The rewrite is
-    * an atomic directory swap, so concurrent readers see the old or
-    * the new log, never a partial one.
+    * machinery tolerates — rsql/gapfill.go semantics).
+    *
+    * On a date-partitioned log only the partitions that actually
+    * contain the entity's events are rewritten and atomically swapped
+    * — O(entity's date spread), not O(log). Untouched partitions are
+    * never read or written (the date IN-list prunes the scan).
+    * Unpartitioned logs fall back to a whole-directory atomic swap.
+    * Concurrent readers see each partition old-or-new, never partial.
     */
   def forget(foreignId: Long): Long = {
-    val remaining = log.df.filter(col("id").isNotNull && col("foreignId") =!= foreignId)
-    val tmp = dir + ".tmp"
-    val writer =
-      if (partitionByDate)
-        remaining.withColumn("date", to_date(col("ts"))).write.partitionBy("date")
-      else remaining.write
-    writer.mode(SaveMode.Overwrite).parquet(tmp)
-    val out = new java.io.File(dir)
-    val old = new java.io.File(dir + ".old")
-    deleteRec(old)
-    out.renameTo(old)
-    new java.io.File(tmp).renameTo(out)
-    deleteRec(old)
+    if (partitionByDate) {
+      val touched = raw.filter(col("foreignId") === foreignId)
+        .select("date").distinct().collect().map(_.getDate(0)).toSeq
+      if (touched.isEmpty) return head
+      val remaining = raw
+        .filter(col("date").isin(touched: _*) && col("foreignId") =!= foreignId)
+      val staging = dir + ".staging"
+      graft.util.AtomicDir.deleteRec(staging)
+      remaining.write.partitionBy("date").parquet(staging)
+      touched.foreach { d =>
+        val src = java.nio.file.Paths.get(staging, s"date=$d")
+        val dst = java.nio.file.Paths.get(dir, s"date=$d")
+        // a partition whose every row belonged to the entity is absent
+        // from staging → remove it from the live log
+        if (java.nio.file.Files.exists(src)) graft.util.AtomicDir.replace(src, dst)
+        else graft.util.AtomicDir.remove(dst)
+      }
+      graft.util.AtomicDir.deleteRec(staging)
+    } else {
+      val remaining = log.df.filter(col("id").isNotNull && col("foreignId") =!= foreignId)
+      val tmp = dir + ".tmp"
+      graft.util.AtomicDir.deleteRec(tmp)
+      remaining.write.mode(SaveMode.Overwrite).parquet(tmp)
+      graft.util.AtomicDir.replace(tmp, dir)
+    }
     head
-  }
-
-  private def deleteRec(f: java.io.File): Unit = {
-    if (f.isDirectory) f.listFiles().foreach(deleteRec)
-    if (f.exists()) { f.delete(); () }
   }
 
   /** Insert a batch of events (columns: eventType, foreignId, ts,

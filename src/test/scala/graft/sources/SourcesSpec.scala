@@ -54,6 +54,34 @@ class SourcesSpec extends AnyFunSuite {
     assert(res.finalCursor === 29L)
   }
 
+  test("forget on a date-partitioned log rewrites only the touched date partitions") {
+    val dir = Files.createTempDirectory("graft-forget-part").resolve("log").toString
+    val table = new EventsTable(spark, dir, partitionByDate = true)
+    import spark.implicits._
+    // 3 days of events; user 7 appears ONLY on day 2
+    val batch = (0 until 30).map { i =>
+      val day = i / 10 + 1
+      val fid = if (day == 2 && i % 10 == 3) 7L else (i % 5).toLong
+      ("click", fid, java.sql.Timestamp.valueOf(f"2024-01-0$day%d 00:${i % 60}%02d:00"), 1.0, "{}")
+    }.toDF("eventType", "foreignId", "ts", "value", "metadata")
+    table.insert(batch)
+
+    def partFiles(name: String): Set[(String, Long)] = {
+      val d = new java.io.File(dir, name)
+      d.listFiles().map(f => (f.getName, f.length())).toSet
+    }
+    val before = Seq("date=2024-01-01", "date=2024-01-02", "date=2024-01-03")
+      .map(p => p -> partFiles(p)).toMap
+
+    table.forget(7L)
+    assert(table.log.df.filter(col("foreignId") === 7L).isEmpty)
+    assert(table.log.df.count() === 29L)
+    // days 1 and 3 were never read or rewritten — identical file sets
+    assert(partFiles("date=2024-01-01") === before("date=2024-01-01"))
+    assert(partFiles("date=2024-01-03") === before("date=2024-01-03"))
+    assert(partFiles("date=2024-01-02") !== before("date=2024-01-02"))
+  }
+
   test("date-partitioned EventsTable prunes partitions on date filters") {
     val dir = Files.createTempDirectory("graft-etable-part").resolve("log").toString
     val table = new EventsTable(spark, dir, partitionByDate = true)
