@@ -18,14 +18,27 @@ object DedupOps {
 
   type QFn = (SparkSession, String) => DataFrame
 
-  /** Signature DFs are cached; memoize per (session, source) so
+  /** Signature frames are persisted; memoize per (session, source) so
     * repeated query invocations (verify + bench in one session) reuse
-    * ONE cache entry instead of stacking new ones.
+    * ONE entry instead of stacking new ones. Keys use the stable
+    * `sessionUUID` (never reused within a JVM, unlike identity hashes)
+    * and `clearCaches` unpersists + evicts a session's entries for
+    * long-lived processes.
     */
   private val sigCache =
-    scala.collection.concurrent.TrieMap.empty[(Int, String), DataFrame]
-  private def memo(s: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    sigCache.getOrElseUpdate((System.identityHashCode(s), key), build)
+    scala.collection.concurrent.TrieMap.empty[(String, String), Seq[DataFrame]]
+  private def sid(s: SparkSession): String =
+    org.apache.spark.sql.GraftSqlBridge.sessionUUID(s)
+  private def memo(s: SparkSession, key: String)(build: => Seq[DataFrame]): Seq[DataFrame] =
+    sigCache.getOrElseUpdate((sid(s), key), build)
+
+  /** Unpersist and evict every signature frame cached for `s`. */
+  def clearCaches(s: SparkSession): Unit = {
+    val id = sid(s)
+    sigCache.keys.filter(_._1 == id).foreach { k =>
+      sigCache.remove(k).foreach(_.foreach { df => df.unpersist(); () })
+    }
+  }
 
   private def docs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/documents.parquet")
@@ -45,37 +58,50 @@ object DedupOps {
   // Shingles are carried as their 64-bit hashes — Jaccard on hash
   // sets equals Jaccard on string sets up to negligible collisions,
   // and the verify intersect on bigints beats string comparison.
-  def minhashSignatures(documents: DataFrame): DataFrame = {
+  /** @return (full, bands): `full` = (doc_id, sh, bands) materialized
+    * ONCE and spilled to disk — `sh` (all distinct shingle hashes, ~8
+    * bytes per character) is roughly the corpus itself, so it must
+    * never be pinned in executor memory; `bands` = (doc_id, bands)
+    * kept hot in memory (~4 longs/doc). Candidate generation runs off
+    * the hot bands frame; only the verify joins read `sh` back from
+    * the disk-persisted table.
+    */
+  def minhashSignatures(documents: DataFrame): (DataFrame, DataFrame) = {
     val s = documents.sparkSession
     import s.implicits._
-    memo(s, "minhash:" + documents.queryExecution.analyzed.semanticHash()) { documents.select(col("doc_id"), TextOps.normalize(col("text")).as("norm"))
-      .as[(Long, String)]
-      .map { case (id, norm) =>
-        val sh = graft.util.Hashing.charShingles(norm, 4)
-        val shh = sh.map(graft.util.Hashing.string64).distinct.sorted
-        val bands = graft.util.Hashing.bands(graft.util.Hashing.minhashSig(sh, 32), 8)
-        (id, shh.toSeq, bands.toSeq)
-      }
-      .toDF("doc_id", "sh", "bands")
-      // the candidate DAG references signatures up to 4× (bucket stats,
-      // bucket join, two verify joins) — materialize once; signatures
-      // are ~100 bytes/doc, the standard cache point at corpus scale
-      .cache()
+    val frames = memo(s, "minhash:" + documents.queryExecution.analyzed.semanticHash()) {
+      val full = documents.select(col("doc_id"), TextOps.normalize(col("text")).as("norm"))
+        .as[(Long, String)]
+        .map { case (id, norm) =>
+          val sh = graft.util.Hashing.charShingles(norm, 4)
+          val shh = sh.map(graft.util.Hashing.string64).distinct.sorted
+          val bands = graft.util.Hashing.bands(graft.util.Hashing.minhashSig(sh, 32), 8)
+          (id, shh.toSeq, bands.toSeq)
+        }
+        .toDF("doc_id", "sh", "bands")
+        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+      val bands = full.select(col("doc_id"), col("bands")).cache()
+      Seq(full, bands)
     }
+    (frames(0), frames(1))
   }
 
+  /** SimHash signatures are a fixed ~50 bytes/doc (one i64 + 4 band
+    * hashes) — safe to keep hot in memory whole.
+    */
   def simhashSignatures(documents: DataFrame): DataFrame = {
     val s = documents.sparkSession
     import s.implicits._
-    memo(s, "simhash:" + documents.queryExecution.analyzed.semanticHash()) { documents.select(col("doc_id"), TextOps.normalize(col("text")).as("norm"))
-      .as[(Long, String)]
-      .map { case (id, norm) =>
-        val h = graft.util.Hashing.simhash64(norm.split(" ").distinct)
-        (id, h, graft.util.Hashing.simhashBands(h).toSeq)
-      }
-      .toDF("doc_id", "simhash", "bands")
-      .cache()
-    }
+    memo(s, "simhash:" + documents.queryExecution.analyzed.semanticHash()) {
+      Seq(documents.select(col("doc_id"), TextOps.normalize(col("text")).as("norm"))
+        .as[(Long, String)]
+        .map { case (id, norm) =>
+          val h = graft.util.Hashing.simhash64(norm.split(" ").distinct)
+          (id, h, graft.util.Hashing.simhashBands(h).toSeq)
+        }
+        .toDF("doc_id", "simhash", "bands")
+        .cache())
+    }.head
   }
 
   /** Candidate pairs via banded bucket join with a mega-bucket guard. */
@@ -96,13 +122,13 @@ object DedupOps {
     */
   def minhashPairs(documents: DataFrame, maxBucket: Int = 50): DataFrame = {
     graft.functions.GraftFunctions.register(documents.sparkSession)
-    val base = minhashSignatures(documents)
-    val banded = base.select(col("doc_id"),
+    val (full, bandsDf) = minhashSignatures(documents)
+    val banded = bandsDf.select(col("doc_id"),
       posexplode(col("bands")).as(Seq("band", "bh")))
     val cands = bandedCandidates(banded, maxBucket)
     cands
-      .join(base.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
-      .join(base.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
+      .join(full.select(col("doc_id").as("a"), col("sh").as("sha")), "a")
+      .join(full.select(col("doc_id").as("b"), col("sh").as("shb")), "b")
       // sha/shb are sorted distinct hash arrays — the native merge
       // expression verifies exact Jaccard inside codegen
       .selectExpr("a", "b", "round(jaccard_sorted(sha, shb), 4) AS jaccard")
@@ -140,7 +166,12 @@ object DedupOps {
     // banding/bucketing/verification machinery end-to-end (the
     // probabilistic near-dup path stays rows-only by nature).
     ("dd_minhash_planted", (s: SparkSession, d: String) => {
+      // docs shorter than one shingle (normalized length < 4) are
+      // excluded on BOTH sides: Spark's charShingles falls back to the
+      // whole string there while the SQL enumerates exact 4-grams, so
+      // they are the one place the two shingle definitions diverge.
       val base = docs(s, d).select(col("doc_id"), col("text"))
+        .filter(length(TextOps.normalize(col("text"))) >= 4)
       val clones = base.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       val corpus = base.unionByName(clones)
       minhashPairs(corpus, maxBucket = 200)
@@ -148,12 +179,13 @@ object DedupOps {
         .select(col("a"), col("b"))
         .orderBy("a", "b")
     }, Some("""
-      WITH c AS (
+      WITH c0 AS (
         SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nrm
-        FROM documents
-        UNION ALL
-        SELECT doc_id + 1000000, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))
         FROM documents),
+      c AS (
+        SELECT doc_id, nrm FROM c0 WHERE length(nrm) >= 4
+        UNION ALL
+        SELECT doc_id + 1000000, nrm FROM c0 WHERE length(nrm) >= 4),
       g AS (
         SELECT doc_id, substr(nrm, i, 4) AS g
         FROM c, unnest(generate_series(1, greatest(length(nrm) - 3, 1))) AS t(i)
@@ -162,9 +194,15 @@ object DedupOps {
       -- fingerprint = md5 of the sorted distinct 4-gram set
       sets AS (
         SELECT doc_id, md5(string_agg(DISTINCT g, '|' ORDER BY g)) AS fp
-        FROM g GROUP BY doc_id)
+        FROM g GROUP BY doc_id),
+      -- mirror of the Spark-side maxBucket=200 LSH guard: identical
+      -- signatures land in one bucket per band, so a fingerprint group
+      -- larger than the guard is dropped by the LSH path by design
+      capped AS (
+        SELECT doc_id, fp, count(*) OVER (PARTITION BY fp) AS gn FROM sets)
       SELECT x.doc_id AS a, y.doc_id AS b
-      FROM sets x JOIN sets y ON x.fp = y.fp AND x.doc_id < y.doc_id
+      FROM capped x JOIN capped y ON x.fp = y.fp AND x.doc_id < y.doc_id
+      WHERE x.gn <= 200
       ORDER BY a, b""")),
 
     // C3: SimHash near-dup. Identical signatures are COLLAPSED first

@@ -377,19 +377,22 @@ object EventOps {
       FROM spans GROUP BY cohort_day ORDER BY cohort_day""")),
 
     // A43: DAU/WAU — daily active users and 7-day rolling distinct
-    // actives. Rolling DISTINCT isn't window-expressible; the
-    // (day, user) distinct pairs join the small day dimension for the
-    // trailing range — day cardinality is tiny, so the join is
-    // broadcast and exact.
+    // actives. Rolling DISTINCT isn't window-expressible; instead of a
+    // range join (a BroadcastNestedLoopJoin testing every pair against
+    // every anchor — quadratic in log span), each distinct (day, user)
+    // pair EXPLODES into the ≤7 anchor days it covers (constant 7×
+    // blowup) and a plain hash aggregation counts distinct users per
+    // anchor. The final equi-join with `dau` drops anchors past the
+    // log's last day, so results are identical to the range-join form.
     ("ev_active_users", (s: SparkSession, d: String) => {
       val pairs = Event.project(ev(s, d))
         .select(to_date(col("ts")).as("day"), col("foreignId").as("fid"))
         .distinct()
-      val days = pairs.select(col("day").as("anchor")).distinct()
       val dau = pairs.groupBy(col("day").as("anchor"))
         .agg(count(lit(1)).as("dau"))
-      val wau = broadcast(days)
-        .join(pairs, col("day").between(date_sub(col("anchor"), 6), col("anchor")))
+      val wau = pairs
+        .select(explode(sequence(col("day"), date_add(col("day"), 6))).as("anchor"),
+          col("fid"))
         .groupBy("anchor")
         .agg(countDistinct("fid").as("wau"))
       dau.join(wau, "anchor")

@@ -177,9 +177,24 @@ object Runner {
 
   /** Live tail via Structured Streaming (reference: run.go in its
     * long-poll mode). The event-log directory is consumed as a file
-    * stream; each micro-batch is deduped against the committed cursor
-    * before `fn`, then the cursor is committed. `Trigger.AvailableNow`
-    * gives the StreamToHead bounded-backfill behavior.
+    * stream with two complementary delivery guards:
+    *
+    *  - WITHIN a run (and on restart from an intact checkpoint) the
+    *    file-source offset log guarantees each file is delivered
+    *    exactly once, so NO id-based filtering happens between
+    *    micro-batches — a batch split that delivers smaller ids after
+    *    larger ones (FileStreamSource orders by mod-time, not id) is
+    *    processed, never skipped.
+    *  - When the stream starts on a FRESH checkpoint (reflex-style
+    *    resume-from-cursor: the offset log is gone but the cursor
+    *    store survived), the whole directory is re-delivered and the
+    *    cursor prunes already-consumed events. This path assumes ids
+    *    are monotone with file order, which EventsTable appends
+    *    satisfy; out-of-order producers should resume from the intact
+    *    checkpoint or wrap `fn` with StreamOps.exactlyOnceIds.
+    *
+    * The cursor itself only ever advances (monotonic max), making it a
+    * restart/lag watermark rather than a per-batch delivery filter.
     */
   def runStream(
       spark: SparkSession,
@@ -196,16 +211,23 @@ object Runner {
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
     val stream = Event.project(reader.parquet(logDir))
     val filtered = spec.filter.fold(stream)(f => stream.filter(f.toColumn))
+    // fresh checkpoint ⇒ the source replays every file ⇒ prune by the
+    // durable cursor; intact checkpoint ⇒ trust its offset log.
+    val offsets = new java.io.File(checkpointDir, "offsets")
+    val freshCheckpoint = !offsets.exists() || offsets.list().isEmpty
+    val startCursor =
+      if (freshCheckpoint) spec.store.get(spec.consumer.name).getOrElse(-1L)
+      else -1L
     val writer = filtered.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val cursor = spec.store.get(spec.consumer.name).getOrElse(-1L)
-        val fresh = batch.filter(col("id") > cursor).cache()
+        val fresh = batch.filter(col("id") > startCursor).cache()
         try {
           if (!fresh.isEmpty) {
             val upper = fresh.agg(max("id")).collect()(0).getLong(0)
             spec.consumer.fn(fresh.orderBy("id"))
-            spec.store.set(spec.consumer.name, upper)
+            val prev = spec.store.get(spec.consumer.name).getOrElse(-1L)
+            if (upper > prev) spec.store.set(spec.consumer.name, upper)
           }
         } finally fresh.unpersist()
         ()

@@ -43,7 +43,7 @@ object TextOps {
     * Engine-independent: no double ever holds an unrounded ratio.
     */
   def ratio4(num: Column, den: Column): Column =
-    ((num * 20000L + den).cast("long").divide(den * 2L)).cast("long")
+    call_function("div", (num * 20000L + den).cast("long"), (den * 2L).cast("long"))
       .cast("double") / 10000.0
 
   /** md5 content fingerprint of the normalized text. */

@@ -13,4 +13,9 @@ object GraftSqlBridge {
 
   def expr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
+
+  def sessionUUID(s: SparkSession): String = s match {
+    case c: classic.SparkSession => c.sessionUUID
+    case other => String.valueOf(System.identityHashCode(other))
+  }
 }

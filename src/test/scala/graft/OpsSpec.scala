@@ -18,6 +18,15 @@ class OpsSpec extends AnyFunSuite {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("ev_active_users plans no nested-loop range join (anchor-explode WAU)") {
+    val df = SparkEntry.queries("ev_active_users")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    // and stays correct: every WAU ≥ its DAU (7-day superset of 1 day)
+    val bad = df.filter(col("wau") < col("dau")).count()
+    assert(bad === 0L)
+  }
+
   test("ann: similarities are valid cosines and exclude self-matches") {
     val rows = SparkEntry.queries("ann_bruteforce")(spark, sf).collect()
     rows.foreach { r =>
