@@ -478,14 +478,41 @@ object Queries {
          OR (p_brand = 'Brand#7' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 35)
          OR (p_brand = 'Brand#13' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)""")),
 
-    // B21: ntile bucketing over a window.
+    // B21: ntile bucketing — DISTRIBUTED exact ntile(4), no global
+    // single-partition sort. Rows bucket into coarse spend blocks that
+    // respect the global order (block = floor(spend/1000), ordered
+    // desc); rank = per-block row_number (partitioned window) + the
+    // cumulative count of all higher blocks (tiny window over block
+    // counts, broadcast back). The quartile then falls out of the SQL
+    // ntile size rule in closed form — first N%4 buckets get
+    // ceil(N/4) rows — so the result is bit-identical to ntile(4)
+    // while every big window is partitioned.
     ("q_ntile_custspend", (s: SparkSession, d: String) => {
       val spend = Tables.orders(s, d)
         .groupBy("o_custkey")
         .agg(round(sum("o_totalprice"), 2).as("spend"))
-      val w = Window.orderBy(col("spend").desc, col("o_custkey").asc)
-      spend.withColumn("quartile", ntile(4).over(w))
-        .groupBy("quartile")
+        .withColumn("blk", floor(col("spend") / 1000.0).cast("long"))
+      val local = Window.partitionBy("blk").orderBy(col("spend").desc, col("o_custkey").asc)
+      val offW = Window.orderBy(col("blk").desc).rowsBetween(Window.unboundedPreceding, -1)
+      val allW = Window.partitionBy(lit(1)).rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      val offsets = spend.groupBy("blk").agg(count(lit(1)).as("bn"))
+        .withColumn("off", coalesce(sum("bn").over(offW), lit(0L)))
+        .withColumn("n_total", sum("bn").over(allW))
+        .select("blk", "off", "n_total")
+      val d4 = (x: Column, y: Column) => call_function("div", x, y)
+      val ranked = spend
+        .withColumn("rk", row_number().over(local).cast("long"))
+        .join(broadcast(offsets), "blk")
+        .withColumn("rank", col("rk") + col("off"))
+        .withColumn("small", d4(col("n_total"), lit(4L)))
+        .withColumn("r", col("n_total") % 4L)
+        .withColumn("cutoff", col("r") * (col("small") + 1L))
+        .withColumn("quartile",
+          when(col("rank") <= col("cutoff"),
+            d4(col("rank") - 1L, col("small") + 1L) + 1L)
+          .otherwise(col("r") + d4(col("rank") - col("cutoff") - 1L, col("small")) + 1L)
+          .cast("int"))
+      ranked.groupBy("quartile")
         .agg(count(lit(1)).as("n_cust"), round(sum("spend"), 2).as("tot_spend"))
         .orderBy("quartile")
     }, Some("""

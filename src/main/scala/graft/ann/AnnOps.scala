@@ -121,26 +121,42 @@ object AnnOps {
       FROM f WHERE dim < 8
       GROUP BY label, dim ORDER BY label, dim""")),
 
-    // C7: LSH-bucketed top-5 — probes only score their own bucket.
-    // Bucket assignment is a cheap typed map (hash-derived hyperplanes,
-    // no broadcast state); scoring reuses the native expression.
+    // C7: LSH-bucketed top-5 — probes only score their own buckets.
+    // MULTI-TABLE: each vector hashes into L=4 independent hyperplane
+    // tables (disjoint plane sets); a neighbor is a candidate if it
+    // shares a bucket in ANY table, lifting recall from single-table
+    // ~p to 1-(1-p)^4 at a constant 4× candidate-generation cost.
+    // Buckets with > maxBucket members are dropped per (table, bucket)
+    // — the same skew guard as dedup's banded join (degenerate hubs:
+    // zero vectors, near-duplicate boilerplate embeddings).
     ("ann_lsh", (s: SparkSession, d: String) => {
       GraftFunctions.register(s)
       import s.implicits._
+      val nTables = 4
+      val maxBucket = 10000
       val c = corpus(s, d).as[(Long, Seq[Double])]
-        .map { case (id, v) => (id, v, Hashing.lshBucket(v.toArray, 8)) }
-        .toDF("vec_id", "v", "bucket")
-      val probes = broadcast(c.filter(col("vec_id") < 16)
-        .select(col("vec_id").as("probe"), col("v").as("pv"), col("bucket")))
+        .flatMap { case (id, v) =>
+          val arr = v.toArray
+          (0 until nTables).map(t => (id, v, t, Hashing.lshBucket(arr, 8, t)))
+        }
+        .toDF("vec_id", "v", "table", "bucket")
+      val ok = c.groupBy("table", "bucket").agg(count(lit(1)).as("bn"))
+        .filter(col("bn") <= maxBucket).drop("bn")
+      val guarded = c.join(broadcast(ok), Seq("table", "bucket"))
+      val probes = broadcast(guarded.filter(col("vec_id") < 16)
+        .select(col("table"), col("bucket"), col("vec_id").as("probe"), col("v").as("pv")))
       val scored = probes
-        .join(c.select(col("vec_id").as("neighbor"), col("v").as("nv"), col("bucket")),
-          Seq("bucket"))
+        .join(guarded.select(col("table"), col("bucket"),
+          col("vec_id").as("neighbor"), col("v").as("nv")), Seq("table", "bucket"))
         .filter(col("probe") =!= col("neighbor"))
         .selectExpr("probe", "neighbor", "cosine_sim(pv, nv) AS cos")
+      // a pair found by several tables scores several times; the
+      // map-side-combining groupBy collapses it to one candidate row
+      val dedup = scored.groupBy("probe", "neighbor").agg(max("cos").as("cos"))
       // custom TopKPerKey plan node (graft.plans): bounded per-probe
       // heaps in each partition, only |probes|·k candidates move —
       // the final rank runs on that tiny result
-      val top = graft.plans.TopKPerKeyOps.topK(scored, Seq("probe"),
+      val top = graft.plans.TopKPerKeyOps.topK(dedup, Seq("probe"),
         Seq(col("cos").desc, col("neighbor").asc), 5)
       topK(top, 5)
     }, None)

@@ -261,12 +261,26 @@ object TextOps {
 
     // C19: token-budget sharding — docs packed in id order into shards
     // of ≤5000 tokens (how training corpora are chunked for loaders).
+    // The cumulative token sum is a TWO-LEVEL prefix sum, not a global
+    // window: docs cumsum locally inside coarse doc_id blocks
+    // (distributed, partitioned window), block totals get cumulative
+    // offsets through a tiny window over |corpus|/4096 rows, and the
+    // offsets broadcast-join back. No partition ever sees more than a
+    // block (local) or the block-total frame (tiny) — the single-
+    // partition sort of the whole corpus is gone.
     ("tx_token_shards", (s: SparkSession, d: String) => {
-      val w = Window.orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      docs(s, d)
+      val t = docs(s, d)
         .select(col("doc_id"), size(tokens(col("text"))).as("n_tok"))
-        .withColumn("cum", sum("n_tok").over(w))
+        .withColumn("blk", call_function("div", col("doc_id"), lit(4096L)))
+      val local = Window.partitionBy("blk").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val offW = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+      val offsets = t.groupBy("blk").agg(sum("n_tok").as("btot"))
+        .withColumn("off", coalesce(sum("btot").over(offW), lit(0L)))
+        .select("blk", "off")
+      t.withColumn("lcum", sum("n_tok").over(local))
+        .join(broadcast(offsets), "blk")
+        .withColumn("cum", col("lcum") + col("off"))
         .withColumn("shard", ((col("cum") - 1) / 5000).cast("long"))
         .groupBy("shard")
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").cast("long").as("shard_tokens"),

@@ -105,13 +105,19 @@ object Hashing {
   def planeCoef(plane: Int, dim: Int): Double =
     (mix64(plane.toLong * 1315423911L + dim) % 100000L) / 100000.0
 
-  def lshBucket(v: Array[Double], nPlanes: Int): Int = {
+  /** Hyperplane-sign bucket of `v` in hash table `table` — each table
+    * draws its planes from a disjoint index range, so the L tables are
+    * independent (the standard multi-table LSH recall amplifier:
+    * a near neighbor is found if it shares a bucket in ANY table).
+    * `table = 0` reproduces the original single-table bucketing.
+    */
+  def lshBucket(v: Array[Double], nPlanes: Int, table: Int = 0): Int = {
     var bucket = 0
     var p = 0
     while (p < nPlanes) {
       var dot = 0.0
       var i = 0
-      while (i < v.length) { dot += planeCoef(p, i) * v(i); i += 1 }
+      while (i < v.length) { dot += planeCoef(table * nPlanes + p, i) * v(i); i += 1 }
       if (dot > 0) bucket |= 1 << p
       p += 1
     }

@@ -27,6 +27,27 @@ class OpsSpec extends AnyFunSuite {
     assert(bad === 0L)
   }
 
+  test("C19/B21: corpus-sized windows are partitioned; unpartitioned windows only see block aggregates") {
+    // two-level prefix sums: the only unpartitioned windows allowed are
+    // the tiny cumulative-offset passes over per-block AGGREGATES —
+    // never a window that sorts the raw table into one partition
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      Seq("tx_token_shards", "q_ntile_custspend").foreach { q =>
+        val plan = SparkEntry.queries(q)(spark, sf).queryExecution.executedPlan
+        val wins = plan.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
+        assert(wins.exists(_.partitionSpec.nonEmpty), s"$q: expected a partitioned local window")
+        wins.filter(_.partitionSpec.isEmpty).foreach { w =>
+          val aggBelow = w.child.collectFirst {
+            case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+          }
+          assert(aggBelow.isDefined,
+            s"$q: unpartitioned window must consume block-aggregated rows, not the raw table")
+        }
+      }
+    } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
+
   test("ann: similarities are valid cosines and exclude self-matches") {
     val rows = SparkEntry.queries("ann_bruteforce")(spark, sf).collect()
     rows.foreach { r =>
