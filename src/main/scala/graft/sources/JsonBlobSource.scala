@@ -1,9 +1,8 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
-import org.apache.spark.sql.expressions.Window
 
 /** Blob-store event source (reference: rblob/blob.go — "stream the
   * content of consecutive blobs as events", JSON decoder by default;
@@ -11,36 +10,60 @@ import org.apache.spark.sql.expressions.Window
   *
   * Spark-first mapping: a directory/bucket of JSON blobs IS a
   * DataFrame source. The reference's cursor is (blob key, offset in
-  * blob); here the blob key is `input_file_name` and ordering is the
-  * lexicographic key order the reference guarantees. For live tailing
-  * the same directory is a file-stream source — new blobs are
-  * discovered exactly like the reference's polling, with
+  * blob); here that pair is PACKED into the long event id —
+  * `id = blob_ordinal << 40 | in_blob_offset` — where ordinals follow
+  * the lexicographic key order the reference guarantees. Ids are
+  * monotone in (key, offset) order, so the usual `id > cursor` slice
+  * resumes mid-blob exactly like the reference's cursor, and NO global
+  * sort or single-partition window exists anywhere: offsets come from
+  * a window PARTITIONED by blob key, ordinals from the key listing
+  * (O(|blobs|), the same listing any file source performs).
+  *
+  * For live tailing the same directory is a file-stream source — new
+  * blobs are discovered exactly like the reference's polling, with
   * `maxFilesPerTrigger` as the backoff analog.
   */
 object JsonBlobSource {
+
+  /** Offset bits in the packed id: 2^40 records per blob. */
+  val OffsetBits = 40
+
+  /** Decode the blob ordinal from a packed event id. */
+  def blobOrdinal(id: Column): Column = shiftright(id, OffsetBits)
+
+  /** Decode the in-blob offset from a packed event id. */
+  def blobOffset(id: Column): Column = id.bitwiseAND(lit((1L << OffsetBits) - 1))
 
   /** Batch view: every record of every blob, with its blob key. */
   def read(spark: SparkSession, dir: String): DataFrame =
     spark.read.json(dir).withColumn("blob_key", input_file_name())
 
-  /** Ordered event view: records get monotone ids in (blob key,
-    * record) order — the reference's cursor semantics. The global
-    * window is the faithful single-log view; at scale ids are
-    * per-blob (key, offset) pairs and this ordering is only ever
-    * materialized per consumer slice.
+  /** Ordered event view with (blob key, offset) cursor semantics.
+    * The only driver-side state is the sorted key list — the blob
+    * listing the reference's bucket iterator holds anyway.
     */
   def asEventLog(spark: SparkSession, dir: String,
       eventTypeCol: String, foreignIdCol: String, tsCol: String): DataFrame = {
-    val w = Window.orderBy(col("blob_key"), col(tsCol))
-    read(spark, dir)
-      .withColumn("id", row_number().over(w).cast("long") - 1)
+    import org.apache.spark.sql.expressions.Window
+    val df = read(spark, dir)
+    // lexicographic key → ordinal; |blobs| rows, broadcast back
+    val keys = df.select("blob_key").distinct()
+      .collect().map(_.getString(0)).sorted
+    import spark.implicits._
+    val ordinals = keys.zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toSeq
+      .toDF("blob_key", "blob_ord")
+    val perBlob = Window.partitionBy("blob_key").orderBy(col(tsCol))
+    df.join(broadcast(ordinals), "blob_key")
+      .withColumn("off", row_number().over(perBlob).cast("long") - 1L)
+      .withColumn("id", shiftleft(col("blob_ord"), OffsetBits) + col("off"))
       .select(
         col("id"),
         col(eventTypeCol).as("eventType"),
         col(foreignIdCol).cast("long").as("foreignId"),
         col(tsCol).cast("timestamp").as("ts"),
         lit(0.0).as("value"),
-        to_json(struct(col("blob_key"))).as("metadata"))
+        to_json(struct(col("blob_key"), col("off"))).as("metadata"))
   }
 
   /** Live tail of the blob directory as a stream (new blobs appear as

@@ -21,10 +21,49 @@ class SourcesSpec extends AnyFunSuite {
     val log = JsonBlobSource.asEventLog(spark, dir.toString, "etype", "uid", "at")
     val rows = log.orderBy("id").collect()
     assert(rows.length === 3)
-    assert(rows.map(_.getAs[Long]("id")).toSeq === Seq(0L, 1L, 2L))
+    // ids are (blob ordinal, offset) packed — monotone in (key, record)
+    // order, NOT dense: blob-a gets (0,0) (0,1), blob-b gets (1,0)
+    val ids = rows.map(_.getAs[Long]("id")).toSeq
+    assert(ids === ids.sorted && ids.distinct === ids)
+    assert(ids === Seq(0L, 1L, 1L << JsonBlobSource.OffsetBits))
     assert(rows.head.getAs[String]("eventType") === "signup")
     assert(rows.last.getAs[String]("eventType") === "purchase")
     assert(rows.last.getAs[String]("metadata").contains("blob-b"))
+
+    // no single-partition exchange anywhere: the offset window is
+    // partitioned by blob key, ordinals broadcast back
+    val plan = log.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange SinglePartition"), plan)
+    assert(plan.contains("hashpartitioning(blob_key"), plan)
+  }
+
+  test("JsonBlobSource cursor resumes mid-blob (reference rblob (key, offset) semantics)") {
+    val dir = Files.createTempDirectory("graft-blobs-resume")
+    Files.write(dir.resolve("blob-a.json"), Seq(
+      """{"etype":"e0","uid":1,"at":"2024-01-01T00:00:00Z"}""",
+      """{"etype":"e1","uid":1,"at":"2024-01-01T00:01:00Z"}""",
+      """{"etype":"e2","uid":1,"at":"2024-01-01T00:02:00Z"}""").mkString("\n").getBytes)
+    Files.write(dir.resolve("blob-b.json"), Seq(
+      """{"etype":"e3","uid":2,"at":"2024-01-01T00:03:00Z"}""",
+      """{"etype":"e4","uid":2,"at":"2024-01-01T00:04:00Z"}""").mkString("\n").getBytes)
+
+    val log = new graft.events.EventLog(
+      JsonBlobSource.asEventLog(spark, dir.toString, "etype", "uid", "at"))
+    // cursor = first record of blob-a → resume must deliver the REST of
+    // blob-a (offsets 1,2) then all of blob-b
+    val resumed = log.after(0L).collect()
+    assert(resumed.map(_.getAs[String]("eventType")).toSeq === Seq("e1", "e2", "e3", "e4"))
+    // decoded cursor components round-trip
+    val decoded = log.after(0L)
+      .select(JsonBlobSource.blobOrdinal(col("id")).as("ord"),
+        JsonBlobSource.blobOffset(col("id")).as("off")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(decoded === Seq((0L, 1L), (0L, 2L), (1L, 0L), (1L, 1L)))
+    // a consumer drains from the mid-blob cursor and commits the head
+    val store = new MemCursorStore(Map("blob-consumer" -> 0L))
+    val res = Runner.runToHead(Spec(log, store, Consumer("blob-consumer", _ => ())))
+    assert(res.consumed === 4L)
+    assert(store.get("blob-consumer") === Some((1L << JsonBlobSource.OffsetBits) + 1L))
   }
 
   test("forget removes an entity's events, keeps ids monotone with gaps") {
