@@ -96,6 +96,7 @@ object ConcurrentRunner {
       .orderBy("id")
       .toLocalIterator()
 
+    val t0 = System.nanoTime()
     try {
       while (it.hasNext && firstError.get() == null) {
         val e = it.next()
@@ -118,7 +119,9 @@ object ConcurrentRunner {
       pool.awaitTermination(10, TimeUnit.MINUTES)
       commit()
       val err = firstError.get()
-      if (err != null) throw err
+      if (err != null) { Metrics.recordError(consumer.name); throw err }
+      Metrics.recordBatch(consumer.name, consumed.get(), 0L,
+        (System.nanoTime() - t0) / 1000000L, committed.get())
       ConcurrentResult(consumed.get(), committed.get())
     } finally {
       pool.shutdownNow()

@@ -6,9 +6,11 @@ import org.apache.spark.sql.functions._
 
 /** The graft event — re-expression of the reference's event model
   * (reference: api.go:14-22 `Event{ID, Type, ForeignID, Timestamp,
-  * MetaData}`). Events are immutable state-change notifications; the
-  * log is ordered by monotonically increasing `id`, which doubles as
-  * the consumer cursor.
+  * MetaData, Trace}`). Events are immutable state-change
+  * notifications; the log is ordered by monotonically increasing
+  * `id`, which doubles as the consumer cursor. `trace` is the opaque
+  * tracing payload (api.go:18 `Trace []byte`) — carried through
+  * untouched, null when the producer attached none.
   */
 final case class Event(
     id: Long,
@@ -16,7 +18,8 @@ final case class Event(
     foreignId: Long,
     ts: Timestamp,
     value: Double,
-    metadata: String)
+    metadata: String,
+    trace: Array[Byte] = null)
 
 object Event {
   /** Canonical projection from the raw `events` table to the event
@@ -33,10 +36,14 @@ object Event {
       case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)").as("ts")
       case _ => col("ts")
     }
+    // trace passes through when the source carries one, else null
+    val traceCol =
+      if (df.columns.contains("trace")) col("trace")
+      else lit(null).cast("binary").as("trace")
     // idempotent: EventsTable logs are already canonical
     if (df.columns.contains("id") && df.columns.contains("eventType"))
       df.select(col("id"), col("eventType"), col("foreignId"), tsCol,
-        col("value"), col("metadata"))
+        col("value"), col("metadata"), traceCol)
     else
       df.select(
         col("event_id").as("id"),
@@ -44,7 +51,8 @@ object Event {
         col("user_id").as("foreignId"),
         tsCol,
         col("value"),
-        col("props").as("metadata"))
+        col("props").as("metadata"),
+        traceCol)
   }
 
   def dataset(df: DataFrame): Dataset[Event] = {

@@ -1,0 +1,50 @@
+package graft.events
+
+import scala.collection.concurrent.TrieMap
+
+/** Per-consumer counters (reference: internal/metrics — consumer
+  * latency/error/lag gauges; rsql/metrics.go, rpatterns/metrics.go).
+  * The runtime (Runner / ConcurrentRunner) updates these after every
+  * batch; `lag` stays a pull-style gauge on Runner since it needs the
+  * log head.
+  */
+final case class ConsumerMetrics(
+    batches: Long = 0L,
+    /** events successfully consumed */
+    processed: Long = 0L,
+    /** batch attempts that raised (before any retry succeeded) */
+    errors: Long = 0L,
+    /** events abandoned by BestEffort/DeadLetter after retries */
+    skipped: Long = 0L,
+    /** wall-clock of the most recent batch, ms */
+    lastBatchMillis: Long = 0L,
+    /** last committed cursor */
+    lastCursor: Long = -1L)
+
+object Metrics {
+  private val m = TrieMap.empty[String, ConsumerMetrics]
+
+  def get(consumerName: String): ConsumerMetrics =
+    m.getOrElse(consumerName, ConsumerMetrics())
+
+  def all: Map[String, ConsumerMetrics] = m.toMap
+
+  def reset(consumerName: String): Unit = { m.remove(consumerName); () }
+
+  private def update(name: String)(f: ConsumerMetrics => ConsumerMetrics): Unit = {
+    m.updateWith(name) { cur => Some(f(cur.getOrElse(ConsumerMetrics()))) }
+    ()
+  }
+
+  private[events] def recordBatch(name: String, consumed: Long, skipped: Long,
+      millis: Long, cursor: Long): Unit =
+    update(name)(c => c.copy(
+      batches = c.batches + 1,
+      processed = c.processed + consumed,
+      skipped = c.skipped + skipped,
+      lastBatchMillis = millis,
+      lastCursor = math.max(c.lastCursor, cursor)))
+
+  private[events] def recordError(name: String): Unit =
+    update(name)(c => c.copy(errors = c.errors + 1))
+}

@@ -46,12 +46,15 @@ object Runner {
       } else {
         val upper = ids.getLong(0)
         val visible = base.filter(col("id") > cursor && col("id") <= upper)
+        val t0 = System.nanoTime()
         val n = attempt(spec, visible, cursor)
         consumed += n._1
         skipped += n._2
         cursor = upper
         spec.store.set(spec.consumer.name, cursor)
         batches += 1
+        Metrics.recordBatch(spec.consumer.name, n._1, n._2,
+          (System.nanoTime() - t0) / 1000000L, cursor)
       }
     }
     RunResult(batches, consumed, cursor, skipped)
@@ -69,6 +72,7 @@ object Runner {
         try spec.consumer.fn(cached)
         catch {
           case NonFatal(e) =>
+            Metrics.recordError(spec.consumer.name)
             spec.consumer.recover match {
               case Some(r) => r(e, cached).foreach(throw _) // None → recovered
               case None => throw e
@@ -222,13 +226,19 @@ object Runner {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val fresh = batch.filter(col("id") > startCursor).cache()
+        val t0 = System.nanoTime()
         try {
           if (!fresh.isEmpty) {
+            val n = fresh.count()
             val upper = fresh.agg(max("id")).collect()(0).getLong(0)
             spec.consumer.fn(fresh.orderBy("id"))
             val prev = spec.store.get(spec.consumer.name).getOrElse(-1L)
             if (upper > prev) spec.store.set(spec.consumer.name, upper)
+            Metrics.recordBatch(spec.consumer.name, n, 0L,
+              (System.nanoTime() - t0) / 1000000L, math.max(upper, prev))
           }
+        } catch {
+          case NonFatal(e) => Metrics.recordError(spec.consumer.name); throw e
         } finally fresh.unpersist()
         ()
       }

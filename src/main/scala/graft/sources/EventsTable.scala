@@ -30,7 +30,9 @@ final class EventsTable(spark: SparkSession, dir: String,
     StructField("foreignId", LongType),
     StructField("ts", TimestampType),
     StructField("value", DoubleType),
-    StructField("metadata", StringType)))
+    StructField("metadata", StringType),
+    // api.go:18 Trace []byte — opaque tracing payload, null when absent
+    StructField("trace", BinaryType)))
 
   def exists: Boolean = new java.io.File(dir).exists()
 
@@ -90,13 +92,16 @@ final class EventsTable(spark: SparkSession, dir: String,
   }
 
   /** Insert a batch of events (columns: eventType, foreignId, ts,
-    * value, metadata), assigning the next id range. Returns the new
-    * head.
+    * value, metadata, optional trace), assigning the next id range.
+    * Returns the new head.
     */
   def insert(events: DataFrame): Long = {
     val base = head
     val cols = Seq("eventType", "foreignId", "ts", "value", "metadata")
-    val src = events.select(cols.map(col): _*)
+    val traceCol =
+      if (events.columns.contains("trace")) col("trace").cast("binary")
+      else lit(null).cast("binary")
+    val src = events.select(cols.map(col) :+ traceCol.as("trace"): _*)
     val withIds = src.rdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq((base + 1 + i) +: r.toSeq)
     }

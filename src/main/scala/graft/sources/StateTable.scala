@@ -56,7 +56,9 @@ final class StateTable(spark: SparkSession, dir: String, nBuckets: Int = 64) {
     val current =
       if (exists) read.filter(col("state_bucket").isin(touched.map(Integer.valueOf): _*))
       else incoming.limit(0)
-    val merged = Patterns.latestState(current.unionByName(incoming))
+    // allowMissingColumns: a state table written before a schema gained
+    // a column (e.g. trace) still merges; the absent side reads null
+    val merged = Patterns.latestState(current.unionByName(incoming, allowMissingColumns = true))
 
     // Stage the rewritten buckets, then swap each one atomically.
     // Staging avoids the read-from/write-to same-path conflict and

@@ -129,6 +129,31 @@ class RunnerSpec extends AnyFunSuite {
     assert(seenUpTo.get() === 500L)
   }
 
+  test("consumer metrics update per batch: processed, batches, cursor") {
+    Metrics.reset("c-metrics")
+    val store = new MemCursorStore()
+    Runner.runToHead(Spec(log, store, Consumer("c-metrics", _ => ()), batchSize = 300))
+    val m = Metrics.get("c-metrics")
+    assert(m.batches === 4L)
+    assert(m.processed === 1000L)
+    assert(m.errors === 0L)
+    assert(m.skipped === 0L)
+    assert(m.lastCursor === 999L)
+  }
+
+  test("consumer metrics count errors and skips through the retry machinery") {
+    Metrics.reset("c-metrics-err")
+    val consumer = Consumer("c-metrics-err", b => {
+      if (b.filter("id = 450").count() > 0) throw new RuntimeException("poison")
+    }, errorMode = BestEffort(retries = 1))
+    Runner.runToHead(Spec(log, new MemCursorStore(), consumer, batchSize = 300))
+    val m = Metrics.get("c-metrics-err")
+    assert(m.errors === 2L) // first attempt + 1 retry
+    assert(m.skipped === 300L)
+    assert(m.processed === 700L)
+    assert(m.batches === 4L)
+  }
+
   test("cachedTail serves the same data as the cold log") {
     val hot = log.cachedTail(100)
     assert(hot.df.count() === 1000L)

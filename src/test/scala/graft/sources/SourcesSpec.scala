@@ -170,6 +170,27 @@ class SourcesSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("Event.Trace round-trips through EventsTable; absent trace reads null") {
+    val dir = Files.createTempDirectory("graft-trace").resolve("log").toString
+    val table = new EventsTable(spark, dir)
+    import spark.implicits._
+    // producer attaches a trace payload (api.go Trace []byte)
+    val traced = Seq(
+      ("signup", 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0, "{}",
+        "trace-ctx-0".getBytes("UTF-8")))
+      .toDF("eventType", "foreignId", "ts", "value", "metadata", "trace")
+    table.insert(traced)
+    // another producer attaches none
+    val plain = Seq(
+      ("click", 2L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 2.0, "{}"))
+      .toDF("eventType", "foreignId", "ts", "value", "metadata")
+    table.insert(plain)
+
+    val events = graft.events.Event.dataset(table.log.df).collect().sortBy(_.id)
+    assert(new String(events(0).trace, "UTF-8") === "trace-ctx-0")
+    assert(events(1).trace === null)
+  }
+
   test("EventsTable assigns monotone ids across appends and feeds the consumer loop") {
     val dir = Files.createTempDirectory("graft-etable").resolve("log").toString
     val table = new EventsTable(spark, dir)
