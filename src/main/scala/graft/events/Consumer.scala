@@ -68,4 +68,9 @@ final case class Spec(
     store: CursorStore,
     consumer: Consumer,
     filter: Option[EventFilter] = None,
-    batchSize: Int = 1000)
+    batchSize: Int = 1000,
+    /** rsql/loader.go filterLoader: known pure-noop id ranges; the
+      * runner jumps the cursor over them instead of scanning them
+      * (build with Patterns.noopRanges).
+      */
+    noopRanges: Option[Seq[(Long, Long)]] = None)

@@ -67,6 +67,28 @@ object Patterns {
       .select(explode(sequence(col("gap_start"), col("gap_end"))).as("id"))
       .withColumn("eventType", lit("noop"))
 
+  /** Contiguous noop id ranges of a gap-filled log (reference:
+    * rsql/loader.go filterLoader — the loader knows which ranges are
+    * pure noops so consumers can skip them by cursor override instead
+    * of scanning them). The ranges are exactly the gaps of the
+    * non-noop view; |ranges| is tiny relative to the log, so a
+    * driver-side list is the right shape.
+    */
+  def noopRanges(events: DataFrame): Seq[(Long, Long)] =
+    gaps(events.filter(col("eventType") =!= "noop"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq.sorted
+
+  /** Cursor override (rsql/loader.go:20): if `cursor + 1` lands inside
+    * (or at the start of) a noop range, jump to the range end — the
+    * consumer never reads the noops. Chained ranges collapse in one
+    * pass over the sorted list.
+    */
+  def skipNoops(ranges: Seq[(Long, Long)], cursor: Long): Long = {
+    var c = cursor
+    ranges.foreach { case (s, e) => if (s <= c + 1 && c < e) c = e }
+    c
+  }
+
   /** Latest event per foreign id — the event-notification → current
     * state materialization implied by doc.go. Ordered by id (insertion
     * order), not timestamp, matching the reference's cursor semantics.

@@ -34,6 +34,16 @@ object Runner {
     var skipped = 0L
 
     while (cursor < head) {
+      // Noop-range cursor override (rsql/loader.go): resuming into a
+      // gap-filled range jumps straight past it — no scan, no fn call.
+      spec.noopRanges.foreach { ranges =>
+        val jumped = Patterns.skipNoops(ranges, cursor)
+        if (jumped > cursor) {
+          cursor = jumped
+          spec.store.set(spec.consumer.name, cursor)
+          if (cursor >= head) return RunResult(batches, consumed, cursor, skipped)
+        }
+      }
       // The batch window [cursor+1, upper] is defined on the UNFILTERED
       // log so the cursor advances past filtered-out events too
       // (reflex filters advance cursors — filter.go). The id predicate

@@ -129,6 +129,38 @@ class RunnerSpec extends AnyFunSuite {
     assert(seenUpTo.get() === 500L)
   }
 
+  test("noop-range cursor override skips gap-filled ranges without scanning them") {
+    import spark.implicits._
+    // ids 0-9 real, 10-99 noops (a filled gap), 100-109 real
+    val rows =
+      (0L until 10L).map(i => (i, "click", i % 3, ts(i), 1.0, "{}")) ++
+      (10L until 100L).map(i => (i, "noop", -1L, ts(i), 0.0, "{}")) ++
+      (100L until 110L).map(i => (i, "click", i % 3, ts(i), 1.0, "{}"))
+    val df = rows.toDF("id", "eventType", "foreignId", "ts", "value", "metadata")
+    val noopLog = new EventLog(df)
+
+    // the loader derives the ranges from the log itself
+    val ranges = Patterns.noopRanges(df)
+    assert(ranges === Seq((10L, 99L)))
+
+    val store = new MemCursorStore()
+    var sawNoop = false
+    var batchCount = 0
+    val spec = Spec(noopLog, store, Consumer("c-noop", b => {
+      batchCount += 1
+      if (b.filter("eventType = 'noop'").count() > 0) sawNoop = true
+    }), batchSize = 10, noopRanges = Some(ranges))
+    val res = Runner.runToHead(spec)
+    assert(res.finalCursor === 109L)
+    assert(res.consumed === 20L)
+    assert(!sawNoop, "consumer saw a noop event despite the cursor override")
+    assert(batchCount === 2, s"expected 2 batches (range skipped), got $batchCount")
+    assert(store.get("c-noop") === Some(109L))
+  }
+
+  private def ts(i: Long): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2024-01-01 00:${i % 60}%02d:00")
+
   test("consumer metrics update per batch: processed, batches, cursor") {
     Metrics.reset("c-metrics")
     val store = new MemCursorStore()

@@ -49,6 +49,34 @@ class StreamingSpec extends AnyFunSuite {
     assert(maxSeen.get() === 999L)
   }
 
+  test("out-of-order file delivery: smaller ids in a LATER micro-batch are never skipped") {
+    // FileStreamSource orders batches by file mod-time, not id. Write
+    // the HIGH-id slice first and the low-id slice a tick later, split
+    // batches to one file each: the low ids arrive in a later batch
+    // than the high ids. The cursor is a watermark, not a per-batch
+    // filter, so every event must still be delivered exactly once.
+    val (logDir, ckpt) = freshDirs()
+    writeSlice(logDir, 500, 520)
+    Thread.sleep(1100) // distinct mod-time second for deterministic order
+    writeSlice(logDir, 0, 20)
+    val store = new MemCursorStore()
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val batchMins = new java.util.concurrent.ConcurrentLinkedQueue[Long]()
+    val spec = Spec(null, store, Consumer("s-ooo", b => {
+      val ids = b.select("id").collect().map(_.getLong(0))
+      ids.foreach(seen.add(_))
+      if (ids.nonEmpty) batchMins.add(ids.min)
+      ()
+    }))
+    Runner.runStream(spark, logDir, spec, ckpt, maxFilesPerTrigger = Some(1))
+      .awaitTermination()
+    assert(seen.size === 40, s"delivered ${seen.size}/40 events")
+    assert(((0L until 20L) ++ (500L until 520L)).forall(seen.contains),
+      "an out-of-order batch was dropped")
+    // cursor ends at the max delivered id (watermark semantics)
+    assert(store.get("s-ooo") === Some(519L))
+  }
+
   test("materialized state table converges to latest-per-entity across incremental runs") {
     val (logDir, ckpt) = freshDirs()
     val stateDir = Files.createTempDirectory("graft-state").toString + "/state"
