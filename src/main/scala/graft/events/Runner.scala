@@ -223,7 +223,23 @@ object Runner {
     val schema = spark.read.parquet(logDir).schema
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    val stream = Event.project(reader.parquet(logDir))
+    runStreamFrom(Event.project(reader.parquet(logDir)), spec, checkpointDir, availableNow)
+  }
+
+  /** Source-agnostic consume loop: ANY streaming DataFrame in the
+    * canonical event projection — file log, socket/bus feed
+    * (graft.sources.SocketEventSource), rate source, Kafka when a
+    * broker exists — drives the same cursor protocol (reference:
+    * server.go/client.go stream the log cross-service; the consumer
+    * side is identical regardless of transport). The cursor prunes
+    * already-consumed events when the checkpoint is fresh and advances
+    * monotonically, exactly as in the file-log form.
+    */
+  def runStreamFrom(
+      stream: DataFrame,
+      spec: Spec,
+      checkpointDir: String,
+      availableNow: Boolean = true): StreamingQuery = {
     val filtered = spec.filter.fold(stream)(f => stream.filter(f.toColumn))
     // fresh checkpoint ⇒ the source replays every file ⇒ prune by the
     // durable cursor; intact checkpoint ⇒ trust its offset log.
