@@ -159,6 +159,43 @@ object AnnOps {
       val top = graft.plans.TopKPerKeyOps.topK(dedup, Seq("probe"),
         Seq(col("cos").desc, col("neighbor").asc), 5)
       topK(top, 5)
+    }, None),
+
+    // C23: IVF ANN — the inverted-file scale path: a coarse quantizer
+    // assigns every vector to its nearest of K centroids (one list per
+    // centroid); a probe scans only its nProbe nearest lists, i.e.
+    // nProbe/K of the corpus instead of all of it. Centroids here are
+    // a deterministic hash-ordered sample of the corpus (the k-means
+    // refinement is an offline job; seeded centroids keep the query
+    // reproducible and dependency-free). Assignment is one broadcast
+    // join (K rows) + the codegen cosine + the bounded-heap TopKPerKey
+    // — O(N·K) with no corpus shuffle. Each vector lives in EXACTLY
+    // one list, so probed candidates need no dedupe.
+    ("ann_ivf", (s: SparkSession, d: String) => {
+      GraftFunctions.register(s)
+      val nCentroids = 16
+      val nProbe = 4
+      val c = corpus(s, d)
+      val cents = broadcast(
+        c.orderBy(pmod(xxhash64(col("vec_id")), lit(997L)), col("vec_id"))
+          .limit(nCentroids)
+          .select(col("vec_id").as("cid"), col("v").as("cv")))
+      val scored = c.join(cents)
+        .selectExpr("vec_id", "v", "cid", "cosine_sim(v, cv) AS cs")
+      val assign = graft.plans.TopKPerKeyOps.topK(scored, Seq("vec_id"),
+          Seq(col("cs").desc, col("cid").asc), 1)
+        .select(col("cid"), col("vec_id"), col("v"))
+      val probeLists = graft.plans.TopKPerKeyOps.topK(
+          scored.filter(col("vec_id") < 16), Seq("vec_id"),
+          Seq(col("cs").desc, col("cid").asc), nProbe)
+        .select(col("cid"), col("vec_id").as("probe"), col("v").as("pv"))
+      val cand = broadcast(probeLists)
+        .join(assign.select(col("cid"), col("vec_id").as("neighbor"), col("v").as("nv")), "cid")
+        .filter(col("probe") =!= col("neighbor"))
+        .selectExpr("probe", "neighbor", "cosine_sim(pv, nv) AS cos")
+      val top = graft.plans.TopKPerKeyOps.topK(cand, Seq("probe"),
+        Seq(col("cos").desc, col("neighbor").asc), 5)
+      topK(top, 5)
     }, None)
   )
 }

@@ -78,13 +78,19 @@ object ConcurrentRunner {
     val pool = Executors.newFixedThreadPool(maxInFlight)
     val firstError = new AtomicReference[Throwable](null)
     val consumed = new AtomicLong(0L)
-    // serialize cursor commits; only ever move forward
+    // serialize cursor commits; only ever move forward. The store.set
+    // must happen inside the same critical section as the monotonic
+    // check: with a CAS-only guard, a thread that read an older
+    // currentMax can lose the race and still write its SMALLER value
+    // to the store after a newer commit, moving the cursor backwards.
     val committed = new AtomicLong(start)
-    def commit(): Unit = {
+    val commitLock = new Object
+    def commit(): Unit = commitLock.synchronized {
       val m = gs.currentMax
-      var cur = committed.get()
-      while (m > cur && !committed.compareAndSet(cur, m)) cur = committed.get()
-      if (m > cur) store.set(consumer.name, m)
+      if (m > committed.get()) {
+        committed.set(m)
+        store.set(consumer.name, m)
+      }
     }
 
     val base = filter.fold(log.df)(f => log.df.filter(f.toColumn))

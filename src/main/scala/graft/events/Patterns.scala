@@ -50,13 +50,27 @@ object Patterns {
       .withColumn("batch_no", ((row_number().over(w) - 1) / batchSize).cast("long"))
   }
 
-  /** rsql/gapfill.go: detect id gaps (candidates for noop fill). */
+  /** rsql/gapfill.go: detect id gaps (candidates for noop fill).
+    * Two-level, like every corpus-sized ordered pass here: in-block
+    * gaps come from a window PARTITIONED by coarse id block;
+    * cross-block gaps from lag over the tiny (block, min, max) frame
+    * — empty blocks fall inside those boundary gaps naturally. No
+    * single partition ever sorts the full id set.
+    */
   def gaps(events: DataFrame): DataFrame = {
-    val w = Window.orderBy("id")
-    events.select(col("id"))
-      .withColumn("prev", lag("id", 1).over(w))
+    val t = events.select(col("id"))
+      .withColumn("blk", call_function("div", col("id"), lit(4096L)))
+    val local = Window.partitionBy("blk").orderBy("id")
+    val inBlock = t
+      .withColumn("prev", lag("id", 1).over(local))
       .filter(col("prev").isNotNull && col("id") - col("prev") > 1)
       .select((col("prev") + 1).as("gap_start"), (col("id") - 1).as("gap_end"))
+    val bw = Window.orderBy("blk")
+    val between = t.groupBy("blk").agg(min("id").as("mn"), max("id").as("mx"))
+      .withColumn("pmx", lag("mx", 1).over(bw))
+      .filter(col("pmx").isNotNull && col("mn") - col("pmx") > 1)
+      .select((col("pmx") + 1).as("gap_start"), (col("mn") - 1).as("gap_end"))
+    inBlock.unionByName(between)
   }
 
   /** rsql/gapfill.go makeFill: materialize the noop events that would

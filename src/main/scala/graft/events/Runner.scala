@@ -24,7 +24,15 @@ object Runner {
 
   final case class RunResult(batches: Int, consumed: Long, finalCursor: Long, skipped: Long)
 
-  /** Bounded replay to the head-at-start snapshot. */
+  /** Bounded replay to the head-at-start snapshot.
+    *
+    * Batch windows are computed in ONE pass up front (every
+    * batchSize-th id, two-level rank — no global sort and no per-batch
+    * TakeOrdered over the shrinking tail, which cost O(batches ·
+    * tail-scan) before). Each batch then reads with a pushed-down id
+    * range predicate only. The driver holds one long per batch —
+    * the same order of state the loop itself needs.
+    */
   def runToHead(spec: Spec): RunResult = {
     val base = spec.filter.fold(spec.log.df)(f => spec.log.df.filter(f.toColumn))
     val head = spec.log.head()
@@ -32,8 +40,9 @@ object Runner {
     var batches = 0
     var consumed = 0L
     var skipped = 0L
+    if (cursor >= head) return RunResult(0, 0L, cursor, 0L)
 
-    while (cursor < head) {
+    batchBoundaries(spec.log.df, cursor, head, spec.batchSize).foreach { upper =>
       // Noop-range cursor override (rsql/loader.go): resuming into a
       // gap-filled range jumps straight past it — no scan, no fn call.
       spec.noopRanges.foreach { ranges =>
@@ -41,20 +50,12 @@ object Runner {
         if (jumped > cursor) {
           cursor = jumped
           spec.store.set(spec.consumer.name, cursor)
-          if (cursor >= head) return RunResult(batches, consumed, cursor, skipped)
         }
       }
-      // The batch window [cursor+1, upper] is defined on the UNFILTERED
-      // log so the cursor advances past filtered-out events too
-      // (reflex filters advance cursors — filter.go). The id predicate
-      // is pushed to the scan; the sort+limit is a TakeOrdered.
-      val slice = spec.log.df.filter(col("id") > cursor && col("id") <= head)
-        .orderBy("id").limit(spec.batchSize)
-      val ids = slice.agg(max("id").as("m")).collect()(0)
-      if (ids.isNullAt(0)) {
-        cursor = head
-      } else {
-        val upper = ids.getLong(0)
+      if (upper > cursor) {
+        // The batch window (cursor, upper] is defined on the UNFILTERED
+        // log so the cursor advances past filtered-out events too
+        // (reflex filters advance cursors — filter.go).
         val visible = base.filter(col("id") > cursor && col("id") <= upper)
         val t0 = System.nanoTime()
         val n = attempt(spec, visible, cursor)
@@ -67,7 +68,33 @@ object Runner {
           (System.nanoTime() - t0) / 1000000L, cursor)
       }
     }
+    if (cursor < head) { // e.g. the whole remainder was a noop range
+      cursor = head
+      spec.store.set(spec.consumer.name, cursor)
+    }
     RunResult(batches, consumed, cursor, skipped)
+  }
+
+  /** Ids that close each batch of `batchSize` events in (cursor, head]
+    * — every batchSize-th id by rank, plus the head. Two-level rank
+    * (block-local row_number + tiny cumulative block offsets), so no
+    * partition ever sorts more than one id block.
+    */
+  private def batchBoundaries(df: DataFrame, cursor: Long, head: Long,
+      batchSize: Int): Seq[Long] = {
+    import org.apache.spark.sql.expressions.Window
+    val t = df.filter(col("id") > cursor && col("id") <= head).select(col("id"))
+      .withColumn("blk", call_function("div", col("id"), lit(1L << 20)))
+    val local = Window.partitionBy("blk").orderBy("id")
+    val offW = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = t.groupBy("blk").agg(count(lit(1)).as("bn"))
+      .withColumn("off", coalesce(sum("bn").over(offW), lit(0L)))
+      .select("blk", "off")
+    t.withColumn("lrk", row_number().over(local).cast("long"))
+      .join(broadcast(offsets), "blk")
+      .filter((col("lrk") + col("off")) % batchSize === 0 || col("id") === head)
+      .select("id").distinct()
+      .collect().map(_.getLong(0)).sorted.toSeq
   }
 
   /** One batch attempt honoring the consumer's error mode.

@@ -39,35 +39,63 @@ object MultimodalOps {
     StructField("hist", ArrayType(LongType)),
     StructField("n_frames", IntegerType)))
 
-  /** DETERMINISTIC STUB decoder: real decoders (JPEG/PCM/H264) are not
-    * in this container. Features are byte statistics; the partition-
-    * batched iterator shape matches what a real codec needs (one
-    * library init per partition, streaming rows).
+  final case class MediaFeatures(
+      byteLen: Int, meanByte: Double, hist: Seq[Long], nFrames: Int)
+
+  /** Pluggable decoder contract. One instance serves a whole PARTITION:
+    * `open()` runs once before the first row (init the heavy codec
+    * library there), `decode` streams rows, `close()` runs after the
+    * last. Swap implementations — a JNI/FFI codec, a Pandas-UDF
+    * bridge, the in-container StubCodec — without touching the
+    * surrounding plumbing.
     */
-  def fakeDecode(media: DataFrame): DataFrame = {
+  trait MediaCodec extends Serializable {
+    def open(): Unit = ()
+    def decode(kind: String, payload: Array[Byte]): MediaFeatures
+    def close(): Unit = ()
+  }
+
+  /** DETERMINISTIC STUB codec: real decoders (JPEG/PCM/H264) are not
+    * in this container; features are byte statistics. Everything
+    * around it is the real partition-batched plumbing.
+    */
+  object StubCodec extends MediaCodec {
+    def decode(kind: String, bytes: Array[Byte]): MediaFeatures = {
+      val hist = new Array[Long](4)
+      var sum = 0L
+      var i = 0
+      while (i < bytes.length) {
+        val b = bytes(i) & 0xff
+        sum += b
+        hist(b / 64) += 1
+        i += 1
+      }
+      val mean = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
+      val nFrames = if (kind == "video") bytes.length / 100 + 1 else 1
+      MediaFeatures(bytes.length, mean, hist.toSeq, nFrames)
+    }
+  }
+
+  /** Partition-batched decode through any MediaCodec. */
+  def decode(media: DataFrame, codec: MediaCodec): DataFrame = {
     val spark = media.sparkSession
     val rdd = media.select("doc_id", "kind", "payload").rdd.mapPartitions { it =>
-      // real impl: init codec once per partition here
-      it.map { r =>
-        val id = r.getLong(0)
-        val kind = r.getString(1)
-        val bytes = r.getAs[Array[Byte]](2)
-        val hist = new Array[Long](4)
-        var sum = 0L
-        var i = 0
-        while (i < bytes.length) {
-          val b = bytes(i) & 0xff
-          sum += b
-          hist(b / 64) += 1
-          i += 1
+      codec.open()
+      new Iterator[Row] {
+        def hasNext: Boolean = { val h = it.hasNext; if (!h) codec.close(); h }
+        def next(): Row = {
+          val r = it.next()
+          val kind = r.getString(1)
+          val f = codec.decode(kind, r.getAs[Array[Byte]](2))
+          Row(r.getLong(0), kind, f.byteLen, f.meanByte, f.hist, f.nFrames)
         }
-        val mean = if (bytes.isEmpty) 0.0 else sum.toDouble / bytes.length
-        val nFrames = if (kind == "video") bytes.length / 100 + 1 else 1
-        Row(id, kind, bytes.length, mean, hist.toSeq, nFrames)
       }
     }
     spark.createDataFrame(rdd, featureSchema)
   }
+
+  /** The stub-backed decode (kept as the named entry point). */
+  def fakeDecode(media: DataFrame): DataFrame = decode(media, StubCodec)
 
   val entries: Seq[(String, QFn, Option[String])] = Seq(
 

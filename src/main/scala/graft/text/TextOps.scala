@@ -206,17 +206,23 @@ object TextOps {
     // Shingles join relationally (broadcast benchmark grams), the
     // standard eval-contamination sweep before training.
     ("tx_decontaminate", (s: SparkSession, d: String) => {
+      // grams travel as xxhash64 int64s, not 30-char strings: the
+      // broadcast and the shuffle carry 8 bytes per gram instead of
+      // ~30; distinct-counts on 64-bit hashes equal string counts up
+      // to negligible collision odds (same argument as the minhash
+      // shingle hashing)
       val grams = docs(s, d)
         .select(col("doc_id"), normalize(col("text")).as("norm"))
         .select(col("doc_id"), explode(expr(
           "transform(sequence(0, greatest(length(norm) - 30, 0)), i -> substring(norm, i + 1, 30))")).as("g"))
         .filter(length(col("g")) === 30)
+        .select(col("doc_id"), xxhash64(col("g")).as("gh"))
       val bench = broadcast(grams.filter(col("doc_id") < 10)
-        .select(col("g")).distinct())
+        .select(col("gh")).distinct())
       grams.filter(col("doc_id") >= 10)
-        .join(bench, "g")
+        .join(bench, "gh")
         .groupBy("doc_id")
-        .agg(countDistinct("g").as("n_shared_grams"))
+        .agg(countDistinct("gh").as("n_shared_grams"))
         .orderBy("doc_id")
     }, Some("""
       WITH norm AS (
@@ -241,12 +247,16 @@ object TextOps {
         .cast("int") % 100
       val sampled = docs(s, d)
         .withColumn("in_sample", (bucket < 20).cast("int"))
-      val total = sampled.count().toDouble
+      // corpus total folds into the plan as a broadcast 1-row frame —
+      // no eager count() action inside the query builder
+      val totals = sampled.agg(count(lit(1)).cast("double").as("total"))
       sampled.groupBy("lang")
         .agg(count(lit(1)).as("n_docs"),
           sum("in_sample").cast("long").as("n_sampled"))
+        .crossJoin(broadcast(totals))
         .withColumn("target_weight",
-          round(lit(0.2) / (col("n_docs") / lit(total)), 4))
+          round(lit(0.2) / (col("n_docs") / col("total")), 4))
+        .drop("total")
         .orderBy("lang")
     }, Some("""
       WITH t AS (

@@ -48,6 +48,25 @@ class OpsSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.sql.adaptive.enabled", "true")
   }
 
+  test("multimodal: a custom MediaCodec plugs into the decode plumbing") {
+    import graft.multimodal.MultimodalOps
+    // a "codec" that reports constant features — proves decode() is
+    // codec-blind and the partition open/decode lifecycle runs
+    object FixedCodec extends MultimodalOps.MediaCodec {
+      def decode(kind: String, payload: Array[Byte]): MultimodalOps.MediaFeatures =
+        MultimodalOps.MediaFeatures(payload.length, 42.0, Seq(1L, 2L, 3L, 4L), 7)
+    }
+    val media = MultimodalOps.asMedia(
+      spark.read.parquet(s"$sf/documents.parquet")).limit(20)
+    val out = MultimodalOps.decode(media, FixedCodec).collect()
+    assert(out.length === 20)
+    assert(out.forall(_.getAs[Double]("mean_byte") === 42.0))
+    assert(out.forall(_.getAs[Int]("n_frames") === 7))
+    // and the stub path still derives real byte statistics
+    val stub = MultimodalOps.fakeDecode(media).collect()
+    assert(stub.forall(r => r.getAs[Int]("byte_len") > 0))
+  }
+
   test("ann: similarities are valid cosines and exclude self-matches") {
     val rows = SparkEntry.queries("ann_bruteforce")(spark, sf).collect()
     rows.foreach { r =>

@@ -52,6 +52,26 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(hits >= 15, s"LSH top-1 recall $hits/16 below 90% for planted clones")
   }
 
+  test("IVF path: >=90% top-1 recall of planted perturbed clones through probed lists") {
+    import spark.implicits._
+    val base = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])].collect().take(16)
+    val rows = base.zipWithIndex.map { case ((_, v), i) =>
+      (i.toLong, v.updated(0, v.head + 1e-3f))
+    } ++ base.map { case (id, v) => (id + 100L, v) }
+    val dir = java.nio.file.Files.createTempDirectory("graft-ann-ivf").toString
+    rows.toSeq.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+
+    val top1 = graft.SparkEntry.queries("ann_ivf")(spark, dir)
+      .filter("rk = 1").collect()
+      .map(r => r.getAs[Long]("probe") -> r.getAs[Long]("neighbor")).toMap
+    val hits = base.zipWithIndex.count { case ((id, _), i) =>
+      top1.get(i.toLong).contains(id + 100L)
+    }
+    assert(hits >= 15, s"IVF top-1 recall $hits/16 below 90% for planted clones")
+  }
+
   test("brute-force top-1 of a planted clone is the original vector") {
     import spark.implicits._
     val base = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
