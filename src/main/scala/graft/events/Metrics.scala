@@ -19,7 +19,11 @@ final case class ConsumerMetrics(
     /** wall-clock of the most recent batch, ms */
     lastBatchMillis: Long = 0L,
     /** last committed cursor */
-    lastCursor: Long = -1L)
+    lastCursor: Long = -1L,
+    /** micro-batches delivered out of id order (streaming PerBatch
+      * commit policy freezes durable-cursor advance when this trips)
+      */
+    disorder: Long = 0L)
 
 object Metrics {
   private val m = TrieMap.empty[String, ConsumerMetrics]
@@ -47,4 +51,7 @@ object Metrics {
 
   private[events] def recordError(name: String): Unit =
     update(name)(c => c.copy(errors = c.errors + 1))
+
+  private[events] def recordDisorder(name: String): Unit =
+    update(name)(c => c.copy(disorder = c.disorder + 1))
 }

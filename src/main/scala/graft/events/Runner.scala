@@ -2,7 +2,7 @@ package graft.events
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.streaming.{StreamingQuery, StreamingQueryListener, Trigger}
 import scala.concurrent.{Await, ExecutionContext, Future}
 import scala.concurrent.duration.Duration
 import scala.util.control.NonFatal
@@ -246,11 +246,43 @@ object Runner {
       /** backpressure: bound files ingested per micro-batch (the
         * maxInFlight analog of rpatterns/concurrent.go).
         */
-      maxFilesPerTrigger: Option[Int] = None): StreamingQuery = {
+      maxFilesPerTrigger: Option[Int] = None,
+      commitPolicy: CommitPolicy = CommitPolicy.PerBatch): StreamingQuery = {
     val schema = spark.read.parquet(logDir).schema
     val reader = spark.readStream.schema(schema)
     maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
-    runStreamFrom(Event.project(reader.parquet(logDir)), spec, checkpointDir, availableNow)
+    runStreamFrom(Event.project(reader.parquet(logDir)), spec, checkpointDir,
+      availableNow, commitPolicy)
+  }
+
+  /** When the durable cursor is allowed to advance during a streaming
+    * run. The cursor is only consulted on a FRESH-checkpoint restart
+    * (runStreamFrom), so the policy decides what such a restart can
+    * skip — i.e. it is the at-least-once contract for crashes that
+    * also lose the checkpoint.
+    */
+  sealed trait CommitPolicy
+  object CommitPolicy {
+    /** Commit cursor = max(id) after every micro-batch — correct when
+      * ids are monotone with delivery order (EventsTable file appends:
+      * monotone ids AND mod-times). Disorder — a batch whose min(id)
+      * is at or below an already-delivered id — is detected at
+      * runtime: it freezes further durable advances for the rest of
+      * the run (processing continues) and bumps the consumer's
+      * `disorder` metric, so a later fresh-checkpoint restart replays
+      * from the pre-disorder cursor instead of skipping the
+      * out-of-order slice. The freeze cannot retro-protect a crash
+      * that happens BEFORE the disorder becomes visible; sources
+      * without an order guarantee should use OnStop.
+      */
+    case object PerBatch extends CommitPolicy
+    /** Never advance the durable cursor mid-run; commit max seen id
+      * once on graceful termination (StreamingQueryListener). A crash
+      * at ANY point replays from the previous graceful stop —
+      * duplicates possible, skips impossible, with no ordering
+      * assumption on the source at all.
+      */
+    case object OnStop extends CommitPolicy
   }
 
   /** Source-agnostic consume loop: ANY streaming DataFrame in the
@@ -266,7 +298,8 @@ object Runner {
       stream: DataFrame,
       spec: Spec,
       checkpointDir: String,
-      availableNow: Boolean = true): StreamingQuery = {
+      availableNow: Boolean = true,
+      commitPolicy: CommitPolicy = CommitPolicy.PerBatch): StreamingQuery = {
     val filtered = spec.filter.fold(stream)(f => stream.filter(f.toColumn))
     // fresh checkpoint ⇒ the source replays every file ⇒ prune by the
     // durable cursor; intact checkpoint ⇒ trust its offset log.
@@ -275,6 +308,9 @@ object Runner {
     val startCursor =
       if (freshCheckpoint) spec.store.get(spec.consumer.name).getOrElse(-1L)
       else -1L
+    // foreachBatch runs serially per query; @volatile for the listener
+    @volatile var maxSeen = startCursor
+    @volatile var frozen = false
     val writer = filtered.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -282,19 +318,47 @@ object Runner {
         val t0 = System.nanoTime()
         try {
           if (!fresh.isEmpty) {
-            val n = fresh.count()
-            val upper = fresh.agg(max("id")).collect()(0).getLong(0)
+            val r = fresh.agg(count(lit(1)), min("id"), max("id")).collect()(0)
+            val (n, mn, mx) = (r.getLong(0), r.getLong(1), r.getLong(2))
             spec.consumer.fn(fresh.orderBy("id"))
+            if (mn <= maxSeen && !frozen) {
+              frozen = true
+              Metrics.recordDisorder(spec.consumer.name)
+            }
+            maxSeen = math.max(maxSeen, mx)
             val prev = spec.store.get(spec.consumer.name).getOrElse(-1L)
-            if (upper > prev) spec.store.set(spec.consumer.name, upper)
+            val durable = commitPolicy match {
+              case CommitPolicy.PerBatch if !frozen => mx
+              case _ => prev
+            }
+            if (durable > prev) spec.store.set(spec.consumer.name, durable)
             Metrics.recordBatch(spec.consumer.name, n, 0L,
-              (System.nanoTime() - t0) / 1000000L, math.max(upper, prev))
+              (System.nanoTime() - t0) / 1000000L, math.max(durable, prev))
           }
         } catch {
           case NonFatal(e) => Metrics.recordError(spec.consumer.name); throw e
         } finally fresh.unpersist()
         ()
       }
-    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+    val query =
+      (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+    // graceful termination: everything delivered was processed, so
+    // maxSeen is safe under EITHER policy (it also heals a PerBatch
+    // disorder freeze).
+    val session = stream.sparkSession
+    session.streams.addListener(new StreamingQueryListener {
+      override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit = ()
+      override def onQueryProgress(e: StreamingQueryListener.QueryProgressEvent): Unit = ()
+      override def onQueryTerminated(e: StreamingQueryListener.QueryTerminatedEvent): Unit = {
+        if (e.runId == query.runId) {
+          if (e.exception.isEmpty) {
+            val prev = spec.store.get(spec.consumer.name).getOrElse(-1L)
+            if (maxSeen > prev) spec.store.set(spec.consumer.name, maxSeen)
+          }
+          session.streams.removeListener(this)
+        }
+      }
+    })
+    query
   }
 }

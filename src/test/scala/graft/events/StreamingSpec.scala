@@ -77,6 +77,80 @@ class StreamingSpec extends AnyFunSuite {
     assert(store.get("s-ooo") === Some(519L))
   }
 
+  private def writeSliceOneFile(logDir: String, lo: Long, hi: Long): Unit =
+    spark.read.parquet(s"${TestSpark.sf}/events.parquet")
+      .filter(col("event_id") >= lo && col("event_id") < hi)
+      .coalesce(1)
+      .write.mode(SaveMode.Append).parquet(logDir)
+
+  private def awaitCursor(store: CursorStore, name: String, want: Long): Unit = {
+    val deadline = System.nanoTime() + 30_000_000_000L
+    while (store.get(name) != Some(want) && System.nanoTime() < deadline)
+      Thread.sleep(20)
+    assert(store.get(name) === Some(want))
+  }
+
+  test("PerBatch policy: disorder freezes durable advance; graceful stop heals it") {
+    // mod-time order: [500,520) → [0,20) (DISORDER) → [600,620) → [700,720).
+    // After the disorder batch, later in-order batches must NOT advance
+    // the durable cursor (a fresh-checkpoint restart has to replay from
+    // the pre-disorder watermark); graceful termination then commits
+    // max seen, because at that point everything delivered is processed.
+    val (logDir, ckpt) = freshDirs()
+    for ((lo, hi) <- Seq((500L, 520L), (0L, 20L), (600L, 620L), (700L, 720L))) {
+      writeSliceOneFile(logDir, lo, hi)
+      Thread.sleep(1100)
+    }
+    val store = new MemCursorStore()
+    Metrics.reset("s-freeze")
+    @volatile var storeAtLastBatch = -2L
+    val spec = Spec(null, store, Consumer("s-freeze", b => {
+      val mn = b.agg(min("id")).collect()(0).getLong(0)
+      // snapshot BEFORE this batch's own commit: reflects all prior commits
+      if (mn >= 700L) storeAtLastBatch = store.get("s-freeze").getOrElse(-1L)
+      ()
+    }))
+    Runner.runStream(spark, logDir, spec, ckpt, maxFilesPerTrigger = Some(1))
+      .awaitTermination()
+    assert(storeAtLastBatch === 519L,
+      "durable cursor advanced past the disorder point mid-run")
+    assert(Metrics.get("s-freeze").disorder === 1L)
+    awaitCursor(store, "s-freeze", 719L) // heal on graceful stop
+  }
+
+  test("OnStop policy: a crash before termination never moves the cursor (no skips)") {
+    // Same out-of-order layout; the consumer crashes on the low-id
+    // batch. Under OnStop the durable cursor is untouched, so a
+    // fresh-checkpoint restart replays EVERYTHING — the at-least-once
+    // guarantee holds with zero ordering assumptions on the source.
+    val (logDir, ckpt) = freshDirs()
+    writeSliceOneFile(logDir, 500, 520)
+    Thread.sleep(1100)
+    writeSliceOneFile(logDir, 0, 20)
+    val store = new MemCursorStore()
+    val crashing = Spec(null, store, Consumer("s-onstop", b => {
+      val mn = b.agg(min("id")).collect()(0).getLong(0)
+      if (mn < 500L) throw new RuntimeException("crash on the out-of-order batch")
+      ()
+    }))
+    val q = Runner.runStream(spark, logDir, crashing, ckpt,
+      maxFilesPerTrigger = Some(1), commitPolicy = Runner.CommitPolicy.OnStop)
+    intercept[Exception] { q.awaitTermination() }
+    assert(store.get("s-onstop").isEmpty, "crashed run must not commit under OnStop")
+
+    // fresh checkpoint + intact store: the restart sees every event
+    val ckpt2 = Files.createTempDirectory("graft-ckpt").toString
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val ok = Spec(null, store, Consumer("s-onstop", b => {
+      b.select("id").collect().foreach(r => seen.add(r.getLong(0))); ()
+    }))
+    Runner.runStream(spark, logDir, ok, ckpt2,
+      maxFilesPerTrigger = Some(1), commitPolicy = Runner.CommitPolicy.OnStop)
+      .awaitTermination()
+    assert(seen.size === 40, s"replay delivered ${seen.size}/40 events")
+    awaitCursor(store, "s-onstop", 519L) // committed once, on graceful stop
+  }
+
   test("materialized state table converges to latest-per-entity across incremental runs") {
     val (logDir, ckpt) = freshDirs()
     val stateDir = Files.createTempDirectory("graft-state").toString + "/state"
