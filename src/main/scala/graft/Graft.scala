@@ -28,6 +28,9 @@ object Graft {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // rank-filter → TopKPerKey bounded-heap rewrite, on by default for
+    // every graft session (kill-switch: spark.graft.topk.rewrite=false)
+    plans.TopKPerKeyOps.enableRewrite(spark)
     spark
   }
 }

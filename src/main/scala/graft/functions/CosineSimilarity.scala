@@ -113,5 +113,6 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       new ExpressionInfo(classOf[JaccardSorted].getName, "jaccard_sorted"),
       GraftFunctions.jaccardSortedBuilder))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
+    ext.injectOptimizerRule(_ => graft.plans.RankFilterToTopK)
   }
 }

@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Attribute, BindReferences, Expression, SortOrder, UnsafeProjection, UnsafeRow}
 import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Sort, UnaryNode}
-import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, Distribution}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
 import org.apache.spark.sql.execution.{SparkPlan, UnaryExecNode}
 
 /** Whole-operator extension (SURVEY.md §4 tier (c)): exact top-k rows
@@ -100,9 +100,13 @@ final case class TopKPerKeyPartialExec(
 final case class TopKPerKeyFinalExec(
     keys: Seq[Expression], order: Seq[SortOrder], k: Int, child: SparkPlan)
     extends TopKHeapExec {
-  // the partial output is ≤ partitions·keys·k rows — a single-node
-  // merge is the cheapest exact finish
-  override def requiredChildDistribution: Seq[Distribution] = AllTuples :: Nil
+  // the partial output is ≤ partitions·keys·k CANDIDATE rows; the
+  // final merge only needs same-key co-location, so it clusters by
+  // key — at billions of distinct keys the merge stays as parallel as
+  // the shuffle, never a single-node fan-in. (Keyless = global top-k
+  // degenerates to the one-partition merge.)
+  override def requiredChildDistribution: Seq[Distribution] =
+    (if (keys.isEmpty) AllTuples else ClusteredDistribution(keys)) :: Nil
   override protected def withNewChildInternal(newChild: SparkPlan): SparkPlan =
     copy(child = newChild)
 }
@@ -117,16 +121,33 @@ object TopKPerKeyStrategy extends SparkStrategy {
 }
 
 object TopKPerKeyOps {
+
+  private def ensureStrategy(spark: org.apache.spark.sql.classic.SparkSession): Unit =
+    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
+    }
+
+  /** Register the RankFilterToTopK optimizer rule (plus the strategy
+    * that plans its output) on an already-built session — the
+    * imperative analog of the GraftExtensions injection. Idempotent.
+    */
+  def enableRewrite(spark: org.apache.spark.sql.SparkSession): Unit = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    ensureStrategy(cs)
+    if (!cs.experimental.extraOptimizations.contains(RankFilterToTopK)) {
+      cs.experimental.extraOptimizations =
+        cs.experimental.extraOptimizations :+ RankFilterToTopK
+    }
+  }
+
   /** Exact top-k rows per key. `order` are ranking columns (e.g.
     * `col("cos").desc, col("neighbor").asc`) — ties must be broken to
     * a total order for determinism.
     */
   def topK(df: DataFrame, keyCols: Seq[String], order: Seq[Column], k: Int): DataFrame = {
     val spark = df.sparkSession.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
-    if (!spark.experimental.extraStrategies.contains(TopKPerKeyStrategy)) {
-      spark.experimental.extraStrategies =
-        spark.experimental.extraStrategies :+ TopKPerKeyStrategy
-    }
+    ensureStrategy(spark)
     // resolve the sort columns through an analyzed Sort node — this
     // yields catalyst SortOrders bound to df's attributes
     val analyzedSort = df.orderBy(order: _*).queryExecution.analyzed.asInstanceOf[Sort]
