@@ -196,6 +196,71 @@ object AnnOps {
       val top = graft.plans.TopKPerKeyOps.topK(cand, Seq("probe"),
         Seq(col("cos").desc, col("neighbor").asc), 5)
       topK(top, 5)
-    }, None)
+    }, None),
+
+    // C26: semantic near-dup via coarse clustering — assign every
+    // vector to its nearest deterministic centroid (vec_id % 40 == 0;
+    // a k-means refinement is an offline job), then score pairs ONLY
+    // within a cluster: O(N·K) assignment + Σ bucket² verification
+    // instead of N² — the standard SemDeDup shape. The argmax is a
+    // rank-1 filter (RankFilterToTopK → bounded heaps), ordered on the
+    // 4dp-rounded cosine with centroid-id tiebreak so both engines
+    // pick identical clusters. Mega-cluster guard at 500 (mirrored in
+    // the oracle) bounds the quadratic term; guarded-out clusters are
+    // a skew signal, not silent work.
+    ("dd_semantic", (s: SparkSession, d: String) => {
+      GraftFunctions.register(s)
+      val c = corpus(s, d)
+      val cents = broadcast(c.filter(col("vec_id") % 40 === 0)
+        .select(col("vec_id").as("cid"), col("v").as("cv")))
+      val scored = c.join(cents)
+        .selectExpr("vec_id", "v", "cid", "round(cosine_sim(v, cv), 4) AS cs")
+      val w = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("cid").asc)
+      val assign = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .select(col("cid"), col("vec_id"), col("v"))
+      val sized = assign.withColumn("bn",
+        count(lit(1)).over(Window.partitionBy("cid")))
+        .filter(col("bn") <= 500)
+      sized.as("x").join(sized.as("y"),
+          col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+        .selectExpr("x.vec_id AS a", "y.vec_id AS b",
+          "round(cosine_sim(x.v, y.v), 4) AS cos_sim")
+        .filter(col("cos_sim") >= 0.28)
+        .orderBy("a", "b")
+    }, Some("""
+      WITH f AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+      n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY vec_id),
+      dots AS (
+        SELECT a.vec_id AS vec_id, b.vec_id AS cid, sum(a.v * b.v) AS dot
+        FROM f a JOIN f b ON a.i = b.i
+        WHERE b.vec_id % 40 = 0
+        GROUP BY a.vec_id, b.vec_id),
+      scored AS (
+        SELECT dots.vec_id, cid,
+               round(dot / (na.nrm * nb.nrm), 4) AS cs
+        FROM dots JOIN n na ON na.vec_id = dots.vec_id
+                  JOIN n nb ON nb.vec_id = cid),
+      assign AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rk
+          FROM scored) WHERE rk = 1),
+      sized AS (
+        SELECT vec_id, cid, count(*) OVER (PARTITION BY cid) AS bn FROM assign),
+      pairdots AS (
+        SELECT x.vec_id AS a, y.vec_id AS b, sum(fa.v * fb.v) AS dot
+        FROM sized x JOIN sized y ON x.cid = y.cid AND x.vec_id < y.vec_id
+             JOIN f fa ON fa.vec_id = x.vec_id
+             JOIN f fb ON fb.vec_id = y.vec_id AND fa.i = fb.i
+        WHERE x.bn <= 500 AND y.bn <= 500
+        GROUP BY x.vec_id, y.vec_id)
+      SELECT a, b, round(dot / (na.nrm * nb.nrm), 4) AS cos_sim
+      FROM pairdots JOIN n na ON na.vec_id = a JOIN n nb ON nb.vec_id = b
+      WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.28
+      ORDER BY a, b"""))
   )
 }

@@ -405,6 +405,80 @@ object TextOps {
                   WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
                   WHEN s_de >= s_fr THEN 'de'
                   ELSE 'fr' END AS pred_lang
-      FROM kept ORDER BY doc_id"""))
+      FROM kept ORDER BY doc_id""")),
+
+    // C24: repetition detection (Gopher-style filter signal): the
+    // fraction of duplicate words and duplicate word-bigrams per doc.
+    // Array functions only — one codegen'd pass over the corpus scan,
+    // no explode, no shuffle. Ratios in exact int64 (ratio4).
+    ("tx_repetition", (s: SparkSession, d: String) => {
+      val withW = docs(s, d).select(col("doc_id"), tokens(col("text")).as("w"))
+        .withColumn("bi", expr(
+          "CASE WHEN size(w) >= 2 THEN transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1])) ELSE array() END"))
+      withW.select(
+        col("doc_id"),
+        size(col("w")).as("n_words"),
+        ratio4(size(col("w")).cast("long") - size(array_distinct(col("w"))).cast("long"),
+          size(col("w")).cast("long")).as("dup_word_frac"),
+        when(size(col("bi")) === 0, lit(0.0)).otherwise(
+          ratio4(size(col("bi")).cast("long") - size(array_distinct(col("bi"))).cast("long"),
+            size(col("bi")).cast("long"))).as("dup_bigram_frac"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      b AS (
+        SELECT doc_id, w,
+               list_transform(range(1, length(w)), i -> w[i] || ' ' || w[i + 1]) AS bi
+        FROM t)
+      SELECT doc_id,
+             CAST(length(w) AS INTEGER) AS n_words,
+             ((20000 * (length(w) - length(list_distinct(w))) + length(w))
+               // (2 * length(w))) / 10000.0 AS dup_word_frac,
+             CASE WHEN length(bi) = 0 THEN 0.0 ELSE
+               ((20000 * (length(bi) - length(list_distinct(bi))) + length(bi))
+                 // (2 * length(bi))) / 10000.0 END AS dup_bigram_frac
+      FROM b ORDER BY doc_id""")),
+
+    // C25: characteristic terms per doc — tf weighted by inverse
+    // document frequency in RATIONAL form (score = tf/df): the ranking
+    // double is a single IEEE division of two int64s, bit-identical in
+    // any engine (a transcendental ln() idf would not be), and the
+    // emitted value is the exact-int64 4dp rounding. The rank filter
+    // goes through the RankFilterToTopK rewrite → TopKPerKey bounded
+    // heaps: the tf table never takes a full per-key sort.
+    ("tx_tfidf", (s: SparkSession, d: String) => {
+      val words = docs(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      // df is vocab-sized: a plain shuffle join (AQE broadcasts it when
+      // small); never force-broadcast a web-scale vocabulary
+      val idf = words.select("doc_id", "term").distinct()
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val scored = tf.join(idf, "term")
+        .withColumn("score", col("tf").cast("double") / col("df"))
+      val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("doc_id"), col("term"), col("rk"),
+          ratio4(col("tf"), col("df")).as("tfidf4"))
+        .orderBy("doc_id", "rk")
+    }, Some("""
+      WITH nrm AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nrm
+        FROM documents),
+      wds AS (SELECT doc_id, unnest(regexp_split_to_array(nrm, ' ')) AS term FROM nrm),
+      tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM wds GROUP BY 1, 2),
+      df AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM wds GROUP BY 1),
+      ranked AS (
+        SELECT doc_id, tf.term AS term, tf, df,
+               row_number() OVER (PARTITION BY doc_id
+                 ORDER BY CAST(tf AS DOUBLE) / df DESC, tf.term ASC) AS rk
+        FROM tf JOIN df ON tf.term = df.term)
+      SELECT doc_id, term, CAST(rk AS INTEGER) AS rk,
+             ((20000 * tf + df) // (2 * df)) / 10000.0 AS tfidf4
+      FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk"""))
   )
 }
