@@ -3,14 +3,12 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
+    // bench the engine as shipped: Graft.session = AQE + UTC +
+    // nanos-as-long + the TopKPerKey rank-filter rewrite. Warehouse in
+    // /tmp: the join-compare below writes bucketed tables.
+    val spark = Graft.session("graft-bench", extraConfs = Map(
+      "spark.sql.warehouse.dir" ->
+        java.nio.file.Files.createTempDirectory("graft-bench-wh").toString))
     // untimed warmup: JVM/codegen and file-listing costs land here,
     // not on whichever query happens to run first
     Seq("lineitem", "events", "documents", "embeddings").foreach { t =>
@@ -24,7 +22,33 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // SURVEY §9: the same fact-fact join aggregate from plain parquet
+    // (exchange on both sides) vs pre-bucketed tables (no exchange) —
+    // broadcast disabled so the delta IS the shuffle. Bucket write is
+    // untimed (it is a once-per-corpus cost amortized over every
+    // recurring join); min of 2 runs each.
+    val joinCompare = try {
+      import org.apache.spark.sql.functions.count
+      val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+      val ord = spark.read.parquet(s"$sfDir/orders.parquet")
+        .withColumnRenamed("o_orderkey", "l_orderkey")
+      val prevThresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      def time(f: => Unit): Double =
+        { val t = System.nanoTime(); f; (System.nanoTime() - t) / 1e9 }
+      def run(df: org.apache.spark.sql.DataFrame): Unit =
+        { df.groupBy("o_orderpriority").agg(count("*")).collect(); () }
+      val shuffled = (1 to 2).map(_ => time(run(ord.join(li, "l_orderkey")))).min
+      analytics.Bucketing.writeBucketed(li, "bench_li", "l_orderkey", 8)
+      analytics.Bucketing.writeBucketed(ord, "bench_ord", "l_orderkey", 8)
+      val bucketed = (1 to 2).map(_ => time(run(
+        analytics.Bucketing.bucketedJoin(spark, "bench_ord", "bench_li", "l_orderkey")))).min
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThresh)
+      s""","join_compare":{"shuffle_smj":$shuffled,"bucketed_smj":$bucketed}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] join compare failed: ${e.getMessage}"); ""
+    }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$joinCompare}"""
     println(json)
     // stdout gets tail-truncated by harnesses — always keep the full
     // per-query JSON in a file too (path overridable via env)
