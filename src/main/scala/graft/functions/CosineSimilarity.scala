@@ -96,6 +96,8 @@ object GraftFunctions {
       "cosine_sim", cosineSimBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "jaccard_sorted", jaccardSortedBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "freq_sketch", FreqSketch.builder, "built-in")
   }
 }
 
@@ -112,6 +114,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("jaccard_sorted"),
       new ExpressionInfo(classOf[JaccardSorted].getName, "jaccard_sorted"),
       GraftFunctions.jaccardSortedBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("freq_sketch"),
+      new ExpressionInfo(classOf[FreqSketch].getName, "freq_sketch"),
+      FreqSketch.builder))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectOptimizerRule(_ => graft.plans.RankFilterToTopK)
   }

@@ -479,6 +479,38 @@ object TextOps {
         FROM tf JOIN df ON tf.term = df.term)
       SELECT doc_id, term, CAST(rk AS INTEGER) AS rk,
              ((20000 * tf + df) // (2 * df)) / 10000.0 AS tfidf4
-      FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk"""))
+      FROM ranked WHERE rk <= 3 ORDER BY doc_id, rk""")),
+
+    // C28: corpus heavy hitters, two-pass exact via the freq_sketch
+    // Misra-Gries aggregate (graft.functions.FreqSketch): pass 1
+    // sketches the stream into ≤ 160 counters (O(k) state per
+    // executor, merged once) whose keys are a GUARANTEED superset of
+    // every term with count > n/40 (error ≤ n/161 < n/40); pass 2
+    // exact-counts ONLY the broadcast candidates and thresholds. The
+    // result equals the full groupBy — which is exactly what the
+    // DuckDB oracle runs — while the wide aggregation never shuffles
+    // more than the candidate set.
+    ("tx_heavy_hitters", (s: SparkSession, d: String) => {
+      graft.functions.GraftFunctions.register(s)
+      val words = docs(s, d).select(explode(tokens(col("text"))).as("term"))
+      val cand = words.agg(expr("freq_sketch(term, 160)").as("sk"))
+        .select(explode(map_keys(col("sk"))).as("term"))
+      val totals = words.agg(count(lit(1)).as("n"))
+      words.join(broadcast(cand), "term")
+        .groupBy("term").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(totals))
+        .filter(col("cnt") * 40L > col("n"))
+        .select(col("term"), col("cnt"))
+        .orderBy(col("cnt").desc, col("term").asc)
+    }, Some("""
+      WITH nrm AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nrm
+        FROM documents),
+      w AS (SELECT unnest(regexp_split_to_array(nrm, ' ')) AS term FROM nrm),
+      t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w),
+      c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY term)
+      SELECT term, cnt FROM c, t WHERE cnt * 40 > n
+      ORDER BY cnt DESC, term ASC"""))
   )
 }
