@@ -199,20 +199,29 @@ object AnnOps {
     }, None),
 
     // C26: semantic near-dup via coarse clustering — assign every
-    // vector to its nearest deterministic centroid (vec_id % 40 == 0;
-    // a k-means refinement is an offline job), then score pairs ONLY
-    // within a cluster: O(N·K) assignment + Σ bucket² verification
-    // instead of N² — the standard SemDeDup shape. The argmax is a
-    // rank-1 filter (RankFilterToTopK → bounded heaps), ordered on the
-    // 4dp-rounded cosine with centroid-id tiebreak so both engines
-    // pick identical clusters. Mega-cluster guard at 500 (mirrored in
-    // the oracle) bounds the quadratic term; guarded-out clusters are
-    // a skew signal, not silent work.
+    // vector to its nearest centroid, then score pairs ONLY within a
+    // cluster: O(N·K) assignment + Σ bucket² verification instead of
+    // N² — the standard SemDeDup shape. Centroids are a FIXED-K
+    // deterministic sample (order by md5(vec_id), take K=64): K does
+    // not grow with the corpus, so assignment stays O(N·K) and the
+    // broadcast stays K vectors at any scale (a k-means refinement of
+    // the same K seeds is an offline job). md5-of-decimal-string
+    // ordering is bit-identical in Spark and DuckDB, which keeps the
+    // centroid set — and therefore every downstream row — oracle-
+    // checkable. The argmax is a rank-1 filter (RankFilterToTopK →
+    // bounded heaps), ordered on the 4dp-rounded cosine with
+    // centroid-id tiebreak so both engines pick identical clusters.
+    // Mega-cluster guard at 500 (mirrored in the oracle) bounds the
+    // quadratic term; guarded-out clusters are a skew signal, not
+    // silent work.
     ("dd_semantic", (s: SparkSession, d: String) => {
       GraftFunctions.register(s)
+      val kCentroids = 64
       val c = corpus(s, d)
-      val cents = broadcast(c.filter(col("vec_id") % 40 === 0)
-        .select(col("vec_id").as("cid"), col("v").as("cv")))
+      val cents = broadcast(
+        c.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+          .limit(kCentroids)
+          .select(col("vec_id").as("cid"), col("v").as("cv")))
       val scored = c.join(cents)
         .selectExpr("vec_id", "v", "cid", "round(cosine_sim(v, cv), 4) AS cs")
       val w = Window.partitionBy("vec_id").orderBy(col("cs").desc, col("cid").asc)
@@ -234,10 +243,14 @@ object AnnOps {
                CAST(unnest(embedding) AS DOUBLE) AS v
         FROM embeddings),
       n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY vec_id),
+      cents AS (
+        SELECT vec_id AS cid FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT 64),
       dots AS (
         SELECT a.vec_id AS vec_id, b.vec_id AS cid, sum(a.v * b.v) AS dot
         FROM f a JOIN f b ON a.i = b.i
-        WHERE b.vec_id % 40 = 0
+        WHERE b.vec_id IN (SELECT cid FROM cents)
         GROUP BY a.vec_id, b.vec_id),
       scored AS (
         SELECT dots.vec_id, cid,

@@ -85,7 +85,7 @@ case class FreqSketch(
     val keys = b.keys.toArray
     new ArrayBasedMapData(
       new GenericArrayData(keys.asInstanceOf[Array[Any]]),
-      new GenericArrayData(keys.map(b(_)).asInstanceOf[Array[Any]]))
+      new GenericArrayData(keys.map(key => b(key): Any))) // box: [J is not [Ljava.lang.Object;
   }
 
   override def serialize(b: mutable.HashMap[UTF8String, Long]): Array[Byte] = {
@@ -119,7 +119,6 @@ case class FreqSketch(
 
   override def dataType: DataType = MapType(StringType, LongType, valueContainsNull = false)
   override def nullable: Boolean = false
-  override def inputTypes: Seq[AbstractDataType] = Seq(StringType)
   override def children: Seq[Expression] = child :: Nil
   override def withNewMutableAggBufferOffset(n: Int): FreqSketch =
     copy(mutableAggBufferOffset = n)
