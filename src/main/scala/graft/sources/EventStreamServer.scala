@@ -1,0 +1,179 @@
+package graft.sources
+
+import java.io.{BufferedReader, InputStreamReader, PrintWriter}
+import java.net.{InetAddress, ServerSocket, Socket, SocketException}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import scala.util.control.NonFatal
+
+/** Cross-service event streaming — the serving half (reference:
+  * server.go `reflex.NewServer` + `StreamFunc`; client.go consumes it;
+  * grpctest/stream exercises resume). The reference frames protobuf
+  * events over gRPC; here the same contract — "client presents a
+  * cursor, server streams every event after it, long-polling at the
+  * head" — is a one-request-line JSON protocol over a plain socket, so
+  * the consuming side stays the stock Spark socket source.
+  *
+  * Protocol: the client sends ONE line `{"after": N, "toHead": B}`;
+  * the server replies with one wire-format event per line (see
+  * SocketEventSource.wireSchema) strictly in id order, starting after
+  * N. `toHead=true` closes at the head-at-connect (StreamToHead);
+  * otherwise the server polls the log and keeps streaming as events
+  * land (StreamFromHead semantics for N=head, plain Stream otherwise).
+  *
+  * Scale note: serving is driver/control-plane by nature (the
+  * reference server is one process reading its own DB); each chunk is
+  * a pushed-down `id > cursor` range scan + `limit`, so a serve from
+  * a late cursor never rescans the whole log, and the per-connection
+  * state is one long.
+  */
+class EventStreamServer(
+    log: () => DataFrame,
+    port: Int = 0,
+    pollMs: Long = 100L,
+    chunk: Int = 1024) extends AutoCloseable {
+
+  private val server = new ServerSocket(port, 16, InetAddress.getLoopbackAddress)
+  @volatile private var running = true
+
+  /** Bound port (for port=0 ephemeral binds). */
+  def boundPort: Int = server.getLocalPort
+
+  private val acceptor = new Thread(() => {
+    while (running) {
+      try {
+        val sock = server.accept()
+        val t = new Thread(() => handle(sock))
+        t.setDaemon(true)
+        t.start()
+      } catch {
+        case _: SocketException => () // closed
+        case NonFatal(_) => ()
+      }
+    }
+  }, s"event-stream-server-$boundPort")
+  acceptor.setDaemon(true)
+  acceptor.start()
+
+  private val AfterRe = """"after"\s*:\s*(-?\d+)""".r.unanchored
+  private val ToHeadRe = """"toHead"\s*:\s*true""".r.unanchored
+
+  private def handle(sock: Socket): Unit = {
+    try {
+      val in = new BufferedReader(new InputStreamReader(sock.getInputStream, "UTF-8"))
+      val out = new PrintWriter(sock.getOutputStream, false)
+      val req = in.readLine()
+      if (req == null) { sock.close(); return }
+      var cursor = req match { case AfterRe(n) => n.toLong; case _ => -1L }
+      val toHead = ToHeadRe.matches(req)
+      val head = if (toHead) headId() else Long.MaxValue
+      var done = cursor >= head
+      while (running && !done && !sock.isClosed) {
+        val rows = log()
+          .filter(col("id") > cursor && col("id") <= head)
+          .orderBy("id").limit(chunk)
+          .select(col("id"), col("eventType"), col("foreignId"),
+            unix_millis(col("ts")).as("ts_ms"), col("value"), col("metadata"))
+          .collect()
+        if (rows.isEmpty) {
+          if (toHead) done = true
+          else Thread.sleep(pollMs)
+        } else {
+          rows.foreach { r =>
+            out.println(SocketEventSource.toWire(r.getLong(0), r.getString(1),
+              r.getLong(2), r.getLong(3), r.getDouble(4), r.getString(5)))
+          }
+          out.flush()
+          cursor = rows.last.getLong(0)
+          if (cursor >= head) done = true
+        }
+      }
+      sock.close()
+    } catch {
+      case _: InterruptedException | _: SocketException => ()
+      case NonFatal(_) => try sock.close() catch { case NonFatal(_) => () }
+    }
+  }
+
+  private def headId(): Long = {
+    val r = log().agg(max("id")).collect()(0)
+    if (r.isNullAt(0)) -1L else r.getLong(0)
+  }
+
+  override def close(): Unit = {
+    running = false
+    server.close()
+  }
+}
+
+/** The consuming half (reference client.go `StreamClient`): present
+  * the consumer's durable cursor to a remote EventStreamServer, then
+  * drive the standard transport-blind consume loop over what arrives.
+  *
+  * The Spark socket source is read-only, so the request line is sent
+  * by a thin relay: open the remote stream with `after`, forward its
+  * bytes to a loopback port, and point the socket source there.
+  * Everything downstream — parsing, filtering, the cursor protocol in
+  * Runner.runStreamFrom — is byte-identical to the local-bus path;
+  * the only new semantics is that filtering now ALSO happens
+  * server-side, so a resume never re-ships the consumed prefix (the
+  * property that matters when the log is 100 TB and the pipe is a
+  * network).
+  */
+object EventStreamClient {
+
+  /** Open `Stream(after)` against a remote server and expose it on a
+    * loopback port for the Spark socket source.
+    * @return (local port, closer)
+    */
+  def relay(host: String, port: Int, after: Long,
+      toHead: Boolean = false): (Int, () => Unit) = {
+    val remote = new Socket(host, port)
+    val req = new PrintWriter(remote.getOutputStream, true)
+    req.println(s"""{"after":$after,"toHead":$toHead}""")
+    val local = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+    val pump = new Thread(() => {
+      try {
+        val sock = local.accept()
+        val in = remote.getInputStream
+        val out = sock.getOutputStream
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) {
+          out.write(buf, 0, n)
+          out.flush()
+          n = in.read(buf)
+        }
+        sock.close()
+      } catch {
+        case _: InterruptedException | _: SocketException => ()
+        case NonFatal(_) => ()
+      }
+    }, "event-stream-relay")
+    pump.setDaemon(true)
+    pump.start()
+    (local.getLocalPort, () => {
+      try remote.close() catch { case NonFatal(_) => () }
+      try local.close() catch { case NonFatal(_) => () }
+    })
+  }
+
+  /** Consume a remote event stream with this consumer's own cursor
+    * store, resuming from the committed cursor (mid-stream, mid-log —
+    * wherever it points). Returns the running query and a closer that
+    * tears the transport down.
+    */
+  def consume(
+      spark: org.apache.spark.sql.SparkSession,
+      host: String,
+      port: Int,
+      spec: graft.events.Spec,
+      checkpointDir: String): (org.apache.spark.sql.streaming.StreamingQuery, () => Unit) = {
+    val after = spec.store.get(spec.consumer.name).getOrElse(-1L)
+    val (localPort, closeRelay) = relay(host, port, after)
+    val q = graft.events.Runner.runStreamFrom(
+      SocketEventSource.stream(spark, "localhost", localPort), spec, checkpointDir,
+      availableNow = false)
+    (q, closeRelay)
+  }
+}

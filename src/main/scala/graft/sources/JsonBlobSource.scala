@@ -34,9 +34,99 @@ object JsonBlobSource {
   /** Decode the in-blob offset from a packed event id. */
   def blobOffset(id: Column): Column = id.bitwiseAND(lit((1L << OffsetBits) - 1))
 
-  /** Batch view: every record of every blob, with its blob key. */
+  /** Batch view: every record of every blob, with its blob key.
+    * `recursiveFileLookup` descends bucket-style key prefixes
+    * (`2019/12/31/blob`, the reference's date-layout testdata);
+    * `.json.gz` blobs decompress transparently via the Hadoop codec
+    * chain — the same extension-driven behavior gocloud's bucket
+    * readers give the reference.
+    */
   def read(spark: SparkSession, dir: String): DataFrame =
-    spark.read.json(dir).withColumn("blob_key", input_file_name())
+    spark.read.option("recursiveFileLookup", "true").json(dir)
+      .withColumn("blob_key", input_file_name())
+
+  /** Split a blob of CONCATENATED top-level JSON values (the
+    * reference's default decoder — `json.Decoder` reads back-to-back
+    * values with no newline framing, rblob/json.go:20) into the raw
+    * value strings, in decoder order. Scans once, tracking string/
+    * escape state and bracket depth; top-level values must be objects
+    * or arrays (reference DTOs always are).
+    */
+  def splitConcatJson(s: String): IndexedSeq[String] = {
+    val out = IndexedSeq.newBuilder[String]
+    var i = 0
+    var start = -1
+    var depth = 0
+    var inStr = false
+    var esc = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        if (esc) esc = false
+        else if (c == '\\') esc = true
+        else if (c == '"') inStr = false
+      } else c match {
+        case '"' => inStr = true
+        case '{' | '[' =>
+          if (depth == 0) start = i
+          depth += 1
+        case '}' | ']' =>
+          depth -= 1
+          if (depth == 0 && start >= 0) { out += s.substring(start, i + 1); start = -1 }
+        case _ => ()
+      }
+      i += 1
+    }
+    out.result()
+  }
+
+  /** Reference-format batch view: blobs of concatenated JSON values
+    * (no line framing), possibly gzipped, under bucket-style prefixes.
+    * One task per blob (`wholetext`), records split in decoder order —
+    * `off` is the TRUE in-blob decode offset, exactly the offset the
+    * reference's `key|offset` cursor counts (rblob/blob.go:330
+    * loadCurrentBlob gobbles `offset+1` decodes to resume).
+    */
+  def readConcat(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    spark.read
+      .option("wholetext", "true")
+      .option("recursiveFileLookup", "true")
+      .text(dir)
+      .select(input_file_name().as("blob_key"), col("value"))
+      .as[(String, String)]
+      .flatMap { case (k, content) =>
+        splitConcatJson(content).zipWithIndex.map { case (j, off) => (k, off.toLong, j) }
+      }
+      .toDF("blob_key", "off", "json")
+  }
+
+  /** Reference-format blobs as an ordered event log with the packed
+    * (blob ordinal, decode offset) cursor — byte-for-byte the
+    * reference's resume semantics: `id > cursor` skips exactly the
+    * records a reference consumer at `key|offset` has seen, including
+    * mid-blob positions.
+    */
+  def asEventLogConcat(spark: SparkSession, dir: String, schema: StructType,
+      eventTypeCol: String, foreignIdCol: String, tsCol: String): DataFrame = {
+    import spark.implicits._
+    val recs = readConcat(spark, dir)
+    val keys = recs.select("blob_key").distinct()
+      .collect().map(_.getString(0)).sorted
+    val ordinals = keys.zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }.toSeq
+      .toDF("blob_key", "blob_ord")
+    recs.join(broadcast(ordinals), "blob_key")
+      .withColumn("id", shiftleft(col("blob_ord"), OffsetBits) + col("off"))
+      .withColumn("e", from_json(col("json"), schema))
+      .select(
+        col("id"),
+        col("e").getField(eventTypeCol).as("eventType"),
+        col("e").getField(foreignIdCol).cast("long").as("foreignId"),
+        col("e").getField(tsCol).cast("timestamp").as("ts"),
+        lit(0.0).as("value"),
+        to_json(struct(col("blob_key"), col("off"))).as("metadata"))
+  }
 
   /** Ordered event view with (blob key, offset) cursor semantics.
     * The only driver-side state is the sorted key list — the blob
@@ -74,6 +164,7 @@ object JsonBlobSource {
     spark.readStream
       .schema(schema)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .option("recursiveFileLookup", "true")
       .json(dir)
       .withColumn("blob_key", input_file_name())
 }

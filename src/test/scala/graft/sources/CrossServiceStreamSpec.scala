@@ -1,0 +1,99 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import scala.jdk.CollectionConverters._
+import graft.TestSpark
+import graft.events.{Consumer, MemCursorStore, Runner, Spec}
+
+/** Cross-service streaming parity (reference: server.go serves
+  * StreamFunc over gRPC, client.go consumes with its own cursor,
+  * grpctest/stream asserts resume): service A SERVES its events table,
+  * service B consumes it over the wire with B's own cursor store, and
+  * a reconnect resumes mid-stream without the server re-shipping the
+  * consumed prefix.
+  */
+class CrossServiceStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def mkTable(n: Int): EventsTable = {
+    val dir = Files.createTempDirectory("graft-xsvc").resolve("log").toString
+    val table = new EventsTable(spark, dir)
+    import spark.implicits._
+    table.insert((0 until n).map { i =>
+      ("click", (i % 3).toLong, java.sql.Timestamp.valueOf(f"2024-01-01 00:${i % 60}%02d:00"), 1.0, "{}")
+    }.toDF("eventType", "foreignId", "ts", "value", "metadata"))
+    table
+  }
+
+  test("wire protocol: Stream(after, toHead) serves only events past the cursor, in id order") {
+    val table = mkTable(10)
+    val server = new EventStreamServer(() => table.log.df)
+    try {
+      val sock = new java.net.Socket("localhost", server.boundPort)
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      out.println("""{"after":3,"toHead":true}""")
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+      val ids = Iterator.continually(in.readLine()).takeWhile(_ != null)
+        .map { line => """"id":(\d+)""".r.findFirstMatchIn(line).get.group(1).toLong }
+        .toSeq
+      sock.close()
+      // server-side cursor filtering: 0..3 never cross the wire
+      assert(ids === (4L to 9L))
+    } finally server.close()
+  }
+
+  test("remote consumer resumes from its own cursor; reconnect continues mid-stream") {
+    val table = mkTable(10)
+    val server = new EventStreamServer(() => table.log.df, pollMs = 50L)
+    val store = new MemCursorStore(Map("remote" -> 3L))
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val spec = Spec(null, store, Consumer("remote",
+      b => b.select("id").collect().foreach(r => seen.add(r.getLong(0)))))
+    try {
+      // --- connection 1: resume from cursor 3, then follow live appends
+      val ckpt1 = Files.createTempDirectory("graft-xsvc-ckpt1").toString
+      val (q1, close1) = EventStreamClient.consume(
+        spark, "localhost", server.boundPort, spec, ckpt1)
+      try {
+        val deadline = System.currentTimeMillis() + 60000
+        while (seen.size < 6 && System.currentTimeMillis() < deadline) {
+          q1.processAllAvailable(); Thread.sleep(100)
+        }
+        assert(seen.asScala.toSet === (4L to 9L).toSet,
+          s"server must start after the presented cursor, got ${seen.asScala.toSet}")
+        assert(store.get("remote") === Some(9L))
+        // producer appends while the consumer is live (long-poll path)
+        import spark.implicits._
+        table.insert((0 until 3).map { i =>
+          ("tail", 1L, java.sql.Timestamp.valueOf(f"2024-01-01 01:0$i%d:00"), 1.0, "{}")
+        }.toDF("eventType", "foreignId", "ts", "value", "metadata"))
+        while (seen.size < 9 && System.currentTimeMillis() < deadline) {
+          q1.processAllAvailable(); Thread.sleep(100)
+        }
+        assert(seen.asScala.toSet === (4L to 12L).toSet)
+        assert(store.get("remote") === Some(12L))
+      } finally { q1.stop(); close1() }
+
+      // --- connection 2: a fresh transport + checkpoint presents the
+      // committed cursor; only genuinely new events arrive
+      seen.clear()
+      import spark.implicits._
+      table.insert((0 until 2).map { i =>
+        ("late", 2L, java.sql.Timestamp.valueOf(f"2024-01-01 02:0$i%d:00"), 1.0, "{}")
+      }.toDF("eventType", "foreignId", "ts", "value", "metadata"))
+      val ckpt2 = Files.createTempDirectory("graft-xsvc-ckpt2").toString
+      val (q2, close2) = EventStreamClient.consume(
+        spark, "localhost", server.boundPort, spec, ckpt2)
+      try {
+        val deadline = System.currentTimeMillis() + 60000
+        while (seen.size < 2 && System.currentTimeMillis() < deadline) {
+          q2.processAllAvailable(); Thread.sleep(100)
+        }
+        assert(seen.asScala.toSet === Set(13L, 14L))
+        assert(store.get("remote") === Some(14L))
+      } finally { q2.stop(); close2() }
+    } finally server.close()
+  }
+}

@@ -66,6 +66,63 @@ class SourcesSpec extends AnyFunSuite {
     assert(store.get("blob-consumer") === Some((1L << JsonBlobSource.OffsetBits) + 1L))
   }
 
+  test("reference-format blobs: gzip + bucket prefixes + concatenated JSON, mid-blob resume") {
+    // mirrors rblob/blob_test.go: date-prefixed keys (2019/12/31/...),
+    // blobs of CONCATENATED json values (no newline framing), one
+    // empty blob that must be skipped, resume from a mid-blob cursor
+    val dir = Files.createTempDirectory("graft-rblob")
+    val d1 = Files.createDirectories(dir.resolve("2019").resolve("12").resolve("31"))
+    val d2 = Files.createDirectories(dir.resolve("2020").resolve("01").resolve("01"))
+    def rec(i: Int) = s"""{"etype":"e$i","uid":$i,"at":"2024-01-01T00:00:0${i % 10}Z"}"""
+    def gz(p: java.nio.file.Path, s: String): Unit = {
+      val out = new java.util.zip.GZIPOutputStream(Files.newOutputStream(p))
+      out.write(s.getBytes("UTF-8")); out.close()
+    }
+    gz(d1.resolve("Test-2019-1to3.json.gz"), rec(1) + rec(2) + rec(3))
+    Files.write(d1.resolve("Test-2019-empty.json"), Array.emptyByteArray)
+    Files.write(d2.resolve("Test-2020-4to6.json"), (rec(4) + rec(5) + rec(6)).getBytes("UTF-8"))
+
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("etype", StringType),
+      StructField("uid", LongType), StructField("at", StringType)))
+    val log = JsonBlobSource.asEventLogConcat(
+      spark, dir.toString, schema, "etype", "uid", "at")
+    val rows = log.orderBy("id").collect()
+    // all 6 records, gzip decoded, key order across prefixes, decode
+    // order within a blob; the empty blob contributes nothing
+    assert(rows.map(_.getAs[String]("eventType")).toSeq ===
+      (1 to 6).map(i => s"e$i"))
+    val decoded = rows.map { r =>
+      val id = r.getAs[Long]("id")
+      (id >> JsonBlobSource.OffsetBits, id & ((1L << JsonBlobSource.OffsetBits) - 1))
+    }.toSeq
+    assert(decoded === Seq((0L, 0L), (0L, 1L), (0L, 2L), (1L, 0L), (1L, 1L), (1L, 2L)))
+
+    // mid-blob resume — the reference's "all after mid jan 1" case
+    // (cursor 2020/01/01/...|0): only the REST of that blob arrives
+    val midCursor = (1L << JsonBlobSource.OffsetBits) | 0L
+    val resumed = new graft.events.EventLog(log).after(midCursor).collect()
+    assert(resumed.map(_.getAs[String]("eventType")).toSeq === Seq("e5", "e6"))
+    // eof resume — reference "all after 2019 ... |eof": all of 2020
+    val eofCursor = (0L << JsonBlobSource.OffsetBits) | 2L
+    val afterEof = new graft.events.EventLog(log).after(eofCursor)
+      .collect().map(_.getAs[String]("eventType")).toSeq
+    assert(afterEof === Seq("e4", "e5", "e6"))
+    // a consumer drains from the mid-blob cursor and commits the head
+    val store = new MemCursorStore(Map("rblob" -> midCursor))
+    val res = Runner.runToHead(Spec(new graft.events.EventLog(log), store,
+      Consumer("rblob", _ => ())))
+    assert(res.consumed === 2L)
+    assert(store.get("rblob") === Some((1L << JsonBlobSource.OffsetBits) | 2L))
+  }
+
+  test("splitConcatJson handles nesting, strings with braces, and escapes") {
+    val vals = JsonBlobSource.splitConcatJson(
+      """{"a":"x{y}z","n":{"b":[1,2]}}[1,{"c":"\"}"}]{"d":"\\"}""")
+    assert(vals === Seq("""{"a":"x{y}z","n":{"b":[1,2]}}""",
+      """[1,{"c":"\"}"}]""", """{"d":"\\"}"""))
+  }
+
   test("forget removes an entity's events, keeps ids monotone with gaps") {
     val dir = Files.createTempDirectory("graft-forget").resolve("log").toString
     val table = new EventsTable(spark, dir)
