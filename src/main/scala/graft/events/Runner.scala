@@ -76,25 +76,41 @@ object Runner {
   }
 
   /** Ids that close each batch of `batchSize` events in (cursor, head]
-    * — every batchSize-th id by rank, plus the head. Two-level rank
-    * (block-local row_number + tiny cumulative block offsets), so no
-    * partition ever sorts more than one id block.
+    * — every batchSize-th id by global rank, plus the head — streamed
+    * LAZILY: boundaries are fetched one block-group at a time, so the
+    * driver never holds O(batches) longs (10^12 events / batchSize
+    * 10^3 would be 8 GB collected eagerly). Live driver state is the
+    * block index (one (blk, count) pair per 2^20-id block — the same
+    * order as the file listing) plus ONE group's boundaries
+    * (`blocksPerGroup`·2^20/batchSize longs, ~256 KB at defaults).
+    * Rank is still two-level — block-local row_number + driver-summed
+    * block offsets — so no partition ever sorts more than one block,
+    * and each group's job reads a PUSHED-DOWN id range only.
     */
-  private def batchBoundaries(df: DataFrame, cursor: Long, head: Long,
-      batchSize: Int): Seq[Long] = {
+  private[events] def batchBoundaries(df: DataFrame, cursor: Long, head: Long,
+      batchSize: Int, blocksPerGroup: Int = 32): Iterator[Long] = {
     import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
     val t = df.filter(col("id") > cursor && col("id") <= head).select(col("id"))
       .withColumn("blk", call_function("div", col("id"), lit(1L << 20)))
-    val local = Window.partitionBy("blk").orderBy("id")
-    val offW = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
-    val offsets = t.groupBy("blk").agg(count(lit(1)).as("bn"))
-      .withColumn("off", coalesce(sum("bn").over(offW), lit(0L)))
-      .select("blk", "off")
-    t.withColumn("lrk", row_number().over(local).cast("long"))
-      .join(broadcast(offsets), "blk")
-      .filter((col("lrk") + col("off")) % batchSize === 0 || col("id") === head)
-      .select("id").distinct()
-      .collect().map(_.getLong(0)).sorted.toSeq
+    // block index, collected once: O(idRange / 2^20)
+    val blocks = t.groupBy("blk").agg(count(lit(1)).as("bn"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    val offsets = blocks.scanLeft(0L) { case (acc, (_, bn)) => acc + bn }
+    blocks.zip(offsets).grouped(blocksPerGroup).flatMap { group =>
+      val loId = math.max(cursor + 1, group.head._1._1 * (1L << 20))
+      val hiId = math.min(head, (group.last._1._1 + 1) * (1L << 20) - 1)
+      val offDf = broadcast(
+        group.map { case ((blk, _), off) => (blk, off) }.toSeq.toDF("blk", "off"))
+      val local = Window.partitionBy("blk").orderBy("id")
+      t.filter(col("id") >= loId && col("id") <= hiId)
+        .withColumn("lrk", row_number().over(local).cast("long"))
+        .join(offDf, "blk")
+        .filter((col("lrk") + col("off")) % batchSize === 0 || col("id") === head)
+        .select("id").distinct()
+        .collect().map(_.getLong(0)).sorted.iterator
+    }
   }
 
   /** One batch attempt honoring the consumer's error mode.
@@ -176,6 +192,47 @@ object Runner {
       .agg(max(unix_timestamp(col("ts")))).collect()(0)
     val secLag = if (cursor < 0 || behindTs.isNullAt(0)) 0L else headTs - behindTs.getLong(0)
     (math.max(head - cursor, 0L), math.max(secLag, 0L))
+  }
+
+  /** Partition-pruned lag probe for a date-partitioned log (`raw` =
+    * the frame WITH its `date` partition column): instead of scanning
+    * the whole log for the cursor row, probe date partitions newest →
+    * oldest — each probe is one PartitionFilters-pruned scan of a
+    * single date. EventsTable appends make ids monotone with dates, so
+    * the loop stops at the first partition whose min(id) ≤ cursor: a
+    * healthy consumer's cursor sits in the newest partition and the
+    * probe reads exactly one date of a 100 TB log, never all of it.
+    */
+  def lagPartitioned(raw: DataFrame, store: CursorStore,
+      consumerName: String): (Long, Long) = {
+    val cursor = store.get(consumerName).getOrElse(-1L)
+    val r = raw.agg(max("id"), max(unix_timestamp(col("ts")))).collect()(0)
+    if (r.isNullAt(0)) return (0L, 0L)
+    val head = r.getLong(0)
+    val headTs = r.getLong(1)
+    val eventLag = math.max(head - cursor, 0L)
+    if (cursor < 0) return (eventLag, 0L)
+    // O(#partitions) listing — the same metadata any planner listing holds
+    val dates = raw.select("date").distinct().orderBy(col("date").desc)
+      .collect().map(_.getDate(0))
+    var secLag = 0L
+    var i = 0
+    var stop = false
+    while (i < dates.length && !stop) {
+      val probe = raw.filter(col("date") === dates(i))
+        .agg(min("id"),
+          max(when(col("id") === cursor, unix_timestamp(col("ts"))))).collect()(0)
+      if (!probe.isNullAt(1)) {
+        secLag = math.max(headTs - probe.getLong(1), 0L)
+        stop = true
+      } else if (!probe.isNullAt(0) && probe.getLong(0) <= cursor) {
+        // ids are monotone with dates: older partitions hold smaller
+        // ids only — the cursor row does not exist (gap/forgotten)
+        stop = true
+      }
+      i += 1
+    }
+    (eventLag, secLag)
   }
 
   /** rpatterns/await.go: first event after `cursor` matching the

@@ -2,6 +2,7 @@ package graft.events
 
 import org.scalatest.funsuite.AnyFunSuite
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, lit}
 import java.util.concurrent.atomic.AtomicLong
 import scala.concurrent.ExecutionContext
 import graft.TestSpark
@@ -198,5 +199,62 @@ class RunnerSpec extends AnyFunSuite {
     assert(first === Some(1L)) // known from the seeded data
     val none = Runner.await(log, cursor = 999L, fid = 12L, "signup")
     assert(none === None)
+  }
+
+  test("batchBoundaries streams lazily across id blocks with exact global ranks") {
+    import spark.implicits._
+    // 96 ids spread across THREE 2^20-id blocks (sparse, like a
+    // gap-filled log) — forces multi-group iteration with carry-over
+    // ranks between blocks
+    val ids = (0 until 96).map(i => i.toLong * (1L << 15) * 3L)
+    val df = ids.toDF("id")
+    val head = ids.max
+    val bounds = Runner.batchBoundaries(df, -1L, head, batchSize = 10,
+      blocksPerGroup = 1)
+    // lazy: pulling the FIRST boundary must not require later groups
+    assert(bounds.hasNext)
+    val sorted = ids.sorted
+    val expected = (sorted.indices.collect {
+      case i if (i + 1) % 10 == 0 => sorted(i)
+    } :+ head).distinct
+    assert(bounds.toSeq === expected)
+    // every event lands in exactly one batch when consumed through them
+    val store = new MemCursorStore()
+    var n = 0L
+    val res = Runner.runToHead(Spec(new EventLog(
+      df.select(col("id"), lit("t").as("eventType"), lit(1L).as("foreignId"),
+        lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00")).as("ts"),
+        lit(1.0).as("value"), lit("{}").as("metadata"))),
+      store, Consumer("c-bounds", b => { n += b.count(); () }), batchSize = 10))
+    assert(n === 96L)
+    assert(res.finalCursor === head)
+  }
+
+  test("lagPartitioned probes newest date partitions only, matching full-scan lag") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-lagpart")
+      .resolve("log").toString
+    val table = new graft.sources.EventsTable(spark, dir, partitionByDate = true)
+    table.insert((0 until 30).map { i =>
+      ("click", (i % 3).toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-0${i / 10 + 1}%d 00:${i % 60}%02d:00"), 1.0, "{}")
+    }.toDF("eventType", "foreignId", "ts", "value", "metadata"))
+
+    // cursor in the NEWEST partition: one-probe path
+    val store = new MemCursorStore(Map("c-lp" -> 25L))
+    assert(Runner.lagPartitioned(table.raw, store, "c-lp") ===
+      Runner.lag(table.log, store, "c-lp"))
+    // cursor in the middle partition: probes days 3, then 2, stops
+    store.set("c-lp", 15L)
+    assert(Runner.lagPartitioned(table.raw, store, "c-lp") ===
+      Runner.lag(table.log, store, "c-lp"))
+    // forgotten cursor row: monotone-id early stop, secLag 0
+    table.forget(1L) // removes ids ≡ 1 mod 3, incl. 16
+    store.set("c-lp", 16L)
+    assert(Runner.lagPartitioned(table.raw, store, "c-lp") ===
+      Runner.lag(table.log, store, "c-lp"))
+    // unset cursor
+    val fresh = new MemCursorStore()
+    assert(Runner.lagPartitioned(table.raw, fresh, "c-none")._2 === 0L)
   }
 }
