@@ -48,7 +48,38 @@ object Bench {
     } catch { case e: Throwable =>
       System.err.println(s"[bench] join compare failed: ${e.getMessage}"); ""
     }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$joinCompare}"""
+    // quality-vs-cost metrics for the approximate ANN paths: recall is
+    // measured THROUGH the shipped query path (planted perturbed
+    // clones), so the L-tables trade (spark.graft.ann.lsh.tables) is a
+    // recorded number, not a claim
+    val annExtra = try {
+      val lshRecall = ann.AnnOps.plantedCloneRecall(spark, sfDir, SparkEntry.queries("ann_lsh"))
+      val ivfRecall = ann.AnnOps.plantedCloneRecall(spark, sfDir, SparkEntry.queries("ann_ivf"))
+      val tables = spark.conf.get("spark.graft.ann.lsh.tables", "4")
+      s""","ann":{"lsh_recall":$lshRecall,"lsh_tables":$tables,"ivf_recall":$ivfRecall}"""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ann recall failed: ${e.getMessage}"); ""
+    }
+    // reference-equivalent baseline: embed the committed DuckDB
+    // wall-times (tools/baseline_times.py, same oracle SQL over the
+    // same parquet) so spark_s and duckdb_s sit in ONE artifact and
+    // "within 2x" is checkable from the bench JSON alone
+    val duckCompare = try {
+      val sfName = new java.io.File(sfDir).getName
+      val p = java.nio.file.Paths.get(sys.env.getOrElse(
+        "SPARK_GRAFT_BASELINE", s"BASELINE_TIMES_$sfName.json"))
+      if (java.nio.file.Files.exists(p)) {
+        val content = java.nio.file.Files.readString(p).trim
+        val duckTotal = """"total"\s*:\s*([0-9.]+)""".r
+          .findFirstMatchIn(content).map(_.group(1).toDouble)
+        val ratio = duckTotal.filter(_ > 0).map(dt => total / dt)
+          .map(r => s""","vs_duckdb_total":${math.round(r * 100) / 100.0}""").getOrElse("")
+        s""","duckdb":$content$ratio"""
+      } else ""
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] baseline embed failed: ${e.getMessage}"); ""
+    }
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$joinCompare$annExtra$duckCompare}"""
     println(json)
     // stdout gets tail-truncated by harnesses — always keep the full
     // per-query JSON in a file too (path overridable via env)

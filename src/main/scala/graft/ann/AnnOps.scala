@@ -45,6 +45,31 @@ object AnnOps {
       .selectExpr("probe", "neighbor", "cosine_sim(pv, nv) AS cos")
   }
 
+  /** Planted-perturbed-clone top-1 recall through an ANN query path —
+    * the bench artifact's quality metric for the approximate paths
+    * (same construction as AnnRecallSpec): probes 0..15 are tiny
+    * perturbations of 16 corpus vectors whose originals sit at
+    * id+100; recall = fraction of probes whose top-1 is its original.
+    */
+  def plantedCloneRecall(s: SparkSession, sfDir: String,
+      fn: (SparkSession, String) => DataFrame): Double = {
+    import s.implicits._
+    val base = s.read.parquet(s"$sfDir/embeddings.parquet")
+      .select("vec_id", "embedding").as[(Long, Seq[Float])]
+      .orderBy("vec_id").take(16)
+    val rows = base.zipWithIndex.map { case ((_, v), i) =>
+      (i.toLong, v.updated(0, v.head + 1e-3f))
+    }.toSeq ++ base.map { case (id, v) => (id + 100L, v) }
+    val dir = java.nio.file.Files.createTempDirectory("graft-recall").toString
+    rows.toDF("vec_id", "embedding").write.mode("overwrite")
+      .parquet(s"$dir/embeddings.parquet")
+    val top1 = fn(s, dir).filter("rk = 1").collect()
+      .map(r => r.getAs[Long]("probe") -> r.getAs[Long]("neighbor")).toMap
+    base.zipWithIndex.count { case ((id, _), i) =>
+      top1.get(i.toLong).contains(id + 100L)
+    } / base.length.toDouble
+  }
+
   private def topK(scored: DataFrame, k: Int): DataFrame = {
     val rk = Window.partitionBy("probe").orderBy(col("cos").desc, col("neighbor").asc)
     scored
@@ -122,17 +147,20 @@ object AnnOps {
       GROUP BY label, dim ORDER BY label, dim""")),
 
     // C7: LSH-bucketed top-5 — probes only score their own buckets.
-    // MULTI-TABLE: each vector hashes into L=4 independent hyperplane
+    // MULTI-TABLE: each vector hashes into L independent hyperplane
     // tables (disjoint plane sets); a neighbor is a candidate if it
     // shares a bucket in ANY table, lifting recall from single-table
-    // ~p to 1-(1-p)^4 at a constant 4× candidate-generation cost.
+    // ~p to 1-(1-p)^L at a constant L× candidate-generation cost.
+    // L defaults to 4 and is tunable via spark.graft.ann.lsh.tables —
+    // drop to 2 where measured recall permits (the bench artifact
+    // reports recall alongside wall time so the trade is visible).
     // Buckets with > maxBucket members are dropped per (table, bucket)
     // — the same skew guard as dedup's banded join (degenerate hubs:
     // zero vectors, near-duplicate boilerplate embeddings).
     ("ann_lsh", (s: SparkSession, d: String) => {
       GraftFunctions.register(s)
       import s.implicits._
-      val nTables = 4
+      val nTables = s.conf.get("spark.graft.ann.lsh.tables", "4").toInt
       val maxBucket = 10000
       val c = corpus(s, d).as[(Long, Seq[Double])]
         .flatMap { case (id, v) =>

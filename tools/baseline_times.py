@@ -1,0 +1,55 @@
+#!/usr/bin/env python3
+"""Measure reference-equivalent (DuckDB) wall-times for every oracle
+query, producing the baseline side of the bench comparison.
+
+DuckDB runs each `oracleSql` statement — the exact SQL the correctness
+gate validates against — over the same parquet tables, so the recorded
+seconds are an apples-to-apples single-node baseline for the queries
+the engine claims. Min of `runs` timed executions after one warmup.
+
+Usage: python3 tools/baseline_times.py <sfDir> <verifyOutDir> [runs]
+Writes: BASELINE_TIMES_<sfName>.json
+"""
+import sys, json, time, pathlib
+import duckdb
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
+          "lineitem", "events", "documents", "embeddings"]
+
+
+def main(sf_dir, out_dir, runs=2):
+    sf_name = pathlib.Path(sf_dir).name
+    oracle = json.loads((pathlib.Path(out_dir) / "oracle_sql.json").read_text())
+    con = duckdb.connect()
+    for t in TABLES:
+        con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    times = {}
+    for name in sorted(oracle):
+        sql = oracle[name]
+        try:
+            con.sql(sql).fetchall()  # warmup (I/O cache, plan)
+            best = min(
+                _timed(con, sql) for _ in range(runs))
+            times[name] = round(best, 4)
+            print(f"  {name}: {times[name]}s")
+        except Exception as e:  # noqa: BLE001 - record and continue
+            print(f"  {name}: FAILED {e}")
+    payload = {
+        "engine": "duckdb",
+        "sf": sf_name,
+        "total": round(sum(times.values()), 4),
+        "queries": times,
+    }
+    out = pathlib.Path(f"BASELINE_TIMES_{sf_name}.json")
+    out.write_text(json.dumps(payload) + "\n")
+    print(f"wrote {out}: total={payload['total']}s over {len(times)} queries")
+
+
+def _timed(con, sql):
+    t0 = time.perf_counter()
+    con.sql(sql).fetchall()
+    return time.perf_counter() - t0
+
+
+if __name__ == "__main__":
+    main(sys.argv[1], sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 2)
