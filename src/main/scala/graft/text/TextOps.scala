@@ -142,15 +142,36 @@ object TextOps {
 
     // C8b: character n-gram frequency profile per labeled language —
     // the statistical basis real language ID models train on.
+    // Gram counting runs as a typed per-partition loop with LOCAL
+    // (lang, gram) pre-aggregation: the HOF explode
+    // (transform(sequence(...))) is interpreted per row and allocates
+    // a string per gram occurrence, and the shuffle then carries every
+    // occurrence; the JVM loop shuffles one partial per (partition,
+    // lang, gram) instead — a bounded set (|langs|·|alphabet|³),
+    // independent of corpus size.
     ("tx_ngram_profile", (s: SparkSession, d: String) => {
+      import s.implicits._
       val rk = Window.partitionBy("lang").orderBy(col("n").desc, col("gram").asc)
-      docs(s, d)
+      val partials = docs(s, d)
         .select(col("lang"), TextOps.normalize(col("text")).as("norm"))
-        .select(col("lang"), explode(expr(
-          "transform(sequence(0, greatest(length(norm) - 3, 0)), i -> substring(norm, i + 1, 3))")).as("gram"))
-        .filter(length(col("gram")) === 3)
+        .as[(String, String)]
+        .mapPartitions { it =>
+          val m = scala.collection.mutable.HashMap.empty[(String, String), Long]
+          it.foreach { case (lang, norm) =>
+            var i = 0
+            val max = norm.length - 3
+            while (i <= max) {
+              val k = (lang, norm.substring(i, i + 3))
+              m.update(k, m.getOrElse(k, 0L) + 1L)
+              i += 1
+            }
+          }
+          m.iterator.map { case ((lang, gram), n) => (lang, gram, n) }
+        }
+        .toDF("lang", "gram", "n_part")
+      partials
         .groupBy("lang", "gram")
-        .agg(count(lit(1)).as("n"))
+        .agg(sum("n_part").as("n"))
         .withColumn("rk", row_number().over(rk))
         .filter(col("rk") <= 10)
         .select(col("lang"), col("rk"), col("gram"), col("n"))
@@ -206,23 +227,40 @@ object TextOps {
     // Shingles join relationally (broadcast benchmark grams), the
     // standard eval-contamination sweep before training.
     ("tx_decontaminate", (s: SparkSession, d: String) => {
-      // grams travel as xxhash64 int64s, not 30-char strings: the
+      // grams travel as 64-bit hashes, not 30-char strings: the
       // broadcast and the shuffle carry 8 bytes per gram instead of
       // ~30; distinct-counts on 64-bit hashes equal string counts up
       // to negligible collision odds (same argument as the minhash
-      // shingle hashing)
-      val grams = docs(s, d)
-        .select(col("doc_id"), normalize(col("text")).as("norm"))
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, greatest(length(norm) - 30, 0)), i -> substring(norm, i + 1, 30))")).as("g"))
-        .filter(length(col("g")) === 30)
-        .select(col("doc_id"), xxhash64(col("g")).as("gh"))
-      val bench = broadcast(grams.filter(col("doc_id") < 10)
-        .select(col("gh")).distinct())
-      grams.filter(col("doc_id") >= 10)
+      // shingle hashing). The gram loop is a typed flatMap with a
+      // per-doc local HashSet (interpreted HOF explode was this
+      // query's hot cost), emitting each doc's DISTINCT gram hashes
+      // once — and the doc_id partition of the corpus happens BEFORE
+      // gram generation, so the benchmark side grams only its 10 docs
+      // and the corpus is gram-scanned exactly once (the pushed-down
+      // filter can't cross an opaque lambda).
+      import s.implicits._
+      def gramHashes(df: DataFrame): org.apache.spark.sql.Dataset[(Long, Long)] =
+        df.select(col("doc_id"), normalize(col("text")).as("norm"))
+          .as[(Long, String)]
+          .flatMap { case (id, norm) =>
+            val set = new java.util.HashSet[java.lang.Long]()
+            var i = 0
+            val max = norm.length - 30
+            while (i <= max) {
+              set.add(graft.util.Hashing.string64(norm.substring(i, i + 30)))
+              i += 1
+            }
+            scala.jdk.CollectionConverters.IteratorHasAsScala(set.iterator())
+              .asScala.map(h => (id, h.longValue()))
+          }
+      val src = docs(s, d)
+      val bench = broadcast(gramHashes(src.filter(col("doc_id") < 10))
+        .toDF("doc_id", "gh").select("gh").distinct())
+      gramHashes(src.filter(col("doc_id") >= 10)).toDF("doc_id", "gh")
         .join(bench, "gh")
+        // gram hashes are already distinct within a doc — plain count
         .groupBy("doc_id")
-        .agg(countDistinct("gh").as("n_shared_grams"))
+        .agg(count(lit(1)).as("n_shared_grams"))
         .orderBy("doc_id")
     }, Some("""
       WITH norm AS (
@@ -279,9 +317,15 @@ object TextOps {
     // block (local) or the block-total frame (tiny) — the single-
     // partition sort of the whole corpus is gone.
     ("tx_token_shards", (s: SparkSession, d: String) => {
+      // the narrow (doc_id, n_tok, blk) frame is localCheckpoint'd:
+      // both passes below (block totals, then the local cumsum) read
+      // the ~24 B/doc materialized blocks instead of re-tokenizing
+      // the corpus text twice — at 100 TB the checkpoint is the
+      // reduced projection, never the text
       val t = docs(s, d)
         .select(col("doc_id"), size(tokens(col("text"))).as("n_tok"))
         .withColumn("blk", call_function("div", col("doc_id"), lit(4096L)))
+        .localCheckpoint()
       val local = Window.partitionBy("blk").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val offW = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
