@@ -31,6 +31,17 @@ import graft.util.AtomicDir
   * the per-bucket atomic swap here is the local-FS stand-in for that
   * metadata commit, at the same granularity.
   */
+object StateTable {
+  /** MERGE matched-clause: optional condition over `target.*` /
+    * `source.*`, then either DELETE or UPDATE SET (name → expression;
+    * empty set = replace the row with the source row).
+    */
+  final case class WhenMatched(
+      condition: Option[org.apache.spark.sql.Column] = None,
+      delete: Boolean = false,
+      set: Map[String, org.apache.spark.sql.Column] = Map.empty)
+}
+
 final class StateTable(spark: SparkSession, dir: String, nBuckets: Int = 64) {
   require(nBuckets > 0)
 
@@ -59,10 +70,86 @@ final class StateTable(spark: SparkSession, dir: String, nBuckets: Int = 64) {
     // allowMissingColumns: a state table written before a schema gained
     // a column (e.g. trace) still merges; the absent side reads null
     val merged = Patterns.latestState(current.unionByName(incoming, allowMissingColumns = true))
-
     // Stage the rewritten buckets, then swap each one atomically.
     // Staging avoids the read-from/write-to same-path conflict and
     // keeps every bucket old-or-new for concurrent readers.
+    writeBuckets(merged, touched)
+    touched
+  }
+
+  /** Generalized MERGE INTO over the bucket layout — the Delta/
+    * Iceberg `MERGE` surface re-expressed on partition-granular
+    * commits. Semantics (same clause model as Delta's builder):
+    *
+    *  - source rows are reduced to latest-per-foreignId first (a
+    *    micro-batch can carry several updates for one key);
+    *  - MATCHED + `whenMatched.condition` (default always) →
+    *    DELETE when `whenMatched.delete`, else apply `whenMatched.set`
+    *    (name → expression over `target.*`/`source.*` columns;
+    *    unlisted columns keep the SOURCE value when `set` is empty —
+    *    replace semantics — and the TARGET value otherwise);
+    *  - MATCHED, condition false → target row kept unchanged;
+    *  - NOT MATCHED (source only) → insert when `insertNotMatched`;
+    *  - NOT MATCHED BY SOURCE (target only) → kept, unless
+    *    `deleteNotMatchedBySource` (full-sync mode — this clause must
+    *    examine every bucket, so it reads the WHOLE state: use for
+    *    snapshot reconciliation, not per-batch upserts).
+    *
+    * Execution: one full-outer join per touched bucket set (source
+    * side shuffles on the same key the buckets hash on), then the
+    * usual staged write + per-bucket atomic swap. Cost is O(touched
+    * buckets), exactly like `upsert` — which is itself the
+    * `merge(batch)` default.
+    * @return the bucket ids rewritten
+    */
+  def merge(
+      source: DataFrame,
+      whenMatched: StateTable.WhenMatched = StateTable.WhenMatched(),
+      insertNotMatched: Boolean = true,
+      deleteNotMatchedBySource: Boolean = false): Seq[Int] = {
+    val reduced = Patterns.latestState(source).withColumn("state_bucket", bucketCol)
+    val touched: Seq[Int] =
+      if (deleteNotMatchedBySource && exists)
+        read.select("state_bucket").distinct().collect().map(_.getInt(0)).toSeq
+          .union(reduced.select("state_bucket").distinct().collect().map(_.getInt(0)).toSeq)
+          .distinct.sorted
+      else reduced.select("state_bucket").distinct()
+        .collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) return Nil
+
+    val current =
+      if (exists) read.filter(col("state_bucket").isin(touched.map(Integer.valueOf): _*))
+      else reduced.limit(0)
+    val outCols = current.columns.toSeq
+    val t = current.alias("target")
+    val s = reduced.select(outCols.map(col): _*).alias("source")
+    val j = t.join(s, col("target.foreignId") === col("source.foreignId"), "full_outer")
+    val matched = col("target.foreignId").isNotNull && col("source.foreignId").isNotNull
+    val matchCond = whenMatched.condition.getOrElse(lit(true))
+    // row survives unless: matched-delete fires, source-only without
+    // insert, or target-only under full-sync delete
+    val keep =
+      when(matched, !(matchCond && lit(whenMatched.delete)))
+        .when(col("target.foreignId").isNull, lit(insertNotMatched))
+        .otherwise(lit(!deleteNotMatchedBySource))
+    val defaultMatched: String => org.apache.spark.sql.Column =
+      if (whenMatched.set.isEmpty) c => col(s"source.$c") else c => col(s"target.$c")
+    val projected = j.filter(keep).select(outCols.map { c =>
+      when(matched && matchCond, whenMatched.set.getOrElse(c, defaultMatched(c)))
+        .when(matched, col(s"target.$c"))
+        .when(col("target.foreignId").isNull, col(s"source.$c"))
+        .otherwise(col(s"target.$c"))
+        .as(c)
+    }: _*)
+    // bucket recomputed from the surviving key (set-exprs cannot move a
+    // row between buckets: foreignId is the join key on both sides)
+    val merged = projected.drop("state_bucket").withColumn("state_bucket", bucketCol)
+    writeBuckets(merged, touched)
+    touched
+  }
+
+  /** Stage `merged` and atomically swap each touched bucket. */
+  private def writeBuckets(merged: DataFrame, touched: Seq[Int]): Unit = {
     val staging = dir + ".staging"
     AtomicDir.deleteRec(staging)
     merged.write.partitionBy("state_bucket").parquet(staging)
@@ -71,10 +158,9 @@ final class StateTable(spark: SparkSession, dir: String, nBuckets: Int = 64) {
       val src = Paths.get(staging, s"state_bucket=$b")
       val dst = Paths.get(dir, s"state_bucket=$b")
       if (Files.exists(src)) AtomicDir.replace(src, dst)
-      else AtomicDir.remove(dst) // bucket emptied (cannot happen on upsert; kept for delete paths)
+      else AtomicDir.remove(dst) // clause deleted every row of the bucket
     }
     AtomicDir.deleteRec(staging)
-    touched
   }
 
   /** Remove one entity from the state table, rewriting only its

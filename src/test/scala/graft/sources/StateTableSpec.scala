@@ -82,4 +82,76 @@ class StateTableSpec extends AnyFunSuite {
     assert(table.upsert(eventsDf(Nil)) === Nil)
     assert(!table.exists)
   }
+
+  test("merge default = upsert replace semantics; untouched buckets untouched") {
+    val dir = Files.createTempDirectory("graft-merge1").toString + "/state"
+    val table = new StateTable(spark, dir, nBuckets = 8)
+    table.upsert(eventsDf((0L until 50L).map(i => (i, i % 10))))
+    val before = bucketFiles(dir)
+    // one entity updated → its row replaced by the newer source row
+    table.merge(eventsDf(Seq((100L, 3L))))
+    assert(table.read.filter(col("foreignId") === 3L)
+      .select("id").collect().map(_.getLong(0)).toSeq === Seq(100L))
+    assert(table.read.count() === 10L)
+    val after = bucketFiles(dir)
+    val changed = (before.keySet ++ after.keySet).filter(k => before.get(k) != after.get(k))
+    assert(changed.size === 1)
+  }
+
+  test("merge matched-delete clause tombstones entities (conditional)") {
+    val dir = Files.createTempDirectory("graft-merge2").toString + "/state"
+    val table = new StateTable(spark, dir, nBuckets = 8)
+    table.upsert(eventsDf((0L until 20L).map(i => (i, i))))
+    // delete only the matched rows whose SOURCE event is a tombstone type
+    val tombstones = Seq((100L, "forget", 5L), (101L, "click", 6L))
+      .map { case (id, t, fid) =>
+        (id, t, fid, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0, "{}") }
+      .toDF("id", "eventType", "foreignId", "ts", "value", "metadata")
+    table.merge(tombstones,
+      whenMatched = StateTable.WhenMatched(
+        condition = Some(col("source.eventType") === "forget"), delete = true),
+      insertNotMatched = false)
+    assert(table.read.filter(col("foreignId") === 5L).isEmpty)
+    // fid 6: matched but condition false → row kept UNCHANGED (id 6, not 101)
+    assert(table.read.filter(col("foreignId") === 6L)
+      .select("id").collect().map(_.getLong(0)).toSeq === Seq(6L))
+    assert(table.read.count() === 19L)
+  }
+
+  test("merge update-set expressions combine target and source columns") {
+    val dir = Files.createTempDirectory("graft-merge3").toString + "/state"
+    val table = new StateTable(spark, dir, nBuckets = 8)
+    table.upsert(eventsDf(Seq((1L, 7L), (2L, 8L))))
+    val batch = Seq((10L, 7L), (11L, 9L)).map { case (id, fid) =>
+      (id, "click", fid, java.sql.Timestamp.valueOf("2024-01-02 00:00:00"), 5.0, "{}")
+    }.toDF("id", "eventType", "foreignId", "ts", "value", "metadata")
+    // accumulator semantics: value adds up, id advances; other columns
+    // keep the TARGET value when a set clause is present
+    table.merge(batch,
+      whenMatched = StateTable.WhenMatched(set = Map(
+        "value" -> (col("target.value") + col("source.value")),
+        "id" -> col("source.id"))))
+    val row7 = table.read.filter(col("foreignId") === 7L)
+      .select("id", "value", "ts").collect()(0)
+    assert(row7.getLong(0) === 10L)
+    assert(row7.getDouble(1) === 6.0) // 1.0 + 5.0
+    assert(row7.getTimestamp(2) === java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    // fid 9 was not matched → inserted as-is
+    assert(table.read.filter(col("foreignId") === 9L)
+      .select("value").collect()(0).getDouble(0) === 5.0)
+    assert(table.read.count() === 3L)
+  }
+
+  test("merge full-sync: deleteNotMatchedBySource reconciles to the source snapshot") {
+    val dir = Files.createTempDirectory("graft-merge4").toString + "/state"
+    val table = new StateTable(spark, dir, nBuckets = 8)
+    table.upsert(eventsDf((0L until 30L).map(i => (i, i))))
+    // snapshot keeps only even entities
+    val snapshot = eventsDf((0L until 30L).filter(_ % 2 == 0).map(i => (i + 100L, i)))
+    table.merge(snapshot, deleteNotMatchedBySource = true)
+    assert(table.read.count() === 15L)
+    assert(table.read.filter(col("foreignId") % 2 === 1).isEmpty)
+    assert(table.read.filter(col("foreignId") === 4L)
+      .select("id").collect().map(_.getLong(0)).toSeq === Seq(104L))
+  }
 }
