@@ -14,10 +14,19 @@ object Bench {
     Seq("lineitem", "events", "documents", "embeddings").foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").count()
     }
+    // min of 2 runs per query — the SAME methodology as the DuckDB
+    // baseline (tools/baseline_times.py: warmup + min of 2), so the
+    // side-by-side numbers compare steady-state to steady-state; a
+    // single cold run is dominated by one-shot whole-stage-codegen
+    // compilation (measured 4.6 s cold vs 1.2 s warm on
+    // tx_token_shards), which amortizes away on any real corpus
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> (1 to 2).map(_ => once()).min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -55,6 +55,55 @@ object TextOps {
 
   val entries: Seq[(String, QFn, Option[String])] = Seq(
 
+    // C29: corpus-mix report ("corpus card") — the per-(source, lang)
+    // rollup every training-data pipeline publishes before a run:
+    // document/token/char volumes, exact-dup exposure (docs whose
+    // normalized fingerprint appears more than once ANYWHERE in the
+    // corpus), distinct-content count, and each cell's share of the
+    // corpus. One scan + one fingerprint-partitioned window + one
+    // groupBy; all ratios in exact int64 (ratio4).
+    ("tx_source_mix", (s: SparkSession, d: String) => {
+      val fp = fingerprint(col("text"))
+      val base = docs(s, d).select(col("doc_id"), col("source"), col("lang"),
+        size(tokens(col("text"))).as("n_tok"),
+        length(col("text")).as("len"), fp.as("fp"))
+      val flagged = base.withColumn("grp",
+        count(lit(1)).over(Window.partitionBy("fp")))
+      val totals = flagged.agg(count(lit(1)).as("total"))
+      flagged.groupBy("source", "lang")
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum("n_tok").cast("long").as("n_tokens"),
+          sum("len").cast("long").as("n_chars"),
+          sum(when(col("grp") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+          countDistinct("fp").as("n_distinct"))
+        .crossJoin(broadcast(totals))
+        .withColumn("corpus_share4", ratio4(col("n_docs"), col("total")))
+        .withColumn("dup_rate4", ratio4(col("n_dup_docs"), col("n_docs")))
+        .drop("total")
+        .orderBy("source", "lang")
+    }, Some("""
+      WITH base AS (
+        SELECT doc_id, source, lang,
+               CAST(length(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok,
+               CAST(length(text) AS BIGINT) AS len,
+               md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        FROM documents),
+      flagged AS (
+        SELECT *, count(*) OVER (PARTITION BY fp) AS grp FROM base),
+      t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM base)
+      SELECT source, lang,
+             count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             CAST(sum(len) AS BIGINT) AS n_chars,
+             CAST(sum(CASE WHEN grp > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+             CAST(count(DISTINCT fp) AS BIGINT) AS n_distinct,
+             ((20000 * count(*) + total) // (2 * total)) / 10000.0 AS corpus_share4,
+             ((20000 * sum(CASE WHEN grp > 1 THEN 1 ELSE 0 END) + count(*))
+               // (2 * count(*))) / 10000.0 AS dup_rate4
+      FROM flagged, t
+      GROUP BY source, lang, total ORDER BY source, lang""")),
+
     // C10: token counting — whitespace + BPE-ish regex.
     ("tx_tokens", (s: SparkSession, d: String) => {
       docs(s, d).select(

@@ -72,6 +72,18 @@ class AnnRecallSpec extends AnyFunSuite {
     assert(hits >= 15, s"IVF top-1 recall $hits/16 below 90% for planted clones")
   }
 
+  test("lsh table count follows spark.graft.ann.lsh.tables (L=2 still recalls clones)") {
+    try {
+      spark.conf.set("spark.graft.ann.lsh.tables", "2")
+      val recall = AnnOps.plantedCloneRecall(spark, TestSpark.sf,
+        graft.SparkEntry.queries("ann_lsh"))
+      // perturbed clones nearly always share the bucket per table, so
+      // even L=2 keeps planted-clone recall high; the conf exists for
+      // the genuinely-near (not clone) regime where L buys recall
+      assert(recall >= 0.9, s"L=2 planted-clone recall $recall")
+    } finally spark.conf.unset("spark.graft.ann.lsh.tables")
+  }
+
   test("brute-force top-1 of a planted clone is the original vector") {
     import spark.implicits._
     val base = spark.read.parquet(s"${TestSpark.sf}/embeddings.parquet")
