@@ -31,4 +31,20 @@ class VerifyContractSpec extends AnyFunSuite {
     assert(!json.exists(c => c < ' '))
   }
 
+  test("every SURVEY §2 query key is implemented, and every query is inventoried") {
+    val survey = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get("SURVEY.md")), "UTF-8")
+    // inventory keys appear as backticked `<key>` cells in the §2
+    // tables; query keys all match this prefix grammar
+    val keyRe = """`((?:ev|q|q\d|dd|ann|tx|mm|pipeline)[0-9a-z_]*)`""".r
+    val inventoried = keyRe.findAllMatchIn(survey).map(_.group(1)).toSet
+      .filter(k => k.contains("_"))
+    val implemented = SparkEntry.queries.keySet
+    val missingImpl = inventoried -- implemented
+    assert(missingImpl.isEmpty,
+      s"SURVEY §2 declares queries with no implementation: $missingImpl")
+    val unlisted = implemented -- inventoried
+    assert(unlisted.isEmpty,
+      s"implemented queries missing from the SURVEY §2 inventory: $unlisted")
+  }
 }
