@@ -1,0 +1,23 @@
+package graft.tools
+
+/** Plan-shape audit for changed queries (disposable; run manually). */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    val spark = graft.Graft.session("graft-audit")
+    Seq("dd_semantic", "tx_ngram_profile", "tx_decontaminate", "tx_source_mix",
+      "tx_token_shards").foreach { q =>
+      val df = graft.SparkEntry.queries(q)(spark, sfDir)
+      val plan = df.queryExecution.executedPlan.toString
+      println(s"===== $q =====")
+      println(s"  broadcasts: ${plan.linesIterator.count(_.contains("BroadcastExchange"))}")
+      println(s"  shuffles:   ${plan.linesIterator.count(_.contains("Exchange hashpartitioning"))}")
+      println(s"  singlePart: ${plan.linesIterator.count(_.contains("Exchange SinglePartition"))}")
+      println(s"  topKNodes:  ${plan.linesIterator.count(_.contains("TopKPerKey"))}")
+      println(s"  wscodegen:  ${plan.linesIterator.count(_.contains("WholeStageCodegen"))}")
+      plan.linesIterator.filter(l => l.contains("PushedFilters: [") && !l.contains("PushedFilters: []"))
+        .take(3).foreach(l => println("  pushed: " + l.trim.take(140)))
+    }
+    spark.stop()
+  }
+}
