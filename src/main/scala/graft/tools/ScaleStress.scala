@@ -1,0 +1,53 @@
+package graft.tools
+
+import org.apache.spark.sql.functions._
+
+/** N× scale stress for the pipeline operators: replicate the corpus
+  * tables with shifted ids, run each heavy query at 1× and N× in the
+  * same session, and report the wall ratio. A healthy (linear)
+  * operator stays at or below the replication factor; anything
+  * super-linear is a quadratic-blowup regression.
+  *
+  * Probe-bounded queries (ann_*, dd_ngram_jaccard) keep their probe
+  * sets fixed (ids < bound stay un-replicated), so their ratios
+  * reflect corpus-side scaling only — the 100 TB access pattern.
+  */
+object ScaleStress {
+  def main(args: Array[String]): Unit = {
+    val base = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_STRESS_X", "10").toInt
+    val out = java.nio.file.Files.createTempDirectory("graft-stress").toString
+    val spark = graft.Graft.session("graft-stress")
+    val reps = broadcast(spark.range(factor).select(col("id").as("rep")))
+
+    spark.read.parquet(s"$base/documents.parquet").crossJoin(reps)
+      .withColumn("doc_id", col("doc_id") + col("rep") * 10000000L)
+      .drop("rep")
+      .write.parquet(s"$out/documents.parquet")
+    spark.read.parquet(s"$base/embeddings.parquet").crossJoin(reps)
+      .withColumn("vec_id", col("vec_id") + col("rep") * 10000000L)
+      .drop("rep")
+      .write.parquet(s"$out/embeddings.parquet")
+
+    val stressed = Seq(
+      "dd_exact", "dd_minhash_lsh", "dd_simhash", "dd_ngram_jaccard",
+      "dd_semantic", "ann_lsh", "ann_ivf", "ann_bruteforce",
+      "tx_ngram_profile", "tx_decontaminate", "tx_token_shards",
+      "tx_tfidf", "tx_heavy_hitters", "tx_source_mix",
+      "pipeline_prepare_corpus")
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    var worst = ("", 0.0)
+    stressed.foreach { q =>
+      val fn = graft.SparkEntry.queries(q)
+      val t1 = time(fn(spark, base).count())
+      val tN = time(fn(spark, out).count())
+      val ratio = tN / t1
+      if (ratio > worst._2) worst = (q, ratio)
+      println(f"[stress] $q%-24s 1x=$t1%6.2fs ${factor}x=$tN%7.2fs ratio=$ratio%5.1f")
+    }
+    println(f"[stress] worst ratio: ${worst._1} at ${worst._2}%.1fx (replication ${factor}x)")
+    spark.stop()
+  }
+}
