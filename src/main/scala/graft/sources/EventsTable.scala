@@ -22,17 +22,41 @@ final class EventsTable(spark: SparkSession, dir: String,
       * (SURVEY.md §5); consumers near the head only open the newest
       * date partitions.
       */
-    partitionByDate: Boolean = false) {
+    partitionByDate: Boolean = false,
+    /** canonical → physical column names (reference:
+      * rsql/eventstable.go WithEventIDField / WithEventTimeField /
+      * WithEventTypeField / WithEventForeignIDField /
+      * WithEventMetadataField / WithEventTraceField). The storage
+      * layer reads/writes the physical names; everything above it —
+      * EventLog slices, filters, Runner, StateTable — stays on the
+      * canonical projection, exactly like the reference keeps
+      * reflex.Event stable while the SQL schema varies.
+      */
+    fieldMap: Map[String, String] = Map.empty) {
+
+  private val canonicalNames =
+    Seq("id", "eventType", "foreignId", "ts", "value", "metadata", "trace")
+  require(fieldMap.keySet.subsetOf(canonicalNames.toSet),
+    s"fieldMap keys must be canonical names: ${fieldMap.keySet -- canonicalNames}")
+  private def physical(c: String): String = fieldMap.getOrElse(c, c)
 
   val schema: StructType = StructType(Seq(
-    StructField("id", LongType, nullable = false),
-    StructField("eventType", StringType),
-    StructField("foreignId", LongType),
-    StructField("ts", TimestampType),
-    StructField("value", DoubleType),
-    StructField("metadata", StringType),
+    StructField(physical("id"), LongType, nullable = false),
+    StructField(physical("eventType"), StringType),
+    StructField(physical("foreignId"), LongType),
+    StructField(physical("ts"), TimestampType),
+    StructField(physical("value"), DoubleType),
+    StructField(physical("metadata"), StringType),
     // api.go:18 Trace []byte — opaque tracing payload, null when absent
-    StructField("trace", BinaryType)))
+    StructField(physical("trace"), BinaryType)))
+
+  /** physical → canonical projection of a stored frame. */
+  private def canonicalize(df: DataFrame): DataFrame =
+    fieldMap.foldLeft(df) { case (d, (canon, phys)) => d.withColumnRenamed(phys, canon) }
+
+  /** canonical → physical rename before hitting storage. */
+  private def physicalize(df: DataFrame): DataFrame =
+    fieldMap.foldLeft(df) { case (d, (canon, phys)) => d.withColumnRenamed(canon, phys) }
 
   def exists: Boolean = new java.io.File(dir).exists()
 
@@ -40,13 +64,13 @@ final class EventsTable(spark: SparkSession, dir: String,
     val df =
       if (partitionByDate) spark.read.parquet(dir).drop("date")
       else spark.read.schema(schema).parquet(dir)
-    new EventLog(df)
+    new EventLog(canonicalize(df))
   }
 
-  /** Raw frame incl. the partition column — filter on `date` to see
-    * PartitionFilters pruning in the plan.
+  /** Raw frame incl. the partition column (canonical event names) —
+    * filter on `date` to see PartitionFilters pruning in the plan.
     */
-  def raw: DataFrame = spark.read.parquet(dir)
+  def raw: DataFrame = canonicalize(spark.read.parquet(dir))
 
   def head: Long = if (!exists) -1L else log.head()
 
@@ -71,7 +95,7 @@ final class EventsTable(spark: SparkSession, dir: String,
         .filter(col("date").isin(touched: _*) && col("foreignId") =!= foreignId)
       val staging = dir + ".staging"
       graft.util.AtomicDir.deleteRec(staging)
-      remaining.write.partitionBy("date").parquet(staging)
+      physicalize(remaining).write.partitionBy("date").parquet(staging)
       touched.foreach { d =>
         val src = java.nio.file.Paths.get(staging, s"date=$d")
         val dst = java.nio.file.Paths.get(dir, s"date=$d")
@@ -85,7 +109,7 @@ final class EventsTable(spark: SparkSession, dir: String,
       val remaining = log.df.filter(col("id").isNotNull && col("foreignId") =!= foreignId)
       val tmp = dir + ".tmp"
       graft.util.AtomicDir.deleteRec(tmp)
-      remaining.write.mode(SaveMode.Overwrite).parquet(tmp)
+      physicalize(remaining).write.mode(SaveMode.Overwrite).parquet(tmp)
       graft.util.AtomicDir.replace(tmp, dir)
     }
     head
@@ -108,7 +132,7 @@ final class EventsTable(spark: SparkSession, dir: String,
     val df = spark.createDataFrame(withIds, schema)
     val writer =
       if (partitionByDate)
-        df.withColumn("date", to_date(col("ts"))).write.partitionBy("date")
+        df.withColumn("date", to_date(col(physical("ts")))).write.partitionBy("date")
       else df.write
     writer.mode(SaveMode.Append).parquet(dir)
     head

@@ -248,6 +248,38 @@ class SourcesSpec extends AnyFunSuite {
     assert(events(1).trace === null)
   }
 
+  test("custom physical field names (rsql WithEvent*Field): storage renamed, API canonical") {
+    val dir = Files.createTempDirectory("graft-etable-fields").resolve("log").toString
+    // reference-style schema customization: the SQL table calls them
+    // event_seq / kind / entity_id / created_at
+    val table = new EventsTable(spark, dir, fieldMap = Map(
+      "id" -> "event_seq", "eventType" -> "kind",
+      "foreignId" -> "entity_id", "ts" -> "created_at"))
+    import spark.implicits._
+    table.insert(Seq(
+      ("signup", 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0, "{}"),
+      ("click", 2L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 2.0, "{}"))
+      .toDF("eventType", "foreignId", "ts", "value", "metadata"))
+
+    // on disk: physical names only
+    val physCols = spark.read.parquet(dir).columns.toSet
+    assert(physCols.contains("event_seq") && physCols.contains("kind") &&
+      physCols.contains("entity_id") && physCols.contains("created_at"))
+    assert(!physCols.contains("id") && !physCols.contains("eventType"))
+    // through the API: canonical names, same consumer loop as ever
+    val store = new MemCursorStore()
+    var seen = 0L
+    Runner.runToHead(Spec(table.log, store,
+      Consumer("fields-consumer", b => { seen += b.count(); () })))
+    assert(seen === 2L)
+    assert(store.get("fields-consumer") === Some(1L))
+    // compaction round-trips the rename (write path physicalizes)
+    table.forget(1L)
+    assert(table.log.df.count() === 1L)
+    assert(table.log.df.select("eventType").collect()(0).getString(0) === "click")
+    assert(spark.read.parquet(dir).columns.toSet.contains("event_seq"))
+  }
+
   test("EventsTable assigns monotone ids across appends and feeds the consumer loop") {
     val dir = Files.createTempDirectory("graft-etable").resolve("log").toString
     val table = new EventsTable(spark, dir)
