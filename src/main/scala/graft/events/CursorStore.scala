@@ -48,6 +48,36 @@ final class FileCursorStore(dir: String) extends CursorStore {
   }
 }
 
+/** Async cursor commits (reference: rsql/cursorstable.go
+  * WithCursorAsyncPeriod): `set` buffers in memory and a daemon
+  * flushes the newest cursor per consumer to the backing store every
+  * `periodMs`; `flush()`/`close()` force a write. Trades cursor-write
+  * amplification (one durable write per period instead of per batch —
+  * the point at 10^9 batches) for a bounded replay window: a crash
+  * loses at most `periodMs` of cursor progress, so delivery stays
+  * at-least-once, never skipping. Reads are read-your-writes (pending
+  * overlays the backing store).
+  */
+final class AsyncCursorStore(backing: CursorStore, periodMs: Long = 1000L)
+    extends CursorStore with AutoCloseable {
+  private val pending = TrieMap.empty[String, Long]
+  @volatile private var running = true
+  private val flusher = new Thread(() => {
+    while (running) {
+      try Thread.sleep(periodMs) catch { case _: InterruptedException => () }
+      if (running) flush()
+    }
+  }, "async-cursor-flush")
+  flusher.setDaemon(true)
+  flusher.start()
+
+  def get(name: String): Option[Long] = pending.get(name).orElse(backing.get(name))
+  def set(name: String, cursor: Long): Unit = pending.put(name, cursor)
+  override def flush(): Unit =
+    pending.keys.toSeq.foreach { k => pending.remove(k).foreach(backing.set(k, _)) }
+  override def close(): Unit = { running = false; flusher.interrupt(); flush() }
+}
+
 object CursorStore {
   /** rpatterns/cursor.go ReadThroughCursorStore: read falls back,
     * fallback hit is written through, writes go to primary only.

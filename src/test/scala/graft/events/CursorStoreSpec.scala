@@ -66,4 +66,39 @@ class CursorStoreSpec extends AnyFunSuite {
     bs.set("new-consumer", 1005L)
     assert(bs.get("new-consumer") === Some(1005L))
   }
+
+  test("async cursors: read-your-writes, periodic durable flush, bounded crash replay") {
+    val backing = new MemCursorStore(Map("c" -> 5L))
+    // long period: the daemon never fires during the test — flushes
+    // happen only when forced, so timing is deterministic
+    val async = new AsyncCursorStore(backing, periodMs = 3600000L)
+    assert(async.get("c") === Some(5L))
+    async.set("c", 50L)
+    assert(async.get("c") === Some(50L))   // read-your-writes
+    assert(backing.get("c") === Some(5L))  // not yet durable
+    async.flush()
+    assert(backing.get("c") === Some(50L))
+    // newer-than-flushed write stays pending until the next flush
+    async.set("c", 60L)
+    assert(backing.get("c") === Some(50L))
+    // "crash" path: discarding the wrapper without flush loses at most
+    // the pending window — the consumer replays from 50, never skips
+    val resumed = new AsyncCursorStore(backing, periodMs = 3600000L)
+    assert(resumed.get("c") === Some(50L))
+    // graceful close forces the flush
+    async.close()
+    assert(backing.get("c") === Some(60L))
+    resumed.close()
+  }
+
+  test("async cursors flush on the period without an explicit call") {
+    val backing = new MemCursorStore()
+    val async = new AsyncCursorStore(backing, periodMs = 50L)
+    async.set("p", 7L)
+    val deadline = System.currentTimeMillis() + 10000
+    while (backing.get("p").isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(20)
+    assert(backing.get("p") === Some(7L))
+    async.close()
+  }
 }
