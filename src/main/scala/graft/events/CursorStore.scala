@@ -65,7 +65,10 @@ final class AsyncCursorStore(backing: CursorStore, periodMs: Long = 1000L)
   private val flusher = new Thread(() => {
     while (running) {
       try Thread.sleep(periodMs) catch { case _: InterruptedException => () }
-      if (running) flush()
+      // A failed durable write must not kill the daemon: the value
+      // stays pending (flush removes only after a successful set) and
+      // the next period retries.
+      if (running) try flush() catch { case scala.util.control.NonFatal(_) => () }
     }
   }, "async-cursor-flush")
   flusher.setDaemon(true)
@@ -73,8 +76,20 @@ final class AsyncCursorStore(backing: CursorStore, periodMs: Long = 1000L)
 
   def get(name: String): Option[Long] = pending.get(name).orElse(backing.get(name))
   def set(name: String, cursor: Long): Unit = pending.put(name, cursor)
-  override def flush(): Unit =
-    pending.keys.toSeq.foreach { k => pending.remove(k).foreach(backing.set(k, _)) }
+  /** Synchronized so a daemon flush and a close() flush cannot
+    * interleave and write an older cursor after a newer one. Writes
+    * backing BEFORE removing from pending (conditionally — a newer
+    * set() during the write stays pending), so get() never transiently
+    * loses a committed value mid-flush.
+    */
+  override def flush(): Unit = synchronized {
+    var firstErr: Throwable = null
+    pending.snapshot().foreach { case (k, v) =>
+      try { backing.set(k, v); pending.remove(k, v) }
+      catch { case scala.util.control.NonFatal(e) => if (firstErr == null) firstErr = e }
+    }
+    if (firstErr != null) throw firstErr
+  }
   override def close(): Unit = { running = false; flusher.interrupt(); flush() }
 }
 

@@ -206,33 +206,39 @@ object Runner {
   def lagPartitioned(raw: DataFrame, store: CursorStore,
       consumerName: String): (Long, Long) = {
     val cursor = store.get(consumerName).getOrElse(-1L)
-    val r = raw.agg(max("id"), max(unix_timestamp(col("ts")))).collect()(0)
-    if (r.isNullAt(0)) return (0L, 0L)
-    val head = r.getLong(0)
-    val headTs = r.getLong(1)
-    val eventLag = math.max(head - cursor, 0L)
-    if (cursor < 0) return (eventLag, 0L)
     // O(#partitions) listing — the same metadata any planner listing holds
     val dates = raw.select("date").distinct().orderBy(col("date").desc)
       .collect().map(_.getDate(0))
+    // ONE newest→oldest loop computes head AND the cursor timestamp:
+    // ids are monotone with dates, so the first non-empty partition
+    // holds the head, and a healthy consumer's cursor sits in that
+    // same partition — the whole probe is then a single pruned scan.
+    // (The old shape ran a separate max(id), max(ts) over the full
+    // log first, which at 100 TB is a full scan per monitoring call.)
+    var head = -1L
+    var headTs = 0L
     var secLag = 0L
     var i = 0
     var stop = false
     while (i < dates.length && !stop) {
-      val probe = raw.filter(col("date") === dates(i))
-        .agg(min("id"),
+      val p = raw.filter(col("date") === dates(i))
+        .agg(max("id"), max(unix_timestamp(col("ts"))), min("id"),
           max(when(col("id") === cursor, unix_timestamp(col("ts"))))).collect()(0)
-      if (!probe.isNullAt(1)) {
-        secLag = math.max(headTs - probe.getLong(1), 0L)
-        stop = true
-      } else if (!probe.isNullAt(0) && probe.getLong(0) <= cursor) {
-        // ids are monotone with dates: older partitions hold smaller
-        // ids only — the cursor row does not exist (gap/forgotten)
-        stop = true
+      if (!p.isNullAt(0)) {
+        if (head < 0) { head = p.getLong(0); headTs = p.getLong(1) }
+        if (cursor < 0) stop = true
+        else if (!p.isNullAt(3)) {
+          secLag = math.max(headTs - p.getLong(3), 0L)
+          stop = true
+        } else if (p.getLong(2) <= cursor) {
+          // older partitions hold smaller ids only — the cursor row
+          // does not exist (gap/forgotten)
+          stop = true
+        }
       }
       i += 1
     }
-    (eventLag, secLag)
+    if (head < 0) (0L, 0L) else (math.max(head - cursor, 0L), secLag)
   }
 
   /** rpatterns/await.go: first event after `cursor` matching the

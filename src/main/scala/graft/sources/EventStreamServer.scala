@@ -43,7 +43,7 @@ class EventStreamServer(
     while (running) {
       try {
         val sock = server.accept()
-        val t = new Thread(() => handle(sock))
+        val t = new Thread(() => handle(sock), s"event-stream-handler-$boundPort")
         t.setDaemon(true)
         t.start()
       } catch {
@@ -61,11 +61,28 @@ class EventStreamServer(
   private def handle(sock: Socket): Unit = {
     try {
       val in = new BufferedReader(new InputStreamReader(sock.getInputStream, "UTF-8"))
-      val out = new PrintWriter(sock.getOutputStream, false)
+      // Explicit UTF-8 (matches the reader and the Spark socket
+      // source's decode) — the PrintWriter default is the platform
+      // charset, which silently garbles non-ASCII fields elsewhere.
+      val out = new PrintWriter(new java.io.OutputStreamWriter(
+        sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8), false)
       val req = in.readLine()
       if (req == null) { sock.close(); return }
       var cursor = req match { case AfterRe(n) => n.toLong; case _ => -1L }
       val toHead = ToHeadRe.matches(req)
+      // Peer-disconnect detection: sock.isClosed only sees LOCAL
+      // closes and PrintWriter swallows IOExceptions, so a dropped
+      // long-poll client would otherwise leak a handler thread
+      // running Spark jobs forever. The protocol is one request line
+      // then server→client only, so a blocking read() can return only
+      // on EOF/reset (or a protocol violation) — a zero-cost watcher
+      // that closes the socket, which both ends of the poll loop see.
+      val watcher = new Thread(() => {
+        try { sock.getInputStream.read(); () } catch { case NonFatal(_) => () }
+        try sock.close() catch { case NonFatal(_) => () }
+      }, "event-stream-peer-watch")
+      watcher.setDaemon(true)
+      watcher.start()
       val head = if (toHead) headId() else Long.MaxValue
       var done = cursor >= head
       while (running && !done && !sock.isClosed) {
@@ -79,13 +96,14 @@ class EventStreamServer(
           if (toHead) done = true
           else Thread.sleep(pollMs)
         } else {
-          rows.foreach { r =>
-            out.println(SocketEventSource.toWire(r.getLong(0), r.getString(1),
-              r.getLong(2), r.getLong(3), r.getDouble(4), r.getString(5)))
-          }
+          rows.foreach { r => out.println(SocketEventSource.toWire(r)) }
           out.flush()
-          cursor = rows.last.getLong(0)
-          if (cursor >= head) done = true
+          // write failure (peer reset between watcher wake-ups)
+          if (out.checkError()) done = true
+          else {
+            cursor = rows.last.getLong(0)
+            if (cursor >= head) done = true
+          }
         }
       }
       sock.close()

@@ -38,6 +38,19 @@ final class EventsTable(spark: SparkSession, dir: String,
     Seq("id", "eventType", "foreignId", "ts", "value", "metadata", "trace")
   require(fieldMap.keySet.subsetOf(canonicalNames.toSet),
     s"fieldMap keys must be canonical names: ${fieldMap.keySet -- canonicalNames}")
+  // Physical names must be unique and must not collide with any
+  // canonical name (other than their own, a no-op mapping): a
+  // collision yields duplicate schema columns and makes the
+  // rename folds order-dependent (withColumnRenamed over a Map).
+  require(fieldMap.values.toSeq.distinct.size == fieldMap.size,
+    s"fieldMap physical names must be unique: ${
+      fieldMap.values.groupBy(identity).collect { case (v, g) if g.size > 1 => v }.mkString(",")}")
+  private val renamed = fieldMap.filter { case (c, p) => c != p }
+  require(renamed.values.forall(p => !canonicalNames.contains(p)),
+    s"fieldMap physical names must not shadow canonical columns: ${
+      renamed.values.filter(canonicalNames.contains).mkString(",")}")
+  require(!partitionByDate || !fieldMap.values.exists(_ == "date"),
+    "fieldMap physical names must not collide with the `date` partition column")
   private def physical(c: String): String = fieldMap.getOrElse(c, c)
 
   val schema: StructType = StructType(Seq(

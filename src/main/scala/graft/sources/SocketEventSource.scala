@@ -58,4 +58,16 @@ object SocketEventSource {
     val et = graft.Verify.jsonQuote(eventType)
     s"""{"id":$id,"eventType":$et,"foreignId":$foreignId,"ts_ms":$tsMs,"value":$value,"metadata":$meta}"""
   }
+
+  /** Null-tolerant serialization from a collected row shaped
+    * (id, eventType, foreignId, ts_ms, value, metadata): every field
+    * but id is nullable in the canonical schema and emits JSON null,
+    * which from_json round-trips back to a null column value.
+    */
+  def toWire(r: org.apache.spark.sql.Row): String = {
+    def s(i: Int) = if (r.isNullAt(i)) "null" else graft.Verify.jsonQuote(r.getString(i))
+    def l(i: Int) = if (r.isNullAt(i)) "null" else r.getLong(i).toString
+    def d(i: Int) = if (r.isNullAt(i)) "null" else r.getDouble(i).toString
+    s"""{"id":${r.getLong(0)},"eventType":${s(1)},"foreignId":${l(2)},"ts_ms":${l(3)},"value":${d(4)},"metadata":${s(5)}}"""
+  }
 }

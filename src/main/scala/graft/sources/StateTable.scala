@@ -120,12 +120,23 @@ final class StateTable(spark: SparkSession, dir: String, nBuckets: Int = 64) {
     val current =
       if (exists) read.filter(col("state_bucket").isin(touched.map(Integer.valueOf): _*))
       else reduced.limit(0)
-    val outCols = current.columns.toSeq
-    val t = current.alias("target")
-    val s = reduced.select(outCols.map(col): _*).alias("source")
+    // Schema evolution, both directions (same tolerance as upsert's
+    // unionByName(allowMissingColumns)): a column either side lacks
+    // reads as a typed null there.
+    val outCols = current.columns.toSeq ++
+      reduced.columns.filterNot(current.columns.contains)
+    def align(df: DataFrame, other: DataFrame): DataFrame =
+      outCols.foldLeft(df) { (d, c) =>
+        if (d.columns.contains(c)) d
+        else d.withColumn(c, lit(null).cast(other.schema(c).dataType))
+      }
+    val t = align(current, reduced).alias("target")
+    val s = align(reduced, current).select(outCols.map(col): _*).alias("source")
     val j = t.join(s, col("target.foreignId") === col("source.foreignId"), "full_outer")
     val matched = col("target.foreignId").isNotNull && col("source.foreignId").isNotNull
-    val matchCond = whenMatched.condition.getOrElse(lit(true))
+    // MERGE clause conditions act only when TRUE: a NULL condition
+    // must behave as false (keep/skip), not propagate into the filter.
+    val matchCond = coalesce(whenMatched.condition.getOrElse(lit(true)), lit(false))
     // row survives unless: matched-delete fires, source-only without
     // insert, or target-only under full-sync delete
     val keep =

@@ -206,13 +206,17 @@ object TextOps {
         .as[(String, String)]
         .mapPartitions { it =>
           val m = scala.collection.mutable.HashMap.empty[(String, String), Long]
+          // null text → null norm: skip, matching the HOF/oracle
+          // behavior (zero grams), instead of NPE-ing the task
           it.foreach { case (lang, norm) =>
-            var i = 0
-            val max = norm.length - 3
-            while (i <= max) {
-              val k = (lang, norm.substring(i, i + 3))
-              m.update(k, m.getOrElse(k, 0L) + 1L)
-              i += 1
+            if (norm != null) {
+              var i = 0
+              val max = norm.length - 3
+              while (i <= max) {
+                val k = (lang, norm.substring(i, i + 3))
+                m.update(k, m.getOrElse(k, 0L) + 1L)
+                i += 1
+              }
             }
           }
           m.iterator.map { case ((lang, gram), n) => (lang, gram, n) }
@@ -292,15 +296,19 @@ object TextOps {
         df.select(col("doc_id"), normalize(col("text")).as("norm"))
           .as[(Long, String)]
           .flatMap { case (id, norm) =>
-            val set = new java.util.HashSet[java.lang.Long]()
-            var i = 0
-            val max = norm.length - 30
-            while (i <= max) {
-              set.add(graft.util.Hashing.string64(norm.substring(i, i + 30)))
-              i += 1
+            // null text → null norm: zero grams (oracle parity), not NPE
+            if (norm == null) Iterator.empty
+            else {
+              val set = new java.util.HashSet[java.lang.Long]()
+              var i = 0
+              val max = norm.length - 30
+              while (i <= max) {
+                set.add(graft.util.Hashing.string64(norm.substring(i, i + 30)))
+                i += 1
+              }
+              scala.jdk.CollectionConverters.IteratorHasAsScala(set.iterator())
+                .asScala.map(h => (id, h.longValue()))
             }
-            scala.jdk.CollectionConverters.IteratorHasAsScala(set.iterator())
-              .asScala.map(h => (id, h.longValue()))
           }
       val src = docs(s, d)
       val bench = broadcast(gramHashes(src.filter(col("doc_id") < 10))
@@ -421,7 +429,8 @@ object TextOps {
       val scored = docs(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
         .mapPartitions { it =>
           val md = java.security.MessageDigest.getInstance("MD5")
-          it.map { case (id, text) =>
+          it.map { case (id, nullableText) =>
+            val text = if (nullableText == null) "" else nullableText // null doc scores as empty
             val toks = text.toLowerCase.replaceAll("[^a-z0-9\\s]", " ")
               .replaceAll("\\s+", " ").trim.split(" ")
             val nTok = toks.length.toDouble

@@ -31,6 +31,7 @@ object Hashing {
 
   /** distinct char n-gram shingles. */
   def charShingles(s: String, n: Int): Array[String] = {
+    if (s == null) return Array.empty // null text normalizes to null: no shingles
     if (s.length < n) return if (s.isEmpty) Array.empty else Array(s)
     val out = new scala.collection.mutable.LinkedHashSet[String]
     var i = 0

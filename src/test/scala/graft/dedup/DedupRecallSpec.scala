@@ -38,4 +38,21 @@ class DedupRecallSpec extends AnyFunSuite {
     // and the pair list is not flooded with false positives
     assert(pairs.size <= expected.size * 3)
   }
+
+  test("banding threshold quantifies the recall guarantee of the shipped 4x8 banding") {
+    // the curve is the MMDS S-curve: steep between the verify
+    // threshold and 1.0
+    assert(DedupOps.bandingRecall(1.0, 4, 8) === 1.0)
+    assert(DedupOps.bandingRecall(0.95, 4, 8) > 0.98)
+    assert(DedupOps.bandingRecall(0.5, 4, 8) < 0.02) // far pairs stay apart
+    // the guaranteed-99%-expected-recall similarity for 4 bands × 8 rows
+    val t99 = DedupOps.bandingThreshold(4, 8, target = 0.99)
+    assert(t99 > 0.94 && t99 < 0.97, s"t99=$t99")
+    // recall is monotone in the threshold: anything above t99 recalls ≥99%
+    assert(DedupOps.bandingRecall(t99 + 0.01, 4, 8) >= 0.99)
+    // and the planted-perturbation corpus above sits ABOVE the 90%
+    // threshold, which is why the 0.9 recall assertion is sound
+    val t90 = DedupOps.bandingThreshold(4, 8, target = 0.90)
+    assert(t90 < 0.92, s"t90=$t90")
+  }
 }

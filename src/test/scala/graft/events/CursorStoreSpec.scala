@@ -91,6 +91,32 @@ class CursorStoreSpec extends AnyFunSuite {
     resumed.close()
   }
 
+  test("async cursors survive backing-store failures: value stays pending, daemon retries") {
+    @volatile var failing = true
+    val inner = new MemCursorStore()
+    val flaky = new CursorStore {
+      def get(name: String): Option[Long] = inner.get(name)
+      def set(name: String, cursor: Long): Unit = {
+        if (failing) throw new RuntimeException("disk full")
+        inner.set(name, cursor)
+      }
+    }
+    val async = new AsyncCursorStore(flaky, periodMs = 30L)
+    async.set("c", 10L)
+    // explicit flush surfaces the error BUT keeps the value pending
+    intercept[RuntimeException] { async.flush() }
+    assert(async.get("c") === Some(10L)) // read-your-writes survives the failure
+    // let the daemon hit the failure a few times — it must not die
+    Thread.sleep(150)
+    failing = false
+    // the daemon (still alive) retries and the write lands durably
+    val deadline = System.currentTimeMillis() + 10000
+    while (inner.get("c").isEmpty && System.currentTimeMillis() < deadline)
+      Thread.sleep(20)
+    assert(inner.get("c") === Some(10L))
+    async.close()
+  }
+
   test("async cursors flush on the period without an explicit call") {
     val backing = new MemCursorStore()
     val async = new AsyncCursorStore(backing, periodMs = 50L)

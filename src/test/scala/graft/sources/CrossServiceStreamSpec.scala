@@ -44,6 +44,61 @@ class CrossServiceStreamSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("null event fields cross the wire as JSON null and round-trip through from_json") {
+    val dir = Files.createTempDirectory("graft-xsvc-null").resolve("log").toString
+    val table = new EventsTable(spark, dir)
+    import spark.implicits._
+    // value / metadata / eventType all null on one event
+    table.insert(Seq(
+      (Some("click"), 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), Some(1.0), Some("{}")),
+      (None, 2L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), None, None))
+      .toDF("eventType", "foreignId", "ts", "value", "metadata"))
+    val server = new EventStreamServer(() => table.log.df)
+    try {
+      val sock = new java.net.Socket("localhost", server.boundPort)
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      out.println("""{"after":-1,"toHead":true}""")
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+      val lines = Iterator.continually(in.readLine()).takeWhile(_ != null).toSeq
+      sock.close()
+      assert(lines.size === 2, s"null-field event must not kill the stream: $lines")
+      // round-trip: the null-field line parses to a row with nulls, id intact
+      val parsed = Seq(lines(1)).toDF("value")
+        .select(org.apache.spark.sql.functions.from_json(
+          org.apache.spark.sql.functions.col("value"),
+          SocketEventSource.wireSchema).as("e"))
+        .select("e.id", "e.eventType", "e.value", "e.metadata").collect()(0)
+      assert(parsed.getLong(0) === 1L)
+      assert(parsed.isNullAt(1) && parsed.isNullAt(2) && parsed.isNullAt(3))
+    } finally server.close()
+  }
+
+  test("server detects client disconnect during a long poll and frees the handler") {
+    val table = mkTable(3)
+    val server = new EventStreamServer(() => table.log.df, pollMs = 50L)
+    def handlers: Int = {
+      val all = new Array[Thread](Thread.activeCount() + 16)
+      Thread.enumerate(all)
+      all.count(t => t != null && t.getName == s"event-stream-handler-${server.boundPort}" && t.isAlive)
+    }
+    try {
+      val sock = new java.net.Socket("localhost", server.boundPort)
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      out.println("""{"after":100,"toHead":false}""") // past head → long poll
+      val deadline0 = System.currentTimeMillis() + 10000
+      while (handlers < 1 && System.currentTimeMillis() < deadline0) Thread.sleep(20)
+      assert(handlers === 1)
+      sock.close() // client goes away mid-poll
+      // the peer-watcher read() returns EOF and closes the socket,
+      // which the poll loop sees — without it this thread would spin
+      // Spark jobs forever
+      val deadline = System.currentTimeMillis() + 15000
+      while (handlers > 0 && System.currentTimeMillis() < deadline) Thread.sleep(50)
+      assert(handlers === 0, "handler thread must exit after peer disconnect")
+    } finally server.close()
+  }
+
   test("remote consumer resumes from its own cursor; reconnect continues mid-stream") {
     val table = mkTable(10)
     val server = new EventStreamServer(() => table.log.df, pollMs = 50L)

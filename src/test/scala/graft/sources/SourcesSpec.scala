@@ -280,6 +280,24 @@ class SourcesSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).columns.toSet.contains("event_seq"))
   }
 
+  test("fieldMap rejects colliding physical names at construction") {
+    val dir = Files.createTempDirectory("graft-etable-badmap").resolve("log").toString
+    // duplicate physical name
+    intercept[IllegalArgumentException] {
+      new EventsTable(spark, dir, fieldMap = Map("id" -> "x", "eventType" -> "x"))
+    }
+    // physical name shadows another canonical column
+    intercept[IllegalArgumentException] {
+      new EventsTable(spark, dir, fieldMap = Map("eventType" -> "metadata"))
+    }
+    // physical name collides with the date partition column
+    intercept[IllegalArgumentException] {
+      new EventsTable(spark, dir, partitionByDate = true, fieldMap = Map("ts" -> "date"))
+    }
+    // identity mapping is a harmless no-op
+    new EventsTable(spark, dir, fieldMap = Map("id" -> "id"))
+  }
+
   test("EventsTable assigns monotone ids across appends and feeds the consumer loop") {
     val dir = Files.createTempDirectory("graft-etable").resolve("log").toString
     val table = new EventsTable(spark, dir)

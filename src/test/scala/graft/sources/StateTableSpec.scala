@@ -142,6 +142,45 @@ class StateTableSpec extends AnyFunSuite {
     assert(table.read.count() === 3L)
   }
 
+  test("merge matched-delete with a NULL condition keeps the row (MERGE three-valued logic)") {
+    val dir = Files.createTempDirectory("graft-merge5").toString + "/state"
+    val table = new StateTable(spark, dir, nBuckets = 8)
+    table.upsert(eventsDf((0L until 5L).map(i => (i, i))))
+    // source row for fid 2 has a NULL eventType: the delete condition
+    // evaluates to NULL, which must behave as NOT-fired (row kept),
+    // not propagate into the filter and drop the row
+    val batch = Seq((100L, null.asInstanceOf[String], 2L))
+      .map { case (id, t, fid) =>
+        (id, t, fid, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0, "{}") }
+      .toDF("id", "eventType", "foreignId", "ts", "value", "metadata")
+    table.merge(batch,
+      whenMatched = StateTable.WhenMatched(
+        condition = Some(col("source.eventType") === "forget"), delete = true),
+      insertNotMatched = false)
+    // fid 2 kept UNCHANGED (condition did not hold)
+    assert(table.read.filter(col("foreignId") === 2L)
+      .select("id").collect().map(_.getLong(0)).toSeq === Seq(2L))
+    assert(table.read.count() === 5L)
+  }
+
+  test("merge tolerates schema drift in both directions (missing / extra source columns)") {
+    val dir = Files.createTempDirectory("graft-merge6").toString + "/state"
+    val table = new StateTable(spark, dir, nBuckets = 8)
+    // state written with a trace column the incoming batch lacks
+    table.upsert(eventsDf(Seq((1L, 7L), (2L, 8L))).withColumn("trace", lit("t0")))
+    table.merge(eventsDf(Seq((10L, 7L))))
+    val r7 = table.read.filter(col("foreignId") === 7L).select("id", "trace").collect()(0)
+    assert(r7.getLong(0) === 10L)
+    assert(r7.isNullAt(1)) // replace semantics: source row (trace absent → null)
+    // and the other direction: source carries a column the state lacks
+    // (read back with mergeSchema: only rewritten buckets carry it)
+    table.merge(eventsDf(Seq((20L, 9L))).withColumn("extra", lit(5L)))
+    val merged = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(merged.columns.toSet.contains("extra"))
+    assert(merged.filter(col("foreignId") === 9L)
+      .select("extra").collect()(0).getLong(0) === 5L)
+  }
+
   test("merge full-sync: deleteNotMatchedBySource reconciles to the source snapshot") {
     val dir = Files.createTempDirectory("graft-merge4").toString + "/state"
     val table = new StateTable(spark, dir, nBuckets = 8)
