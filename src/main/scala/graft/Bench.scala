@@ -73,28 +73,55 @@ object Bench {
     // wall-times (tools/baseline_times.py, same oracle SQL over the
     // same parquet) so spark_s and duckdb_s sit in ONE artifact and
     // "within 2x" is checkable from the bench JSON alone
+    // Reference-equivalent baseline: embed the committed DuckDB
+    // wall-times (tools/baseline_times.py, same oracle SQL over the
+    // same parquet) so spark_s and duckdb_s sit in ONE artifact. The
+    // headline ratio is computed over the INTERSECTION of query keys
+    // (DuckDB runs only the oracle-SQL queries, and skips any that
+    // fail) — totals over mismatched sets are not comparable.
+    var vsDuck = ""
     val duckCompare = try {
       val sfName = new java.io.File(sfDir).getName
       val p = java.nio.file.Paths.get(sys.env.getOrElse(
         "SPARK_GRAFT_BASELINE", s"BASELINE_TIMES_$sfName.json"))
       if (java.nio.file.Files.exists(p)) {
         val content = java.nio.file.Files.readString(p).trim
-        val duckTotal = """"total"\s*:\s*([0-9.]+)""".r
-          .findFirstMatchIn(content).map(_.group(1).toDouble)
-        val ratio = duckTotal.filter(_ > 0).map(dt => total / dt)
-          .map(r => s""","vs_duckdb_total":${math.round(r * 100) / 100.0}""").getOrElse("")
+        val pair = """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r
+        val duckQ = pair.findAllMatchIn(content)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap -- Seq("total", "sf")
+        val shared = results.keySet.intersect(duckQ.keySet)
+        val ratio = if (shared.nonEmpty) {
+          val sparkShared = shared.toSeq.map(results).sum
+          val duckShared = shared.toSeq.map(duckQ).sum
+          if (duckShared > 0) {
+            val r = math.round(sparkShared / duckShared * 100) / 100.0
+            vsDuck = s""","shared_n":${shared.size},"spark_shared":${r3(sparkShared)},"duckdb_shared":${r3(duckShared)},"vs_duckdb_shared":$r"""
+            vsDuck
+          } else ""
+        } else ""
         s""","duckdb":$content$ratio"""
       } else ""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] baseline embed failed: ${e.getMessage}"); ""
     }
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"$joinCompare$annExtra$duckCompare}"""
-    println(json)
     // stdout gets tail-truncated by harnesses — always keep the full
     // per-query JSON in a file too (path overridable via env)
     val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] file write failed: ${e.getMessage}") }
+    println(json)
+    // The harness records only the LAST ~2000 chars of stdout, and the
+    // full line above outgrew that long ago (every prior round's bench
+    // artifact shows a mid-line truncation). Print a compact summary
+    // LAST — headline totals, the baseline ratio, ANN quality, and the
+    // slowest queries — sized to survive the tail intact; the complete
+    // per-query map is the line above and BENCH_LOCAL.json.
+    val slowest = results.toSeq.sortBy(-_._2).take(20)
+      .map { case (k, v) => s"\"$k\":${r3(v)}" }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"sf":"${new java.io.File(sfDir).getName}"$vsDuck$annExtra$joinCompare,"slowest":$slowest,"full":"$out"}""")
     spark.stop()
   }
+
+  private def r3(v: Double): Double = math.round(v * 1000) / 1000.0
 }

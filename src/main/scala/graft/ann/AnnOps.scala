@@ -57,17 +57,103 @@ object AnnOps {
     val base = s.read.parquet(s"$sfDir/embeddings.parquet")
       .select("vec_id", "embedding").as[(Long, Seq[Float])]
       .orderBy("vec_id").take(16)
+    // empty corpus → no probes: report 0.0, not 0/0 (NaN would make
+    // the bench JSON line unparseable)
+    if (base.isEmpty) return 0.0
     val rows = base.zipWithIndex.map { case ((_, v), i) =>
       (i.toLong, v.updated(0, v.head + 1e-3f))
     }.toSeq ++ base.map { case (id, v) => (id + 100L, v) }
-    val dir = java.nio.file.Files.createTempDirectory("graft-recall").toString
-    rows.toDF("vec_id", "embedding").write.mode("overwrite")
-      .parquet(s"$dir/embeddings.parquet")
-    val top1 = fn(s, dir).filter("rk = 1").collect()
-      .map(r => r.getAs[Long]("probe") -> r.getAs[Long]("neighbor")).toMap
-    base.zipWithIndex.count { case ((id, _), i) =>
-      top1.get(i.toLong).contains(id + 100L)
-    } / base.length.toDouble
+    val dir = java.nio.file.Files.createTempDirectory("graft-recall")
+    try {
+      rows.toDF("vec_id", "embedding").write.mode("overwrite")
+        .parquet(s"$dir/embeddings.parquet")
+      val top1 = fn(s, dir.toString).filter("rk = 1").collect()
+        .map(r => r.getAs[Long]("probe") -> r.getAs[Long]("neighbor")).toMap
+      base.zipWithIndex.count { case ((id, _), i) =>
+        top1.get(i.toLong).contains(id + 100L)
+      } / base.length.toDouble
+    } finally graft.util.AtomicDir.deleteRec(dir.toString)
+  }
+
+  /** Corpus ∪ exact clones at vec_id+10^6 — the planted construction
+    * that makes an approximate path's top-1 content-predictable (the
+    * clone shares every bucket/list with its original and nothing can
+    * out-rank cosine 1.0).
+    */
+  private def plantClones(c: DataFrame): DataFrame =
+    c.unionByName(c.select((col("vec_id") + 1000000L).as("vec_id"), col("v")))
+
+  /** Oracle for the planted-clone ANN variants: top-1 of probe p is
+    * its clone p+10^6 at cosine 1.0, by construction.
+    */
+  private val plantedAnnOracle = """
+      SELECT vec_id AS probe, CAST(1 AS INTEGER) AS rk,
+             vec_id + 1000000 AS neighbor, CAST(1.0 AS DOUBLE) AS cos_sim
+      FROM embeddings WHERE vec_id < 16 ORDER BY probe"""
+
+  /** Multi-table hyperplane-LSH top-5 over an explicit corpus frame —
+    * the ann_lsh body, parameterized so the planted-clone oracle
+    * variant runs the IDENTICAL machinery.
+    */
+  private def lshTopK(s: SparkSession, corpusDf: DataFrame): DataFrame = {
+    GraftFunctions.register(s)
+    import s.implicits._
+    val nTables = s.conf.get("spark.graft.ann.lsh.tables", "4").toInt
+    val maxBucket = 10000
+    val c = corpusDf.as[(Long, Seq[Double])]
+      .flatMap { case (id, v) =>
+        val arr = v.toArray
+        (0 until nTables).map(t => (id, v, t, Hashing.lshBucket(arr, 8, t)))
+      }
+      .toDF("vec_id", "v", "table", "bucket")
+    val ok = c.groupBy("table", "bucket").agg(count(lit(1)).as("bn"))
+      .filter(col("bn") <= maxBucket).drop("bn")
+    val guarded = c.join(broadcast(ok), Seq("table", "bucket"))
+    val probes = broadcast(guarded.filter(col("vec_id") < 16)
+      .select(col("table"), col("bucket"), col("vec_id").as("probe"), col("v").as("pv")))
+    val scored = probes
+      .join(guarded.select(col("table"), col("bucket"),
+        col("vec_id").as("neighbor"), col("v").as("nv")), Seq("table", "bucket"))
+      .filter(col("probe") =!= col("neighbor"))
+      .selectExpr("probe", "neighbor", "cosine_sim(pv, nv) AS cos")
+    // a pair found by several tables scores several times; the
+    // map-side-combining groupBy collapses it to one candidate row
+    val dedup = scored.groupBy("probe", "neighbor").agg(max("cos").as("cos"))
+    // custom TopKPerKey plan node (graft.plans): bounded per-probe
+    // heaps in each partition, only |probes|·k candidates move —
+    // the final rank runs on that tiny result
+    val top = graft.plans.TopKPerKeyOps.topK(dedup, Seq("probe"),
+      Seq(col("cos").desc, col("neighbor").asc), 5)
+    topK(top, 5)
+  }
+
+  /** IVF top-5 over an explicit corpus frame — the ann_ivf body,
+    * parameterized for the planted-clone oracle variant.
+    */
+  private def ivfTopK(s: SparkSession, c: DataFrame): DataFrame = {
+    GraftFunctions.register(s)
+    val nCentroids = 16
+    val nProbe = 4
+    val cents = broadcast(
+      c.orderBy(pmod(xxhash64(col("vec_id")), lit(997L)), col("vec_id"))
+        .limit(nCentroids)
+        .select(col("vec_id").as("cid"), col("v").as("cv")))
+    val scored = c.join(cents)
+      .selectExpr("vec_id", "v", "cid", "cosine_sim(v, cv) AS cs")
+    val assign = graft.plans.TopKPerKeyOps.topK(scored, Seq("vec_id"),
+        Seq(col("cs").desc, col("cid").asc), 1)
+      .select(col("cid"), col("vec_id"), col("v"))
+    val probeLists = graft.plans.TopKPerKeyOps.topK(
+        scored.filter(col("vec_id") < 16), Seq("vec_id"),
+        Seq(col("cs").desc, col("cid").asc), nProbe)
+      .select(col("cid"), col("vec_id").as("probe"), col("v").as("pv"))
+    val cand = broadcast(probeLists)
+      .join(assign.select(col("cid"), col("vec_id").as("neighbor"), col("v").as("nv")), "cid")
+      .filter(col("probe") =!= col("neighbor"))
+      .selectExpr("probe", "neighbor", "cosine_sim(pv, nv) AS cos")
+    val top = graft.plans.TopKPerKeyOps.topK(cand, Seq("probe"),
+      Seq(col("cos").desc, col("neighbor").asc), 5)
+    topK(top, 5)
   }
 
   private def topK(scored: DataFrame, k: Int): DataFrame = {
@@ -158,36 +244,21 @@ object AnnOps {
     // — the same skew guard as dedup's banded join (degenerate hubs:
     // zero vectors, near-duplicate boilerplate embeddings).
     ("ann_lsh", (s: SparkSession, d: String) => {
-      GraftFunctions.register(s)
-      import s.implicits._
-      val nTables = s.conf.get("spark.graft.ann.lsh.tables", "4").toInt
-      val maxBucket = 10000
-      val c = corpus(s, d).as[(Long, Seq[Double])]
-        .flatMap { case (id, v) =>
-          val arr = v.toArray
-          (0 until nTables).map(t => (id, v, t, Hashing.lshBucket(arr, 8, t)))
-        }
-        .toDF("vec_id", "v", "table", "bucket")
-      val ok = c.groupBy("table", "bucket").agg(count(lit(1)).as("bn"))
-        .filter(col("bn") <= maxBucket).drop("bn")
-      val guarded = c.join(broadcast(ok), Seq("table", "bucket"))
-      val probes = broadcast(guarded.filter(col("vec_id") < 16)
-        .select(col("table"), col("bucket"), col("vec_id").as("probe"), col("v").as("pv")))
-      val scored = probes
-        .join(guarded.select(col("table"), col("bucket"),
-          col("vec_id").as("neighbor"), col("v").as("nv")), Seq("table", "bucket"))
-        .filter(col("probe") =!= col("neighbor"))
-        .selectExpr("probe", "neighbor", "cosine_sim(pv, nv) AS cos")
-      // a pair found by several tables scores several times; the
-      // map-side-combining groupBy collapses it to one candidate row
-      val dedup = scored.groupBy("probe", "neighbor").agg(max("cos").as("cos"))
-      // custom TopKPerKey plan node (graft.plans): bounded per-probe
-      // heaps in each partition, only |probes|·k candidates move —
-      // the final rank runs on that tiny result
-      val top = graft.plans.TopKPerKeyOps.topK(dedup, Seq("probe"),
-        Seq(col("cos").desc, col("neighbor").asc), 5)
-      topK(top, 5)
+      lshTopK(s, corpus(s, d))
     }, None),
+
+    // C7b: ORACLE-CHECKED LSH path — the corpus is unioned with exact
+    // clones (vec_id+10^6, same vector). An identical vector lands in
+    // the SAME bucket of EVERY hyperplane table, so the multi-table
+    // candidate generation MUST surface the clone, and no distinct
+    // vector can out-rank cosine 1.0 (the corpus has no duplicate
+    // vectors at any SF — verified) — which DuckDB can predict from
+    // the construction alone. Hash-verifies bucketing, the multi-table
+    // union, candidate dedup, and the bounded-heap top-k end-to-end;
+    // the probabilistic neighbor ranking stays rows-only by nature.
+    ("ann_lsh_planted", (s: SparkSession, d: String) => {
+      lshTopK(s, plantClones(corpus(s, d))).filter(col("rk") === 1)
+    }, Some(plantedAnnOracle)),
 
     // C23: IVF ANN — the inverted-file scale path: a coarse quantizer
     // assigns every vector to its nearest of K centroids (one list per
@@ -200,31 +271,20 @@ object AnnOps {
     // — O(N·K) with no corpus shuffle. Each vector lives in EXACTLY
     // one list, so probed candidates need no dedupe.
     ("ann_ivf", (s: SparkSession, d: String) => {
-      GraftFunctions.register(s)
-      val nCentroids = 16
-      val nProbe = 4
-      val c = corpus(s, d)
-      val cents = broadcast(
-        c.orderBy(pmod(xxhash64(col("vec_id")), lit(997L)), col("vec_id"))
-          .limit(nCentroids)
-          .select(col("vec_id").as("cid"), col("v").as("cv")))
-      val scored = c.join(cents)
-        .selectExpr("vec_id", "v", "cid", "cosine_sim(v, cv) AS cs")
-      val assign = graft.plans.TopKPerKeyOps.topK(scored, Seq("vec_id"),
-          Seq(col("cs").desc, col("cid").asc), 1)
-        .select(col("cid"), col("vec_id"), col("v"))
-      val probeLists = graft.plans.TopKPerKeyOps.topK(
-          scored.filter(col("vec_id") < 16), Seq("vec_id"),
-          Seq(col("cs").desc, col("cid").asc), nProbe)
-        .select(col("cid"), col("vec_id").as("probe"), col("v").as("pv"))
-      val cand = broadcast(probeLists)
-        .join(assign.select(col("cid"), col("vec_id").as("neighbor"), col("v").as("nv")), "cid")
-        .filter(col("probe") =!= col("neighbor"))
-        .selectExpr("probe", "neighbor", "cosine_sim(pv, nv) AS cos")
-      val top = graft.plans.TopKPerKeyOps.topK(cand, Seq("probe"),
-        Seq(col("cos").desc, col("neighbor").asc), 5)
-      topK(top, 5)
+      ivfTopK(s, corpus(s, d))
     }, None),
+
+    // C23b: ORACLE-CHECKED IVF path — same planted-clone construction
+    // as ann_lsh_planted. An identical vector scores identically
+    // against every centroid (same tie-break), so the clone's assigned
+    // list is exactly the probe's top-1 probed list: the clone is
+    // guaranteed in the candidate set and cosine 1.0 guarantees rank
+    // 1. Hash-verifies the quantizer, list assignment, probe-list
+    // selection and top-k — the approximate recall trade stays a
+    // measured bench number.
+    ("ann_ivf_planted", (s: SparkSession, d: String) => {
+      ivfTopK(s, plantClones(corpus(s, d))).filter(col("rk") === 1)
+    }, Some(plantedAnnOracle)),
 
     // C26: semantic near-dup via coarse clustering — assign every
     // vector to its nearest centroid, then score pairs ONLY within a

@@ -266,6 +266,49 @@ object DedupOps {
         .limit(100)
     }, None),
 
+    // C3b: ORACLE-CHECKED SimHash path — corpus ∪ exact clones
+    // (doc_id+10^6). Identical token SETS ⇒ identical 64-bit simhash,
+    // so the identical-signature (hamming-0) machinery MUST pair every
+    // clone with its original. A 64-bit majority vote is NOT a uniform
+    // hash — distinct token sets CAN collide (measurably, on a small
+    // vocabulary) — so candidates are VERIFIED by exact token-set
+    // fingerprint, mirroring minhash's exact-Jaccard verify; the
+    // output is then precisely the content-equality set DuckDB
+    // predicts. No bucket guard here: the verify bounds the output,
+    // and the production dd_simhash path above keeps its guard.
+    ("dd_simhash_planted", (s: SparkSession, d: String) => {
+      val base = docs(s, d).select(col("doc_id"), col("text"))
+        .filter(length(TextOps.normalize(col("text"))) >= 1)
+      val corpus = base.unionByName(
+        base.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
+      val sig = simhashSignatures(corpus).select("doc_id", "simhash")
+      val pairs = sig.as("x").join(sig.as("y"),
+          col("x.simhash") === col("y.simhash") && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      val fp = corpus.select(col("doc_id"), md5(concat_ws("|",
+        array_sort(array_distinct(split(TextOps.normalize(col("text")), " "))))).as("fp"))
+      pairs
+        .join(fp.select(col("doc_id").as("a"), col("fp").as("fa")), "a")
+        .join(fp.select(col("doc_id").as("b"), col("fp").as("fb")), "b")
+        .filter(col("fa") === col("fb"))
+        .select("a", "b")
+        .orderBy("a", "b")
+    }, Some("""
+      WITH c0 AS (
+        SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nrm
+        FROM documents),
+      c AS (
+        SELECT doc_id, nrm FROM c0 WHERE length(nrm) >= 1
+        UNION ALL
+        SELECT doc_id + 1000000, nrm FROM c0 WHERE length(nrm) >= 1),
+      g AS (SELECT doc_id, unnest(string_split(nrm, ' ')) AS t FROM c),
+      sets AS (
+        SELECT doc_id, md5(string_agg(DISTINCT t, '|' ORDER BY t)) AS fp
+        FROM g GROUP BY doc_id)
+      SELECT x.doc_id AS a, y.doc_id AS b
+      FROM sets x JOIN sets y ON x.fp = y.fp AND x.doc_id < y.doc_id
+      ORDER BY a, b""")),
+
     // C4: n-gram (word-set) Jaccard — top-5 same-lang neighbors per
     // probe. Set-intersection is computed RELATIONALLY (explode the
     // token sets, broadcast-join probe tokens, count matches per pair)

@@ -182,13 +182,15 @@ object Runner {
     * WithConsumerLagAlert + internal/metrics): how far behind the head
     * the committed cursor is, in events and in seconds of event time.
     */
-  def lag(log: EventLog, store: CursorStore, consumerName: String): (Long, Long) = {
-    val cursor = store.get(consumerName).getOrElse(-1L)
-    val r = log.df.agg(max("id"), max(unix_timestamp(col("ts")))).collect()(0)
+  def lag(log: EventLog, store: CursorStore, consumerName: String): (Long, Long) =
+    lagFullScan(log.df, store.get(consumerName).getOrElse(-1L))
+
+  private def lagFullScan(df: DataFrame, cursor: Long): (Long, Long) = {
+    val r = df.agg(max("id"), max(unix_timestamp(col("ts")))).collect()(0)
     if (r.isNullAt(0)) return (0L, 0L)
     val head = r.getLong(0)
     val headTs = r.getLong(1)
-    val behindTs = log.df.filter(col("id") === cursor)
+    val behindTs = df.filter(col("id") === cursor)
       .agg(max(unix_timestamp(col("ts")))).collect()(0)
     val secLag = if (cursor < 0 || behindTs.isNullAt(0)) 0L else headTs - behindTs.getLong(0)
     (math.max(head - cursor, 0L), math.max(secLag, 0L))
@@ -220,11 +222,22 @@ object Runner {
     var secLag = 0L
     var i = 0
     var stop = false
+    // Monotonicity watchdog: `date` is the producer-supplied event
+    // time, so one backdated event puts large ids in an old partition
+    // and the pruned probe would silently under-report. Each probed
+    // partition's max(id) must sit strictly below the min(id) of the
+    // newer partition probed before it; on violation fall back to the
+    // exact full-scan lag. (Detection covers the partitions actually
+    // probed — the healthy single-partition fast path cannot see an
+    // overlap buried deeper, which is the price of not scanning.)
+    var prevMin = Long.MaxValue
     while (i < dates.length && !stop) {
       val p = raw.filter(col("date") === dates(i))
         .agg(max("id"), max(unix_timestamp(col("ts"))), min("id"),
           max(when(col("id") === cursor, unix_timestamp(col("ts"))))).collect()(0)
       if (!p.isNullAt(0)) {
+        if (p.getLong(0) >= prevMin) return lagFullScan(raw, cursor)
+        prevMin = p.getLong(2)
         if (head < 0) { head = p.getLong(0); headTs = p.getLong(1) }
         if (cursor < 0) stop = true
         else if (!p.isNullAt(3)) {

@@ -146,32 +146,60 @@ object EventStreamClient {
     */
   def relay(host: String, port: Int, after: Long,
       toHead: Boolean = false): (Int, () => Unit) = {
-    val remote = new Socket(host, port)
-    val req = new PrintWriter(remote.getOutputStream, true)
-    req.println(s"""{"after":$after,"toHead":$toHead}""")
     val local = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+    val IdRe = """"id"\s*:\s*(\d+)""".r.unanchored
+    @volatile var closed = false
+    @volatile var liveRemote: Socket = null
+    // Accept loop, not a one-shot: the Spark socket source reconnects
+    // on query restart or task retry, and a dead relay would stall the
+    // stream silently. Each (re)connect opens a fresh remote stream,
+    // re-issuing the request from the last event id already forwarded
+    // — a reconnect resumes mid-stream without re-shipping the prefix,
+    // the same property the durable-cursor connect has.
     val pump = new Thread(() => {
+      var cursor = after
       try {
-        val sock = local.accept()
-        val in = remote.getInputStream
-        val out = sock.getOutputStream
-        val buf = new Array[Byte](8192)
-        var n = in.read(buf)
-        while (n >= 0) {
-          out.write(buf, 0, n)
-          out.flush()
-          n = in.read(buf)
+        while (!closed) {
+          val sock = local.accept()
+          val remote = new Socket(host, port)
+          liveRemote = remote
+          try {
+            val req = new PrintWriter(new java.io.OutputStreamWriter(
+              remote.getOutputStream, java.nio.charset.StandardCharsets.UTF_8), true)
+            req.println(s"""{"after":$cursor,"toHead":$toHead}""")
+            val in = new BufferedReader(
+              new InputStreamReader(remote.getInputStream, "UTF-8"))
+            val out = new PrintWriter(new java.io.OutputStreamWriter(
+              sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8), false)
+            var line = in.readLine()
+            var dead = false
+            while (line != null && !dead) {
+              out.println(line)
+              out.flush()
+              if (out.checkError()) dead = true // local side hung up
+              else {
+                line match { case IdRe(n) => cursor = n.toLong; case _ => () }
+                line = in.readLine()
+              }
+            }
+          } finally {
+            liveRemote = null
+            try remote.close() catch { case NonFatal(_) => () }
+            try sock.close() catch { case NonFatal(_) => () }
+          }
         }
-        sock.close()
       } catch {
         case _: InterruptedException | _: SocketException => ()
-        case NonFatal(_) => ()
+        case NonFatal(e) =>
+          if (!closed) System.err.println(s"[event-stream-relay] pump exited: $e")
       }
     }, "event-stream-relay")
     pump.setDaemon(true)
     pump.start()
     (local.getLocalPort, () => {
-      try remote.close() catch { case NonFatal(_) => () }
+      closed = true
+      val r = liveRemote
+      if (r != null) { try r.close() catch { case NonFatal(_) => () } }
       try local.close() catch { case NonFatal(_) => () }
     })
   }

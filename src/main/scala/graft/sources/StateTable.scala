@@ -107,6 +107,14 @@ final class StateTable(spark: SparkSession, dir: String, nBuckets: Int = 64) {
       whenMatched: StateTable.WhenMatched = StateTable.WhenMatched(),
       insertNotMatched: Boolean = true,
       deleteNotMatchedBySource: Boolean = false): Seq[Int] = {
+    // The bucket swap below rewrites exactly the touched-bucket set; a
+    // set-expression that rewrote the key (or the bucket itself) could
+    // rehash a row into a bucket that is staged but never swapped in —
+    // silent row loss. Enforce the invariant the plan relies on.
+    require(!whenMatched.set.contains("foreignId") &&
+        !whenMatched.set.contains("state_bucket"),
+      "whenMatched.set must not assign foreignId or state_bucket: " +
+        "rows cannot move between buckets mid-merge")
     val reduced = Patterns.latestState(source).withColumn("state_bucket", bucketCol)
     val touched: Seq[Int] =
       if (deleteNotMatchedBySource && exists)
