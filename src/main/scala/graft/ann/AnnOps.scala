@@ -212,6 +212,141 @@ object AnnOps {
       WHERE dot / (na.nrm * nb.nrm) >= 0.28
       ORDER BY a, b""")),
 
+    // C30: near-dup PAIRS → dedup GROUPS. The cosine near-dup relation
+    // is not transitive (A~B, B~C does not imply A~C), so keeping one
+    // doc per PAIR over-deletes and under-deletes; the unit of dedup is
+    // the connected component. Edges are exactly dd_embed_neardup's
+    // pair set; components via distributed min-label propagation
+    // (graft.graph.ConnectedComponents); component id = min vec_id =
+    // the canonical representative a pipeline would keep. The oracle
+    // recomputes the transitive closure with a recursive CTE.
+    ("dd_components", (s: SparkSession, d: String) => {
+      val edges = probeScores(s, d, probeMax = 200)
+        .filter(col("probe") < col("neighbor") && col("cos") >= 0.28)
+        .select(col("probe").as("src"), col("neighbor").as("dst"))
+      val comp = graft.graph.ConnectedComponents.components(edges)
+      comp
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("component")))
+        .select(col("v").as("vec_id"), col("component"), col("cluster_size"))
+        .orderBy("vec_id")
+    }, Some("""
+      WITH RECURSIVE f AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+      n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY vec_id),
+      dots AS (
+        SELECT a.vec_id AS a, b.vec_id AS b, sum(a.v * b.v) AS dot
+        FROM f a JOIN f b ON a.i = b.i AND a.vec_id < b.vec_id
+        WHERE a.vec_id < 200
+        GROUP BY a.vec_id, b.vec_id),
+      pairs AS (
+        SELECT dots.a, dots.b
+        FROM dots JOIN n na ON na.vec_id = dots.a JOIN n nb ON nb.vec_id = dots.b
+        WHERE dot / (na.nrm * nb.nrm) >= 0.28),
+      e AS (SELECT a AS src, b AS dst FROM pairs
+            UNION SELECT b, a FROM pairs),
+      reach(v, r) AS (
+        SELECT src, src FROM e
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.v),
+      comp AS (SELECT v, min(r) AS component FROM reach GROUP BY v)
+      SELECT v AS vec_id, component,
+             count(*) OVER (PARTITION BY component) AS cluster_size
+      FROM comp ORDER BY vec_id""")),
+
+    // C31: spherical k-means (fixed K=8, two Lloyd assignment passes)
+    // — the canonical corpus-clustering pass (topic bucketing, dedup
+    // partitioning, IVF refinement). Deterministic throughout: seeds
+    // are the md5-ordered K-sample (same construction as dd_semantic's
+    // centroids), assignment ranks the 4dp-rounded cosine with
+    // centroid-id tiebreak, and updated centroids are 4dp-rounded
+    // per-dimension means — so both engines iterate on bit-identical
+    // state and the FULL trajectory is hash-checkable. Per pass:
+    // one K-row broadcast join + codegen cosine + rank-1 TopKPerKey =
+    // O(N·K) with no corpus shuffle; the centroid update is a
+    // (K·dims)-row aggregate collected to the driver — control-plane
+    // scalars, same as any iterative ML driver loop.
+    ("ann_kmeans", (s: SparkSession, d: String) => {
+      GraftFunctions.register(s)
+      import s.implicits._
+      val k = 8
+      val passes = 2
+      val c = corpus(s, d)
+      var cents: Seq[(Int, Seq[Double])] = c
+        .orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(k)
+        .collect().zipWithIndex
+        .map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
+      var assign: DataFrame = null
+      for (pass <- 1 to passes) {
+        val centDf = broadcast(cents.toDF("cid", "cv"))
+        val scored = c.join(centDf)
+          .selectExpr("vec_id", "v", "cid", "round(cosine_sim(v, cv), 4) AS cs")
+        assign = graft.plans.TopKPerKeyOps.topK(scored, Seq("vec_id"),
+            Seq(col("cs").desc, col("cid").asc), 1)
+          .select(col("vec_id"), col("v"), col("cid"))
+        if (pass < passes) {
+          // 4dp-rounded means (HALF_UP in Spark SQL = half-away-from-
+          // zero, matching DuckDB round) — rounding INSIDE the engine,
+          // not on the driver, keeps the boundary rule identical
+          val m = assign
+            .select(col("cid"), posexplode(col("v")).as(Seq("dim", "x")))
+            .groupBy("cid", "dim").agg(round(avg("x"), 4).as("m"))
+            .collect().map(r => (r.getInt(0), r.getInt(1), r.getDouble(2)))
+          cents = m.groupBy(_._1).toSeq.map { case (cid, xs) =>
+            (cid, xs.sortBy(_._2).map(_._3).toSeq)
+          }.sortBy(_._1)
+        }
+      }
+      assign
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("cid")))
+        .select(col("vec_id"), col("cid").as("cluster"), col("cluster_size"))
+        .orderBy("vec_id")
+    }, Some("""
+      WITH f AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+      n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY vec_id),
+      seeds AS (
+        SELECT vec_id AS sid,
+               CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS cid
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 8),
+      c0 AS (SELECT cid, i, v FROM seeds JOIN f ON f.vec_id = seeds.sid),
+      d1 AS (
+        SELECT f.vec_id, c0.cid, sum(f.v * c0.v) AS dot,
+               sqrt(sum(c0.v * c0.v)) AS cnrm
+        FROM f JOIN c0 ON c0.i = f.i GROUP BY f.vec_id, c0.cid),
+      s1 AS (
+        SELECT d1.vec_id, cid, round(dot / (n.nrm * cnrm), 4) AS cs
+        FROM d1 JOIN n ON n.vec_id = d1.vec_id),
+      a1 AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rk
+          FROM s1) WHERE rk = 1),
+      c1 AS (
+        SELECT a1.cid, f.i, round(avg(f.v), 4) AS v
+        FROM a1 JOIN f ON f.vec_id = a1.vec_id GROUP BY a1.cid, f.i),
+      d2 AS (
+        SELECT f.vec_id, c1.cid, sum(f.v * c1.v) AS dot,
+               sqrt(sum(c1.v * c1.v)) AS cnrm
+        FROM f JOIN c1 ON c1.i = f.i GROUP BY f.vec_id, c1.cid),
+      s2 AS (
+        SELECT d2.vec_id, cid, round(dot / (n.nrm * cnrm), 4) AS cs
+        FROM d2 JOIN n ON n.vec_id = d2.vec_id),
+      a2 AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rk
+          FROM s2) WHERE rk = 1)
+      SELECT vec_id, cid AS cluster,
+             count(*) OVER (PARTITION BY cid) AS cluster_size
+      FROM a2 ORDER BY vec_id""")),
+
     // C20: per-label centroids — dimension-wise vector aggregation in
     // long format (label, dim, centroid); the building block for IVF
     // coarse quantizers and class prototypes.

@@ -275,6 +275,76 @@ object TextOps {
              CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS INTEGER) AS digits_removed
       FROM documents ORDER BY doc_id""")),
 
+    // C33 (C21 extension): structured-PII redaction — emails and URLs,
+    // the scrub every web-scraped corpus runs before training. The
+    // corpus tables carry no natural PII, so deterministic synthetic
+    // contact lines (derived from doc_id) are planted FIRST and the
+    // scrub is verified against them — redaction order URL-then-email
+    // (a URL can contain '@'; the reverse order would corrupt it).
+    // Patterns stay in the syntax subset Java regex and RE2 share
+    // (classes, +, {m,}, alternation — no backrefs/lookaround).
+    ("tx_pii_redact", (s: SparkSession, d: String) => {
+      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+      val urlRe = "https?://[^\\s]+"
+      val planted = docs(s, d).select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id"),
+          lit("@example.com via https://ex.org/d/"), col("doc_id")).as("t"))
+      planted.select(
+          col("doc_id"),
+          size(regexp_extract_all(col("t"), lit(emailRe), lit(0))).as("n_emails"),
+          size(regexp_extract_all(col("t"), lit(urlRe), lit(0))).as("n_urls"),
+          md5(regexp_replace(regexp_replace(col("t"), urlRe, "<URL>"),
+            emailRe, "<EMAIL>")).as("redacted_fp"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH p AS (
+        SELECT doc_id,
+               text || ' contact user' || doc_id || '@example.com via https://ex.org/d/' || doc_id AS t
+        FROM documents)
+      SELECT doc_id,
+             CAST(length(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_emails,
+             CAST(length(regexp_extract_all(t, 'https?://[^\s]+')) AS INTEGER) AS n_urls,
+             md5(regexp_replace(regexp_replace(t, 'https?://[^\s]+', '<URL>', 'g'),
+                 '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g')) AS redacted_fp
+      FROM p ORDER BY doc_id""")),
+
+    // C34: corpus cross-entropy under a unigram token model — the
+    // dependency-free stand-in for the KenLM-perplexity quality filter
+    // (high per-token surprisal = rare-token soup, low = formulaic
+    // boilerplate; both tails get clipped in real pipelines). Two
+    // corpus passes: token frequencies (map-side-combined groupBy),
+    // then a join back of per-token -log2 p(t) and a per-doc average.
+    // The tf join keys on the token — at 100 TB that is a shuffle of
+    // the tokenized corpus against a vocab-sized side; vocabularies
+    // are sublinear in corpus size, so AQE broadcast-demotes it when
+    // small. Rounded at 4dp only at the very end.
+    ("tx_entropy", (s: SparkSession, d: String) => {
+      val toks = docs(s, d)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .filter(length(col("tok")) >= 1)
+      val tf = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      val tot = tf.agg(sum("n").as("tn"))
+      toks.join(tf, "tok").crossJoin(broadcast(tot))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_toks"),
+          round(avg(-log2(col("n").cast("double") / col("tn").cast("double"))), 4)
+            .as("xent"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH c AS (
+        SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nrm
+        FROM documents),
+      t AS (
+        SELECT doc_id, tok
+        FROM (SELECT doc_id, unnest(string_split(nrm, ' ')) AS tok FROM c)
+        WHERE length(tok) >= 1),
+      tf AS (SELECT tok, count(*) AS n FROM t GROUP BY tok),
+      tot AS (SELECT sum(n) AS tn FROM tf)
+      SELECT doc_id, count(*) AS n_toks,
+             round(avg(-log2(CAST(n AS DOUBLE) / CAST(tn AS DOUBLE))), 4) AS xent
+      FROM t JOIN tf USING (tok), tot
+      GROUP BY doc_id ORDER BY doc_id""")),
+
     // C22: benchmark decontamination — flag corpus docs sharing any
     // char-30-gram with a held-out benchmark set (docs 0-9 here).
     // Shingles join relationally (broadcast benchmark grams), the
