@@ -5,8 +5,8 @@ object PlanAudit {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = graft.Graft.session("graft-audit")
-    Seq("dd_semantic", "tx_ngram_profile", "tx_decontaminate", "tx_source_mix",
-      "tx_token_shards").foreach { q =>
+    Seq("dd_components", "ann_kmeans", "dd_incremental", "tx_pii_redact",
+      "tx_entropy", "dd_simhash_planted", "ann_lsh_planted", "ann_ivf_planted").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sfDir)
       val plan = df.queryExecution.executedPlan.toString
       println(s"===== $q =====")

@@ -34,7 +34,9 @@ object ScaleStress {
       "dd_semantic", "ann_lsh", "ann_ivf", "ann_bruteforce",
       "tx_ngram_profile", "tx_decontaminate", "tx_token_shards",
       "tx_tfidf", "tx_heavy_hitters", "tx_source_mix",
-      "pipeline_prepare_corpus")
+      "pipeline_prepare_corpus",
+      "dd_components", "ann_kmeans", "dd_incremental", "tx_pii_redact",
+      "tx_entropy")
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
