@@ -257,4 +257,28 @@ class RunnerSpec extends AnyFunSuite {
     val fresh = new MemCursorStore()
     assert(Runner.lagPartitioned(table.raw, fresh, "c-none")._2 === 0L)
   }
+
+  test("lagPartitioned detects a backdated event (id/date overlap) and falls back to exact lag") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-lagback")
+      .resolve("log").toString
+    val table = new graft.sources.EventsTable(spark, dir, partitionByDate = true)
+    table.insert((0 until 30).map { i =>
+      ("click", (i % 3).toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-0${i / 10 + 1}%d 00:${i % 60}%02d:00"), 1.0, "{}")
+    }.toDF("eventType", "foreignId", "ts", "value", "metadata"))
+    // a producer backdates ONE event: the newest id (30) lands in the
+    // OLDEST date partition, breaking the id↔date monotonicity the
+    // pruned probe relies on
+    table.insert(Seq(("click", 0L,
+      java.sql.Timestamp.valueOf("2024-01-01 23:59:00"), 1.0, "{}"))
+      .toDF("eventType", "foreignId", "ts", "value", "metadata"))
+    // cursor in the oldest partition forces the probe down to day 1,
+    // where day1.max(id)=30 ≥ day2.min(id) trips the watchdog → the
+    // exact full-scan result, not the silently under-reported one
+    val store = new MemCursorStore(Map("c-bd" -> 5L))
+    val full = Runner.lag(table.log, store, "c-bd")
+    assert(full._1 === 25L) // true head IS the backdated id 30
+    assert(Runner.lagPartitioned(table.raw, store, "c-bd") === full)
+  }
 }

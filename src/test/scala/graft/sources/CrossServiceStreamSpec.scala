@@ -151,4 +151,33 @@ class CrossServiceStreamSpec extends AnyFunSuite {
       } finally { q2.stop(); close2() }
     } finally server.close()
   }
+
+  test("relay survives local reconnects, resuming from the last forwarded id") {
+    val table = mkTable(10)
+    val server = new EventStreamServer(() => table.log.df)
+    def readIds(port: Int): Seq[Long] = {
+      val sock = new java.net.Socket("localhost", port)
+      try {
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+        Iterator.continually(in.readLine()).takeWhile(_ != null)
+          .map(l => """"id":(\d+)""".r.findFirstMatchIn(l).get.group(1).toLong)
+          .toSeq
+      } finally sock.close()
+    }
+    val (port, closeRelay) = EventStreamClient.relay(
+      "localhost", server.boundPort, after = -1L, toHead = true)
+    try {
+      // first connection drains to the head, then EOFs (toHead)
+      assert(readIds(port) === (0L to 9L))
+      import spark.implicits._
+      table.insert((0 until 4).map { i =>
+        ("click", 0L, java.sql.Timestamp.valueOf(f"2024-01-02 00:0$i%d:00"), 1.0, "{}")
+      }.toDF("eventType", "foreignId", "ts", "value", "metadata"))
+      // a query restart reconnects to the SAME relay port: the relay
+      // re-requests from its last forwarded id — the consumed prefix
+      // (0..9) must not cross the wire again
+      assert(readIds(port) === (10L to 13L))
+    } finally { closeRelay(); server.close() }
+  }
 }

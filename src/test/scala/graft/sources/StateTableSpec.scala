@@ -193,4 +193,22 @@ class StateTableSpec extends AnyFunSuite {
     assert(table.read.filter(col("foreignId") === 4L)
       .select("id").collect().map(_.getLong(0)).toSeq === Seq(104L))
   }
+
+  test("merge rejects set-expressions that would move rows between buckets") {
+    val dir = Files.createTempDirectory("graft-merge5").toString + "/state"
+    val table = new StateTable(spark, dir, nBuckets = 8)
+    table.upsert(eventsDf(Seq((0L, 0L), (1L, 1L))))
+    // rewriting the key could rehash a row into a bucket the swap
+    // never touches — silent row loss; the API must refuse
+    intercept[IllegalArgumentException] {
+      table.merge(eventsDf(Seq((2L, 0L))),
+        StateTable.WhenMatched(set = Map("foreignId" -> lit(99L))))
+    }
+    intercept[IllegalArgumentException] {
+      table.merge(eventsDf(Seq((2L, 0L))),
+        StateTable.WhenMatched(set = Map("state_bucket" -> lit(3))))
+    }
+    // and the refused merges left the state untouched
+    assert(table.read.count() === 2L)
+  }
 }
