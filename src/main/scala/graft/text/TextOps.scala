@@ -345,6 +345,64 @@ object TextOps {
       FROM t JOIN tf USING (tok), tot
       GROUP BY doc_id ORDER BY doc_id""")),
 
+    // C35: per-source document cap — the "at most N docs per domain"
+    // rebalancing pass every web-corpus pipeline runs (hub domains
+    // would otherwise dominate the mix). Deterministic hash-ordered
+    // rank within each source; the rank-filter plans through the
+    // RankFilterToTopK rewrite into bounded per-source heaps, so the
+    // corpus never globally sorts — only |sources|·N rows survive the
+    // exchange.
+    ("tx_source_cap", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy("source")
+        .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+      docs(s, d).select(col("doc_id"), col("source"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 10)
+        .orderBy("source", "rk")
+    }, Some("""
+      SELECT doc_id, source, CAST(rk AS INTEGER) AS rk FROM (
+        SELECT doc_id, source,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+        FROM documents)
+      WHERE rk <= 10 ORDER BY source, rk""")),
+
+    // C36: context-window chunking — split each document into
+    // fixed-size overlapping character windows (size 200, stride 150),
+    // the standard pre-embedding / pre-packing pass. Chunk starts are
+    // a generated `sequence` exploded inline (no self-join, no UDF);
+    // each chunk carries its offset, bounded length and content
+    // fingerprint so downstream dedup/embedding keys on (doc, chunk)
+    // without re-reading the text.
+    ("tx_chunks", (s: SparkSession, d: String) => {
+      val size = 200
+      val stride = 150
+      docs(s, d).filter(length(col("text")) >= 1)
+        .select(col("doc_id"), col("text"), length(col("text")).as("len"))
+        .select(col("doc_id"), col("len"), col("text"),
+          explode(sequence(lit(0), col("len") - 1, lit(stride))).as("start"))
+        .select(
+          col("doc_id"),
+          (col("start") / stride).cast("int").as("chunk_id"),
+          col("start"),
+          least(lit(size), col("len") - col("start")).as("chunk_len"),
+          md5(expr(s"substring(text, start + 1, $size)")).as("chunk_fp"))
+        .orderBy("doc_id", "chunk_id")
+    }, Some("""
+      WITH d AS (
+        SELECT doc_id, text, length(text) AS len
+        FROM documents WHERE length(text) >= 1),
+      st AS (
+        SELECT doc_id, len, text,
+               unnest(generate_series(0, len - 1, 150)) AS start
+        FROM d)
+      SELECT doc_id,
+             CAST(start // 150 AS INTEGER) AS chunk_id,
+             CAST(start AS INTEGER) AS start,
+             CAST(least(200, len - start) AS INTEGER) AS chunk_len,
+             md5(substr(text, CAST(start + 1 AS INTEGER), 200)) AS chunk_fp
+      FROM st ORDER BY doc_id, chunk_id""")),
+
     // C22: benchmark decontamination — flag corpus docs sharing any
     // char-30-gram with a held-out benchmark set (docs 0-9 here).
     // Shingles join relationally (broadcast benchmark grams), the

@@ -6,7 +6,8 @@ object PlanAudit {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val spark = graft.Graft.session("graft-audit")
     Seq("dd_components", "ann_kmeans", "dd_incremental", "tx_pii_redact",
-      "tx_entropy", "dd_simhash_planted", "ann_lsh_planted", "ann_ivf_planted").foreach { q =>
+      "tx_entropy", "dd_simhash_planted", "ann_lsh_planted", "ann_ivf_planted",
+      "tx_source_cap", "tx_chunks").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sfDir)
       val plan = df.queryExecution.executedPlan.toString
       println(s"===== $q =====")
