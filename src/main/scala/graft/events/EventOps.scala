@@ -432,6 +432,60 @@ object EventOps {
 
     // A41: value histogram — fixed-width buckets over the event value
     // distribution (monitoring/alerting building block).
+    // A52: event-time disorder audit — the measurement that SIZES a
+    // watermark before anyone picks one: per day, how many events
+    // arrive with an event-time older than something already logged
+    // (by id order), how many exceed a 60 s allowed-lateness, and the
+    // worst lateness seen. The running "max ts so far" is a global
+    // prefix computed with the two-level pattern (per-4096-id-block
+    // bounded windows + one tiny cumulative pass over block
+    // AGGREGATES) — the corpus is never sorted into one partition;
+    // the oracle states the same thing as one global window.
+    ("ev_disorder", (s: SparkSession, d: String) => {
+      val base = Event.project(ev(s, d))
+        .select(col("id"), unix_timestamp(col("ts")).as("sec"),
+          to_date(col("ts")).as("day"))
+        .withColumn("blk", floor(col("id") / 4096L))
+      val wIn = Window.partitionBy("blk").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wBlk = Window.orderBy("blk")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val blkMax = base.groupBy("blk").agg(max("sec").as("bmax"))
+        .withColumn("pmax_prev", max("bmax").over(wBlk)).drop("bmax")
+      val late = base
+        .withColumn("pmax_in", max("sec").over(wIn))
+        .join(blkMax, "blk")
+        // greatest() skips nulls; first event overall has neither
+        .withColumn("pmax", greatest(col("pmax_in"), col("pmax_prev")))
+        .withColumn("late_s", when(col("pmax").isNull, 0L)
+          .otherwise(greatest(lit(0L), col("pmax") - col("sec"))))
+      late.groupBy("day")
+        .agg(count(lit(1)).as("n_events"),
+          sum(when(col("late_s") > 0, 1L).otherwise(0L)).as("n_out_of_order"),
+          sum(when(col("late_s") > 60, 1L).otherwise(0L)).as("n_late_60s"),
+          max("late_s").as("max_late_s"))
+        .orderBy("day")
+    }, Some("""
+      WITH e AS (
+        SELECT event_id AS id, CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+               CAST(ts AS DATE) AS day
+        FROM events),
+      p AS (
+        SELECT id, sec, day,
+               max(sec) OVER (ORDER BY id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+        FROM e),
+      l AS (
+        SELECT day,
+               CASE WHEN pmax IS NULL THEN 0
+                    ELSE greatest(pmax - sec, 0) END AS late_s
+        FROM p)
+      SELECT day, count(*) AS n_events,
+             CAST(sum(CASE WHEN late_s > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_out_of_order,
+             CAST(sum(CASE WHEN late_s > 60 THEN 1 ELSE 0 END) AS BIGINT) AS n_late_60s,
+             CAST(max(late_s) AS BIGINT) AS max_late_s
+      FROM l GROUP BY day ORDER BY day""")),
+
     ("ev_value_histogram", (s: SparkSession, d: String) => {
       Event.project(ev(s, d))
         .withColumn("bucket", floor(col("value") / 50).cast("long"))

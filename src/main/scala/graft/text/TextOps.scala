@@ -403,6 +403,47 @@ object TextOps {
              md5(substr(text, CAST(start + 1 AS INTEGER), 200)) AS chunk_fp
       FROM st ORDER BY doc_id, chunk_id""")),
 
+    // C34b: bigram conditional surprisal — the n-gram step from the
+    // unigram model (C34) toward the KenLM shape real quality filters
+    // use: per doc, the mean −log2 P(t₂|t₁) under corpus bigram
+    // statistics. Bigrams come from zip-with-shifted-self on the
+    // ALREADY-SPLIT token array (array ops, no positional self-join on
+    // the corpus); conditional probabilities are two map-side-combined
+    // count aggregates joined back on the bigram key. The join-back
+    // shuffles on (t1,t2) — vocab², still sublinear in corpus size.
+    ("tx_bigram_surprisal", (s: SparkSession, d: String) => {
+      val t = docs(s, d).select(col("doc_id"), tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= 2)
+      val bi = t.selectExpr("doc_id",
+        "explode(zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), (a, b) -> struct(a AS t1, b AS t2))) AS bg")
+        .select(col("doc_id"), col("bg.t1").as("t1"), col("bg.t2").as("t2"))
+      val c2 = bi.groupBy("t1", "t2").agg(count(lit(1)).as("n2"))
+      val c1 = bi.groupBy("t1").agg(count(lit(1)).as("n1"))
+      bi.join(c2, Seq("t1", "t2")).join(c1, Seq("t1"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(-log2(col("n2").cast("double") / col("n1").cast("double"))), 4)
+            .as("bigram_xent"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH c AS (
+        SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nrm
+        FROM documents),
+      tk AS (
+        SELECT doc_id,
+               generate_subscripts(string_split(nrm, ' '), 1) AS ord,
+               unnest(string_split(nrm, ' ')) AS tok
+        FROM c WHERE length(nrm) >= 1),
+      bi AS (
+        SELECT a.doc_id, a.tok AS t1, b.tok AS t2
+        FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1),
+      c2 AS (SELECT t1, t2, count(*) AS n2 FROM bi GROUP BY t1, t2),
+      c1 AS (SELECT t1, count(*) AS n1 FROM bi GROUP BY t1)
+      SELECT doc_id, count(*) AS n_bigrams,
+             round(avg(-log2(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE))), 4) AS bigram_xent
+      FROM bi JOIN c2 USING (t1, t2) JOIN c1 USING (t1)
+      GROUP BY doc_id ORDER BY doc_id""")),
+
     // C22: benchmark decontamination — flag corpus docs sharing any
     // char-30-gram with a held-out benchmark set (docs 0-9 here).
     // Shingles join relationally (broadcast benchmark grams), the
