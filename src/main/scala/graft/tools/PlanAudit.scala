@@ -9,13 +9,16 @@ object PlanAudit {
       "tx_entropy", "dd_simhash_planted", "ann_lsh_planted", "ann_ivf_planted",
       "tx_source_cap", "tx_chunks").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sfDir)
+      df.collect() // materialize THIS frame so AQE reports the FINAL plan (a count() would plan separately)
       val plan = df.queryExecution.executedPlan.toString
       println(s"===== $q =====")
       println(s"  broadcasts: ${plan.linesIterator.count(_.contains("BroadcastExchange"))}")
       println(s"  shuffles:   ${plan.linesIterator.count(_.contains("Exchange hashpartitioning"))}")
       println(s"  singlePart: ${plan.linesIterator.count(_.contains("Exchange SinglePartition"))}")
       println(s"  topKNodes:  ${plan.linesIterator.count(_.contains("TopKPerKey"))}")
-      println(s"  wscodegen:  ${plan.linesIterator.count(_.contains("WholeStageCodegen"))}")
+      // codegen stages appear as "*(n)" operator prefixes in tree strings
+      val cg = """\*\((\d+)\)""".r.findAllMatchIn(plan).map(_.group(1)).toSet
+      println(s"  wscodegen:  ${cg.size}")
       plan.linesIterator.filter(l => l.contains("PushedFilters: [") && !l.contains("PushedFilters: []"))
         .take(3).foreach(l => println("  pushed: " + l.trim.take(140)))
     }

@@ -28,6 +28,14 @@ object ScaleStress {
       .withColumn("vec_id", col("vec_id") + col("rep") * 10000000L)
       .drop("rep")
       .write.parquet(s"$out/embeddings.parquet")
+    // events replicate with shifted ids AND users (the per-user window
+    // partitioning must not collapse under replication); event time is
+    // left as-is, so the id-ordered prefix patterns see N× density
+    spark.read.parquet(s"$base/events.parquet").crossJoin(reps)
+      .withColumn("event_id", col("event_id") + col("rep") * 100000000L)
+      .withColumn("user_id", col("user_id") + col("rep") * 10000000L)
+      .drop("rep")
+      .write.parquet(s"$out/events.parquet")
 
     val stressed = Seq(
       "dd_exact", "dd_minhash_lsh", "dd_simhash", "dd_ngram_jaccard",
@@ -36,7 +44,8 @@ object ScaleStress {
       "tx_tfidf", "tx_heavy_hitters", "tx_source_mix",
       "pipeline_prepare_corpus",
       "dd_components", "ann_kmeans", "dd_incremental", "tx_pii_redact",
-      "tx_entropy")
+      "tx_entropy", "tx_bigram_surprisal", "tx_chunks", "tx_source_cap",
+      "ev_disorder", "ev_sessionize", "ev_latest_state", "ev_active_users")
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
