@@ -161,6 +161,65 @@ object Runner {
     last
   }
 
+  /** Supervised continuous consumption (reference: rpatterns/run.go
+    * `RunForever` + errors.go's expected-error taxonomy). Each round is
+    * a bounded `runToHead`; draining to the head is the EXPECTED end
+    * of a round (ErrHeadReached in the reference), so the loop idles
+    * `idleMs` and re-runs — no error, no backoff. Unexpected errors
+    * report through `onError`, back off exponentially (doubling to
+    * `maxBackoffMs`, reset on any clean round), and re-enter; the
+    * cursor protocol makes re-entry safe (at-least-once, resume from
+    * the last committed batch). `handle.stop()` is the ErrStopped
+    * path: graceful, idempotent, interrupts an in-flight sleep and
+    * joins the loop thread. Driver-side control plane only — each
+    * round's data work is the same distributed runToHead.
+    */
+  final class ForeverHandle private[events] (
+      thread: Thread,
+      flag: java.util.concurrent.atomic.AtomicBoolean) {
+    def stop(joinMs: Long = 30000L): Unit = {
+      flag.set(true)
+      thread.interrupt()
+      thread.join(joinMs)
+    }
+    def isRunning: Boolean = thread.isAlive
+  }
+
+  /** @param freshSpec evaluated once per round — the reference's
+    * StreamFunc re-queries its source on every stream call, and the
+    * Spark analogue is re-resolving the log (a held DataFrame pins its
+    * file listing, so events appended after it would stay invisible).
+    */
+  def runForever(
+      freshSpec: () => Spec,
+      idleMs: Long = 100L,
+      maxBackoffMs: Long = 5000L,
+      onError: (Throwable, Long) => Unit = (e, b) =>
+        System.err.println(s"[run-forever] backing off ${b}ms after: $e")): ForeverHandle = {
+    val stopped = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val name = freshSpec().consumer.name
+    val t = new Thread(() => {
+      var backoff = idleMs
+      while (!stopped.get()) {
+        try {
+          runToHead(freshSpec())
+          backoff = idleMs // clean round: reset the backoff ladder
+          Thread.sleep(idleMs)
+        } catch {
+          case _: InterruptedException => () // stop(): loop condition exits
+          case NonFatal(e) if !stopped.get() =>
+            onError(e, backoff)
+            try Thread.sleep(backoff) catch { case _: InterruptedException => () }
+            backoff = math.min(backoff * 2, maxBackoffMs)
+          case NonFatal(_) => () // failure racing a stop(): exit quietly
+        }
+      }
+    }, s"run-forever-$name")
+    t.setDaemon(true)
+    t.start()
+    new ForeverHandle(t, stopped)
+  }
+
   /** rpatterns/parallel.go: n hash-sharded consumers, each with its own
     * cursor (`name_m_of_n`), run concurrently. Co-location note: the
     * shard predicate is a pushed filter, so each shard scans only its

@@ -258,6 +258,49 @@ class RunnerSpec extends AnyFunSuite {
     assert(Runner.lagPartitioned(table.raw, fresh, "c-none")._2 === 0L)
   }
 
+  test("runForever consumes new events across rounds, backs off on failures, stops cleanly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-forever")
+      .resolve("log").toString
+    val table = new graft.sources.EventsTable(spark, dir)
+    def insert(n: Int, fidBase: Long): Unit =
+      table.insert((0 until n).map { i =>
+        ("click", fidBase + i, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0, "{}")
+      }.toDF("eventType", "foreignId", "ts", "value", "metadata"))
+    insert(5, 0L)
+    val store = new MemCursorStore()
+    val seen = new AtomicLong()
+    val failures = new AtomicLong()
+    val poison = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val consumer = Consumer("c-forever", b => {
+      if (poison.get()) { poison.set(false); throw new RuntimeException("transient") }
+      seen.addAndGet(b.count()); ()
+    })
+    val handle = Runner.runForever(
+      () => Spec(table.log, store, consumer, batchSize = 100),
+      idleMs = 50L, maxBackoffMs = 200L,
+      onError = (_, _) => { failures.incrementAndGet(); () })
+    def waitFor(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!cond && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(cond)
+    }
+    try {
+      waitFor(seen.get() === 5L) // first round drains to head
+      insert(3, 100L) // events landing AFTER the head: picked up next round
+      waitFor(seen.get() === 8L)
+      // transient failure: supervisor reports it, backs off, recovers
+      poison.set(true)
+      insert(2, 200L)
+      waitFor(seen.get() === 10L)
+      assert(failures.get() >= 1L)
+      assert(store.get("c-forever") === Some(9L))
+    } finally handle.stop()
+    assert(!handle.isRunning)
+    // stop is idempotent
+    handle.stop()
+  }
+
   test("lagPartitioned detects a backdated event (id/date overlap) and falls back to exact lag") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-lagback")
