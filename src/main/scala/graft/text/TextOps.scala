@@ -503,6 +503,70 @@ object TextOps {
       WHERE doc_id >= 10
       GROUP BY doc_id ORDER BY doc_id""")),
 
+    // C39: deterministic train/val/test splits — hash-of-id assignment
+    // (NOT rand()): reproducible at any scale, stable under replays and
+    // re-partitioning, and a doc never migrates between splits when the
+    // corpus grows. 80/10/10 on the md5 bucket; reported per (lang,
+    // split) so mixture skew across splits is visible at a glance.
+    ("tx_splits", (s: SparkSession, d: String) => {
+      val b = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 100
+      val split = when(b < 80, "train").when(b < 90, "val").otherwise("test")
+      docs(s, d).select(col("lang"), split.as("split"),
+          length(col("text")).as("len"))
+        .groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"), sum("len").cast("long").as("n_chars"))
+        .orderBy("lang", "split")
+    }, Some("""
+      WITH t AS (
+        SELECT lang,
+               CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 < 80 THEN 'train'
+                    WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               length(text) AS len
+        FROM documents)
+      SELECT lang, split, count(*) AS n_docs, CAST(sum(len) AS BIGINT) AS n_chars
+      FROM t GROUP BY lang, split ORDER BY lang, split""")),
+
+    // C40: composite quality gate — the actual KEEP/DROP decision a
+    // pipeline publishes, with per-reason flags so every drop is
+    // attributable (too short / punctuation-heavy / unnatural stopword
+    // rate / repetitive). Every threshold compares in EXACT integer
+    // arithmetic (cross-multiplied ratios) — no double ever decides a
+    // boundary, so the gate is bit-identical across engines.
+    ("tx_quality_gate", (s: SparkSession, d: String) => {
+      val toks = tokens(col("text"))
+      val n = size(toks).cast("long")
+      val nd = size(array_distinct(toks)).cast("long")
+      val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+      val stops = stopwordHits(toks, stopwords).cast("long")
+      val l = length(col("text")).cast("long")
+      docs(s, d).select(col("doc_id"),
+          (n < 5L).as("too_short"),
+          (punct * 10L > l * 3L).as("high_punct"),
+          (stops * 20L < n).as("low_stopword"),
+          ((n - nd) * 5L > n).as("high_repetition"))
+        .withColumn("keep", !col("too_short") && !col("high_punct") &&
+          !col("low_stopword") && !col("high_repetition"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(length(regexp_split_to_array(nrm, ' ')) AS BIGINT) AS n,
+               CAST(length(list_distinct(regexp_split_to_array(nrm, ' '))) AS BIGINT) AS nd,
+               CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS punct,
+               CAST(length(list_filter(regexp_split_to_array(nrm, ' '), x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) AS stops,
+               CAST(length(text) AS BIGINT) AS len
+        FROM (SELECT doc_id, text, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nrm FROM documents))
+      SELECT doc_id,
+             n < 5 AS too_short,
+             punct * 10 > len * 3 AS high_punct,
+             stops * 20 < n AS low_stopword,
+             (n - nd) * 5 > n AS high_repetition,
+             NOT (n < 5 OR punct * 10 > len * 3 OR stops * 20 < n
+                  OR (n - nd) * 5 > n) AS keep
+      FROM t ORDER BY doc_id""")),
+
     // C18: deterministic stratified sampling — hash-based (NOT rand())
     // so replays/retries keep the same sample at any scale; plus the
     // per-stratum reweighting factor to hit a uniform target mixture.
