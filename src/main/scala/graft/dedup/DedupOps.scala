@@ -86,8 +86,11 @@ object DedupOps {
     (frames(0), frames(1))
   }
 
-  /** SimHash signatures are a fixed ~50 bytes/doc (one i64 + 4 band
-    * hashes) — safe to keep hot in memory whole.
+  /** SimHash signatures are a fixed ~80 bytes/doc (one i64 + 4 band
+    * hashes + a 32-hex token-set fingerprint) — safe to keep hot in
+    * memory whole. `fp` (md5 of the sorted distinct tokens, '|'
+    * joined) rides along in the SAME text pass so exact-verify steps
+    * never re-scan the corpus.
     */
   def simhashSignatures(documents: DataFrame): DataFrame = {
     val s = documents.sparkSession
@@ -98,9 +101,10 @@ object DedupOps {
         .map { case (id, norm) =>
           val toks = if (norm == null) Array.empty[String] else norm.split(" ").distinct
           val h = graft.util.Hashing.simhash64(toks)
-          (id, h, graft.util.Hashing.simhashBands(h).toSeq)
+          val fp = graft.util.Hashing.md5Hex(toks.sorted.mkString("|"))
+          (id, h, graft.util.Hashing.simhashBands(h).toSeq, fp)
         }
-        .toDF("doc_id", "simhash", "bands")
+        .toDF("doc_id", "simhash", "bands", "fp")
         .cache())
     }.head
   }
@@ -315,17 +319,14 @@ object DedupOps {
         .filter(length(TextOps.normalize(col("text"))) >= 1)
       val corpus = base.unionByName(
         base.select((col("doc_id") + 1000000L).as("doc_id"), col("text")))
-      val sig = simhashSignatures(corpus).select("doc_id", "simhash")
-      val pairs = sig.as("x").join(sig.as("y"),
-          col("x.simhash") === col("y.simhash") && col("x.doc_id") < col("y.doc_id"))
+      // sig carries the exact token-set fingerprint from the SAME
+      // cached text pass (simhashSignatures), so the verify step is a
+      // predicate on the self-join — no re-scan, no join-back.
+      val sig = simhashSignatures(corpus).select("doc_id", "simhash", "fp")
+      sig.as("x").join(sig.as("y"),
+          col("x.simhash") === col("y.simhash") && col("x.doc_id") < col("y.doc_id") &&
+            col("x.fp") === col("y.fp"))
         .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
-      val fp = corpus.select(col("doc_id"), md5(concat_ws("|",
-        array_sort(array_distinct(split(TextOps.normalize(col("text")), " "))))).as("fp"))
-      pairs
-        .join(fp.select(col("doc_id").as("a"), col("fp").as("fa")), "a")
-        .join(fp.select(col("doc_id").as("b"), col("fp").as("fb")), "b")
-        .filter(col("fa") === col("fb"))
-        .select("a", "b")
         .orderBy("a", "b")
     }, Some("""
       WITH c0 AS (

@@ -414,11 +414,20 @@ object TextOps {
     ("tx_bigram_surprisal", (s: SparkSession, d: String) => {
       val t = docs(s, d).select(col("doc_id"), tokens(col("text")).as("t"))
         .filter(size(col("t")) >= 2)
+      // The raw occurrence stream is never shuffled whole: the only
+      // wide ops over it are the map-side-combined (t1,t2) count and
+      // the per-doc final agg (both collapse before the exchange).
+      // n1 is Σ_t2 n2 — DERIVED from c2, not a second corpus pass —
+      // so the explode evaluates twice (join left + c2 branch), not
+      // three times. c2/c1 are vocab²-bounded; AQE picks broadcast
+      // joins for them here, and at a 100 TB vocab they degrade to
+      // shuffle joins of aggregated (small) sides, never of raw
+      // occurrences.
       val bi = t.selectExpr("doc_id",
         "explode(zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), (a, b) -> struct(a AS t1, b AS t2))) AS bg")
         .select(col("doc_id"), col("bg.t1").as("t1"), col("bg.t2").as("t2"))
       val c2 = bi.groupBy("t1", "t2").agg(count(lit(1)).as("n2"))
-      val c1 = bi.groupBy("t1").agg(count(lit(1)).as("n1"))
+      val c1 = c2.groupBy("t1").agg(sum("n2").as("n1"))
       bi.join(c2, Seq("t1", "t2")).join(c1, Seq("t1"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_bigrams"),
@@ -438,7 +447,7 @@ object TextOps {
         SELECT a.doc_id, a.tok AS t1, b.tok AS t2
         FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1),
       c2 AS (SELECT t1, t2, count(*) AS n2 FROM bi GROUP BY t1, t2),
-      c1 AS (SELECT t1, count(*) AS n1 FROM bi GROUP BY t1)
+      c1 AS (SELECT t1, sum(n2) AS n1 FROM c2 GROUP BY t1)
       SELECT doc_id, count(*) AS n_bigrams,
              round(avg(-log2(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE))), 4) AS bigram_xent
       FROM bi JOIN c2 USING (t1, t2) JOIN c1 USING (t1)

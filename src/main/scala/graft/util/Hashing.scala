@@ -18,6 +18,23 @@ object Hashing {
     (MurmurHash3.stringHash(s, 0x9747b28c).toLong << 32) |
       (MurmurHash3.stringHash(s, 0x85ebca6b).toLong & 0xffffffffL)
 
+  /** Lower-case hex md5 of the UTF-8 bytes — byte-identical to SQL
+    * `md5(...)` in Spark and DuckDB, for JVM-side fingerprinting in
+    * the same tight loops.
+    */
+  def md5Hex(s: String): String = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < d.length) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
   /** splitmix64 finalizer — full avalanche of a 64-bit value. */
   def mix64(z0: Long): Long = {
     var z = z0 + 0x9e3779b97f4a7c15L

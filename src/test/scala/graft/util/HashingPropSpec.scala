@@ -74,4 +74,10 @@ class HashingPropSpec extends AnyFunSuite {
     assert(b === Hashing.lshBucket(v, 8))
     assert(b >= 0 && b < 256)
   }
+
+  test("md5Hex matches the RFC 1321 vectors (= SQL md5 output format)") {
+    assert(Hashing.md5Hex("") === "d41d8cd98f00b204e9800998ecf8427e")
+    assert(Hashing.md5Hex("abc") === "900150983cd24fb0d6963f7d28e17f72")
+    assert(Hashing.md5Hex("message digest") === "f96b697d7cb7938d525a2f31aaf161d0")
+  }
 }
