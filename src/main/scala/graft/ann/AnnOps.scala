@@ -367,6 +367,46 @@ object AnnOps {
       FROM f WHERE dim < 8
       GROUP BY label, dim ORDER BY label, dim""")),
 
+    // C42: int8 embedding quantization — the storage/serving compression
+    // step before ANN at scale (4 B float → 1 B int per dim). Symmetric
+    // fixed-scale quantizer q = clamp(floor(200·x + 0.5), ±127); all
+    // reported stats live in EXACT integer space (sum of squared codes,
+    // clip counts, ratio4 average) so the cross-engine hash cannot
+    // wobble — float→double widening, the ×200 product, and floor are
+    // bit-identical IEEE on both engines. Per-row array loops, zero
+    // shuffle before the per-label agg.
+    ("ann_quantize", (s: SparkSession, d: String) => {
+      s.read.parquet(s"$d/embeddings.parquet")
+        .selectExpr("label",
+          """aggregate(
+               transform(embedding,
+                 x -> greatest(least(CAST(floor(CAST(x AS DOUBLE) * 200.0 + 0.5) AS BIGINT),
+                                     CAST(127 AS BIGINT)), CAST(-127 AS BIGINT))),
+               CAST(0 AS BIGINT), (a, q) -> a + q * q) AS ssq""",
+          """aggregate(embedding, CAST(0 AS BIGINT),
+               (a, x) -> a + CASE WHEN abs(floor(CAST(x AS DOUBLE) * 200.0 + 0.5)) > 127
+                             THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END) AS nclip""")
+        .groupBy("label")
+        .agg(count(lit(1)).as("n_vecs"),
+          sum("ssq").cast("long").as("sum_ssq"),
+          sum("nclip").cast("long").as("n_clipped"))
+        .withColumn("avg_ssq4", graft.text.TextOps.ratio4(col("sum_ssq"), col("n_vecs")))
+        .orderBy("label")
+    }, Some("""
+      WITH q AS (
+        SELECT label,
+               CAST(list_sum(list_transform(embedding,
+                 x -> CAST(greatest(least(CAST(floor(CAST(x AS DOUBLE) * 200.0 + 0.5) AS BIGINT), 127), -127) AS BIGINT)
+                      * greatest(least(CAST(floor(CAST(x AS DOUBLE) * 200.0 + 0.5) AS BIGINT), 127), -127))) AS BIGINT) AS ssq,
+               CAST(list_sum(list_transform(embedding,
+                 x -> CASE WHEN abs(floor(CAST(x AS DOUBLE) * 200.0 + 0.5)) > 127 THEN 1 ELSE 0 END)) AS BIGINT) AS nclip
+        FROM embeddings)
+      SELECT label, count(*) AS n_vecs,
+             CAST(sum(ssq) AS BIGINT) AS sum_ssq,
+             CAST(sum(nclip) AS BIGINT) AS n_clipped,
+             ((20000 * sum(ssq) + count(*)) // (2 * count(*))) / 10000.0 AS avg_ssq4
+      FROM q GROUP BY label ORDER BY label""")),
+
     // C7: LSH-bucketed top-5 — probes only score their own buckets.
     // MULTI-TABLE: each vector hashes into L independent hyperplane
     // tables (disjoint plane sets); a neighbor is a candidate if it

@@ -411,6 +411,41 @@ object EventOps {
       FROM dau JOIN wau ON dau.anchor = wau.anchor
       ORDER BY day""")),
 
+    // A54: per-user rate-spike detection — days where a user's event
+    // count exceeds 3× their trailing-7-day daily average, the
+    // anomaly probe an ops team runs on a consumer feed. Exact int64
+    // comparison (n·7 > trail·3 — no float rate ever computed), a
+    // RANGE window over day-as-int so calendar gaps count as zeros,
+    // and the doc-level work is one map-side-combined (user, day)
+    // count; each window partition is a single user's active days.
+    ("ev_rate_spike", (s: SparkSession, d: String) => {
+      val daily = Event.project(ev(s, d))
+        .select(col("foreignId").as("fid"), to_date(col("ts")).as("day"))
+        .groupBy("fid", "day").agg(count(lit(1)).as("n"))
+        .withColumn("di", datediff(col("day"), lit("1970-01-01").cast("date")).cast("long"))
+      val w = Window.partitionBy("fid").orderBy("di").rangeBetween(-7, -1)
+      daily.withColumn("trail", coalesce(sum("n").over(w), lit(0L)))
+        .filter(col("trail") > 0 && col("n") * 7 > col("trail") * 3)
+        .select(col("fid").as("user_id"), col("day"),
+          col("n").cast("long").as("n_events"),
+          col("trail").cast("long").as("trailing7"))
+        .orderBy("user_id", "day")
+    }, Some("""
+      WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+        FROM events GROUP BY user_id, CAST(ts AS DATE)),
+      d2 AS (
+        SELECT *, datediff('day', DATE '1970-01-01', day) AS di FROM daily),
+      w AS (
+        SELECT user_id, day, n,
+               coalesce(sum(n) OVER (PARTITION BY user_id ORDER BY di
+                 RANGE BETWEEN 7 PRECEDING AND 1 PRECEDING), 0) AS trail
+        FROM d2)
+      SELECT user_id, day, CAST(n AS BIGINT) AS n_events,
+             CAST(trail AS BIGINT) AS trailing7
+      FROM w WHERE trail > 0 AND n * 7 > trail * 3
+      ORDER BY user_id, day""")),
+
     // A42: event-type transition matrix — counts of consecutive
     // (prev_type → type) per-user transitions (Markov-chain view of
     // the event stream; lag window per user).

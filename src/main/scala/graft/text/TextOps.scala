@@ -157,6 +157,74 @@ object TextOps {
                + 1000 * n * len) // (2 * 1000 * n * len)) / 10000.0 AS quality_score
       FROM t ORDER BY doc_id""")),
 
+    // C43: CCNet-style quality bucketing — each lang's corpus split
+    // into head/middle/tail thirds by quality score, the canonical
+    // filter stage before training-mix decisions. NO per-lang doc
+    // sort anywhere: scores are 4dp-quantized (≤10⁴ distinct values),
+    // so docs aggregate to a tiny (lang, score) frame first, the
+    // third-boundaries come from a prefix-sum window over THAT frame,
+    // and whole score-groups map to one bucket (head = groups whose
+    // strictly-better prefix is < ⅓ of the lang count, etc. — exact
+    // int arithmetic). The doc-level work is one map-side-combined
+    // groupBy; the windows touch |langs|·|scores| rows regardless of
+    // corpus size.
+    ("tx_quality_buckets", (s: SparkSession, d: String) => {
+      val toks = tokens(col("text"))
+      val n = size(toks).cast("long")
+      val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+      val stops = stopwordHits(toks, stopwords).cast("long")
+      val l = length(col("text")).cast("long")
+      val qn = lit(500L) * stops * l + lit(300L) * (l - punct) * n +
+        lit(2L) * least(n, lit(100L)) * n * l
+      val qd = lit(1000L) * n * l
+      val base = docs(s, d).select(col("lang"), ratio4(qn, qd).as("q4"), n.as("n_tok"))
+      val grp = base.groupBy("lang", "q4")
+        .agg(count(lit(1)).as("g"), sum("n_tok").as("gtok"))
+      val wHigher = Window.partitionBy("lang").orderBy(col("q4").desc)
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wAll = Window.partitionBy("lang")
+      grp.withColumn("higher", coalesce(sum("g").over(wHigher), lit(0L)))
+        .withColumn("cnt", sum("g").over(wAll))
+        .withColumn("bucket",
+          when(col("higher") * 3 < col("cnt"), "head")
+            .when(col("higher") * 3 < col("cnt") * 2, "middle")
+            .otherwise("tail"))
+        .groupBy("lang", "bucket")
+        .agg(sum("g").cast("long").as("n_docs"),
+          sum("gtok").cast("long").as("n_tokens"),
+          min("q4").as("min_score"), max("q4").as("max_score"))
+        .orderBy("lang", "bucket")
+    }, Some("""
+      WITH t AS (
+        SELECT lang,
+               CAST(length(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n,
+               CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS punct,
+               CAST(length(list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) AS stops,
+               CAST(length(text) AS BIGINT) AS len
+        FROM documents),
+      scored AS (
+        SELECT lang, n AS n_tok,
+               ((20000 * (500 * stops * len + 300 * (len - punct) * n + 2 * least(n, 100) * n * len)
+                 + 1000 * n * len) // (2 * 1000 * n * len)) / 10000.0 AS q4
+        FROM t),
+      grp AS (
+        SELECT lang, q4, count(*) AS g, sum(n_tok) AS gtok
+        FROM scored GROUP BY lang, q4),
+      pos AS (
+        SELECT lang, q4, g, gtok,
+               coalesce(sum(g) OVER (PARTITION BY lang ORDER BY q4 DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS higher,
+               sum(g) OVER (PARTITION BY lang) AS cnt
+        FROM grp)
+      SELECT lang,
+             CASE WHEN higher * 3 < cnt THEN 'head'
+                  WHEN higher * 3 < cnt * 2 THEN 'middle'
+                  ELSE 'tail' END AS bucket,
+             CAST(sum(g) AS BIGINT) AS n_docs,
+             CAST(sum(gtok) AS BIGINT) AS n_tokens,
+             min(q4) AS min_score, max(q4) AS max_score
+      FROM pos GROUP BY lang, bucket ORDER BY lang, bucket""")),
+
     // C8: language ID — marker-stopword score, deterministic argmax.
     ("tx_langid", (s: SparkSession, d: String) => {
       val toks = tokens(col("text"))
@@ -653,6 +721,72 @@ object TextOps {
              min(doc_id) AS first_doc, max(doc_id) AS last_doc
       FROM (SELECT doc_id, n_tok, cum AS cum_last FROM c) x
       GROUP BY 1 ORDER BY shard""")),
+
+    // C41: greedy sequence packing — whole docs packed in id order
+    // into fixed-token-budget training sequences (the standard
+    // dataloader prep step; unlike tx_token_shards' cumsum split, a
+    // doc never straddles two packs). Packing is inherently
+    // sequential, so it runs greedy WITHIN deterministic shards
+    // (doc_id mod S): one hash exchange on shard, a within-partition
+    // sort, and a typed per-partition loop that emits only pack
+    // summaries — shard count scales with the corpus, no shard ever
+    // leaves one task, and the output is pack metadata (bytes per
+    // pack), never the text. The oracle replays the same greedy loop
+    // as a recursive CTE stepping rn across all shards in parallel.
+    ("tx_seqpack", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val budget = 2048L
+      val nShards = 8L
+      val base = docs(s, d).select(
+        (col("doc_id") % nShards).as("shard"),
+        col("doc_id"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+      base.as[(Long, Long, Long)]
+        .repartition(col("shard"))
+        .sortWithinPartitions("shard", "doc_id")
+        .mapPartitions { it =>
+          // a partition holds whole shards (hash-partitioned), rows
+          // sorted (shard, doc_id): pack state resets on shard change
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Long, Long, Long)]
+          var shard = -1L; var pack = 0L; var fill = 0L
+          var nDocs = 0L; var toks = 0L; var first = 0L; var last = 0L
+          def flush(): Unit =
+            if (nDocs > 0) out += ((shard, pack, nDocs, toks, first, last))
+          def open(id: Long, n: Long): Unit = {
+            fill = n; nDocs = 1; toks = n; first = id; last = id
+          }
+          it.foreach { case (sh, id, n) =>
+            if (sh != shard) { flush(); shard = sh; pack = 0L; open(id, n) }
+            else if (fill + n <= budget) {
+              fill += n; nDocs += 1; toks += n; last = id
+            } else { flush(); pack += 1; open(id, n) }
+          }
+          flush()
+          out.iterator
+        }
+        .toDF("shard", "pack_id", "n_docs", "pack_tokens", "first_doc", "last_doc")
+        .orderBy("shard", "pack_id")
+    }, Some("""
+      WITH RECURSIVE base AS (
+        SELECT doc_id, doc_id % 8 AS shard,
+               CAST(length(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      ord AS (
+        SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        FROM base),
+      packed AS (
+        SELECT shard, rn, doc_id, n_tok, CAST(0 AS BIGINT) AS pack_id, n_tok AS fill
+        FROM ord WHERE rn = 1
+        UNION ALL
+        SELECT o.shard, o.rn, o.doc_id, o.n_tok,
+               CASE WHEN p.fill + o.n_tok <= 2048 THEN p.pack_id ELSE p.pack_id + 1 END,
+               CASE WHEN p.fill + o.n_tok <= 2048 THEN p.fill + o.n_tok ELSE o.n_tok END
+        FROM packed p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1)
+      SELECT shard, pack_id, count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS pack_tokens,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM packed GROUP BY shard, pack_id ORDER BY shard, pack_id""")),
 
     // Flagship composition: the full training-data preparation pass —
     // exact-dedup to canonical docs, token/quality gates, language ID —
