@@ -151,3 +151,35 @@ final class EventsTable(spark: SparkSession, dir: String,
     head
   }
 }
+
+/** String-foreign-id surface over the int64-physical EventsTable —
+  * the exact mirror of the reference's typed wrapper
+  * (rsql/eventstableint.go: base table stores strings, the Int
+  * wrapper formats int64 → string on insert). Here the base table
+  * stores int64 (the native type of the `events` test schema), so
+  * the typed wrapper PARSES string ids on insert — strictly, the
+  * whole column, fail-fast: a non-numeric foreign id raises at
+  * insert time instead of corrupting the log (the inverse direction,
+  * FormatInt, cannot fail; ParseInt can, and so can this).
+  */
+final class EventsTableStr(val inner: EventsTable) {
+
+  /** Insert with a STRING foreignId column; every value must parse as
+    * int64 (strconv.ParseInt semantics — fail the batch, not the row).
+    */
+  def insert(events: DataFrame): Long = {
+    val bad = events.filter(col("foreignId").isNotNull &&
+      col("foreignId").cast("long").isNull).limit(1).collect()
+    require(bad.isEmpty,
+      s"non-integer foreignId: ${bad.headOption.map(_.toString).getOrElse("")}")
+    inner.insert(events.withColumn("foreignId", col("foreignId").cast("long")))
+  }
+
+  /** Canonical log with foreignId projected back to string (reflex
+    * Event.ForeignID is a string — api.go Event).
+    */
+  def log: DataFrame =
+    inner.log.df.withColumn("foreignId", col("foreignId").cast("string"))
+
+  def head: Long = inner.head
+}

@@ -327,4 +327,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(seen === 3L)
     assert(store.get("etable-consumer") === Some(2L))
   }
+
+  test("EventsTableStr: string foreign ids parse on insert, read back as strings, reject junk") {
+    val dir = Files.createTempDirectory("graft-etstr").resolve("log").toString
+    val table = new EventsTableStr(new EventsTable(spark, dir))
+
+    import spark.implicits._
+    val ok = Seq(
+      ("signup", "41", java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0, "{}"),
+      ("click", "-7", java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 2.0, "{}"))
+      .toDF("eventType", "foreignId", "ts", "value", "metadata")
+    assert(table.insert(ok) === 1L)
+
+    // physical storage is int64; the typed surface reads strings back
+    assert(table.inner.log.df.schema("foreignId").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(table.log.orderBy("id").select("foreignId").collect().map(_.getString(0)).toSeq
+      === Seq("41", "-7"))
+
+    // ParseInt failure semantics: the batch fails, nothing is appended
+    val bad = Seq(
+      ("signup", "user-9", java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 3.0, "{}"))
+      .toDF("eventType", "foreignId", "ts", "value", "metadata")
+    intercept[IllegalArgumentException](table.insert(bad))
+    assert(table.head === 1L)
+  }
 }
