@@ -183,6 +183,78 @@ object DedupOps {
              count(*) OVER (PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')))) AS group_size
       FROM documents ORDER BY doc_id""")),
 
+    // C44: content-defined chunking (CDC) — the byte-level dedup
+    // primitive (rsync/LBFS/backup-dedup lineage): chunk boundaries
+    // are a pure function of a LOCAL 8-char content window (windowed
+    // hash % 16 == 0), so an insertion early in a doc only moves one
+    // chunk's boundary, not every later one — unlike fixed-size
+    // blocks — and boundary detection needs no cross-position state:
+    // it is embarrassingly parallel at any scale. Per doc: the chunk
+    // loop runs as a typed per-partition pass (one reusable MD5
+    // instance, ~len window hashes/doc); cross-doc sharing is ONE
+    // window over chunk fingerprints (tx_source_mix's dup-exposure
+    // pattern). The window hash is hex-prefix-of-md5 — the one hash
+    // both engines compute bit-identically — so the oracle replays
+    // boundaries exactly.
+    ("dd_cdc_chunks", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val chunks = docs(s, d)
+        .select(col("doc_id"), TextOps.normalize(col("text")).as("norm"))
+        .filter(length(col("norm")) >= 1)
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.flatMap { case (id, norm) =>
+            val len = norm.length
+            val bnds = scala.collection.mutable.ArrayBuffer.empty[Int]
+            var i = 8
+            while (i <= len) {
+              val h = java.lang.Long.parseLong(
+                graft.util.Hashing.md5Hex(norm.substring(i - 8, i)).substring(0, 8), 16)
+              if (h % 16 == 0) bnds += i
+              i += 1
+            }
+            if (bnds.isEmpty || bnds.last != len) bnds += len
+            var start = 0
+            bnds.iterator.map { b =>
+              val c = norm.substring(start, b)
+              start = b
+              (id, graft.util.Hashing.md5Hex(c), c.length.toLong)
+            }
+          }
+        }
+        .toDF("doc_id", "cfp", "clen")
+      chunks
+        .withColumn("occ", count(lit(1)).over(Window.partitionBy("cfp")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum("clen").cast("long").as("n_chars"),
+          sum(when(col("occ") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH f AS (
+        SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nrm
+        FROM documents),
+      g AS (SELECT doc_id, nrm FROM f WHERE length(nrm) >= 1),
+      bnd AS (
+        SELECT doc_id, i AS b
+        FROM g, unnest(generate_series(8, length(nrm))) AS t(i)
+        WHERE CAST('0x' || substr(md5(substr(nrm, i - 7, 8)), 1, 8) AS BIGINT) % 16 = 0
+        UNION
+        SELECT doc_id, length(nrm) FROM g),
+      obnd AS (
+        SELECT doc_id, b, lag(b, 1, 0) OVER (PARTITION BY doc_id ORDER BY b) AS pb
+        FROM bnd),
+      cf AS (
+        SELECT c.doc_id, md5(substr(g.nrm, c.pb + 1, c.b - c.pb)) AS cfp,
+               CAST(c.b - c.pb AS BIGINT) AS clen
+        FROM obnd c JOIN g USING (doc_id)
+        WHERE c.b > c.pb),
+      occ AS (SELECT *, count(*) OVER (PARTITION BY cfp) AS o FROM cf)
+      SELECT doc_id, count(*) AS n_chunks,
+             CAST(sum(clen) AS BIGINT) AS n_chars,
+             CAST(sum(CASE WHEN o > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_chunks
+      FROM occ GROUP BY doc_id ORDER BY doc_id""")),
+
     // C32: incremental (CDC-style) dedup — the arriving-batch shape:
     // dedup NEW documents against the accumulated historical corpus
     // without rescanning history pairwise. Historical state is the

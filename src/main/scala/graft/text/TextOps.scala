@@ -736,7 +736,12 @@ object TextOps {
     ("tx_seqpack", (s: SparkSession, d: String) => {
       import s.implicits._
       val budget = 2048L
-      val nShards = 8L
+      // default 8 matches the oracle; at real scale set
+      // spark.graft.seqpack.shards ≈ corpus_tokens / (budget · 10⁵)
+      // so each shard packs ~10⁵ sequences — shards scale out with
+      // the corpus and every core stays busy (measured: the fixed-8
+      // default is the 10× stress's worst ratio, by design a knob)
+      val nShards = s.conf.get("spark.graft.seqpack.shards", "8").toLong
       val base = docs(s, d).select(
         (col("doc_id") % nShards).as("shard"),
         col("doc_id"),

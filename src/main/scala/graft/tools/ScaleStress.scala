@@ -45,7 +45,9 @@ object ScaleStress {
       "pipeline_prepare_corpus",
       "dd_components", "ann_kmeans", "dd_incremental", "tx_pii_redact",
       "tx_entropy", "tx_bigram_surprisal", "tx_chunks", "tx_source_cap",
-      "ev_disorder", "ev_sessionize", "ev_latest_state", "ev_active_users")
+      "ev_disorder", "ev_sessionize", "ev_latest_state", "ev_active_users",
+      "tx_seqpack", "ann_quantize", "tx_quality_buckets", "ev_rate_spike",
+      "dd_cdc_chunks")
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
