@@ -347,6 +347,74 @@ object AnnOps {
              count(*) OVER (PARTITION BY cid) AS cluster_size
       FROM a2 ORDER BY vec_id""")),
 
+    // C45: product quantization (PQ) — the memory side of ANN at
+    // scale: 64 floats (256 B) compress to m=8 one-byte codes by
+    // quantizing each 8-dim subvector against its own k=16 codebook
+    // (Jégou et al., TPAMI 2011). Codebooks are the proven
+    // deterministic md5-ordered sample (ann_ivf/ann_kmeans idiom);
+    // assignment is an IN-ROW argmin over the broadcast codebook —
+    // one corpus scan, NO per-vector shuffle: rows collapse map-side
+    // to the ≤128 (subspace, code) cells before the only exchange.
+    // Distances are 4dp-rounded with code-id tiebreak (bit-identical
+    // cross-engine, kmeans precedent); distortion sums travel as
+    // exact e4 int64. The interpreted HOF argmin is the only
+    // non-codegen op — the production path is a native Expression
+    // like CosineSimilarity (C16), same loop, fused.
+    ("ann_pq", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val c = corpus(s, d)
+      val seeds = c.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(16).collect().zipWithIndex
+      val cbRows = for {
+        (r, j) <- seeds.toSeq
+        p <- 0 until 8
+      } yield (p, j, r.getSeq[Double](1).slice(p * 8, p * 8 + 8))
+      val cbRow = broadcast(cbRows.toDF("p", "j", "c")
+        .agg(sort_array(collect_list(struct(col("p"), col("j"), col("c")))).as("cb")))
+      c.crossJoin(cbRow)
+        .selectExpr("vec_id",
+          """transform(sequence(0, 7), p ->
+               aggregate(
+                 transform(filter(cb, e -> e.p = p),
+                   e -> named_struct(
+                     'd', round(aggregate(zip_with(slice(v, p * 8 + 1, 8), e.c,
+                            (a, b) -> (a - b) * (a - b)),
+                            cast(0 as double), (s, x) -> s + x), 4),
+                     'j', e.j)),
+                 named_struct('d', cast(1e18 as double), 'j', -1),
+                 (acc, x) -> if(x.d < acc.d, x, acc))) AS best""")
+        .select(posexplode(col("best")).as(Seq("p", "bc")))
+        .groupBy(col("p"), col("bc.j").as("code"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("bc.d") * 10000).cast("long")).cast("long").as("sum_dist_e4"))
+        .orderBy("p", "code")
+    }, Some("""
+      WITH seeds AS (
+        SELECT vec_id AS sid,
+               CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS j
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      ps AS (SELECT unnest(generate_series(0, 7)) AS p),
+      cb AS (
+        SELECT ps.p, s.j,
+               list_transform(generate_series(1, 8),
+                 i -> CAST(e.embedding[ps.p * 8 + i] AS DOUBLE)) AS c
+        FROM seeds s JOIN embeddings e ON e.vec_id = s.sid CROSS JOIN ps),
+      cand AS (
+        SELECT v.vec_id, cb.p, cb.j,
+               round(list_sum(list_transform(generate_series(1, 8),
+                 i -> (CAST(v.embedding[cb.p * 8 + i] AS DOUBLE) - cb.c[i])
+                    * (CAST(v.embedding[cb.p * 8 + i] AS DOUBLE) - cb.c[i]))), 4) AS d
+        FROM embeddings v CROSS JOIN cb),
+      best AS (
+        SELECT vec_id, p, j, d,
+               row_number() OVER (PARTITION BY vec_id, p ORDER BY d, j) AS rk
+        FROM cand)
+      SELECT CAST(p AS INTEGER) AS p, j AS code, count(*) AS n,
+             CAST(sum(CAST(round(d * 10000) AS BIGINT)) AS BIGINT) AS sum_dist_e4
+      FROM best WHERE rk = 1
+      GROUP BY p, j ORDER BY p, code""")),
+
     // C20: per-label centroids — dimension-wise vector aggregation in
     // long format (label, dim, centroid); the building block for IVF
     // coarse quantizers and class prototypes.
