@@ -357,33 +357,27 @@ object AnnOps {
     // to the ≤128 (subspace, code) cells before the only exchange.
     // Distances are 4dp-rounded with code-id tiebreak (bit-identical
     // cross-engine, kmeans precedent); distortion sums travel as
-    // exact e4 int64. The interpreted HOF argmin is the only
-    // non-codegen op — the production path is a native Expression
-    // like CosineSimilarity (C16), same loop, fused.
+    // exact e4 int64. The 128-candidate argmin is the native
+    // pq_assign Expression (C16 tier): one fused primitive loop per
+    // row inside WholeStageCodegen over a flat broadcast codebook.
     ("ann_pq", (s: SparkSession, d: String) => {
+      GraftFunctions.register(s)
       import s.implicits._
       val c = corpus(s, d)
       val seeds = c.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-        .limit(16).collect().zipWithIndex
-      val cbRows = for {
-        (r, j) <- seeds.toSeq
+        .limit(16).collect().map(_.getSeq[Double](1))
+      // flat p-major layout: cb[(p*16 + j)*8 + i]
+      val flat = for {
         p <- 0 until 8
-      } yield (p, j, r.getSeq[Double](1).slice(p * 8, p * 8 + 8))
-      val cbRow = broadcast(cbRows.toDF("p", "j", "c")
-        .agg(sort_array(collect_list(struct(col("p"), col("j"), col("c")))).as("cb")))
+        j <- 0 until 16
+        i <- 0 until 8
+      } yield seeds(j)(p * 8 + i)
+      val cbRow = broadcast(Seq(Tuple1(flat)).toDF("cbflat"))
       c.crossJoin(cbRow)
-        .selectExpr("vec_id",
-          """transform(sequence(0, 7), p ->
-               aggregate(
-                 transform(filter(cb, e -> e.p = p),
-                   e -> named_struct(
-                     'd', round(aggregate(zip_with(slice(v, p * 8 + 1, 8), e.c,
-                            (a, b) -> (a - b) * (a - b)),
-                            cast(0 as double), (s, x) -> s + x), 4),
-                     'j', e.j)),
-                 named_struct('d', cast(1e18 as double), 'j', -1),
-                 (acc, x) -> if(x.d < acc.d, x, acc))) AS best""")
-        .select(posexplode(col("best")).as(Seq("p", "bc")))
+        .selectExpr("vec_id", "pq_assign(v, cbflat) AS a")
+        .select(posexplode(expr(
+          "transform(sequence(0, 7), p -> named_struct('d', a[2 * p], 'j', CAST(a[2 * p + 1] AS INT)))"))
+          .as(Seq("p", "bc")))
         .groupBy(col("p"), col("bc.j").as("code"))
         .agg(count(lit(1)).as("n"),
           sum(round(col("bc.d") * 10000).cast("long")).cast("long").as("sum_dist_e4"))

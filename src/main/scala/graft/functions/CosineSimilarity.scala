@@ -98,6 +98,8 @@ object GraftFunctions {
       "jaccard_sorted", jaccardSortedBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "freq_sketch", FreqSketch.builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "pq_assign", PqAssign.builder, "built-in")
   }
 }
 
@@ -118,6 +120,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("freq_sketch"),
       new ExpressionInfo(classOf[FreqSketch].getName, "freq_sketch"),
       FreqSketch.builder))
+    ext.injectFunction((
+      FunctionIdentifier("pq_assign"),
+      new ExpressionInfo(classOf[PqAssign].getName, "pq_assign"),
+      PqAssign.builder))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectOptimizerRule(_ => graft.plans.RankFilterToTopK)
   }
