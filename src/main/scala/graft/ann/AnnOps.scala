@@ -409,6 +409,109 @@ object AnnOps {
       FROM best WHERE rk = 1
       GROUP BY p, j ORDER BY p, code""")),
 
+    // C45b: PQ-ADC top-k search — the query side of product
+    // quantization: each probe precomputes a 8×16 lookup table of
+    // subspace distances to every centroid ONCE, and a corpus
+    // vector's distance is then 8 table lookups on its codes (Jégou's
+    // asymmetric distance computation) — the corpus is scanned as
+    // codes, never as floats. LUT cells travel as exact e4 int64, so
+    // per-vector distances are integer SUMS (no float order
+    // sensitivity anywhere), and the full search path — codebook,
+    // assignment (native pq_assign), LUT, top-5 — is SQL-hash-checked.
+    // Scale shape: LUT is driver-built from the 16 collected seeds +
+    // 16 probes (KB), broadcast; per-probe candidates collapse through
+    // the TopKPerKey map-side heap, so the only exchange carries
+    // ≤ partitions·probes·5 rows.
+    ("ann_pq_adc", (s: SparkSession, d: String) => {
+      GraftFunctions.register(s)
+      import s.implicits._
+      val c = corpus(s, d)
+      val seeds = c.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(16).collect().map(_.getSeq[Double](1))
+      val flat = (for {
+        p <- 0 until 8
+        j <- 0 until 16
+        i <- 0 until 8
+      } yield seeds(j)(p * 8 + i)).toArray
+      val probes = c.filter(col("vec_id") < 16).orderBy("vec_id")
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val pids = probes.map(_._1).toSeq
+      // lut[(q*8 + p)*16 + j] = e4(round4(‖probe_q[p] − c_{p,j}‖²)):
+      // BigDecimal HALF_UP at 4dp then an EXACT move-point-right —
+      // the same value DuckDB's CAST(round(d*10000) AS BIGINT) yields
+      val lut: Seq[Long] = for {
+        (_, qv) <- probes.toSeq
+        p <- 0 until 8
+        j <- 0 until 16
+      } yield {
+        var sum = 0.0
+        var i = 0
+        while (i < 8) {
+          val diff = qv(p * 8 + i) - flat((p * 16 + j) * 8 + i)
+          sum += diff * diff
+          i += 1
+        }
+        java.math.BigDecimal.valueOf(sum)
+          .setScale(4, java.math.RoundingMode.HALF_UP)
+          .scaleByPowerOfTen(4).longValueExact()
+      }
+      val np = probes.length
+      val aux = broadcast(Seq((flat.toSeq, lut, pids)).toDF("cbflat", "lutflat", "pids"))
+      val scored = c.crossJoin(aux)
+        .selectExpr("vec_id", "pq_assign(v, cbflat) AS a", "lutflat", "pids")
+        .select(col("vec_id"), posexplode(expr(
+          s"""transform(sequence(0, $np - 1), q -> named_struct(
+                'probe', element_at(pids, q + 1),
+                'de4', aggregate(sequence(0, 7), CAST(0 AS BIGINT),
+                  (acc, p) -> acc + element_at(lutflat,
+                    (q * 8 + p) * 16 + CAST(a[2 * p + 1] AS INT) + 1))))"""))
+          .as(Seq("qi", "pr")))
+        .select(col("pr.probe").as("probe"), col("vec_id").as("neighbor"),
+          col("pr.de4").as("dist_e4"))
+        .filter(col("probe") =!= col("neighbor"))
+      graft.plans.TopKPerKeyOps.topK(scored, Seq("probe"),
+          Seq(col("dist_e4").asc, col("neighbor").asc), 5)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("probe").orderBy(col("dist_e4").asc, col("neighbor").asc)))
+        .orderBy("probe", "rk")
+    }, Some("""
+      WITH seeds AS (
+        SELECT vec_id AS sid,
+               CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS j
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      ps AS (SELECT unnest(generate_series(0, 7)) AS p),
+      cb AS (
+        SELECT ps.p, s.j,
+               list_transform(generate_series(1, 8),
+                 i -> CAST(e.embedding[ps.p * 8 + i] AS DOUBLE)) AS c
+        FROM seeds s JOIN embeddings e ON e.vec_id = s.sid CROSS JOIN ps),
+      cand AS (
+        SELECT v.vec_id, cb.p, cb.j,
+               round(list_sum(list_transform(generate_series(1, 8),
+                 i -> (CAST(v.embedding[cb.p * 8 + i] AS DOUBLE) - cb.c[i])
+                    * (CAST(v.embedding[cb.p * 8 + i] AS DOUBLE) - cb.c[i]))), 4) AS d
+        FROM embeddings v CROSS JOIN cb),
+      best AS (
+        SELECT vec_id, p, j, d,
+               row_number() OVER (PARTITION BY vec_id, p ORDER BY d, j) AS rk
+        FROM cand),
+      codes AS (SELECT vec_id, p, j AS code FROM best WHERE rk = 1),
+      lut AS (
+        SELECT vec_id AS probe, p, j,
+               CAST(round(d * 10000) AS BIGINT) AS de4
+        FROM cand WHERE vec_id < 16),
+      dist AS (
+        SELECT l.probe, c.vec_id AS neighbor, CAST(sum(l.de4) AS BIGINT) AS dist_e4
+        FROM codes c JOIN lut l ON l.p = c.p AND l.j = c.code
+        WHERE l.probe <> c.vec_id
+        GROUP BY l.probe, c.vec_id),
+      topk AS (
+        SELECT *, row_number() OVER (PARTITION BY probe ORDER BY dist_e4, neighbor) AS rk
+        FROM dist)
+      SELECT probe, neighbor, dist_e4, CAST(rk AS INTEGER) AS rk
+      FROM topk WHERE rk <= 5 ORDER BY probe, rk""")),
+
     // C20: per-label centroids — dimension-wise vector aggregation in
     // long format (label, dim, centroid); the building block for IVF
     // coarse quantizers and class prototypes.
