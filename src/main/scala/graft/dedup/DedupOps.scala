@@ -109,6 +109,29 @@ object DedupOps {
     }.head
   }
 
+  /** CDC boundary predicate positions: 1-based end positions i ∈
+    * [8, len] whose trailing 8-char window hashes to 0 mod 16. A pure
+    * LOCAL function of the window — the reason CDC is parallel and
+    * insert-stable (spec'd: prepending k chars shifts every boundary
+    * ≥ 8 by exactly k; only the seam region re-chunks).
+    */
+  def cdcBoundaryPositions(norm: String): IndexedSeq[Int] =
+    (8 to norm.length).filter { i =>
+      java.lang.Long.parseLong(
+        graft.util.Hashing.md5Hex(norm.substring(i - 8, i)).substring(0, 8), 16) % 16 == 0
+    }
+
+  /** The chunks themselves: boundary positions plus a forced final
+    * boundary at len; chunks concatenate back to the input exactly.
+    */
+  def cdcChunks(norm: String): Seq[String] = {
+    val bnds0 = cdcBoundaryPositions(norm)
+    val bnds = if (bnds0.nonEmpty && bnds0.last == norm.length) bnds0
+               else bnds0 :+ norm.length
+    var start = 0
+    bnds.map { b => val c = norm.substring(start, b); start = b; c }
+  }
+
   /** Expected LSH candidate recall for a pair of true Jaccard `s`
     * under `bands` bands of `rows` rows: 1 − (1 − s^rows)^bands
     * (MMDS §3.4.2 — each band matches iff all its rows agree, with
@@ -204,22 +227,8 @@ object DedupOps {
         .as[(Long, String)]
         .mapPartitions { it =>
           it.flatMap { case (id, norm) =>
-            val len = norm.length
-            val bnds = scala.collection.mutable.ArrayBuffer.empty[Int]
-            var i = 8
-            while (i <= len) {
-              val h = java.lang.Long.parseLong(
-                graft.util.Hashing.md5Hex(norm.substring(i - 8, i)).substring(0, 8), 16)
-              if (h % 16 == 0) bnds += i
-              i += 1
-            }
-            if (bnds.isEmpty || bnds.last != len) bnds += len
-            var start = 0
-            bnds.iterator.map { b =>
-              val c = norm.substring(start, b)
-              start = b
-              (id, graft.util.Hashing.md5Hex(c), c.length.toLong)
-            }
+            cdcChunks(norm).iterator.map(c =>
+              (id, graft.util.Hashing.md5Hex(c), c.length.toLong))
           }
         }
         .toDF("doc_id", "cfp", "clen")

@@ -49,6 +49,33 @@ object TextOps {
   /** md5 content fingerprint of the normalized text. */
   def fingerprint(c: Column): Column = md5(normalize(c))
 
+  /** Greedy pack loop over (shard, doc_id, n_tok) rows sorted by
+    * (shard, doc_id) — a partition holds whole shards
+    * (hash-partitioned), and pack state resets on shard change.
+    * Emits (shard, pack_id, n_docs, pack_tokens, first_doc, last_doc)
+    * per pack. Pure function of the sorted iterator (property-spec'd
+    * against a reference fold).
+    */
+  def packGreedy(it: Iterator[(Long, Long, Long)], budget: Long): Iterator[(Long, Long, Long, Long, Long, Long)] = {
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, Long, Long, Long, Long)]
+    var shard = -1L; var pack = 0L; var fill = 0L
+    var nDocs = 0L; var toks = 0L; var first = 0L; var last = 0L
+    def flush(): Unit =
+      if (nDocs > 0) out += ((shard, pack, nDocs, toks, first, last))
+    def open(id: Long, n: Long): Unit = {
+      fill = n; nDocs = 1; toks = n; first = id; last = id
+    }
+    it.foreach { case (sh, id, n) =>
+      if (sh != shard) { flush(); shard = sh; pack = 0L; open(id, n) }
+      else if (fill + n <= budget) {
+        fill += n; nDocs += 1; toks += n; last = id
+      } else { flush(); pack += 1; open(id, n) }
+    }
+    flush()
+    out.iterator
+  }
+
   /** First-8-hex-digit bucket of a fingerprint, in [0, nBuckets). */
   def fpBucket(fp: Column, nBuckets: Int): Column =
     conv(substring(fp, 1, 8), 16, 10).cast("bigint") % nBuckets
@@ -749,27 +776,7 @@ object TextOps {
       base.as[(Long, Long, Long)]
         .repartition(col("shard"))
         .sortWithinPartitions("shard", "doc_id")
-        .mapPartitions { it =>
-          // a partition holds whole shards (hash-partitioned), rows
-          // sorted (shard, doc_id): pack state resets on shard change
-          val out = scala.collection.mutable.ArrayBuffer
-            .empty[(Long, Long, Long, Long, Long, Long)]
-          var shard = -1L; var pack = 0L; var fill = 0L
-          var nDocs = 0L; var toks = 0L; var first = 0L; var last = 0L
-          def flush(): Unit =
-            if (nDocs > 0) out += ((shard, pack, nDocs, toks, first, last))
-          def open(id: Long, n: Long): Unit = {
-            fill = n; nDocs = 1; toks = n; first = id; last = id
-          }
-          it.foreach { case (sh, id, n) =>
-            if (sh != shard) { flush(); shard = sh; pack = 0L; open(id, n) }
-            else if (fill + n <= budget) {
-              fill += n; nDocs += 1; toks += n; last = id
-            } else { flush(); pack += 1; open(id, n) }
-          }
-          flush()
-          out.iterator
-        }
+        .mapPartitions(packGreedy(_, budget))
         .toDF("shard", "pack_id", "n_docs", "pack_tokens", "first_doc", "last_doc")
         .orderBy("shard", "pack_id")
     }, Some("""
