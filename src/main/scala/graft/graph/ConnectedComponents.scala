@@ -46,13 +46,19 @@ object ConnectedComponents {
     var changed = 1L
     while (iter < maxIter && changed > 0) {
       val viaNeighbors = und.join(labels, und("dst") === labels("v"))
-        .select(und("src").as("v"), col("component"))
-      val next = labels.unionByName(viaNeighbors)
-        .groupBy("v").agg(min("component").as("component"))
+        .select(und("src").as("v"), col("component"),
+          lit(null).cast("long").as("own"))
+      // each vertex's previous label rides through the same min-agg
+      // as max("own") (exactly one self row per v), so the convergence
+      // count is a filter over the checkpointed round result — no
+      // extra labels join per round
+      val next = labels
+        .select(col("v"), col("component"), col("component").as("own"))
+        .unionByName(viaNeighbors)
+        .groupBy("v").agg(min("component").as("component"), max("own").as("own"))
         .localCheckpoint()
-      changed = next.as("n").join(labels.as("o"), "v")
-        .filter(col("n.component") =!= col("o.component")).count()
-      labels = next
+      changed = next.filter(col("component") =!= col("own")).count()
+      labels = next.select("v", "component")
       iter += 1
     }
     und.unpersist()
