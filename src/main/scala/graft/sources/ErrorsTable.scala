@@ -1,0 +1,84 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Durable consumer-error table (reference: rsql/errorstable.go — a
+  * SQL errors table holding ConsumerError{id, consumer, eventID, msg,
+  * createdAt, updatedAt, status} PLUS an error event inserted into a
+  * companion events table so error handling is itself streamable).
+  *
+  * Spark-first mapping: the error log IS an EventsTable — one
+  * append-only atomic log where an error record is an `error_recorded`
+  * event (metadata = the ConsumerError JSON) and every status change
+  * is an `error_status` event pointing at the original error's event
+  * id. The mutable-row UPDATE of the reference becomes event-sourcing;
+  * `errors()` is the latest-status view (the same latest-state-per-fid
+  * pattern the engine already ships), and a retry processor is just a
+  * reflex consumer of this log — cursor, filters, dead-lettering and
+  * all. Statuses follow api.go:203: 1 = recorded (initial); this
+  * table adds 2 = processed for the mark-done transition the
+  * reference performs via its status UPDATE.
+  */
+final class ErrorsTable(spark: SparkSession, dir: String)
+    extends graft.events.ErrorStore {
+
+  val table = new EventsTable(spark, dir)
+
+  private def esc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+
+  /** Record a consumer error; returns the error id (the log event id,
+    * like the reference returns the inserted row id).
+    */
+  def record(consumerName: String, eventId: Long, msg: String): Unit = {
+    recordReturningId(consumerName, eventId, msg); ()
+  }
+
+  def recordReturningId(consumerName: String, eventId: Long, msg: String): Long = {
+    import spark.implicits._
+    val meta =
+      s"""{"consumer":"${esc(consumerName)}","event_id":$eventId,"msg":"${esc(msg)}","status":1}"""
+    table.insert(Seq(
+      ("error_recorded", eventId, new java.sql.Timestamp(System.currentTimeMillis()), 0.0, meta))
+      .toDF("eventType", "foreignId", "ts", "value", "metadata"))
+  }
+
+  /** Append a status-change event for an existing error id (the
+    * reference's UPDATE ... SET status; 2 = processed).
+    */
+  def markStatus(errorId: Long, status: Int): Unit = {
+    import spark.implicits._
+    table.insert(Seq(
+      ("error_status", errorId, new java.sql.Timestamp(System.currentTimeMillis()), status.toDouble, "{}"))
+      .toDF("eventType", "foreignId", "ts", "value", "metadata"))
+    ()
+  }
+
+  /** Latest-status view: one row per recorded error with its current
+    * status (latest `error_status` event wins; none → recorded=1).
+    */
+  def errors(): DataFrame = {
+    val df = table.log.df
+    val recorded = df.filter(col("eventType") === "error_recorded")
+      .select(col("id").as("error_id"), col("foreignId").as("event_id"),
+        get_json_object(col("metadata"), "$.consumer").as("consumer"),
+        get_json_object(col("metadata"), "$.msg").as("msg"))
+    val w = Window.partitionBy("foreignId").orderBy(col("id").desc)
+    val statuses = df.filter(col("eventType") === "error_status")
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") === 1)
+      .select(col("foreignId").as("error_id"), col("value").cast("int").as("st"))
+    recorded.join(statuses, Seq("error_id"), "left")
+      .withColumn("status", coalesce(col("st"), lit(1)))
+      .drop("st")
+  }
+
+  def list(consumerName: String): Seq[(Long, String)] =
+    errors().filter(col("consumer") === consumerName)
+      .orderBy("error_id")
+      .select("event_id", "msg")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+}
