@@ -826,6 +826,71 @@ object TextOps {
     // Flagship composition: the full training-data preparation pass —
     // exact-dedup to canonical docs, token/quality gates, language ID —
     // in ONE streaming-friendly plan (single scan + one window).
+    // C46: the pretraining data card — the one artifact a training
+    // run starts from: exact-dedup to canonical docs, the composite
+    // quality gate, deterministic 80/10/10 splits, then per (lang,
+    // split) volumes, 5000-token shard counts (ceil in exact int64)
+    // and corpus shares. ONE declarative plan: a single corpus scan,
+    // one fingerprint window, one groupBy, a broadcast 1-row total —
+    // composition adds no new shuffles beyond its parts.
+    ("pipeline_pretrain_mix", (s: SparkSession, d: String) => {
+      val toks = tokens(col("text"))
+      val n = size(toks).cast("long")
+      val nd = size(array_distinct(toks)).cast("long")
+      val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+      val stops = stopwordHits(toks, stopwords).cast("long")
+      val l = length(col("text")).cast("long")
+      val b = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 100
+      val split = when(b < 80, "train").when(b < 90, "val").otherwise("test")
+      val base = docs(s, d).select(col("doc_id"), col("lang"),
+          n.as("n"), nd.as("nd"), punct.as("punct"), stops.as("stops"), l.as("len"),
+          split.as("split"), fingerprint(col("text")).as("fp"))
+        .withColumn("canonical", min("doc_id").over(Window.partitionBy("fp")))
+        .filter(col("doc_id") === col("canonical"))
+        .filter(!(col("n") < 5L) && !(col("punct") * 10L > col("len") * 3L) &&
+          !(col("stops") * 20L < col("n")) && !((col("n") - col("nd")) * 5L > col("n")))
+      val totals = base.agg(count(lit(1)).as("total"))
+      base.groupBy("lang", "split")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n").cast("long").as("n_tokens"))
+        .withColumn("n_shards",
+          call_function("div", col("n_tokens") + 4999L, lit(5000L)))
+        .crossJoin(broadcast(totals))
+        .withColumn("share4", ratio4(col("n_docs"), col("total")))
+        .drop("total")
+        .orderBy("lang", "split")
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id, lang, text,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nrm
+        FROM documents),
+      m AS (
+        SELECT doc_id, lang,
+               CAST(length(regexp_split_to_array(nrm, ' ')) AS BIGINT) AS n,
+               CAST(length(list_distinct(regexp_split_to_array(nrm, ' '))) AS BIGINT) AS nd,
+               CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS punct,
+               CAST(length(list_filter(regexp_split_to_array(nrm, ' '), x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) AS stops,
+               CAST(length(text) AS BIGINT) AS len,
+               CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 < 80 THEN 'train'
+                    WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               md5(nrm) AS fp
+        FROM t),
+      keepd AS (
+        SELECT * FROM (
+          SELECT *, min(doc_id) OVER (PARTITION BY fp) AS canonical FROM m)
+        WHERE doc_id = canonical
+          AND NOT (n < 5 OR punct * 10 > len * 3 OR stops * 20 < n
+                   OR (n - nd) * 5 > n)),
+      tot AS (SELECT CAST(count(*) AS BIGINT) AS total FROM keepd)
+      SELECT lang, split, count(*) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS n_tokens,
+             CAST((sum(n) + 4999) // 5000 AS BIGINT) AS n_shards,
+             ((20000 * count(*) + total) // (2 * total)) / 10000.0 AS share4
+      FROM keepd, tot
+      GROUP BY lang, split, total ORDER BY lang, split""")),
+
     ("pipeline_prepare_corpus", (s: SparkSession, d: String) => {
       // Per-row scoring runs as ONE typed pass: tokenization +
       // stopword/marker counts + quality arithmetic in a JVM loop.
