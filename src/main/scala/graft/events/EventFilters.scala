@@ -33,8 +33,13 @@ object EventFilter {
   /** reflex.IsType */
   def ofType(t: String): EventFilter = Raw(col("eventType") === t)
 
-  /** reflex.IsAnyType */
-  def ofAnyType(ts: String*): EventFilter = Raw(col("eventType").isin(ts: _*))
+  /** reflex.IsAnyType — an EMPTY include list matches everything
+    * (reference consumer.go:207: `len(filterIncludeTypes) == 0 || …`;
+    * consumer_test.go "empty include filter provided" consumes all),
+    * NOT Spark's empty-isin() which would match nothing.
+    */
+  def ofAnyType(ts: String*): EventFilter =
+    if (ts.isEmpty) Raw(lit(true)) else Raw(col("eventType").isin(ts: _*))
 
   def foreignId(id: Long): EventFilter = Raw(col("foreignId") === id)
 

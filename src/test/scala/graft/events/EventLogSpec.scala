@@ -33,6 +33,10 @@ class EventLogSpec extends AnyFunSuite {
     assert(newest.getTime <= maxTs.getTime - 3600L * 1000)
   }
 
+  test("empty include-type filter consumes everything (reference consumer.go:207)") {
+    assert(log.where(EventFilter.ofAnyType()).df.count() === log.df.count())
+  }
+
   test("filters compose and push down") {
     val f = EventFilter.ofAnyType("purchase", "error") && EventFilter.Raw(col("foreignId") < 10)
     val rows = log.where(f).df.collect()
