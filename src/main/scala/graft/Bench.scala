@@ -64,8 +64,11 @@ object Bench {
     val annExtra = try {
       val lshRecall = ann.AnnOps.plantedCloneRecall(spark, sfDir, SparkEntry.queries("ann_lsh"))
       val ivfRecall = ann.AnnOps.plantedCloneRecall(spark, sfDir, SparkEntry.queries("ann_ivf"))
+      // PQ is lossy by design — the recorded recall is the
+      // compression-accuracy trade, not expected to be 1.0
+      val pqRecall = ann.AnnOps.plantedCloneRecall(spark, sfDir, SparkEntry.queries("ann_pq_adc"))
       val tables = spark.conf.get("spark.graft.ann.lsh.tables", "4")
-      s""","ann":{"lsh_recall":$lshRecall,"lsh_tables":$tables,"ivf_recall":$ivfRecall}"""
+      s""","ann":{"lsh_recall":$lshRecall,"lsh_tables":$tables,"ivf_recall":$ivfRecall,"pq_adc_recall":$pqRecall}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] ann recall failed: ${e.getMessage}"); ""
     }
