@@ -23,7 +23,12 @@ final case class ConsumerMetrics(
     /** micro-batches delivered out of id order (streaming PerBatch
       * commit policy freezes durable-cursor advance when this trips)
       */
-    disorder: Long = 0L)
+    disorder: Long = 0L,
+    /** wall-clock of the last activity tick (any batch attempt,
+      * success OR error — matching the reference's activityGauge,
+      * which ticks on every consume call)
+      */
+    lastActivityMillis: Long = 0L)
 
 object Metrics {
   private val m = TrieMap.empty[String, ConsumerMetrics]
@@ -47,10 +52,27 @@ object Metrics {
       processed = c.processed + consumed,
       skipped = c.skipped + skipped,
       lastBatchMillis = millis,
-      lastCursor = math.max(c.lastCursor, cursor)))
+      lastCursor = math.max(c.lastCursor, cursor),
+      lastActivityMillis = System.currentTimeMillis()))
 
   private[events] def recordError(name: String): Unit =
-    update(name)(c => c.copy(errors = c.errors + 1))
+    update(name)(c => c.copy(errors = c.errors + 1,
+      lastActivityMillis = System.currentTimeMillis()))
+
+  /** Consumer-activity gauge (reference consumer.go activityTTL +
+    * internal/metrics activityGauge): a consumer is active if it
+    * attempted a batch — success or error — within `ttlMs`. A
+    * negative TTL disables the check (WithoutConsumerActivityTTL);
+    * an unknown consumer is inactive.
+    */
+  def active(consumerName: String, ttlMs: Long,
+      nowMs: Long = System.currentTimeMillis()): Boolean = {
+    if (ttlMs < 0) return true
+    m.get(consumerName) match {
+      case Some(c) => nowMs - c.lastActivityMillis < ttlMs
+      case None => false
+    }
+  }
 
   private[events] def recordDisorder(name: String): Unit =
     update(name)(c => c.copy(disorder = c.disorder + 1))

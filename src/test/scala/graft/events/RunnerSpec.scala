@@ -174,6 +174,20 @@ class RunnerSpec extends AnyFunSuite {
     assert(m.lastCursor === 999L)
   }
 
+  test("activity gauge: active within TTL, inactive beyond it, negative TTL disables") {
+    Metrics.reset("c-activity")
+    // unknown consumer: inactive (never ticked)
+    assert(!Metrics.active("c-activity", ttlMs = 60000L))
+    Runner.runToHead(Spec(log, new MemCursorStore(), Consumer("c-activity", _ => ())))
+    val tick = Metrics.get("c-activity").lastActivityMillis
+    assert(tick > 0L)
+    assert(Metrics.active("c-activity", ttlMs = 60000L))
+    // beyond the TTL the gauge reports inactive (consumer stalled)
+    assert(!Metrics.active("c-activity", ttlMs = 60000L, nowMs = tick + 60001L))
+    // reference WithoutConsumerActivityTTL: negative TTL = always active
+    assert(Metrics.active("c-activity", ttlMs = -1L, nowMs = tick + 999999999L))
+  }
+
   test("consumer metrics count errors and skips through the retry machinery") {
     Metrics.reset("c-metrics-err")
     val consumer = Consumer("c-metrics-err", b => {
