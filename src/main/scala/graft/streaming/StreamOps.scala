@@ -91,6 +91,41 @@ object StreamOps {
       s"l_fid = r_fid AND l_ts >= r_ts AND l_ts <= r_ts + INTERVAL $withinSeconds SECONDS"))
   }
 
+  final case class PackState(packId: Long, fill: Long)
+  final case class PackAssign(shard: Long, docId: Long, nTok: Long, packId: Long)
+
+  /** Streaming greedy sequence packing — tx_seqpack (C41) as a
+    * stateful stream: docs arrive continuously, each shard keeps ONE
+    * (current pack, fill) pair in keyed state, and every doc is
+    * assigned its training-sequence pack id as it lands. Greedy in
+    * arrival order per shard (the stream analog of the batch
+    * operator's doc_id order; within a micro-batch ties resolve in
+    * doc_id order so replays are deterministic). State per shard is
+    * two longs — O(shards) total, unbounded-stream safe.
+    *
+    * Input tuples: (docId, nTok).
+    */
+  def streamingSeqPack(docs: Dataset[(Long, Long)], budget: Long,
+      nShards: Int): Dataset[PackAssign] = {
+    import docs.sparkSession.implicits._
+    docs.groupByKey(_._1 % nShards)
+      .flatMapGroupsWithState[PackState, PackAssign](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (shard: Long, it: Iterator[(Long, Long)], state: GroupState[PackState]) =>
+          var st = state.getOption.getOrElse(PackState(0L, 0L))
+          val out = it.toSeq.sortBy(_._1).map { case (id, n) =>
+            // same rule as TextOps.packGreedy: a doc joins the open
+            // pack iff it fits; the first doc of a pack always joins
+            // (an oversized doc gets a pack of its own)
+            if (st.fill > 0 && st.fill + n > budget) st = PackState(st.packId + 1, 0L)
+            st = PackState(st.packId, st.fill + n)
+            PackAssign(shard, id, n, st.packId)
+          }
+          state.update(st)
+          out.iterator
+      }
+  }
+
   /** Exactly-once parquet sink for foreachBatch: each micro-batch
     * lands in its own `batch_id=N` partition with overwrite, so a
     * replayed batch (at-least-once delivery) overwrites itself instead

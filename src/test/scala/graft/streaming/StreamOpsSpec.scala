@@ -103,4 +103,34 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(last.getAs[String]("lastType") === "purchase")
     } finally q.stop()
   }
+
+  test("streamingSeqPack: pack fill carries across micro-batches per shard") {
+    val mem = MemoryStream[(Long, Long)]
+    // 2 shards (docId % 2), budget 100
+    val out = StreamOps.streamingSeqPack(mem.toDS(), budget = 100L, nShards = 2)
+    val q = out.writeStream.format("memory").queryName("seqpack")
+      .outputMode("append").start()
+    try {
+      // batch 1: shard 0 gets 60+30 (fits in pack 0), shard 1 gets 90
+      mem.addData((0L, 60L), (2L, 30L), (1L, 90L))
+      q.processAllAvailable()
+      // batch 2: shard 0's 20 overflows 90+20>100 -> pack 1 (STATE
+      // carried the fill); shard 1's 5 still fits its pack 0
+      mem.addData((4L, 20L), (3L, 5L))
+      q.processAllAvailable()
+      val rows = spark.table("seqpack").collect()
+        .map(r => (r.getAs[Long]("docId"), r.getAs[Long]("shard"), r.getAs[Long]("packId")))
+        .sortBy(_._1)
+      assert(rows.toSeq === Seq((0L, 0L, 0L), (1L, 1L, 0L), (2L, 0L, 0L),
+        (3L, 1L, 0L), (4L, 0L, 1L)))
+
+      // batch 3: an oversized doc opens (and exhausts) its own pack
+      mem.addData((6L, 500L), (8L, 10L))
+      q.processAllAvailable()
+      val later = spark.table("seqpack").collect()
+        .map(r => (r.getAs[Long]("docId"), r.getAs[Long]("packId"))).toMap
+      assert(later(6L) === 2L) // new pack for the oversized doc
+      assert(later(8L) === 3L) // next doc cannot share it
+    } finally q.stop()
+  }
 }
