@@ -461,6 +461,80 @@ object Queries {
       ORDER BY total_qty DESC, o_orderkey ASC LIMIT 50""")),
 
     // B29: bracketed OR-of-ANDs predicate revenue (TPC-H Q19 flavor).
+    // B31 (TPC-H Q17 flavor): revenue share of small-quantity items —
+    // a correlated per-part average threshold. The 0.2·avg compare
+    // runs EXACTLY as qty·5·cnt < sum_qty (quantities are integral;
+    // no double ever decides the boundary), money as int64 cents, and
+    // the yearly average is an exact integer division. Per-part stats
+    // aggregate first (map-side), then join back — the standard
+    // decorrelation, no row ever compares against an un-aggregated
+    // subquery.
+    ("q17_small_qty", (s: SparkSession, d: String) => {
+      val li = Tables.lineitem(s, d).select(col("l_partkey"),
+        col("l_quantity").cast("long").as("qty"),
+        cents(col("l_extendedprice")).as("px_e2"))
+      val stats = li.groupBy("l_partkey")
+        .agg(sum("qty").as("sum_qty"), count(lit(1)).as("cnt"))
+      li.join(stats, "l_partkey")
+        .filter(col("qty") * 5L * col("cnt") < col("sum_qty"))
+        .agg(count(lit(1)).as("n_small"),
+          sum("px_e2").cast("long").as("total_e2"))
+        .withColumn("avg_yearly_e2", call_function("div", col("total_e2"), lit(7L)))
+    }, Some("""
+      WITH li AS (
+        SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS px
+        FROM lineitem),
+      st AS (SELECT l_partkey, sum(qty) AS sum_qty, count(*) AS cnt
+             FROM li GROUP BY l_partkey)
+      SELECT count(*) AS n_small,
+             CAST(sum(px) AS BIGINT) AS total_e2,
+             CAST(sum(px) // 7 AS BIGINT) AS avg_yearly_e2
+      FROM li JOIN st USING (l_partkey)
+      WHERE qty * 5 * cnt < sum_qty""")),
+
+    // B32 (TPC-H Q21 flavor, adapted to the available columns: "late"
+    // = shipped >60 days after the order date): suppliers who were
+    // the ONLY late supplier in a multi-supplier order — the classic
+    // semi-join + anti-join composition, expressed as LeftSemi/
+    // LeftAnti so Catalyst plans real semi/anti joins instead of
+    // materializing EXISTS subqueries.
+    ("q21_waiting_supplier", (s: SparkSession, d: String) => {
+      val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
+        col("l_shipdate"))
+      val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
+      val late = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
+        .select("l_orderkey", "l_suppkey").distinct()
+      val others = li.select("l_orderkey", "l_suppkey").distinct()
+      val multiSupplier = late.as("a").join(others.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_suppkey") =!= col("b.l_suppkey"), "left_semi")
+      val onlyLate = multiSupplier.as("a").join(late.as("c"),
+        col("a.l_orderkey") === col("c.l_orderkey") &&
+          col("a.l_suppkey") =!= col("c.l_suppkey"), "left_anti")
+      onlyLate.join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .groupBy("s_name").agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name").asc)
+        .limit(20)
+    }, Some("""
+      WITH late AS (
+        SELECT DISTINCT l_orderkey, l_suppkey
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate > o_orderdate + INTERVAL 60 DAY),
+      others AS (SELECT DISTINCT l_orderkey, l_suppkey FROM lineitem)
+      SELECT s_name, count(*) AS numwait
+      FROM late a JOIN supplier ON a.l_suppkey = s_suppkey
+      WHERE EXISTS (SELECT 1 FROM others b
+                    WHERE b.l_orderkey = a.l_orderkey
+                      AND b.l_suppkey <> a.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM late c
+                        WHERE c.l_orderkey = a.l_orderkey
+                          AND c.l_suppkey <> a.l_suppkey)
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name ASC LIMIT 20""")),
+
     ("q19_bracket_revenue", (s: SparkSession, d: String) => {
       Tables.lineitem(s, d)
         .join(broadcast(Tables.part(s, d)), col("l_partkey") === col("p_partkey"))

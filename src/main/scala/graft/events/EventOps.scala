@@ -411,6 +411,44 @@ object EventOps {
       FROM dau JOIN wau ON dau.anchor = wau.anchor
       ORDER BY day""")),
 
+    // A55: inter-event-time distribution — the latency histogram of
+    // gaps between a user's consecutive same-type events, log2-
+    // bucketed. The bucket is EXACT integer arithmetic at any
+    // magnitude: floor(log2(gap)) = length(bin(gap)) − 1, computed on
+    // the binary string in both engines — no float log near a power-
+    // of-two boundary. One per-(user, type) window (high-cardinality
+    // partitions), then a map-side-combined histogram groupBy.
+    ("ev_inter_event_time", (s: SparkSession, d: String) => {
+      val e = Event.project(ev(s, d)).select(
+        col("foreignId").as("fid"), col("eventType").as("etype"),
+        unix_timestamp(col("ts")).as("es"), col("id"))
+      val w = Window.partitionBy("fid", "etype").orderBy("es", "id")
+      e.withColumn("prev", lag("es", 1).over(w))
+        .filter(col("prev").isNotNull)
+        .withColumn("gap", col("es") - col("prev"))
+        .withColumn("bucket", (length(bin(col("gap"))) - 1).cast("int"))
+        .groupBy("etype", "bucket")
+        .agg(count(lit(1)).as("n"),
+          min("gap").cast("long").as("min_gap_s"),
+          max("gap").cast("long").as("max_gap_s"))
+        .orderBy("etype", "bucket")
+    }, Some("""
+      WITH e AS (
+        SELECT user_id AS fid, event_type AS etype,
+               CAST(floor(epoch(ts)) AS BIGINT) AS es, event_id AS id
+        FROM events),
+      g AS (
+        SELECT etype,
+               es - lag(es) OVER (PARTITION BY fid, etype ORDER BY es, id) AS gap
+        FROM e),
+      b AS (
+        SELECT etype, CAST(length(bin(gap)) - 1 AS INTEGER) AS bucket, gap
+        FROM g WHERE gap IS NOT NULL)
+      SELECT etype, bucket, count(*) AS n,
+             CAST(min(gap) AS BIGINT) AS min_gap_s,
+             CAST(max(gap) AS BIGINT) AS max_gap_s
+      FROM b GROUP BY etype, bucket ORDER BY etype, bucket""")),
+
     // A54: per-user rate-spike detection — days where a user's event
     // count exceeds 3× their trailing-7-day daily average, the
     // anomaly probe an ops team runs on a consumer feed. Exact int64

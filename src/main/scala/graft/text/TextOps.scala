@@ -630,6 +630,57 @@ object TextOps {
       WHERE doc_id >= 10
       GROUP BY doc_id ORDER BY doc_id""")),
 
+    // C47: n-gram novelty curve — per doc (in id order), the fraction
+    // of its distinct char-20-grams never seen in ANY earlier doc:
+    // the de-facto "is later data adding anything" measure when
+    // growing a corpus. First-seer attribution is relational —
+    // min(doc_id) per gram hash — so no ordered scan exists; the gram
+    // loop is the same typed per-partition pass as decontamination
+    // (per-doc distinct 64-bit hashes, ~8 B/gram shuffled), and the
+    // ratio is exact int64 (ratio4).
+    ("tx_ngram_novelty", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val grams = docs(s, d)
+        .select(col("doc_id"), normalize(col("text")).as("norm"))
+        .as[(Long, String)]
+        .flatMap { case (id, norm) =>
+          if (norm == null) Iterator.empty
+          else {
+            val set = new java.util.HashSet[java.lang.Long]()
+            var i = 0
+            val max = norm.length - 20
+            while (i <= max) {
+              set.add(graft.util.Hashing.string64(norm.substring(i, i + 20)))
+              i += 1
+            }
+            scala.jdk.CollectionConverters.IteratorHasAsScala(set.iterator())
+              .asScala.map(h => (id, h.longValue()))
+          }
+        }
+        .toDF("doc_id", "gh")
+      val first = grams.groupBy("gh").agg(min("doc_id").as("first_doc"))
+      grams.join(first, "gh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_grams"),
+          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+        .withColumn("novelty4", ratio4(col("n_novel"), col("n_grams")))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nrm
+        FROM documents),
+      grams AS (
+        SELECT DISTINCT doc_id, substr(nrm, i, 20) AS g
+        FROM norm, unnest(generate_series(1, greatest(length(nrm) - 19, 0))) AS t(i)),
+      first AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g)
+      SELECT doc_id, count(*) AS n_grams,
+             CAST(sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+             ((20000 * sum(CASE WHEN first_doc = doc_id THEN 1 ELSE 0 END) + count(*))
+               // (2 * count(*))) / 10000.0 AS novelty4
+      FROM grams JOIN first USING (g)
+      GROUP BY doc_id ORDER BY doc_id""")),
+
     // C39: deterministic train/val/test splits — hash-of-id assignment
     // (NOT rand()): reproducible at any scale, stable under replays and
     // re-partitioning, and a doc never migrates between splits when the
