@@ -411,6 +411,42 @@ object EventOps {
       FROM dau JOIN wau ON dau.anchor = wau.anchor
       ORDER BY day""")),
 
+    // A56: last-touch attribution — each purchase credits the user's
+    // most recent PRECEDING non-purchase event (the classic
+    // conversion-credit rollup). One per-user window with an
+    // IGNORE-NULLS running last — no self-join, no as-of shuffle —
+    // then a tiny (touch_type) histogram with exact int64 revenue
+    // cents. Deterministic: window ordered by (event time, id).
+    ("ev_attribution", (s: SparkSession, d: String) => {
+      val e = Event.project(ev(s, d)).select(
+        col("foreignId").as("fid"), col("eventType").as("etype"),
+        unix_timestamp(col("ts")).as("es"), col("id"), col("value"))
+      val w = Window.partitionBy("fid").orderBy("es", "id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      e.withColumn("touch",
+          last(when(col("etype") =!= "purchase", col("etype")), ignoreNulls = true).over(w))
+        .filter(col("etype") === "purchase")
+        .withColumn("touch", coalesce(col("touch"), lit("none")))
+        .groupBy("touch")
+        .agg(count(lit(1)).as("n_purchases"),
+          sum(round(col("value") * 100).cast("long")).cast("long").as("revenue_e2"))
+        .orderBy("touch")
+    }, Some("""
+      WITH e AS (
+        SELECT user_id AS fid, event_type AS etype,
+               CAST(floor(epoch(ts)) AS BIGINT) AS es, event_id AS id, value
+        FROM events),
+      t AS (
+        SELECT etype, value,
+               last_value(CASE WHEN etype <> 'purchase' THEN etype END IGNORE NULLS)
+                 OVER (PARTITION BY fid ORDER BY es, id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        FROM e)
+      SELECT coalesce(touch, 'none') AS touch, count(*) AS n_purchases,
+             CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS revenue_e2
+      FROM t WHERE etype = 'purchase'
+      GROUP BY coalesce(touch, 'none') ORDER BY touch""")),
+
     // A55: inter-event-time distribution — the latency histogram of
     // gaps between a user's consecutive same-type events, log2-
     // bucketed. The bucket is EXACT integer arithmetic at any
