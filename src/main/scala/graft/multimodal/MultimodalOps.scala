@@ -119,6 +119,45 @@ object MultimodalOps {
              CAST(CAST('0x' || substr(md5(text), 5, 4) AS INTEGER) % 240 AS INTEGER) + 16 AS height
       FROM documents ORDER BY doc_id""")),
 
+    // C12b: media shard manifest — pack media files whole into
+    // byte-budget preprocessing shards (what a distributed decode
+    // fleet consumes: each worker takes one shard, bounded memory).
+    // The SAME spec'd greedy kernel as tx_seqpack (TextOps.packGreedy)
+    // over (kind-shard, doc_id, byte_len); the recursive-CTE oracle
+    // replays the loop per kind. Budget 8 KB ≈ tens of files per
+    // shard at this corpus's payload sizes.
+    ("mm_shard_manifest", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val media = asMedia(s.read.parquet(s"$d/documents.parquet"))
+        .select((col("doc_id") % 3).as("shard"), col("doc_id"),
+          length(col("payload")).cast("long").as("n_bytes"))
+      media.as[(Long, Long, Long)]
+        .repartition(col("shard"))
+        .sortWithinPartitions("shard", "doc_id")
+        .mapPartitions(graft.text.TextOps.packGreedy(_, 8192L))
+        .toDF("kind_id", "pack_id", "n_files", "pack_bytes", "first_doc", "last_doc")
+        .orderBy("kind_id", "pack_id")
+    }, Some("""
+      WITH RECURSIVE base AS (
+        SELECT doc_id, doc_id % 3 AS shard,
+               CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
+        FROM documents),
+      ord AS (
+        SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        FROM base),
+      packed AS (
+        SELECT shard, rn, doc_id, n_bytes, CAST(0 AS BIGINT) AS pack_id, n_bytes AS fill
+        FROM ord WHERE rn = 1
+        UNION ALL
+        SELECT o.shard, o.rn, o.doc_id, o.n_bytes,
+               CASE WHEN p.fill + o.n_bytes <= 8192 THEN p.pack_id ELSE p.pack_id + 1 END,
+               CASE WHEN p.fill + o.n_bytes <= 8192 THEN p.fill + o.n_bytes ELSE o.n_bytes END
+        FROM packed p JOIN ord o ON o.shard = p.shard AND o.rn = p.rn + 1)
+      SELECT shard AS kind_id, pack_id, count(*) AS n_files,
+             CAST(sum(n_bytes) AS BIGINT) AS pack_bytes,
+             min(doc_id) AS first_doc, max(doc_id) AS last_doc
+      FROM packed GROUP BY shard, pack_id ORDER BY kind_id, pack_id""")),
+
     // C13: partition-batched decode via the stub (rows-only oracle —
     // the stub's features are engine-side by design).
     ("mm_decode_stub", (s: SparkSession, d: String) => {
