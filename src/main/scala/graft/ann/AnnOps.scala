@@ -512,6 +512,141 @@ object AnnOps {
       SELECT probe, neighbor, dist_e4, CAST(rk AS INTEGER) AS rk
       FROM topk WHERE rk <= 5 ORDER BY probe, rk""")),
 
+    // C45c: IVF-PQ — the production ANN composition (FAISS IVFPQ
+    // shape): the coarse quantizer prunes candidates to the probe's
+    // top-2 inverted lists, and ADC over PQ codes ranks ONLY those
+    // candidates — compressed-domain search with list-bounded work,
+    // never a full scan per probe. One md5-ordered 16-seed sample
+    // serves as BOTH coarse centroids and PQ codebook rows (cid = j),
+    // so the whole path — quantizer, list assignment, probe lists,
+    // codes, LUT, rank — is deterministic and SQL-hash-checked.
+    // Shapes: K-row broadcasts for centroids/LUT/lists; candidate
+    // generation is a broadcast join on cid; distances are exact e4
+    // int64 sums; top-5 through TopKPerKey heaps.
+    ("ann_ivf_pq", (s: SparkSession, d: String) => {
+      GraftFunctions.register(s)
+      import s.implicits._
+      val nProbe = 2
+      val c = corpus(s, d)
+      val seeds = c.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(16).collect().map(_.getSeq[Double](1))
+      // coarse quantizer: cid = seed rank; 4dp cosine + cid tiebreak
+      val cents = broadcast(seeds.toSeq.zipWithIndex
+        .map { case (v, i) => (i, v) }.toDF("cid", "cv"))
+      val scored = c.join(cents)
+        .selectExpr("vec_id", "v", "cid", "round(cosine_sim(v, cv), 4) AS cs")
+      val assign = graft.plans.TopKPerKeyOps.topK(scored, Seq("vec_id"),
+          Seq(col("cs").desc, col("cid").asc), 1)
+        .select(col("vec_id"), col("cid"))
+      val plists = broadcast(graft.plans.TopKPerKeyOps.topK(
+          scored.filter(col("vec_id") < 16), Seq("vec_id"),
+          Seq(col("cs").desc, col("cid").asc), nProbe)
+        .select(col("vec_id").as("probe"), col("cid")))
+      // PQ codebook = the SAME seeds (j = cid); codes via the native kernel
+      val flat = (for {
+        p <- 0 until 8
+        j <- 0 until 16
+        i <- 0 until 8
+      } yield seeds(j)(p * 8 + i)).toArray
+      val probes = c.filter(col("vec_id") < 16).orderBy("vec_id")
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+      val lut = broadcast((for {
+        (pid, qv) <- probes.toSeq
+        p <- 0 until 8
+        j <- 0 until 16
+      } yield {
+        var sum = 0.0
+        var i = 0
+        while (i < 8) {
+          val diff = qv(p * 8 + i) - flat((p * 16 + j) * 8 + i)
+          sum += diff * diff
+          i += 1
+        }
+        (pid, p, j, java.math.BigDecimal.valueOf(sum)
+          .setScale(4, java.math.RoundingMode.HALF_UP)
+          .scaleByPowerOfTen(4).longValueExact())
+      }).toDF("probe", "p", "code", "de4"))
+      val cbRow = broadcast(Seq(Tuple1(flat.toSeq)).toDF("cbflat"))
+      val codes = c.crossJoin(cbRow)
+        .selectExpr("vec_id", "pq_assign(v, cbflat) AS a")
+        .select(col("vec_id"), posexplode(expr(
+          "transform(sequence(0, 7), p -> CAST(a[2 * p + 1] AS INT))"))
+          .as(Seq("p", "code")))
+      val dist = codes.join(assign, "vec_id")
+        .join(plists, "cid")
+        .filter(col("probe") =!= col("vec_id"))
+        .join(lut, Seq("probe", "p", "code"))
+        .groupBy(col("probe"), col("vec_id").as("neighbor"))
+        .agg(sum("de4").cast("long").as("dist_e4"))
+      graft.plans.TopKPerKeyOps.topK(dist, Seq("probe"),
+          Seq(col("dist_e4").asc, col("neighbor").asc), 5)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("probe").orderBy(col("dist_e4").asc, col("neighbor").asc)))
+        .orderBy("probe", "rk")
+    }, Some("""
+      WITH sd AS (
+        SELECT vec_id AS sid,
+               CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS cid
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      f AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+      n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY vec_id),
+      c0 AS (SELECT cid, i, v FROM sd JOIN f ON f.vec_id = sd.sid),
+      d1 AS (
+        SELECT f.vec_id, c0.cid, sum(f.v * c0.v) AS dot,
+               sqrt(sum(c0.v * c0.v)) AS cnrm
+        FROM f JOIN c0 ON c0.i = f.i GROUP BY f.vec_id, c0.cid),
+      s1 AS (
+        SELECT d1.vec_id, cid, round(dot / (n.nrm * cnrm), 4) AS cs
+        FROM d1 JOIN n ON n.vec_id = d1.vec_id),
+      assign AS (
+        SELECT vec_id, cid FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rk
+          FROM s1) WHERE rk = 1),
+      plists AS (
+        SELECT vec_id AS probe, cid FROM (
+          SELECT vec_id, cid,
+                 row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rk
+          FROM s1 WHERE vec_id < 16) WHERE rk <= 2),
+      ps AS (SELECT unnest(generate_series(0, 7)) AS p),
+      cb AS (
+        SELECT ps.p, sd.cid AS j,
+               list_transform(generate_series(1, 8),
+                 i -> CAST(e.embedding[ps.p * 8 + i] AS DOUBLE)) AS c
+        FROM sd JOIN embeddings e ON e.vec_id = sd.sid CROSS JOIN ps),
+      candpq AS (
+        SELECT v.vec_id, cb.p, cb.j,
+               round(list_sum(list_transform(generate_series(1, 8),
+                 i -> (CAST(v.embedding[cb.p * 8 + i] AS DOUBLE) - cb.c[i])
+                    * (CAST(v.embedding[cb.p * 8 + i] AS DOUBLE) - cb.c[i]))), 4) AS d
+        FROM embeddings v CROSS JOIN cb),
+      bestpq AS (
+        SELECT vec_id, p, j, d,
+               row_number() OVER (PARTITION BY vec_id, p ORDER BY d, j) AS rk
+        FROM candpq),
+      codes AS (SELECT vec_id, p, j AS code FROM bestpq WHERE rk = 1),
+      lut AS (
+        SELECT vec_id AS probe, p, j AS code,
+               CAST(round(d * 10000) AS BIGINT) AS de4
+        FROM candpq WHERE vec_id < 16),
+      dist AS (
+        SELECT pl.probe, cd.vec_id AS neighbor, CAST(sum(l.de4) AS BIGINT) AS dist_e4
+        FROM codes cd
+        JOIN assign a ON a.vec_id = cd.vec_id
+        JOIN plists pl ON pl.cid = a.cid
+        JOIN lut l ON l.probe = pl.probe AND l.p = cd.p AND l.code = cd.code
+        WHERE pl.probe <> cd.vec_id
+        GROUP BY pl.probe, cd.vec_id),
+      tk AS (
+        SELECT *, row_number() OVER (PARTITION BY probe ORDER BY dist_e4, neighbor) AS rk
+        FROM dist)
+      SELECT probe, neighbor, dist_e4, CAST(rk AS INTEGER) AS rk
+      FROM tk WHERE rk <= 5 ORDER BY probe, rk""")),
+
     // C20: per-label centroids — dimension-wise vector aggregation in
     // long format (label, dim, centroid); the building block for IVF
     // coarse quantizers and class prototypes.
