@@ -9,7 +9,7 @@ object PlanAudit {
       "tx_entropy", "dd_simhash_planted", "ann_lsh_planted", "ann_ivf_planted",
       "tx_source_cap", "tx_chunks",
       "tx_seqpack", "ann_quantize", "tx_quality_buckets", "ev_rate_spike",
-      "tx_bigram_surprisal", "dd_cdc_chunks", "ann_pq", "ann_pq_adc", "pipeline_pretrain_mix").foreach { q =>
+      "tx_bigram_surprisal", "dd_cdc_chunks", "ann_pq", "ann_pq_adc", "pipeline_pretrain_mix", "ann_ivf_pq", "tx_ngram_novelty").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sfDir)
       df.collect() // materialize THIS frame so AQE reports the FINAL plan (a count() would plan separately)
       val plan = df.queryExecution.executedPlan.toString

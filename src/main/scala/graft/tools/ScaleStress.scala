@@ -47,7 +47,7 @@ object ScaleStress {
       "tx_entropy", "tx_bigram_surprisal", "tx_chunks", "tx_source_cap",
       "ev_disorder", "ev_sessionize", "ev_latest_state", "ev_active_users",
       "tx_seqpack", "ann_quantize", "tx_quality_buckets", "ev_rate_spike",
-      "dd_cdc_chunks", "ann_pq", "ann_pq_adc", "pipeline_pretrain_mix")
+      "dd_cdc_chunks", "ann_pq", "ann_pq_adc", "pipeline_pretrain_mix", "ann_ivf_pq", "tx_ngram_novelty")
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
