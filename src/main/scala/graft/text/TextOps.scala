@@ -131,6 +131,39 @@ object TextOps {
       FROM flagged, t
       GROUP BY source, lang, total ORDER BY source, lang""")),
 
+    // C48: duplication inflation per source — the token-weighted
+    // factor by which exact duplicates inflate each source
+    // (total_tokens / canonical_tokens, canonical = first doc per
+    // fingerprint corpus-wide). THE number that decides whether a
+    // source needs dedup before mixing. One scan + the fp window +
+    // one groupBy; ratio in exact int64 (ratio4 of token sums).
+    ("tx_dup_inflation", (s: SparkSession, d: String) => {
+      val base = docs(s, d).select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tok"),
+        fingerprint(col("text")).as("fp"))
+      val w = Window.partitionBy("fp")
+      base.withColumn("canonical", min("doc_id").over(w))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("n_tok").cast("long").as("n_tokens"),
+          sum(when(col("doc_id") === col("canonical"), col("n_tok")).otherwise(0L))
+            .cast("long").as("canonical_tokens"))
+        .withColumn("inflation4", ratio4(col("n_tokens"), col("canonical_tokens")))
+        .orderBy("source")
+    }, Some("""
+      WITH base AS (
+        SELECT doc_id, source,
+               CAST(length(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok,
+               md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        FROM documents),
+      c AS (SELECT *, min(doc_id) OVER (PARTITION BY fp) AS canonical FROM base)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+             CAST(sum(CASE WHEN doc_id = canonical THEN n_tok ELSE 0 END) AS BIGINT) AS canonical_tokens,
+             ((20000 * sum(n_tok) + sum(CASE WHEN doc_id = canonical THEN n_tok ELSE 0 END))
+               // (2 * sum(CASE WHEN doc_id = canonical THEN n_tok ELSE 0 END))) / 10000.0 AS inflation4
+      FROM c GROUP BY source ORDER BY source""")),
+
     // C10: token counting — whitespace + BPE-ish regex.
     ("tx_tokens", (s: SparkSession, d: String) => {
       docs(s, d).select(
