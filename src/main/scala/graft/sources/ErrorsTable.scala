@@ -47,10 +47,16 @@ final class ErrorsTable(spark: SparkSession, dir: String)
   }
 
   /** Append a status-change event for an existing error id (the
-    * reference's UPDATE ... SET status; 2 = processed).
+    * reference's UPDATE ... SET status; 2 = processed). A nonexistent
+    * error id is a no-op — the reference's UPDATE would affect 0 rows,
+    * so no orphan `error_status` event is appended either.
     */
   def markStatus(errorId: Long, status: Int): Unit = {
     import spark.implicits._
+    val exists = !table.log.df
+      .filter(col("eventType") === "error_recorded" && col("id") === errorId)
+      .isEmpty
+    if (!exists) return
     table.insert(Seq(
       ("error_status", errorId, new java.sql.Timestamp(System.currentTimeMillis()), status.toDouble, "{}"))
       .toDF("eventType", "foreignId", "ts", "value", "metadata"))

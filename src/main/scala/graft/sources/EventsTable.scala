@@ -139,7 +139,8 @@ final class EventsTable(spark: SparkSession, dir: String,
       if (events.columns.contains("trace")) col("trace").cast("binary")
       else lit(null).cast("binary")
     val src = events.select(cols.map(col) :+ traceCol.as("trace"): _*)
-    val withIds = src.rdd.zipWithIndex().map { case (r, i) =>
+    val rdd = src.rdd.zipWithIndex()
+    val withIds = rdd.map { case (r, i) =>
       Row.fromSeq((base + 1 + i) +: r.toSeq)
     }
     val df = spark.createDataFrame(withIds, schema)
@@ -148,7 +149,9 @@ final class EventsTable(spark: SparkSession, dir: String,
         df.withColumn("date", to_date(col(physical("ts")))).write.partitionBy("date")
       else df.write
     writer.mode(SaveMode.Append).parquet(dir)
-    head
+    // new head = base + batch size; O(batch), not a re-scan of the
+    // whole log (which made every single-row append O(log size)).
+    base + rdd.count()
   }
 }
 
@@ -166,10 +169,15 @@ final class EventsTableStr(val inner: EventsTable) {
 
   /** Insert with a STRING foreignId column; every value must parse as
     * int64 (strconv.ParseInt semantics — fail the batch, not the row).
+    * Strict: a decimal string like "3.7" is rejected, not truncated —
+    * Spark's non-ANSI string→long cast would accept it, ParseInt does
+    * not, so shape is checked with an integer regex and the cast's
+    * null only guards int64 overflow.
     */
   def insert(events: DataFrame): Long = {
     val bad = events.filter(col("foreignId").isNotNull &&
-      col("foreignId").cast("long").isNull).limit(1).collect()
+      (!col("foreignId").rlike("^[+-]?\\d+$") ||
+        col("foreignId").cast("long").isNull)).limit(1).collect()
     require(bad.isEmpty,
       s"non-integer foreignId: ${bad.headOption.map(_.toString).getOrElse("")}")
     inner.insert(events.withColumn("foreignId", col("foreignId").cast("long")))

@@ -18,13 +18,21 @@ object Hashing {
     (MurmurHash3.stringHash(s, 0x9747b28c).toLong << 32) |
       (MurmurHash3.stringHash(s, 0x85ebca6b).toLong & 0xffffffffL)
 
+  // one digest per executor thread, reset per call — getInstance in a
+  // per-character hot loop (CDC boundary scan) is avoidable allocation
+  private val md5Local = new ThreadLocal[java.security.MessageDigest] {
+    override def initialValue(): java.security.MessageDigest =
+      java.security.MessageDigest.getInstance("MD5")
+  }
+
   /** Lower-case hex md5 of the UTF-8 bytes — byte-identical to SQL
     * `md5(...)` in Spark and DuckDB, for JVM-side fingerprinting in
     * the same tight loops.
     */
   def md5Hex(s: String): String = {
-    val d = java.security.MessageDigest.getInstance("MD5")
-      .digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val md = md5Local.get()
+    md.reset()
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     val sb = new java.lang.StringBuilder(32)
     var i = 0
     while (i < d.length) {

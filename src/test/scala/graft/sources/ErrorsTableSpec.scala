@@ -33,6 +33,12 @@ class ErrorsTableSpec extends AnyFunSuite {
     assert(afterMark(id2) === 1)
 
     assert(et.list("c1").map(_._1) === Seq(41L, 42L))
+
+    // nonexistent error id: reference UPDATE affects 0 rows — no
+    // orphan error_status event is appended here either
+    val headBefore = et.table.head
+    et.markStatus(9999L, 2)
+    assert(et.table.head === headBefore)
   }
 
   test("DeadLetter mode wires to ErrorsTable; a retry processor consumes the error stream") {

@@ -351,5 +351,19 @@ class SourcesSpec extends AnyFunSuite {
       .toDF("eventType", "foreignId", "ts", "value", "metadata")
     intercept[IllegalArgumentException](table.insert(bad))
     assert(table.head === 1L)
+
+    // strict shape: '3.7' would survive Spark's lenient string→long
+    // cast (truncating to 3); ParseInt rejects it, so must we
+    val decimal = Seq(
+      ("signup", "3.7", java.sql.Timestamp.valueOf("2024-01-01 00:03:00"), 4.0, "{}"))
+      .toDF("eventType", "foreignId", "ts", "value", "metadata")
+    intercept[IllegalArgumentException](table.insert(decimal))
+
+    // int64 overflow also fails the batch (ParseInt range error)
+    val overflow = Seq(
+      ("signup", "99999999999999999999", java.sql.Timestamp.valueOf("2024-01-01 00:04:00"), 5.0, "{}"))
+      .toDF("eventType", "foreignId", "ts", "value", "metadata")
+    intercept[IllegalArgumentException](table.insert(overflow))
+    assert(table.head === 1L)
   }
 }
