@@ -100,15 +100,24 @@ object AnnOps {
     import s.implicits._
     val nTables = s.conf.get("spark.graft.ann.lsh.tables", "4").toInt
     val maxBucket = 10000
-    val c = corpusDf.as[(Long, Seq[Double])]
-      .flatMap { case (id, v) =>
+    // one typed row per VECTOR (all L bucket ids in one array), then a
+    // codegen posexplode to one row per (vector, table): the previous
+    // shape serialized the 64-double vector through the typed pass L
+    // times per vector
+    val sigs = corpusDf.as[(Long, Seq[Double])]
+      .map { case (id, v) =>
         val arr = v.toArray
-        (0 until nTables).map(t => (id, v, t, Hashing.lshBucket(arr, 8, t)))
+        (id, v, (0 until nTables).map(t => Hashing.lshBucket(arr, 8, t)))
       }
-      .toDF("vec_id", "v", "table", "bucket")
-    val ok = c.groupBy("table", "bucket").agg(count(lit(1)).as("bn"))
+      .toDF("vec_id", "v", "buckets")
+    val c = sigs.select(col("vec_id"), col("v"),
+      posexplode(col("buckets")).as(Seq("table", "bucket")))
+    // skew guard as a window count over the (table, bucket) shuffle
+    // that the probe join below reuses — the aggregate+broadcast-join
+    // form cost an extra exchange plus a broadcast subquery job
+    val wb = Window.partitionBy("table", "bucket")
+    val guarded = c.withColumn("bn", count(lit(1)).over(wb))
       .filter(col("bn") <= maxBucket).drop("bn")
-    val guarded = c.join(broadcast(ok), Seq("table", "bucket"))
     val probes = broadcast(guarded.filter(col("vec_id") < 16)
       .select(col("table"), col("bucket"), col("vec_id").as("probe"), col("v").as("pv")))
     val scored = probes

@@ -59,12 +59,14 @@ object DedupOps {
   // sets equals Jaccard on string sets up to negligible collisions,
   // and the verify intersect on bigints beats string comparison.
   /** @return (full, bands): `full` = (doc_id, sh, bands) materialized
-    * ONCE and spilled to disk — `sh` (all distinct shingle hashes, ~8
-    * bytes per character) is roughly the corpus itself, so it must
-    * never be pinned in executor memory; `bands` = (doc_id, bands)
-    * kept hot in memory (~4 longs/doc). Candidate generation runs off
-    * the hot bands frame; only the verify joins read `sh` back from
-    * the disk-persisted table.
+    * ONCE as compressed columnar batches, memory-first with disk
+    * spill — `sh` (all distinct shingle hashes, ~8 bytes per
+    * character) is roughly the corpus itself, so partitions beyond
+    * the storage fraction spill rather than evict-thrash, but the
+    * verify joins (which read `sh` TWICE, a-side and b-side) hit
+    * memory whenever it fits; `bands` = (doc_id, bands) kept hot in
+    * memory (~4 longs/doc). Candidate generation runs off the hot
+    * bands frame.
     */
   def minhashSignatures(documents: DataFrame): (DataFrame, DataFrame) = {
     val s = documents.sparkSession
@@ -79,7 +81,7 @@ object DedupOps {
           (id, shh.toSeq, bands.toSeq)
         }
         .toDF("doc_id", "sh", "bands")
-        .persist(org.apache.spark.storage.StorageLevel.DISK_ONLY)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bands = full.select(col("doc_id"), col("bands")).cache()
       Seq(full, bands)
     }
@@ -161,9 +163,13 @@ object DedupOps {
 
   /** Candidate pairs via banded bucket join with a mega-bucket guard. */
   def bandedCandidates(banded: DataFrame, maxBucket: Int): DataFrame = {
-    val ok = banded.groupBy("band", "bh").agg(count(lit(1)).as("bn"))
+    // skew guard as a window count, not groupBy+join: one shuffle on
+    // (band, bh) that the self-join below then REUSES (same keys →
+    // ReusedExchange), where the aggregate+join form paid a second
+    // exchange and a join just to apply the bound
+    val w = Window.partitionBy("band", "bh")
+    val small = banded.withColumn("bn", count(lit(1)).over(w))
       .filter(col("bn") <= maxBucket).drop("bn")
-    val small = banded.join(ok, Seq("band", "bh"))
     small.as("x").join(small.as("y"),
         col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
           col("x.doc_id") < col("y.doc_id"))
