@@ -618,6 +618,34 @@ object EventOps {
       WITH m AS (SELECT event_id FROM events
                  UNION ALL
                  SELECT event_id FROM events WHERE event_id % 10 = 0)
-      SELECT count(*) AS n_with_dups, count(DISTINCT event_id) AS n_distinct FROM m"""))
+      SELECT count(*) AS n_with_dups, count(DISTINCT event_id) AS n_distinct FROM m""")),
+
+    // A57: OTel trace propagation (internal/tracing/encode.go:13,
+    // decode.go:12) — synthesize the reference's canonical
+    // reflexpb.Trace blob per event (md5-derived ids, every 5th event
+    // carrying an invalid all-zero trace id), then decode it back with
+    // the declarative column codec (Tracing.traceIdCol — builtin
+    // functions only, stays in codegen). The oracle predicts the
+    // decode from the construction, hash-checking the frame layout,
+    // the id validation, and the all-or-nothing null behavior; the
+    // byte-level proto codec itself is golden-tested in TracingSpec.
+    ("ev_trace_decode", (s: SparkSession, d: String) => {
+      val base = ev(s, d).select(col("event_id").as("id"),
+        when(col("event_id") % 5 === 0, lit("0" * 32))
+          .otherwise(md5(col("event_id").cast("string"))).as("tid"),
+        substring(md5(concat(lit("s"), col("event_id").cast("string"))), 1, 16).as("sid"))
+      base
+        .withColumn("trace", concat(unhex(lit("0A20")), encode(col("tid"), "UTF-8"),
+          unhex(lit("1210")), encode(col("sid"), "UTF-8")))
+        .select(col("id"), Tracing.traceIdCol(col("trace")).as("trace_id"),
+          Tracing.spanIdCol(col("trace")).as("span_id"))
+        .withColumn("valid", col("trace_id").isNotNull)
+        .orderBy("id")
+    }, Some("""
+      SELECT event_id AS id,
+             CASE WHEN event_id % 5 <> 0 THEN md5(CAST(event_id AS VARCHAR)) END AS trace_id,
+             CASE WHEN event_id % 5 <> 0 THEN substr(md5('s' || CAST(event_id AS VARCHAR)), 1, 16) END AS span_id,
+             (event_id % 5 <> 0) AS valid
+      FROM events ORDER BY id"""))
   )
 }
