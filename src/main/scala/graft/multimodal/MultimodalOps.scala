@@ -219,6 +219,57 @@ object MultimodalOps {
         FROM documents WHERE doc_id % 3 = 2)
       SELECT doc_id, CAST(unnest(generate_series(0, n_frames - 1, 2)) AS INTEGER) AS frame_idx,
              md5(sha || ':' || CAST(unnest(generate_series(0, n_frames - 1, 2)) AS VARCHAR)) AS frame_sha
-      FROM v ORDER BY doc_id, frame_idx"""))
+      FROM v ORDER BY doc_id, frame_idx""")),
+
+    // C51: CLIP-score pair filtering — the multimodal curation staple
+    // (LAION-style): an (image, caption) pair survives only if the
+    // two embeddings agree above a similarity floor. Pairing
+    // construction: even vec_ids act as the image-encoder output, odd
+    // vec_ids as the text-encoder output of the same pair (pair p =
+    // vectors 2p, 2p+1). One equi-join on pair id co-locates each
+    // pair — at corpus scale both sides come pre-bucketed by pair id
+    // from the encoder jobs and the join is shuffle-free — then the
+    // codegen cosine scores and the floor filters. label_match rides
+    // along as the supervision-agreement signal. Threshold compares
+    // the 4dp-rounded score (id-tiebreak precedent) so no raw double
+    // decides a row's fate differently per engine.
+    ("mm_pair_filter", (s: SparkSession, d: String) => {
+      graft.functions.GraftFunctions.register(s)
+      val e = s.read.parquet(s"$d/embeddings.parquet")
+        .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
+          col("label"))
+      val img = e.filter(col("vec_id") % 2 === 0)
+        .select((col("vec_id") / 2).cast("long").as("pair_id"),
+          col("vec_id").as("img_id"), col("v").as("iv"), col("label").as("il"))
+      val txt = e.filter(col("vec_id") % 2 === 1)
+        .select(floor(col("vec_id") / 2).cast("long").as("pair_id"),
+          col("vec_id").as("txt_id"), col("v").as("tv"), col("label").as("tl"))
+      img.join(txt, "pair_id")
+        .selectExpr("pair_id", "img_id", "txt_id",
+          "round(cosine_sim(iv, tv), 4) AS clip_sim", "il = tl AS label_match")
+        .filter(col("clip_sim") >= 0.05)
+        .orderBy("pair_id")
+    }, Some("""
+      WITH f AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+      n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY vec_id),
+      lab AS (SELECT vec_id, label FROM embeddings),
+      dots AS (
+        SELECT a.vec_id // 2 AS pair_id, a.vec_id AS img_id,
+               b.vec_id AS txt_id, sum(a.v * b.v) AS dot
+        FROM f a JOIN f b ON a.i = b.i AND b.vec_id = a.vec_id + 1
+        WHERE a.vec_id % 2 = 0
+        GROUP BY a.vec_id, b.vec_id),
+      scored AS (
+        SELECT pair_id, img_id, txt_id,
+               round(dot / (na.nrm * nb.nrm), 4) AS clip_sim,
+               la.label = lb.label AS label_match
+        FROM dots
+        JOIN n na ON na.vec_id = img_id JOIN n nb ON nb.vec_id = txt_id
+        JOIN lab la ON la.vec_id = img_id JOIN lab lb ON lb.vec_id = txt_id)
+      SELECT pair_id, img_id, txt_id, clip_sim, label_match
+      FROM scored WHERE clip_sim >= 0.05 ORDER BY pair_id"""))
   )
 }

@@ -1177,6 +1177,105 @@ object TextOps {
       t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM w),
       c AS (SELECT term, CAST(count(*) AS BIGINT) AS cnt FROM w GROUP BY term)
       SELECT term, cnt FROM c, t WHERE cnt * 40 > n
-      ORDER BY cnt DESC, term ASC"""))
+      ORDER BY cnt DESC, term ASC""")),
+
+    // C49: deterministic epoch shuffle — the training-data ORDERING
+    // op: each epoch reads the corpus in a different but reproducible
+    // pseudo-random order, sharded for parallel loaders. Order key =
+    // md5(epoch:doc_id) (seeded, engine-identical); shard = first 8
+    // hex digits mod nShards; pos = rank within (epoch, shard). No
+    // global sort at any scale: the window partitions by (epoch,
+    // shard) — each shard's order materializes independently, and a
+    // loader consumes exactly one shard. nShards is a knob (8 here;
+    // 10^4+ on a real corpus) — the shape is one shuffle keyed on
+    // (epoch, shard) followed by a per-shard sort, the same cost as
+    // writing the epoch manifests.
+    ("tx_epoch_shuffle", (s: SparkSession, d: String) => {
+      val nShards = 8
+      val key = md5(concat(col("epoch").cast("string"), lit(":"),
+        col("doc_id").cast("string")))
+      docs(s, d).select(col("doc_id"))
+        .withColumn("epoch", explode(sequence(lit(0), lit(2))))
+        .withColumn("key", key)
+        .withColumn("shard",
+          pmod(conv(substring(col("key"), 1, 8), 16, 10).cast("long"), lit(nShards)))
+        .withColumn("pos", row_number()
+          .over(Window.partitionBy("epoch", "shard").orderBy("key")))
+        .select(col("epoch"), col("shard"), col("pos"), col("doc_id"))
+        .orderBy("epoch", "shard", "pos")
+    }, Some("""
+      WITH e AS (
+        SELECT doc_id, CAST(unnest(generate_series(0, 2)) AS INTEGER) AS epoch
+        FROM documents),
+      k AS (
+        SELECT epoch, doc_id,
+               md5(CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS key
+        FROM e),
+      sh AS (
+        SELECT epoch, doc_id, key,
+               CAST('0x' || substr(key, 1, 8) AS BIGINT) % 8 AS shard
+        FROM k)
+      SELECT epoch, shard,
+             CAST(row_number() OVER (PARTITION BY epoch, shard ORDER BY key) AS INTEGER) AS pos,
+             doc_id
+      FROM sh ORDER BY epoch, shard, pos""")),
+
+    // C50: per-source corpus card — the data-card report every corpus
+    // release ships: document and token counts, exact-duplicate
+    // exposure, language spread and the dominant language, per
+    // source. One scan computes fingerprints and token counts; dup
+    // exposure is a window over fingerprint (corpus-wide, not
+    // per-source — a doc duplicated across sources counts in both);
+    // the dominant language is a rank-1 filter over per-(source,
+    // lang) counts (RankFilterToTopK → bounded heaps). All marginals
+    // aggregate before any join; ratios in exact int64 (ratio4).
+    ("pipeline_corpus_card", (s: SparkSession, d: String) => {
+      val base = docs(s, d).select(col("source"), col("lang"),
+        fingerprint(col("text")).as("fp"),
+        size(tokens(col("text"))).cast("long").as("n_tok"))
+        .withColumn("dup", (count(lit(1)).over(Window.partitionBy("fp")) > 1).cast("long"))
+      val per = base.groupBy("source").agg(
+        count(lit(1)).as("n_docs"),
+        sum("n_tok").as("n_tokens"),
+        sum("dup").as("n_dup"),
+        countDistinct("lang").as("n_langs"))
+        .withColumn("dup_rate4", ratio4(col("n_dup"), col("n_docs")))
+      val topLang = base.groupBy("source", "lang").agg(count(lit(1)).as("ln"))
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("source").orderBy(col("ln").desc, col("lang").asc)))
+        .filter(col("rk") === 1)
+        .select(col("source"), col("lang").as("top_lang"))
+      per.join(topLang, "source")
+        .select("source", "n_docs", "n_tokens", "n_dup", "dup_rate4",
+          "n_langs", "top_lang")
+        .orderBy("source")
+    }, Some("""
+      WITH b AS (
+        SELECT source, lang,
+               md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp,
+               CAST(length(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      w AS (
+        SELECT source, lang, n_tok,
+               CASE WHEN count(*) OVER (PARTITION BY fp) > 1 THEN 1 ELSE 0 END AS dup
+        FROM b),
+      per AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(n_tok) AS BIGINT) AS n_tokens,
+               CAST(sum(dup) AS BIGINT) AS n_dup,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs
+        FROM w GROUP BY source),
+      tl AS (
+        SELECT source, lang AS top_lang
+        FROM (SELECT source, lang, count(*) AS ln,
+                     row_number() OVER (PARTITION BY source
+                       ORDER BY count(*) DESC, lang ASC) AS rk
+              FROM w GROUP BY source, lang)
+        WHERE rk = 1)
+      SELECT p.source, p.n_docs, p.n_tokens, p.n_dup,
+             ((20000 * p.n_dup + p.n_docs) // (2 * p.n_docs)) / 10000.0 AS dup_rate4,
+             p.n_langs, t.top_lang
+      FROM per p JOIN tl t ON t.source = p.source
+      ORDER BY p.source"""))
   )
 }
