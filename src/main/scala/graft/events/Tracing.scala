@@ -53,58 +53,27 @@ object Tracing {
     * encoder emits for this message (trace_id then span_id, both
     * always present as fixed-width hex strings).
     */
-  def marshal(sc: SpanContext): Array[Byte] = {
-    val t = sc.traceId.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-    val p = sc.spanId.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
-    val out = java.nio.ByteBuffer.allocate(4 + t.length + p.length)
-    out.put(0x0a.toByte).put(t.length.toByte).put(t)
-    out.put(0x12.toByte).put(p.length.toByte).put(p)
-    out.array()
-  }
+  def marshal(sc: SpanContext): Array[Byte] =
+    new graft.util.ProtoWire.Writer(56)
+      .string(1, sc.traceId).string(2, sc.spanId).result()
 
   /** Decode a storage blob. None on malformed proto or invalid ids —
     * the caller treats that as "no trace" (best-effort semantics).
-    * A conformant parser, not a fixed-offset peek: varint lengths and
-    * unknown fields (any wire type) are handled, so re-encoded or
-    * extended blobs still decode.
+    * A conformant parser (graft.util.ProtoWire), not a fixed-offset
+    * peek: varint lengths and unknown fields of any wire type are
+    * handled, so re-encoded or extended blobs still decode.
     */
   def unmarshal(bytes: Array[Byte]): Option[SpanContext] = {
     if (bytes == null) return None
-    var i = 0
-    var traceId: String = null
-    var spanId: String = null
-    def varint(): Long = {
-      var shift = 0; var v = 0L
-      while (i < bytes.length && shift < 64) {
-        val b = bytes(i); i += 1
-        v |= (b & 0x7fL) << shift
-        if ((b & 0x80) == 0) return v
-        shift += 7
-      }
-      -1L // truncated varint
+    val r = new graft.util.ProtoWire.Reader(bytes)
+    var traceId = ""; var spanId = ""
+    while (r.next()) r.field match {
+      case 1 if r.wireType == 2 => traceId = r.readString()
+      case 2 if r.wireType == 2 => spanId = r.readString()
+      case _ => r.skip()
     }
-    while (i < bytes.length) {
-      val key = varint()
-      if (key < 0) return None
-      val field = (key >> 3).toInt
-      (key & 7) match {
-        case 2 => // length-delimited
-          val len = varint()
-          if (len < 0 || i + len > bytes.length) return None
-          if (field == 1 || field == 2) {
-            val s = new String(bytes, i, len.toInt,
-              java.nio.charset.StandardCharsets.US_ASCII)
-            if (field == 1) traceId = s else spanId = s
-          }
-          i += len.toInt
-        case 0 => if (varint() < 0) return None // varint field: skip
-        case 5 => if (i + 4 > bytes.length) return None else i += 4
-        case 1 => if (i + 8 > bytes.length) return None else i += 8
-        case _ => return None // groups / reserved wire types
-      }
-    }
-    val sc = SpanContext(if (traceId == null) "" else traceId,
-      if (spanId == null) "" else spanId, remote = true)
+    if (!r.valid) return None
+    val sc = SpanContext(traceId, spanId, remote = true)
     if (sc.isValid) Some(sc) else None
   }
 

@@ -31,7 +31,16 @@ class EventStreamServer(
     log: () => DataFrame,
     port: Int = 0,
     pollMs: Long = 100L,
-    chunk: Int = 1024) extends AutoCloseable {
+    chunk: Int = 1024,
+    /** true → the reference's wire format: the client sends ONE
+      * varint-delimited reflexpb.StreamRequest, the server streams
+      * varint-delimited reflexpb.Event frames (graft.events.ReflexPb
+      * — byte-compatible with the reference's generated code). The
+      * gRPC/HTTP-2 transport itself stays out of scope; the MESSAGE
+      * layer is the real thing, including StreamOptions fromHead /
+      * toHead / lag.
+      */
+    binary: Boolean = false) extends AutoCloseable {
 
   private val server = new ServerSocket(port, 16, InetAddress.getLoopbackAddress)
   @volatile private var running = true
@@ -58,7 +67,70 @@ class EventStreamServer(
   private val AfterRe = """"after"\s*:\s*(-?\d+)""".r.unanchored
   private val ToHeadRe = """"toHead"\s*:\s*true""".r.unanchored
 
-  private def handle(sock: Socket): Unit = {
+  private def handle(sock: Socket): Unit =
+    if (binary) handlePb(sock) else handleLines(sock)
+
+  /** Serve one reflexpb connection (see `binary`). Same loop shape as
+    * the line protocol: pushed-down `id > cursor` range scans, long
+    * poll at the head; StreamOptions differences — fromHead starts
+    * after the head-at-connect, lag holds back events younger than
+    * the lag window (options.go WithStreamLag).
+    */
+  private def handlePb(sock: Socket): Unit = {
+    try {
+      val in = sock.getInputStream
+      val req = graft.util.ProtoWire.readDelimited(in)
+        .flatMap(graft.events.ReflexPb.decodeStreamRequest)
+      if (req.isEmpty) { sock.close(); return }
+      val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+      val watcher = new Thread(() => {
+        try { in.read(); () } catch { case NonFatal(_) => () }
+        try sock.close() catch { case NonFatal(_) => () }
+      }, "event-stream-peer-watch")
+      watcher.setDaemon(true)
+      watcher.start()
+      var cursor = if (req.get.fromHead) headId() else req.get.after
+      val head = if (req.get.toHead) headId() else Long.MaxValue
+      val lagMs = req.get.lagMs
+      var done = cursor >= head
+      while (running && !done && !sock.isClosed) {
+        val frame = log()
+        val hasTrace = frame.columns.contains("trace")
+        val visible = frame.filter(col("id") > cursor && col("id") <= head)
+        val lagged =
+          if (lagMs > 0)
+            visible.filter(unix_millis(col("ts")) <=
+              System.currentTimeMillis() - lagMs)
+          else visible
+        val rows = lagged.orderBy("id").limit(chunk)
+          .select(col("id"), col("eventType"), col("foreignId"),
+            unix_millis(col("ts")).as("ts_ms"), col("value"), col("metadata"),
+            (if (hasTrace) col("trace") else lit(null).cast("binary")).as("trace"))
+          .collect()
+        if (rows.isEmpty) {
+          if (req.get.toHead) done = true
+          else Thread.sleep(pollMs)
+        } else {
+          rows.foreach { r =>
+            graft.events.ReflexPb.writeEventTo(out, graft.events.ReflexPb.encodeEvent(
+              r.getLong(0), if (r.isNullAt(1)) "" else r.getString(1),
+              r.getLong(2), r.getLong(3), r.getDouble(4),
+              if (r.isNullAt(5)) "" else r.getString(5),
+              if (r.isNullAt(6)) null else r.getAs[Array[Byte]](6)))
+          }
+          out.flush() // broken pipe surfaces as IOException → close below
+          cursor = rows.last.getLong(0)
+          if (cursor >= head) done = true
+        }
+      }
+      sock.close()
+    } catch {
+      case _: InterruptedException | _: SocketException => ()
+      case NonFatal(_) => try sock.close() catch { case NonFatal(_) => () }
+    }
+  }
+
+  private def handleLines(sock: Socket): Unit = {
     try {
       val in = new BufferedReader(new InputStreamReader(sock.getInputStream, "UTF-8"))
       // Explicit UTF-8 (matches the reader and the Spark socket
@@ -194,6 +266,72 @@ object EventStreamClient {
           if (!closed) System.err.println(s"[event-stream-relay] pump exited: $e")
       }
     }, "event-stream-relay")
+    pump.setDaemon(true)
+    pump.start()
+    (local.getLocalPort, () => {
+      closed = true
+      val r = liveRemote
+      if (r != null) { try r.close() catch { case NonFatal(_) => () } }
+      try local.close() catch { case NonFatal(_) => () }
+    })
+  }
+
+  /** reflexpb-transport variant of `relay` — the moral equivalent of
+    * protocp.go streamClientFromProto: Recv varint-delimited
+    * reflexpb.Event frames from a `binary = true` EventStreamServer
+    * (or any reference-compatible peer), convert each
+    * (eventFromProto), and re-emit on the loopback line protocol for
+    * the stock Spark socket source. Reconnects re-issue the
+    * StreamRequest from the last forwarded event id, resuming
+    * mid-stream without re-shipping the prefix. The line hop drops
+    * the trace payload (wireSchema has no trace column); consumers
+    * that need spans read the log table, not the live relay.
+    */
+  def relayPb(host: String, port: Int, after: Long,
+      toHead: Boolean = false): (Int, () => Unit) = {
+    val local = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+    @volatile var closed = false
+    @volatile var liveRemote: Socket = null
+    val pump = new Thread(() => {
+      var cursor = after
+      try {
+        while (!closed) {
+          val sock = local.accept()
+          val remote = new Socket(host, port)
+          liveRemote = remote
+          try {
+            val rout = remote.getOutputStream
+            graft.util.ProtoWire.writeDelimited(rout,
+              graft.events.ReflexPb.encodeStreamRequest(cursor, toHead = toHead))
+            rout.flush()
+            val rin = remote.getInputStream
+            val out = new PrintWriter(new java.io.OutputStreamWriter(
+              sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8), false)
+            var ev = graft.events.ReflexPb.readEventFrom(rin)
+            var dead = false
+            while (ev.nonEmpty && !dead) {
+              val e = ev.get
+              out.println(SocketEventSource.toWire(
+                e.id, e.eventType, e.foreignId, e.tsMs, e.value, e.metadata))
+              out.flush()
+              if (out.checkError()) dead = true // local side hung up
+              else {
+                cursor = e.id
+                ev = graft.events.ReflexPb.readEventFrom(rin)
+              }
+            }
+          } finally {
+            liveRemote = null
+            try remote.close() catch { case NonFatal(_) => () }
+            try sock.close() catch { case NonFatal(_) => () }
+          }
+        }
+      } catch {
+        case _: InterruptedException | _: SocketException => ()
+        case NonFatal(e) =>
+          if (!closed) System.err.println(s"[event-stream-relay-pb] pump exited: $e")
+      }
+    }, "event-stream-relay-pb")
     pump.setDaemon(true)
     pump.start()
     (local.getLocalPort, () => {
