@@ -701,6 +701,152 @@ object Queries {
       SELECT src, count(DISTINCT custkey) AS n_distinct, count(*) AS n_rows FROM u GROUP BY src
       UNION ALL
       SELECT 'all' AS src, count(DISTINCT custkey) AS n_distinct, count(*) AS n_rows FROM u
-      ORDER BY src"""))
+      ORDER BY src""")),
+
+    // B33: national market share (TPC-H Q8 flavor): of ASIA's ECONOMY
+    // revenue per year, the fraction supplied by NATION_3. One
+    // fact-fact shuffle (lineitem⋈orders); every dimension broadcast;
+    // the share divides two identical int64 cent-product sums (promo-
+    // share precedent) so both engines round the same double.
+    ("q8_market_share", (s: SparkSession, d: String) => {
+      val li = Tables.lineitem(s, d)
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val vol = cents(col("l_extendedprice")) * cents(lit(1) - col("l_discount"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.part(s, d)).filter(col("p_type") === "ECONOMY"),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))),
+          col("c_nationkey") === col("cn_key"))
+        .join(broadcast(Tables.region(s, d)).filter(col("r_name") === "ASIA"),
+          col("n_regionkey") === col("r_regionkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)
+            .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
+          col("s_nationkey") === col("sn_key"))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg(round(
+          sum(when(col("supp_nation") === "NATION_3", vol).otherwise(0L)) /
+            sum(vol), 4).as("mkt_share4"))
+        .orderBy("o_year")
+    }, Some("""
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             round(sum(CASE WHEN sn.n_name = 'NATION_3'
+                       THEN CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT)
+                       ELSE 0 END)
+                   / sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT)), 4) AS mkt_share4
+      FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN part ON l_partkey = p_partkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation cn ON c_nationkey = cn.n_nationkey
+        JOIN region ON cn.n_regionkey = r_regionkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation sn ON s_nationkey = sn.n_nationkey
+      WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+        AND p_type = 'ECONOMY' AND r_name = 'ASIA'
+      GROUP BY 1 ORDER BY o_year""")),
+
+    // B34: returned-item reporting (TPC-H Q10 flavor): top 20
+    // customers by revenue lost to returns in a 6-month window.
+    // Exact-cents revenue; TopK via the rank-filter rewrite is not
+    // needed — a global TakeOrdered(20) moves only 20 rows per
+    // partition.
+    ("q10_returned_items", (s: SparkSession, d: String) => {
+      val li = Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
+                col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(round(sum(cents(col("l_extendedprice")) * cents(lit(1) - col("l_discount"))) / 1e4, 2).as("revenue"),
+          round(max("c_acctbal"), 2).as("c_acctbal"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+    }, Some("""
+      SELECT c_custkey, c_name, n_name,
+             round(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT)) / 1e4, 2) AS revenue,
+             round(max(c_acctbal), 2) AS c_acctbal
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                    JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey
+      WHERE l_returnflag = 'R'
+        AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1997-07-01'
+      GROUP BY c_custkey, c_name, n_name
+      ORDER BY revenue DESC, c_custkey ASC LIMIT 20""")),
+
+    // B35: top supplier(s) by quarterly revenue (TPC-H Q15 flavor —
+    // the CREATE VIEW + max-subquery decorrelated to one window over
+    // the per-supplier aggregate). The max compare runs on EXACT int64
+    // cents, so a revenue tie at the top emits every tied supplier in
+    // both engines — the Q15 edge case — and no double decides it.
+    ("q15_top_supplier", (s: SparkSession, d: String) => {
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1997-04-01").cast("timestamp"))
+      val rev = li.groupBy("l_suppkey")
+        .agg(sum(cents(col("l_extendedprice")) * cents(lit(1) - col("l_discount"))).as("rev_c"))
+      rev.withColumn("max_c", max("rev_c").over(Window.partitionBy()))
+        .filter(col("rev_c") === col("max_c"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_suppkey"), col("s_name"),
+          round(col("rev_c") / 1e4, 2).as("total_revenue"))
+        .orderBy("s_suppkey")
+    }, Some("""
+      WITH rev AS (
+        SELECT l_suppkey,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS rev_c
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, round(rev_c / 1e4, 2) AS total_revenue
+      FROM rev JOIN supplier ON l_suppkey = s_suppkey
+      WHERE rev_c = (SELECT max(rev_c) FROM rev)
+      ORDER BY s_suppkey""")),
+
+    // B36: sales opportunity (TPC-H Q22 flavor, phone-country-code
+    // adapted to nationkey, and "no orders" adapted to "no orders
+    // since 1999" — this generator gives every customer some order):
+    // positive-balance customers in five nations, above the average
+    // positive balance, gone quiet — per nation: how many, and how
+    // much idle balance. The above-avg predicate cross-multiplies in
+    // exact int64 (cents·count > sum-of-cents) so no double average
+    // decides membership; the no-recent-orders test is a LEFT ANTI
+    // join keyed on custkey over the date-pruned orders scan, not a
+    // per-row NOT EXISTS.
+    ("q22_sales_opportunity", (s: SparkSession, d: String) => {
+      val nations = Seq(1, 3, 5, 7, 9).map(_.toLong)
+      val sel = Tables.customer(s, d)
+        .filter(col("c_nationkey").isin(nations: _*) && col("c_acctbal") > 0)
+      val stats = sel.agg(sum(cents(col("c_acctbal"))).as("sum_c"),
+        count(lit(1)).as("cnt"))
+      sel.crossJoin(broadcast(stats))
+        .filter(cents(col("c_acctbal")) * col("cnt") > col("sum_c"))
+        .join(Tables.orders(s, d)
+            .filter(col("o_orderdate") >= lit("1999-01-01").cast("timestamp"))
+            .select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey").as("cntrycode"))
+        .agg(count(lit(1)).as("numcust"),
+          round(sum(cents(col("c_acctbal"))) / 100.0, 2).as("totacctbal"))
+        .orderBy("cntrycode")
+    }, Some("""
+      WITH sel AS (
+        SELECT c_custkey, c_nationkey, c_acctbal,
+               CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+        FROM customer
+        WHERE c_nationkey IN (1, 3, 5, 7, 9) AND c_acctbal > 0),
+      st AS (SELECT CAST(sum(bal_c) AS BIGINT) AS sum_c, count(*) AS cnt FROM sel)
+      SELECT c_nationkey AS cntrycode, count(*) AS numcust,
+             round(sum(bal_c) / 100.0, 2) AS totacctbal
+      FROM sel, st
+      WHERE bal_c * cnt > sum_c
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1999-01-01')
+      GROUP BY c_nationkey ORDER BY cntrycode"""))
   )
 }
