@@ -19,14 +19,22 @@ object Bench {
     // side-by-side numbers compare steady-state to steady-state; a
     // single cold run is dominated by one-shot whole-stage-codegen
     // compilation (measured 4.6 s cold vs 1.2 s warm on
-    // tx_token_shards), which amortizes away on any real corpus
+    // tx_token_shards), which amortizes away on any real corpus.
+    // Escalate to min of 3 when the first two disagree by >25% on a
+    // ≥0.8 s query: multi-job iterative plans (dd_components runs 6
+    // rounds of join+agg+checkpoint) have the widest scheduler
+    // variance, and one stray run otherwise decides the recorded
+    // number (observed 1.7 s vs 4.2 s for the same HEAD).
     val results = SparkEntry.queries.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
         (System.nanoTime() - t0) / 1e9
       }
-      name -> (1 to 2).map(_ => once()).min
+      val two = (1 to 2).map(_ => once())
+      val t = if (two.min >= 0.8 && two.max > two.min * 1.25) (two :+ once()).min
+              else two.min
+      name -> t
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -67,7 +75,7 @@ object Bench {
       // PQ is lossy by design — the recorded recall is the
       // compression-accuracy trade, not expected to be 1.0
       val pqRecall = ann.AnnOps.plantedCloneRecall(spark, sfDir, SparkEntry.queries("ann_pq_adc"))
-      val tables = spark.conf.get("spark.graft.ann.lsh.tables", "4")
+      val tables = GraftConf.get(spark, GraftConf.AnnLshTables)
       s""","ann":{"lsh_recall":$lshRecall,"lsh_tables":$tables,"ivf_recall":$ivfRecall,"pq_adc_recall":$pqRecall}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] ann recall failed: ${e.getMessage}"); ""

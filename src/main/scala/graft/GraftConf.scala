@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** One tunable knob: key, shipped default (as the string Spark's conf
+  * layer stores), and the one-line doc rendered into CONFIG.md.
+  */
+final case class ConfKey(key: String, default: String, doc: String)
+
+/** The complete `spark.graft.*` configuration surface.
+  *
+  * Every runtime tunable the engine reads from the session conf is
+  * declared here — call sites resolve keys through this registry, so
+  * the table below (and CONFIG.md, spec-checked against it) cannot
+  * drift from the code. Operator-level knobs that are plain function
+  * parameters (e.g. `minhashPairs(maxBucket = …)`) are API surface,
+  * not session conf, and are documented on the function instead.
+  */
+object GraftConf {
+
+  val TopKRewrite = ConfKey("spark.graft.topk.rewrite", "true",
+    "Kill-switch for the rank-filter -> TopKPerKey bounded-heap rewrite " +
+      "(plans/RankFilterToTopK). Disable to fall back to the full " +
+      "window-sort plan when debugging plan differences.")
+
+  val TopKRewriteMaxK = ConfKey("spark.graft.topk.rewrite.maxK", "1000",
+    "Largest rank bound the TopKPerKey rewrite will claim. A rank " +
+      "filter with k above this keeps the window plan: per-key heaps of " +
+      "unbounded k would hold k rows per key per partition in memory.")
+
+  val AnnLshTables = ConfKey("spark.graft.ann.lsh.tables", "4",
+    "Number of independent hyperplane-LSH tables L in ann_lsh. More " +
+      "tables raise recall and candidate volume roughly linearly; the " +
+      "bench records planted-clone recall at the shipped default.")
+
+  val AnnLshMaxBucket = ConfKey("spark.graft.ann.lsh.maxBucket", "10000",
+    "Per-(table,bucket) membership cap in ann_lsh. Buckets larger than " +
+      "this are dropped before the probe join — the standard LSH skew " +
+      "guard bounding worst-case candidate fan-out at corpus scale.")
+
+  val SeqpackShards = ConfKey("spark.graft.seqpack.shards", "8",
+    "Shard count for greedy sequence packing (tx_seqpack). Packing is " +
+      "sequential within a shard; size as corpus_tokens / (budget * 1e5) " +
+      "so each shard's doc list stays executor-memory-resident.")
+
+  /** Every key, in the order CONFIG.md documents them. */
+  val all: Seq[ConfKey] = Seq(
+    TopKRewrite, TopKRewriteMaxK, AnnLshTables, AnnLshMaxBucket,
+    SeqpackShards)
+
+  def get(s: SparkSession, k: ConfKey): String = s.conf.get(k.key, k.default)
+  def getInt(s: SparkSession, k: ConfKey): Int = get(s, k).toInt
+  def getLong(s: SparkSession, k: ConfKey): Long = get(s, k).toLong
+  def getBoolean(s: SparkSession, k: ConfKey): Boolean = get(s, k).toBoolean
+}

@@ -1,6 +1,7 @@
 package graft.ann
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.GraftConf
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.GraftFunctions
@@ -98,8 +99,8 @@ object AnnOps {
   private def lshTopK(s: SparkSession, corpusDf: DataFrame): DataFrame = {
     GraftFunctions.register(s)
     import s.implicits._
-    val nTables = s.conf.get("spark.graft.ann.lsh.tables", "4").toInt
-    val maxBucket = 10000
+    val nTables = GraftConf.getInt(s, GraftConf.AnnLshTables)
+    val maxBucket = GraftConf.getInt(s, GraftConf.AnnLshMaxBucket)
     // one typed row per VECTOR (all L bucket ids in one array), then a
     // codegen posexplode to one row per (vector, table): the previous
     // shape serialized the 64-double vector through the typed pass L

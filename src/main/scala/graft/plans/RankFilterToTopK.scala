@@ -1,5 +1,6 @@
 package graft.plans
 
+import graft.GraftConf
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, LogicalPlan, Window, WindowGroupLimit}
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -45,8 +46,10 @@ object RankFilterToTopK extends Rule[LogicalPlan] with PredicateHelper {
   }
 
   override def apply(plan: LogicalPlan): LogicalPlan = {
-    if (!conf.getConfString("spark.graft.topk.rewrite", "true").toBoolean) return plan
-    val maxK = conf.getConfString("spark.graft.topk.rewrite.maxK", "1000").toInt
+    if (!conf.getConfString(GraftConf.TopKRewrite.key,
+      GraftConf.TopKRewrite.default).toBoolean) return plan
+    val maxK = conf.getConfString(GraftConf.TopKRewriteMaxK.key,
+      GraftConf.TopKRewriteMaxK.default).toInt
     plan.transformUp {
       case f @ Filter(cond,
             w @ Window(Seq(alias @ Alias(WindowExpression(RowNumber(),

@@ -1,5 +1,6 @@
 package graft.text
 
+import graft.GraftConf
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -879,7 +880,7 @@ object TextOps {
       // so each shard packs ~10⁵ sequences — shards scale out with
       // the corpus and every core stays busy (measured: the fixed-8
       // default is the 10× stress's worst ratio, by design a knob)
-      val nShards = s.conf.get("spark.graft.seqpack.shards", "8").toLong
+      val nShards = GraftConf.getLong(s, GraftConf.SeqpackShards)
       val base = docs(s, d).select(
         (col("doc_id") % nShards).as("shard"),
         col("doc_id"),
