@@ -37,7 +37,7 @@ object ScaleStress {
       .drop("rep")
       .write.parquet(s"$out/events.parquet")
 
-    val stressed = Seq(
+    val defaultList = Seq(
       "dd_exact", "dd_minhash_lsh", "dd_simhash", "dd_ngram_jaccard",
       "dd_semantic", "ann_lsh", "ann_ivf", "ann_bruteforce",
       "tx_ngram_profile", "tx_decontaminate", "tx_token_shards",
@@ -48,6 +48,12 @@ object ScaleStress {
       "ev_disorder", "ev_sessionize", "ev_latest_state", "ev_active_users",
       "tx_seqpack", "ann_quantize", "tx_quality_buckets", "ev_rate_spike",
       "dd_cdc_chunks", "ann_pq", "ann_pq_adc", "pipeline_pretrain_mix", "ann_ivf_pq", "tx_ngram_novelty")
+    // SPARK_GRAFT_STRESS_QUERIES=a,b,c restricts the sweep — the deep
+    // (100x) stress targets only the scale-critical tier, where a full
+    // sweep would spend most wall on already-proved cheap operators
+    val stressed = sys.env.get("SPARK_GRAFT_STRESS_QUERIES")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+      .getOrElse(defaultList)
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }

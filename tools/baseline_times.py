@@ -27,9 +27,15 @@ def main(sf_dir, out_dir, runs=2):
     for name in sorted(oracle):
         sql = oracle[name]
         try:
-            con.sql(sql).fetchall()  # warmup (I/O cache, plan)
-            best = min(
-                _timed(con, sql) for _ in range(runs))
+            # runs=0: one cold timed execution, no warmup — for large
+            # SFs where the multi-minute recursive-CTE oracles would
+            # otherwise run twice for a number that is minutes either way
+            if runs <= 0:
+                best = _timed(con, sql)
+            else:
+                con.sql(sql).fetchall()  # warmup (I/O cache, plan)
+                best = min(
+                    _timed(con, sql) for _ in range(runs))
             times[name] = round(best, 4)
             print(f"  {name}: {times[name]}s")
         except Exception as e:  # noqa: BLE001 - record and continue
