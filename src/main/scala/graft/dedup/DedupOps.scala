@@ -482,7 +482,56 @@ object DedupOps {
         FROM pairs)
       SELECT probe, CAST(rk AS INTEGER) AS rk, neighbor,
              ((20000 * ni + u) // (2 * u)) / 10000.0 AS jaccard
-      FROM ranked WHERE rk <= 5 ORDER BY probe, rk"""))
+      FROM ranked WHERE rk <= 5 ORDER BY probe, rk""")),
+
+    // C49: repeated-span detection — the exact-substring dedup signal
+    // (Lee et al. 2022, "Deduplicating Training Data Makes Language
+    // Models Better": duplicated ≥50-token substrings are memorized
+    // verbatim). Every position's W=16-token span is fingerprinted
+    // (15-hex md5 prefix → int64, the one hash both engines compute
+    // bit-identically); a span whose corpus-wide occurrence count is
+    // ≥2 — across docs OR within one — is duplicated, and each doc
+    // reports its total vs duplicated span positions, i.e. how much
+    // of it is boilerplate/copy. Scale shape: one explode → two
+    // partial-agged groupBys; the per-(doc,span) frame re-shuffles on
+    // span hash for the totals join (AQE skew-join absorbs hot
+    // boilerplate spans), never all-pairs, and marginals derive from
+    // the finer aggregate. The span text itself is never shuffled —
+    // only 8-byte fingerprints.
+    ("dd_span_dedup", (s: SparkSession, d: String) => {
+      val W = 16
+      val toks = docs(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= W)
+      val spans = toks.select(col("doc_id"), explode(expr(
+        s"""transform(sequence(1, size(t) - ${W - 1}),
+            i -> cast(conv(substring(md5(array_join(slice(t, i, $W), ' ')), 1, 15), 16, 10) as bigint))"""
+      )).as("h"))
+      val perDoc = spans.groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+      val totals = perDoc.groupBy("h").agg(sum("c").as("total"))
+      perDoc.join(totals, "h")
+        .groupBy("doc_id")
+        .agg(sum("c").cast("long").as("n_spans"),
+          sum(when(col("total") >= 2, col("c")).otherwise(lit(0L)))
+            .cast("long").as("n_dup_spans"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+        FROM documents),
+      eligible AS (SELECT * FROM toks WHERE len(t) >= 16),
+      spans AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(array_to_string(t[i:i+15], ' ')), 1, 15) AS BIGINT) AS h
+        FROM eligible, UNNEST(range(1, len(t) - 14)) AS s(i)),
+      per_doc AS (SELECT doc_id, h, count(*) AS c FROM spans GROUP BY 1, 2),
+      tot AS (SELECT h, sum(c) AS total FROM per_doc GROUP BY 1)
+      SELECT p.doc_id,
+             CAST(sum(p.c) AS BIGINT) AS n_spans,
+             CAST(sum(CASE WHEN t.total >= 2 THEN p.c ELSE 0 END) AS BIGINT) AS n_dup_spans
+      FROM per_doc p JOIN tot t USING (h)
+      GROUP BY 1 ORDER BY doc_id"""))
     // C5 (dd_embed_neardup) lives in AnnOps — it shares the
     // broadcast-probe cosine kernel with ann_bruteforce.
   )
