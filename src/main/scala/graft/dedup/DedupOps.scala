@@ -531,7 +531,77 @@ object DedupOps {
              CAST(sum(p.c) AS BIGINT) AS n_spans,
              CAST(sum(CASE WHEN t.total >= 2 THEN p.c ELSE 0 END) AS BIGINT) AS n_dup_spans
       FROM per_doc p JOIN tot t USING (h)
-      GROUP BY 1 ORDER BY doc_id"""))
+      GROUP BY 1 ORDER BY doc_id""")),
+
+    // C53: span-level trim accounting — the second half of Lee et al.
+    // exact-substring dedup: of a duplicated span's occurrences the
+    // GLOBAL first (min packed (doc_id, pos)) survives, every other
+    // occurrence marks its 16-token interval for removal, and a doc's
+    // removed-token count is the UNION length of its intervals (a
+    // per-doc running-max window — overlap never double-counts).
+    // Skew-safe by construction: first-owner is a partial-agged
+    // min(pack) groupBy, not a per-hash sorted window, so a
+    // boilerplate span occurring 10⁶ times costs a combine, not a
+    // single-task sort. The interval union is doc-bounded.
+    ("dd_span_trim", (s: SparkSession, d: String) => {
+      val W = 16
+      val toks = docs(s, d)
+        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
+        .filter(size(col("t")) >= W)
+      val spans = toks.select(col("doc_id"), col("t"), posexplode(expr(
+        s"""transform(sequence(1, size(t) - ${W - 1}),
+            i -> cast(conv(substring(md5(array_join(slice(t, i, $W), ' ')), 1, 15), 16, 10) as bigint))"""
+      )).as(Seq("p0", "h")))
+        .select(col("doc_id"), (col("p0") + 1).as("i"), col("h"),
+          (col("doc_id") * 1000000L + col("p0") + 1).as("pk"))
+      val owners = spans.groupBy("h")
+        .agg(count(lit(1)).as("cnt"), min("pk").as("mpk"))
+      val removed = spans.join(owners, "h")
+        .filter(col("cnt") >= 2 && col("pk") =!= col("mpk"))
+        .select(col("doc_id"), col("i"))
+      val wPrev = Window.partitionBy("doc_id").orderBy("i")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val contrib = removed
+        .withColumn("pe", max(col("i") + W).over(wPrev))
+        .select(col("doc_id"),
+          greatest(lit(0L), (col("i") + W) -
+            greatest(coalesce(col("pe"), col("i")), col("i"))).as("c"))
+      val perDoc = contrib.groupBy("doc_id")
+        .agg(sum("c").cast("long").as("n_removed"))
+      toks.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_removed"), lit(0L)).as("n_removed"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id,
+               string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+        FROM documents),
+      eligible AS (SELECT * FROM toks WHERE len(t) >= 16),
+      spans AS (
+        SELECT doc_id, i,
+               CAST('0x' || substr(md5(array_to_string(t[i:i+15], ' ')), 1, 15) AS BIGINT) AS h,
+               doc_id * 1000000 + i AS pk
+        FROM eligible, UNNEST(range(1, len(t) - 14)) AS s(i)),
+      owners AS (SELECT h, count(*) AS cnt, min(pk) AS mpk FROM spans GROUP BY 1),
+      removed AS (
+        SELECT sp.doc_id, sp.i FROM spans sp JOIN owners o USING (h)
+        WHERE o.cnt >= 2 AND sp.pk <> o.mpk),
+      cov AS (
+        SELECT doc_id, i,
+               max(i + 16) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+        FROM removed),
+      contrib AS (
+        SELECT doc_id,
+               greatest(0, (i + 16) - greatest(coalesce(pe, i), i)) AS c
+        FROM cov),
+      per_doc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_removed FROM contrib GROUP BY 1)
+      SELECT e.doc_id, CAST(len(e.t) AS BIGINT) AS n_tokens,
+             coalesce(p.n_removed, 0) AS n_removed
+      FROM eligible e LEFT JOIN per_doc p USING (doc_id)
+      ORDER BY doc_id"""))
     // C5 (dd_embed_neardup) lives in AnnOps — it shares the
     // broadcast-probe cosine kernel with ann_bruteforce.
   )
