@@ -1277,6 +1277,63 @@ object TextOps {
              ((20000 * p.n_dup + p.n_docs) // (2 * p.n_docs)) / 10000.0 AS dup_rate4,
              p.n_langs, t.top_lang
       FROM per p JOIN tl t ON t.source = p.source
-      ORDER BY p.source"""))
+      ORDER BY p.source""")),
+
+    // C54: Zipf vocabulary health per source — the corpus-quality
+    // diagnostic that catches template/generated text before it
+    // poisons a mix: natural language fits freq ~ rank^(-alpha) with
+    // alpha near 1; machine-generated or boilerplate-heavy sources
+    // drift flat (low alpha) or hapax-poor. Alpha is the OLS slope of
+    // ln(freq) on ln(rank) over the top-100 types (ranked freq desc,
+    // token asc — the rank filter compiles to the TopKPerKey bounded
+    // heap, so no per-source full sort); counts/hapax come from the
+    // same partial-agged (source, token) frame, and the only doubles
+    // are the final 100-term fit sums, 4dp-rounded — cross-engine ulp
+    // noise is 10 orders below the rounding grain.
+    ("tx_zipf", (s: SparkSession, d: String) => {
+      val tf = docs(s, d)
+        .select(col("source"), explode(tokens(col("text"))).as("tok"))
+        .filter(col("tok") =!= "")
+        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      val stats = tf.groupBy("source").agg(
+        sum("c").cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("n_types"),
+        sum(when(col("c") === 1, 1L).otherwise(0L)).cast("long").as("n_hapax"))
+      val w = Window.partitionBy("source").orderBy(col("c").desc, col("tok").asc)
+      val top = tf.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 100)
+        .select(col("source"), log(col("rk")).as("x"), log(col("c")).as("y"))
+      val fit = top.groupBy("source").agg(
+        count(lit(1)).as("k"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(col("x") * col("y")).as("sxy"), sum(col("x") * col("x")).as("sxx"))
+        .filter(col("k") >= 2)
+      stats.join(fit, "source")
+        .select(col("source"), col("n_tokens"), col("n_types"),
+          ratio4(col("n_hapax"), col("n_types")).as("hapax_share4"),
+          round(-((col("k") * col("sxy") - col("sx") * col("sy")) /
+            (col("k") * col("sxx") - col("sx") * col("sx"))), 4).as("zipf_alpha4"))
+        .orderBy("source")
+    }, Some("""
+      WITH toks AS (
+        SELECT source,
+               unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS tok
+        FROM documents),
+      tf AS (SELECT source, tok, count(*) AS c FROM toks WHERE tok <> '' GROUP BY 1, 2),
+      stats AS (
+        SELECT source, CAST(sum(c) AS BIGINT) AS n_tokens, CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        FROM tf GROUP BY 1),
+      ranked AS (
+        SELECT source, tok, c, row_number() OVER (PARTITION BY source ORDER BY c DESC, tok ASC) AS rk
+        FROM tf),
+      top AS (SELECT source, ln(rk) AS x, ln(c) AS y FROM ranked WHERE rk <= 100),
+      fit AS (
+        SELECT source, count(*) AS k, sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx
+        FROM top GROUP BY 1 HAVING count(*) >= 2)
+      SELECT s.source, s.n_tokens, s.n_types,
+             ((20000 * s.n_hapax + s.n_types) // (2 * s.n_types)) / 10000.0 AS hapax_share4,
+             round(-((f.k * f.sxy - f.sx * f.sy) / (f.k * f.sxx - f.sx * f.sx)), 4) AS zipf_alpha4
+      FROM stats s JOIN fit f USING (source)
+      ORDER BY source"""))
   )
 }
