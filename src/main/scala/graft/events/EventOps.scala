@@ -646,6 +646,67 @@ object EventOps {
              CASE WHEN event_id % 5 <> 0 THEN md5(CAST(event_id AS VARCHAR)) END AS trace_id,
              CASE WHEN event_id % 5 <> 0 THEN substr(md5('s' || CAST(event_id AS VARCHAR)), 1, 16) END AS span_id,
              (event_id % 5 <> 0) AS valid
-      FROM events ORDER BY id"""))
+      FROM events ORDER BY id""")),
+
+    // A57: robust value-anomaly detection per event type — median/MAD
+    // outliers (|v − med| > 3·MAD), the rate-and-scale-free check a
+    // monitoring consumer runs on a metric stream. Never a per-group
+    // value sort: values quantize to a 4dp int domain (floor(v·10⁴+½)
+    // — identical IEEE arithmetic both engines), medians come from
+    // prefix sums over the tiny (type, v4) histogram, and the outlier
+    // count is summed from the SAME histogram — events scan once, all
+    // downstream frames are histogram-sized at any corpus scale.
+    ("ev_mad_outliers", (s: SparkSession, d: String) => {
+      val q = Event.project(ev(s, d)).filter(col("value").isNotNull)
+        .select(col("eventType").as("event_type"),
+          floor(col("value") * 10000d + 0.5d).cast("long").as("v4"))
+      val hist = q.groupBy("event_type", "v4").agg(count(lit(1)).as("c"))
+      val tot = hist.groupBy("event_type").agg(sum("c").as("n"))
+      val wCum = Window.partitionBy("event_type").orderBy("v4")
+      val med = hist.join(tot, "event_type")
+        .withColumn("cc", sum("c").over(wCum))
+        .filter(col("cc") * 2 >= col("n"))
+        .groupBy("event_type").agg(min("v4").as("med4"))
+      val dhist = hist.join(med, "event_type")
+        .groupBy(col("event_type"), abs(col("v4") - col("med4")).as("d4"))
+        .agg(sum("c").as("c"))
+      val wDev = Window.partitionBy("event_type").orderBy("d4")
+      val mad = dhist.join(tot, "event_type")
+        .withColumn("cc", sum("c").over(wDev))
+        .filter(col("cc") * 2 >= col("n"))
+        .groupBy("event_type").agg(min("d4").as("mad4"))
+      hist.join(tot, "event_type").join(med, "event_type").join(mad, "event_type")
+        .groupBy(col("event_type"), col("n").cast("long").as("n"),
+          col("med4"), col("mad4"))
+        .agg(sum(when(abs(col("v4") - col("med4")) > col("mad4") * 3, col("c"))
+          .otherwise(lit(0L))).cast("long").as("n_outliers"))
+        .select("event_type", "n", "med4", "mad4", "n_outliers")
+        .orderBy("event_type")
+    }, Some("""
+      WITH q AS (
+        SELECT event_type, CAST(floor(value * 10000 + 0.5) AS BIGINT) AS v4
+        FROM events WHERE value IS NOT NULL),
+      hist AS (SELECT event_type, v4, count(*) AS c FROM q GROUP BY 1, 2),
+      tot AS (SELECT event_type, sum(c) AS n FROM hist GROUP BY 1),
+      cum AS (
+        SELECT h.event_type, h.v4, h.c, t.n,
+               sum(h.c) OVER (PARTITION BY h.event_type ORDER BY h.v4) AS cc
+        FROM hist h JOIN tot t USING (event_type)),
+      med AS (SELECT event_type, min(v4) AS med4 FROM cum WHERE 2 * cc >= n GROUP BY 1),
+      dhist AS (
+        SELECT h.event_type, abs(h.v4 - m.med4) AS d4, sum(h.c) AS c
+        FROM hist h JOIN med m USING (event_type) GROUP BY 1, 2),
+      dcum AS (
+        SELECT d.event_type, d.d4, d.c, t.n,
+               sum(d.c) OVER (PARTITION BY d.event_type ORDER BY d.d4) AS cc
+        FROM dhist d JOIN tot t USING (event_type)),
+      mad AS (SELECT event_type, min(d4) AS mad4 FROM dcum WHERE 2 * cc >= n GROUP BY 1)
+      SELECT h.event_type, CAST(t.n AS BIGINT) AS n,
+             m.med4, a.mad4,
+             CAST(sum(CASE WHEN abs(h.v4 - m.med4) > 3 * a.mad4 THEN h.c ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM hist h JOIN tot t USING (event_type)
+        JOIN med m USING (event_type) JOIN mad a USING (event_type)
+      GROUP BY 1, t.n, m.med4, a.mad4
+      ORDER BY event_type"""))
   )
 }
