@@ -199,6 +199,35 @@ object AnnOps {
       SELECT probe, CAST(rk AS INTEGER) AS rk, neighbor, round(cos, 4) AS cos_sim
       FROM scored WHERE rk <= 10 ORDER BY probe, rk""")),
 
+    // C6b: radius (range) search — every neighbor within a cosine
+    // floor of each probe, the "all matches above a similarity"
+    // retrieval API beside top-k. Same broadcast-probe single corpus
+    // scan as ann_bruteforce (no shuffle, no all-pairs); the floor
+    // compares the raw double exactly as dd_embed_neardup does (both
+    // engines compute the same IEEE dot/norm from identical floats).
+    ("ann_range", (s: SparkSession, d: String) => {
+      probeScores(s, d, probeMax = 16)
+        .filter(col("cos") >= 0.30)
+        .select(col("probe"), col("neighbor"),
+          round(col("cos"), 4).as("cos_sim"))
+        .orderBy("probe", "neighbor")
+    }, Some("""
+      WITH f AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+      n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY vec_id),
+      dots AS (
+        SELECT a.vec_id AS probe, b.vec_id AS neighbor, sum(a.v * b.v) AS dot
+        FROM f a JOIN f b ON a.i = b.i AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < 16
+        GROUP BY a.vec_id, b.vec_id),
+      scored AS (
+        SELECT probe, neighbor, dot / (na.nrm * nb.nrm) AS cos
+        FROM dots JOIN n na ON na.vec_id = probe JOIN n nb ON nb.vec_id = neighbor)
+      SELECT probe, neighbor, round(cos, 4) AS cos_sim
+      FROM scored WHERE cos >= 0.30 ORDER BY probe, neighbor""")),
+
     // C5: embedding-cosine near-dup pairs over a probe window.
     ("dd_embed_neardup", (s: SparkSession, d: String) => {
       probeScores(s, d, probeMax = 200)

@@ -84,6 +84,24 @@ class OpsSpec extends AnyFunSuite {
     }
   }
 
+  test("ann_range returns exactly the above-floor neighbors, no self-matches") {
+    val rows = SparkEntry.queries("ann_range")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("cos_sim") >= 0.30)
+      assert(r.getAs[Long]("probe") !== r.getAs[Long]("neighbor"))
+      assert(r.getAs[Long]("probe") < 16)
+    }
+    // completeness vs the exact top-k path: any bruteforce hit for a
+    // shared probe that clears the floor must be in the range result
+    val range = rows.map(r => (r.getAs[Long]("probe"), r.getAs[Long]("neighbor"))).toSet
+    SparkEntry.queries("ann_bruteforce")(spark, sf)
+      .filter(col("probe") < 16 && col("cos_sim") >= 0.30).collect()
+      .foreach { r =>
+        assert(range.contains((r.getAs[Long]("probe"), r.getAs[Long]("neighbor"))))
+      }
+  }
+
   test("ann_bruteforce neighbors are ranked by descending similarity") {
     val rows = SparkEntry.queries("ann_bruteforce")(spark, sf)
       .filter(col("probe") === 0).orderBy("rk").collect()
