@@ -34,6 +34,17 @@ object Queries {
   def exactAvg(c: Column, scale: Int): Column =
     round(sum(cents(c)) / (count(c) * 100.0), scale)
 
+  /** Exact 2dp currency from a 1e4-unit int64 amount. The half-boundary
+    * is decided by integer floor((x*2+100)/200) — identical in both
+    * engines — instead of round(double, 2), whose HALF_UP (Spark
+    * BigDecimal) vs binary-value (DuckDB) conventions diverge on
+    * amounts ending in 50 1e-4-units (observed: 2183640.655 → .66 vs
+    * .65 at sf0.1). Floor keeps negatives consistent too (DuckDB int
+    * division truncates toward zero; double floor does not).
+    */
+  def money2(amount1e4: Column): Column =
+    floor((amount1e4 * 2 + 100) / 200).cast("long") / 100.0
+
   /** (name, dataframe impl, oracle SQL). */
   val entries: Seq[(String, QFn, Option[String])] = Seq(
 
@@ -847,6 +858,130 @@ object Queries {
       FROM sel, st
       WHERE bal_c * cnt > sum_c
         AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_orderdate >= TIMESTAMP '1999-01-01')
-      GROUP BY c_nationkey ORDER BY cntrycode"""))
+      GROUP BY c_nationkey ORDER BY cntrycode""")),
+
+    // B37: product-type profit rollup (TPC-H Q9 flavor, adapted: no
+    // partsupp table in this generator, so supply cost is proxied by
+    // p_retailprice * quantity). Profit per supplier-nation per order
+    // year over name-matched parts. All money in exact 1e4-unit int64
+    // (cents x cents), one fact-fact shuffle (lineitem-orders); part/
+    // supplier/nation broadcast.
+    ("q9_product_profit", (s: SparkSession, d: String) => {
+      val profit =
+        cents(col("l_extendedprice")) * cents(lit(1) - col("l_discount")) -
+          cents(col("p_retailprice")) * cents(col("l_quantity"))
+      Tables.lineitem(s, d)
+        .join(broadcast(Tables.part(s, d).filter(col("p_name").contains("red"))),
+          col("l_partkey") === col("p_partkey"))
+        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+        .agg(money2(sum(profit)).as("sum_profit"))
+        .orderBy("nation", "o_year")
+    }, Some("""
+      SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             CAST(floor((sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT)
+                       - CAST(round(p_retailprice * 100) AS BIGINT) * CAST(round(l_quantity * 100) AS BIGINT)) * 2 + 100) / 200.0) AS BIGINT) / 100.0 AS sum_profit
+      FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN orders ON l_orderkey = o_orderkey
+      WHERE p_name LIKE '%red%'
+      GROUP BY 1, 2 ORDER BY nation, o_year""")),
+
+    // B38: important parts (TPC-H Q11 flavor, partsupp value adapted
+    // to lineitem revenue): parts whose revenue exceeds 1.2x the
+    // per-part average. The scalar HAVING subquery decorrelates to a
+    // 1-row broadcast total; membership compares in exact int64
+    // (val_c * np * 10 > 12 * tot) so no double average decides the
+    // boundary, and the threshold is a FRACTION of the average so the
+    // predicate is scale-invariant.
+    ("q11_important_parts", (s: SparkSession, d: String) => {
+      val v = Tables.lineitem(s, d).groupBy("l_partkey")
+        .agg(sum(cents(col("l_extendedprice")) * cents(lit(1) - col("l_discount"))).as("val_c"))
+      val t = v.agg(sum("val_c").as("tot"), count(lit(1)).as("np"))
+      v.crossJoin(broadcast(t))
+        .filter(col("val_c") * col("np") * 10 > col("tot") * 12)
+        .select(col("l_partkey").as("p_partkey"),
+          money2(col("val_c")).as("value"))
+        .orderBy(col("value").desc, col("p_partkey"))
+    }, Some("""
+      WITH v AS (
+        SELECT l_partkey,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS BIGINT) AS val_c
+        FROM lineitem GROUP BY 1),
+      t AS (SELECT CAST(sum(val_c) AS BIGINT) AS tot, count(*) AS np FROM v)
+      SELECT l_partkey AS p_partkey,
+             CAST(floor((val_c * 2 + 100) / 200.0) AS BIGINT) / 100.0 AS value
+      FROM v, t
+      WHERE val_c * np * 10 > 12 * tot
+      ORDER BY value DESC, p_partkey""")),
+
+    // B39: parts/supplier relationship (TPC-H Q16 flavor): distinct
+    // supplier counts per (brand, type, size) excluding one brand, one
+    // type, and "complaint" suppliers (negative balance stands in for
+    // the comment-text match). The NOT IN is a broadcast LEFT ANTI on
+    // the tiny bad-supplier list BEFORE the part join, so excluded
+    // rows never reach the distinct aggregate.
+    ("q16_part_suppliers", (s: SparkSession, d: String) => {
+      val bad = Tables.supplier(s, d)
+        .filter(col("s_acctbal") < 0).select("s_suppkey")
+      Tables.lineitem(s, d)
+        .join(broadcast(bad), col("l_suppkey") === col("s_suppkey"), "left_anti")
+        .join(broadcast(Tables.part(s, d)
+            .filter(col("p_brand") =!= "Brand#3" && col("p_type") =!= "PROMO")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"), col("p_size"))
+    }, Some("""
+      SELECT p_brand, p_type, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_brand <> 'Brand#3' AND p_type <> 'PROMO'
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      GROUP BY 1, 2, 3
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")),
+
+    // B40: surplus/dominant suppliers (TPC-H Q20 flavor, availqty
+    // adapted): suppliers shipping more than half a part's 1997 volume
+    // for any SMALL part — the aggregated-subquery semi-join shape.
+    // The part share compares exact int64 quantity-cents
+    // (q_ps * 2 > q_p); the per-part total is a partition-bounded
+    // window over the already-aggregated (part, supplier) frame, not a
+    // self-join recompute.
+    ("q20_surplus_suppliers", (s: SparkSession, d: String) => {
+      val ps = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1997-01-01").cast("timestamp") &&
+                col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(Tables.part(s, d).filter(col("p_type") === "SMALL")),
+          col("l_partkey") === col("p_partkey"))
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(sum(cents(col("l_quantity"))).as("q_ps"))
+      val dom = ps
+        .withColumn("q_p", sum("q_ps").over(Window.partitionBy("l_partkey")))
+        .filter(col("q_ps") * 2 > col("q_p"))
+        .select("l_suppkey").distinct()
+      Tables.supplier(s, d)
+        .join(dom, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+        .select(col("s_suppkey"), col("s_name"), col("n_name").as("nation"))
+        .orderBy("s_suppkey")
+    }, Some("""
+      WITH ps AS (
+        SELECT l_partkey, l_suppkey,
+               CAST(sum(CAST(round(l_quantity * 100) AS BIGINT)) AS BIGINT) AS q_ps
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_type = 'SMALL'
+          AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1998-01-01'
+        GROUP BY 1, 2),
+      p AS (SELECT l_partkey AS pk, CAST(sum(q_ps) AS BIGINT) AS q_p FROM ps GROUP BY 1)
+      SELECT s_suppkey, s_name, n_name AS nation
+      FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      WHERE s_suppkey IN (
+        SELECT l_suppkey FROM ps JOIN p ON l_partkey = pk WHERE q_ps * 2 > q_p)
+      ORDER BY s_suppkey"""))
   )
 }
