@@ -12,7 +12,9 @@ object PlanAudit {
       "tx_bigram_surprisal", "dd_cdc_chunks", "ann_pq", "ann_pq_adc", "pipeline_pretrain_mix", "ann_ivf_pq", "tx_ngram_novelty",
       "q8_market_share", "q10_returned_items", "q15_top_supplier",
       "q22_sales_opportunity", "tx_epoch_shuffle", "pipeline_corpus_card",
-      "mm_pair_filter", "ev_trace_decode", "dd_span_dedup", "dd_span_trim").foreach { q =>
+      "mm_pair_filter", "ev_trace_decode", "dd_span_dedup", "dd_span_trim",
+      "ann_range", "q9_product_profit", "q11_important_parts",
+      "q16_part_suppliers", "q20_surplus_suppliers").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sfDir)
       df.collect() // materialize THIS frame so AQE reports the FINAL plan (a count() would plan separately)
       val plan = df.queryExecution.executedPlan.toString
