@@ -99,6 +99,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "freq_sketch", FreqSketch.builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "freq_sketch_w", FreqSketch.weightedBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pq_assign", PqAssign.builder, "built-in")
   }
 }

@@ -35,6 +35,7 @@ import org.apache.spark.unsafe.types.UTF8String
 case class FreqSketch(
     child: Expression,
     k: Int,
+    weight: Expression = Literal(1L),
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[mutable.HashMap[UTF8String, Long]] {
@@ -44,12 +45,31 @@ case class FreqSketch(
   override def createAggregationBuffer(): mutable.HashMap[UTF8String, Long] =
     mutable.HashMap.empty
 
+  // subtract the (k+1)-th largest count from every counter and keep
+  // the positive ones — the mergeable-summaries rule that keeps the
+  // additive error bounded by n/(k+1) under arbitrary weighted
+  // inserts and merges
+  private def cutToK(b: mutable.HashMap[UTF8String, Long]): Unit = {
+    val cut = b.values.toArray.sortInPlace()(Ordering[Long].reverse).apply(k)
+    val dead = mutable.ArrayBuffer.empty[UTF8String]
+    b.foreach { case (key, c) =>
+      if (c - cut <= 0L) dead += key else b.update(key, c - cut)
+    }
+    dead.foreach(b.remove)
+  }
+
   override def update(
       b: mutable.HashMap[UTF8String, Long], row: InternalRow): mutable.HashMap[UTF8String, Long] = {
     val v = child.eval(row)
     if (v != null) {
       val s = v.asInstanceOf[UTF8String]
-      b.get(s) match {
+      val w = weight.eval(row) match {
+        case null => 0L
+        case i: java.lang.Integer => i.longValue()
+        case l: java.lang.Long => l.longValue()
+        case other => other.asInstanceOf[Number].longValue()
+      }
+      if (w == 1L) b.get(s) match { // unweighted fast path: O(k) miss
         case Some(c) => b.update(s, c + 1)
         case None if b.size < k => b.update(s.copy(), 1L) // row-backed bytes: copy
         case None => // full and absent: decrement-all, drop zeros
@@ -59,6 +79,13 @@ case class FreqSketch(
           }
           dead.foreach(b.remove)
       }
+      else if (w > 0L) { // weighted (pre-aggregated) input: insert+cut
+        b.get(s) match {
+          case Some(c) => b.update(s, c + w)
+          case None => b.update(s.copy(), w)
+        }
+        if (b.size > k) cutToK(b)
+      }
     }
     b
   }
@@ -67,17 +94,7 @@ case class FreqSketch(
       b: mutable.HashMap[UTF8String, Long],
       o: mutable.HashMap[UTF8String, Long]): mutable.HashMap[UTF8String, Long] = {
     o.foreach { case (key, c) => b.update(key, b.getOrElse(key, 0L) + c) }
-    if (b.size > k) {
-      // subtract the (k+1)-th largest count from every counter and
-      // keep the positive ones — the mergeable-summaries rule that
-      // keeps the additive error bounded by n/(k+1) overall
-      val cut = b.values.toArray.sortInPlace()(Ordering[Long].reverse).apply(k)
-      val dead = mutable.ArrayBuffer.empty[UTF8String]
-      b.foreach { case (key, c) =>
-        if (c - cut <= 0L) dead += key else b.update(key, c - cut)
-      }
-      dead.foreach(b.remove)
-    }
+    if (b.size > k) cutToK(b)
     b
   }
 
@@ -119,13 +136,14 @@ case class FreqSketch(
 
   override def dataType: DataType = MapType(StringType, LongType, valueContainsNull = false)
   override def nullable: Boolean = false
-  override def children: Seq[Expression] = child :: Nil
+  override def children: Seq[Expression] = child :: weight :: Nil
   override def withNewMutableAggBufferOffset(n: Int): FreqSketch =
     copy(mutableAggBufferOffset = n)
   override def withNewInputAggBufferOffset(n: Int): FreqSketch =
     copy(inputAggBufferOffset = n)
   override protected def withNewChildrenInternal(
-      newChildren: IndexedSeq[Expression]): FreqSketch = copy(child = newChildren.head)
+      newChildren: IndexedSeq[Expression]): FreqSketch =
+    copy(child = newChildren(0), weight = newChildren(1))
   override def prettyName: String = "freq_sketch"
 }
 
@@ -135,5 +153,16 @@ object FreqSketch {
     case Seq(c, Literal(k: Long, LongType)) => FreqSketch(c, k.toInt)
     case other => throw new IllegalArgumentException(
       s"freq_sketch expects (column, int-literal k), got ${other.size} args")
+  }
+
+  /** freq_sketch_w(col, weight, k): Misra-Gries over a pre-aggregated
+    * (item, count) stream — each row contributes `weight` occurrences.
+    * Same guarantees with n = sum of weights.
+    */
+  val weightedBuilder: Seq[Expression] => Expression = {
+    case Seq(c, w, Literal(k: Int, IntegerType)) => FreqSketch(c, k, w)
+    case Seq(c, w, Literal(k: Long, LongType)) => FreqSketch(c, k.toInt, w)
+    case other => throw new IllegalArgumentException(
+      s"freq_sketch_w expects (column, weight, int-literal k), got ${other.size} args")
   }
 }

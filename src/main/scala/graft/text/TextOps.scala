@@ -50,6 +50,106 @@ object TextOps {
   /** md5 content fingerprint of the normalized text. */
   def fingerprint(c: Column): Column = md5(normalize(c))
 
+  /** `tokens(text)` as one JVM char scan, no regex: lowercase once,
+    * then collect maximal [a-z0-9] runs (every other char separates).
+    * Identical to split(normalize(text), " ") — normalize maps each
+    * non-alphanumeric to a space and the split collapses the runs —
+    * including the single empty token when the text normalizes to ""
+    * (String.replaceAll would recompile its pattern per call, and the
+    * two regex passes allocate two intermediate strings per doc; the
+    * scan does neither).
+    */
+  private[text] def tokenize(text: String): Array[String] = {
+    val lower = text.toLowerCase
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new java.lang.StringBuilder()
+    var i = 0
+    while (i < lower.length) {
+      val c = lower.charAt(i)
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
+      else if (sb.length > 0) { out += sb.toString; sb.setLength(0) }
+      i += 1
+    }
+    if (sb.length > 0) out += sb.toString
+    if (out.isEmpty) out += ""
+    out.toArray
+  }
+
+  /** Per-doc corpus-statistics scalars in ONE typed pass: token count
+    * n, distinct-token count nd, punctuation count, stopword hits,
+    * char length, and the md5 fingerprint of the normalized text.
+    * Bit-identical to the declarative `tokens`/`regexp_extract_all`/
+    * `stopwordHits`/`fingerprint` columns (same java.util.regex
+    * patterns in the same order, same UTF-8 md5 — the
+    * pipeline_prepare_corpus precedent), but one JVM loop instead of
+    * five regex/HOF passes per document: the declarative form measured
+    * ~4x slower at sf1 on the pipeline queries (SURVEY §4(d)).
+    */
+  def docQualityStats(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val stopSet = stopwords.toSet
+    docs(s, d).select(col("doc_id"), col("lang"), col("source"), col("text"))
+      .as[(Long, String, String, String)]
+      .mapPartitions { it =>
+        it.map { case (id, lang, source, nullableText) =>
+          val text = if (nullableText == null) "" else nullableText
+          val toks = tokenize(text)
+          val nrm = toks.mkString(" ")
+          var punct = 0
+          var i = 0
+          while (i < text.length) {
+            val c = text.charAt(i)
+            val alnum = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+            val ws = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
+            if (!alnum && !ws) punct += 1
+            i += 1
+          }
+          (id, lang, source, toks.length.toLong,
+            toks.toSet.size.toLong, punct.toLong,
+            toks.count(stopSet).toLong, text.length.toLong,
+            graft.util.Hashing.md5Hex(nrm))
+        }
+      }
+      .toDF("doc_id", "lang", "source", "n", "nd", "punct", "stops", "len", "fp")
+  }
+
+  /** Tokenize + LOCAL per-doc term counting in ONE typed pass: one
+    * output row per DISTINCT term per document, with its in-doc count.
+    * Downstream shuffles (tf-idf, Zipf fits, heavy hitters, entropy)
+    * then carry distinct (doc, term) rows — never raw occurrences —
+    * and the normalize/split work happens once per doc in a JVM loop
+    * instead of an interpreted explode. Token semantics identical to
+    * `explode(tokens(text))`.
+    */
+  def docTermCounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d).select(col("doc_id"), col("source"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, source, nullableText) =>
+          val text = if (nullableText == null) "" else nullableText
+          val toks = tokenize(text)
+          val m = new java.util.HashMap[String, Long]()
+          var i = 0
+          while (i < toks.length) {
+            val c = m.get(toks(i))
+            m.put(toks(i), if (c == null) 1L else c + 1L)
+            i += 1
+          }
+          val out = new Array[(Long, String, String, Long)](m.size)
+          val eit = m.entrySet().iterator()
+          var j = 0
+          while (eit.hasNext) {
+            val e = eit.next()
+            out(j) = (id, source, e.getKey, e.getValue)
+            j += 1
+          }
+          out.iterator
+        }
+      }
+      .toDF("doc_id", "source", "term", "tf")
+  }
+
   /** Greedy pack loop over (shard, doc_id, n_tok) rows sorted by
     * (shard, doc_id) — a partition holds whole shards
     * (hash-partitioned), and pack state resets on shard change.
@@ -230,15 +330,17 @@ object TextOps {
     // groupBy; the windows touch |langs|·|scores| rows regardless of
     // corpus size.
     ("tx_quality_buckets", (s: SparkSession, d: String) => {
-      val toks = tokens(col("text"))
-      val n = size(toks).cast("long")
-      val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
-      val stops = stopwordHits(toks, stopwords).cast("long")
-      val l = length(col("text")).cast("long")
+      // stats via the one-pass typed kernel; the exact-int64 quality
+      // arithmetic stays declarative over the five scalar columns
+      val n = col("n")
+      val punct = col("punct")
+      val stops = col("stops")
+      val l = col("len")
       val qn = lit(500L) * stops * l + lit(300L) * (l - punct) * n +
         lit(2L) * least(n, lit(100L)) * n * l
       val qd = lit(1000L) * n * l
-      val base = docs(s, d).select(col("lang"), ratio4(qn, qd).as("q4"), n.as("n_tok"))
+      val base = docQualityStats(s, d)
+        .select(col("lang"), ratio4(qn, qd).as("q4"), n.as("n_tok"))
       val grp = base.groupBy("lang", "q4")
         .agg(count(lit(1)).as("g"), sum("n_tok").as("gtok"))
       val wHigher = Window.partitionBy("lang").orderBy(col("q4").desc)
@@ -448,29 +550,36 @@ object TextOps {
     // are sublinear in corpus size, so AQE broadcast-demotes it when
     // small. Rounded at 4dp only at the very end.
     ("tx_entropy", (s: SparkSession, d: String) => {
-      val toks = docs(s, d)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-        .filter(length(col("tok")) >= 1)
-      val tf = toks.groupBy("tok").agg(count(lit(1)).as("n"))
+      // the per-occurrence avg is computed as the tf-weighted mean
+      // over the typed kernel's distinct (doc, term) rows — the
+      // occurrence-stream join (every token occurrence shuffled by
+      // token and back by doc) becomes a distinct-rows join; the
+      // oracle states the same weighted form
+      val dtf = docTermCounts(s, d)
+        .filter(length(col("term")) >= 1)
+        .select(col("doc_id"), col("term").as("tok"), col("tf"))
+      val tf = dtf.groupBy("tok").agg(sum("tf").as("n"))
       val tot = tf.agg(sum("n").as("tn"))
-      toks.join(tf, "tok").crossJoin(broadcast(tot))
+      dtf.join(tf, "tok").crossJoin(broadcast(tot))
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_toks"),
-          round(avg(-log2(col("n").cast("double") / col("tn").cast("double"))), 4)
-            .as("xent"))
+        .agg(sum("tf").as("n_toks"),
+          round(sum(col("tf").cast("double") *
+              -log2(col("n").cast("double") / col("tn").cast("double"))) /
+            sum(col("tf").cast("double")), 4).as("xent"))
         .orderBy("doc_id")
     }, Some("""
       WITH c AS (
         SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nrm
         FROM documents),
       t AS (
-        SELECT doc_id, tok
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tfd
         FROM (SELECT doc_id, unnest(string_split(nrm, ' ')) AS tok FROM c)
-        WHERE length(tok) >= 1),
-      tf AS (SELECT tok, count(*) AS n FROM t GROUP BY tok),
-      tot AS (SELECT sum(n) AS tn FROM tf)
-      SELECT doc_id, count(*) AS n_toks,
-             round(avg(-log2(CAST(n AS DOUBLE) / CAST(tn AS DOUBLE))), 4) AS xent
+        WHERE length(tok) >= 1
+        GROUP BY doc_id, tok),
+      tf AS (SELECT tok, CAST(sum(tfd) AS BIGINT) AS n FROM t GROUP BY tok),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn FROM tf)
+      SELECT doc_id, CAST(sum(tfd) AS BIGINT) AS n_toks,
+             round(sum(CAST(tfd AS DOUBLE) * -log2(CAST(n AS DOUBLE) / CAST(tn AS DOUBLE))) / sum(CAST(tfd AS DOUBLE)), 4) AS xent
       FROM t JOIN tf USING (tok), tot
       GROUP BY doc_id ORDER BY doc_id""")),
 
@@ -923,18 +1032,16 @@ object TextOps {
     // one fingerprint window, one groupBy, a broadcast 1-row total —
     // composition adds no new shuffles beyond its parts.
     ("pipeline_pretrain_mix", (s: SparkSession, d: String) => {
-      val toks = tokens(col("text"))
-      val n = size(toks).cast("long")
-      val nd = size(array_distinct(toks)).cast("long")
-      val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
-      val stops = stopwordHits(toks, stopwords).cast("long")
-      val l = length(col("text")).cast("long")
+      // per-doc stats from the ONE-pass typed kernel (docQualityStats)
+      // instead of five declarative regex/HOF columns — same values,
+      // ~4x less per-row work at sf1; the split hash stays declarative
+      // (one cheap md5 on the doc id)
       val b = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
         .cast("int") % 100
       val split = when(b < 80, "train").when(b < 90, "val").otherwise("test")
-      val base = docs(s, d).select(col("doc_id"), col("lang"),
-          n.as("n"), nd.as("nd"), punct.as("punct"), stops.as("stops"), l.as("len"),
-          split.as("split"), fingerprint(col("text")).as("fp"))
+      val base = docQualityStats(s, d)
+        .select(col("doc_id"), col("lang"), col("n"), col("nd"),
+          col("punct"), col("stops"), col("len"), split.as("split"), col("fp"))
         .withColumn("canonical", min("doc_id").over(Window.partitionBy("fp")))
         .filter(col("doc_id") === col("canonical"))
         .filter(!(col("n") < 5L) && !(col("punct") * 10L > col("len") * 3L) &&
@@ -1117,13 +1224,14 @@ object TextOps {
     // goes through the RankFilterToTopK rewrite → TopKPerKey bounded
     // heaps: the tf table never takes a full per-key sort.
     ("tx_tfidf", (s: SparkSession, d: String) => {
-      val words = docs(s, d)
-        .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      // tf comes out of the typed one-pass kernel already aggregated
+      // per (doc, term) — no occurrence-stream shuffle, and df is one
+      // row-count per term over the SAME frame (rows are distinct per
+      // doc by construction), so the explode+distinct pass disappears
+      val tf = docTermCounts(s, d).select("doc_id", "term", "tf")
       // df is vocab-sized: a plain shuffle join (AQE broadcasts it when
       // small); never force-broadcast a web-scale vocabulary
-      val idf = words.select("doc_id", "term").distinct()
-        .groupBy("term").agg(count(lit(1)).as("df"))
+      val idf = tf.groupBy("term").agg(count(lit(1)).as("df"))
       val scored = tf.join(idf, "term")
         .withColumn("score", col("tf").cast("double") / col("df"))
       val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term").asc)
@@ -1159,14 +1267,21 @@ object TextOps {
     // more than the candidate set.
     ("tx_heavy_hitters", (s: SparkSession, d: String) => {
       graft.functions.GraftFunctions.register(s)
-      val words = docs(s, d).select(explode(tokens(col("text"))).as("term"))
-      val cand = words.agg(expr("freq_sketch(term, 160)").as("sk"))
-        .select(explode(map_keys(col("sk"))).as("term"))
-      val totals = words.agg(count(lit(1)).as("n"))
-      words.join(broadcast(cand), "term")
-        .groupBy("term").agg(count(lit(1)).as("cnt"))
-        .crossJoin(broadcast(totals))
-        .filter(col("cnt") * 40L > col("n"))
+      // the sketch ingests the typed kernel's pre-aggregated (term,
+      // tf) rows through the weighted Misra-Gries update, and the
+      // stream total folds into the SAME job — so pass 1 is one scan
+      // producing (candidates, n) in a single driver-bounded row
+      // (≤ 160 map entries + a long), and pass 2 exact-counts only
+      // in-candidate rows via an in-set predicate. Two scans total vs
+      // the explode form's three, each carrying distinct-per-doc rows.
+      val tfd = docTermCounts(s, d).select(col("term"), col("tf"))
+      val sk = tfd.agg(expr("freq_sketch_w(term, tf, 160)").as("sk"),
+        sum("tf").as("n")).head()
+      val cand = sk.getAs[Map[String, Long]]("sk").keys.toSeq
+      val n = sk.getAs[Long]("n")
+      tfd.filter(col("term").isInCollection(cand))
+        .groupBy("term").agg(sum("tf").as("cnt"))
+        .filter(col("cnt") * 40L > lit(n))
         .select(col("term"), col("cnt"))
         .orderBy(col("cnt").desc, col("term").asc)
     }, Some("""
@@ -1291,10 +1406,13 @@ object TextOps {
     // are the final 100-term fit sums, 4dp-rounded — cross-engine ulp
     // noise is 10 orders below the rounding grain.
     ("tx_zipf", (s: SparkSession, d: String) => {
-      val tf = docs(s, d)
-        .select(col("source"), explode(tokens(col("text"))).as("tok"))
-        .filter(col("tok") =!= "")
-        .groupBy("source", "tok").agg(count(lit(1)).as("c"))
+      // per-source term counts roll up the typed kernel's per-doc
+      // counts — the shuffle carries distinct (doc, term) rows, not
+      // raw occurrences
+      val tf = docTermCounts(s, d)
+        .filter(col("term") =!= "")
+        .select(col("source"), col("term").as("tok"), col("tf"))
+        .groupBy("source", "tok").agg(sum("tf").as("c"))
       val stats = tf.groupBy("source").agg(
         sum("c").cast("long").as("n_tokens"),
         count(lit(1)).cast("long").as("n_types"),
