@@ -43,6 +43,82 @@ object DedupOps {
   private def docs(s: SparkSession, d: String): DataFrame =
     s.read.parquet(s"$d/documents.parquet")
 
+  /** 60-bit span fingerprint over W tokens starting at `from` —
+    * byte-identical to SQL `conv(substring(md5(array_join(slice(...),
+    * ' ')), 1, 15), 16, 10)`, the one hash both engines compute the
+    * same way (15 hex digits = 60 bits, fits a signed int64).
+    */
+  private def spanHash60(toks: Array[String], from: Int, W: Int): Long = {
+    val sb = new java.lang.StringBuilder(W * 8)
+    var j = from
+    while (j < from + W) {
+      if (j > from) sb.append(' ')
+      sb.append(toks(j))
+      j += 1
+    }
+    java.lang.Long.parseLong(graft.util.Hashing.md5Hex(sb.toString).substring(0, 15), 16)
+  }
+
+  /** (doc_id, h, c): per-doc span-fingerprint counts for docs with
+    * ≥ W tokens, tokenized and LOCALLY aggregated in one typed pass —
+    * the interpreted transform/md5 HOF ran ~6x slower at sf1, and the
+    * local count means the first shuffle carries distinct (doc, span)
+    * rows rather than every position.
+    */
+  private def spanHashCounts(s: SparkSession, d: String, W: Int): DataFrame = {
+    import s.implicits._
+    docs(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text0) =>
+          val toks = graft.text.TextOps.tokenize(if (text0 == null) "" else text0)
+          if (toks.length < W) Iterator.empty
+          else {
+            val m = new scala.collection.mutable.LongMap[Long]()
+            var i = 0
+            while (i <= toks.length - W) {
+              val h = spanHash60(toks, i, W)
+              m.update(h, m.getOrElse(h, 0L) + 1L)
+              i += 1
+            }
+            m.iterator.map { case (h, c) => (id, h, c) }
+          }
+        }
+      }
+      .toDF("doc_id", "h", "c")
+  }
+
+  /** (doc_id, i, h): every span position (1-based) with its
+    * fingerprint — the positioned variant for interval accounting
+    * (dd_span_trim), same typed tokenize+hash pass.
+    */
+  private def spanHashPositions(s: SparkSession, d: String, W: Int): DataFrame = {
+    import s.implicits._
+    docs(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text0) =>
+          val toks = graft.text.TextOps.tokenize(if (text0 == null) "" else text0)
+          if (toks.length < W) Iterator.empty
+          else (0 to toks.length - W).iterator.map { i0 =>
+            (id, i0 + 1, spanHash60(toks, i0, W))
+          }
+        }
+      }
+      .toDF("doc_id", "i", "h")
+  }
+
+  /** (doc_id, n_tokens) for docs with ≥ minTokens tokens (typed). */
+  private def docTokenCounts(s: SparkSession, d: String, minTokens: Int): DataFrame = {
+    import s.implicits._
+    docs(s, d).select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text0) =>
+          val n = graft.text.TextOps.tokenize(if (text0 == null) "" else text0).length
+          if (n < minTokens) None else Some((id, n.toLong))
+        }
+      }
+      .toDF("doc_id", "n_tokens")
+  }
+
   /** Signature computation (shingles → MinHash / tokens → SimHash)
     * runs as a typed map over the normalized text (graft.util.Hashing)
     * rather than nested Catalyst higher-order functions: nested array
@@ -499,15 +575,11 @@ object DedupOps {
     // the finer aggregate. The span text itself is never shuffled —
     // only 8-byte fingerprints.
     ("dd_span_dedup", (s: SparkSession, d: String) => {
-      val W = 16
-      val toks = docs(s, d)
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
-        .filter(size(col("t")) >= W)
-      val spans = toks.select(col("doc_id"), explode(expr(
-        s"""transform(sequence(1, size(t) - ${W - 1}),
-            i -> cast(conv(substring(md5(array_join(slice(t, i, $W), ' ')), 1, 15), 16, 10) as bigint))"""
-      )).as("h"))
-      val perDoc = spans.groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+      // span fingerprints come from the typed kernel (spanHashCounts):
+      // the interpreted transform/md5/array_join HOF was the hot cost
+      // at sf1, and the kernel also pre-aggregates per (doc, span) so
+      // the first shuffle carries distinct counts, not raw positions
+      val perDoc = spanHashCounts(s, d, W = 16)
       val totals = perDoc.groupBy("h").agg(sum("c").as("total"))
       perDoc.join(totals, "h")
         .groupBy("doc_id")
@@ -545,15 +617,12 @@ object DedupOps {
     // single-task sort. The interval union is doc-bounded.
     ("dd_span_trim", (s: SparkSession, d: String) => {
       val W = 16
-      val toks = docs(s, d)
-        .select(col("doc_id"), TextOps.tokens(col("text")).as("t"))
-        .filter(size(col("t")) >= W)
-      val spans = toks.select(col("doc_id"), col("t"), posexplode(expr(
-        s"""transform(sequence(1, size(t) - ${W - 1}),
-            i -> cast(conv(substring(md5(array_join(slice(t, i, $W), ' ')), 1, 15), 16, 10) as bigint))"""
-      )).as(Seq("p0", "h")))
-        .select(col("doc_id"), (col("p0") + 1).as("i"), col("h"),
-          (col("doc_id") * 1000000L + col("p0") + 1).as("pk"))
+      // positioned span fingerprints from the typed kernel — same
+      // interpreted-HOF elimination as dd_span_dedup, but positions
+      // survive (the trim needs intervals, so no local pre-agg)
+      val spans = spanHashPositions(s, d, W)
+        .select(col("doc_id"), col("i"), col("h"),
+          (col("doc_id") * 1000000L + col("i")).as("pk"))
       val owners = spans.groupBy("h")
         .agg(count(lit(1)).as("cnt"), min("pk").as("mpk"))
       val removed = spans.join(owners, "h")
@@ -568,7 +637,7 @@ object DedupOps {
             greatest(coalesce(col("pe"), col("i")), col("i"))).as("c"))
       val perDoc = contrib.groupBy("doc_id")
         .agg(sum("c").cast("long").as("n_removed"))
-      toks.select(col("doc_id"), size(col("t")).cast("long").as("n_tokens"))
+      docTokenCounts(s, d, W)
         .join(perDoc, Seq("doc_id"), "left")
         .select(col("doc_id"), col("n_tokens"),
           coalesce(col("n_removed"), lit(0L)).as("n_removed"))

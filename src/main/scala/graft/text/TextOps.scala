@@ -59,7 +59,7 @@ object TextOps {
     * two regex passes allocate two intermediate strings per doc; the
     * scan does neither).
     */
-  private[text] def tokenize(text: String): Array[String] = {
+  def tokenize(text: String): Array[String] = {
     val lower = text.toLowerCase
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     val sb = new java.lang.StringBuilder()
@@ -1103,8 +1103,8 @@ object TextOps {
           val md = java.security.MessageDigest.getInstance("MD5")
           it.map { case (id, nullableText) =>
             val text = if (nullableText == null) "" else nullableText // null doc scores as empty
-            val toks = text.toLowerCase.replaceAll("[^a-z0-9\\s]", " ")
-              .replaceAll("\\s+", " ").trim.split(" ")
+            val toks = tokenize(text) // char scan, not per-call regex
+
             val nTok = toks.length.toDouble
             var punct = 0
             var i = 0
