@@ -193,11 +193,31 @@ object DedupOps {
     * insert-stable (spec'd: prepending k chars shifts every boundary
     * ≥ 8 by exactly k; only the seam region re-chunks).
     */
-  def cdcBoundaryPositions(norm: String): IndexedSeq[Int] =
-    (8 to norm.length).filter { i =>
-      java.lang.Long.parseLong(
-        graft.util.Hashing.md5Hex(norm.substring(i - 8, i)).substring(0, 8), 16) % 16 == 0
+  def cdcBoundaryPositions(norm: String): IndexedSeq[Int] = {
+    // the predicate parseLong(first-8-hex-of-md5, 16) % 16 == 0 is
+    // exactly "low nibble of digest byte 3 is zero" (the value is
+    // bytes 0..3 big-endian, non-negative, so % 16 keeps its low 4
+    // bits) — so the hot path hashes the raw window bytes into a
+    // reused buffer and never materializes hex. Normalized text is
+    // [a-z0-9 ]-only (ASCII); any other input takes the literal path.
+    var ascii = true
+    var i = 0
+    while (ascii && i < norm.length) {
+      if (norm.charAt(i) > 127) ascii = false
+      i += 1
     }
+    if (ascii) {
+      val bytes = norm.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+      val out = new Array[Byte](16)
+      (8 to norm.length).filter { p =>
+        graft.util.Hashing.md5DigestInto(bytes, p - 8, 8, out)
+        (out(3) & 0x0f) == 0
+      }
+    } else (8 to norm.length).filter { p =>
+      java.lang.Long.parseLong(
+        graft.util.Hashing.md5Hex(norm.substring(p - 8, p)).substring(0, 8), 16) % 16 == 0
+    }
+  }
 
   /** The chunks themselves: boundary positions plus a forced final
     * boundary at len; chunks concatenate back to the input exactly.

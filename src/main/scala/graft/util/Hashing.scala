@@ -25,6 +25,19 @@ object Hashing {
       java.security.MessageDigest.getInstance("MD5")
   }
 
+  /** Raw md5 of a byte window into a caller-owned 16-byte buffer —
+    * the allocation-free form for per-position hot loops (CDC
+    * boundary scan) where only a digest nibble is inspected and the
+    * 32-char hex string would dominate the cost.
+    */
+  def md5DigestInto(bytes: Array[Byte], off: Int, len: Int, out: Array[Byte]): Unit = {
+    val md = md5Local.get()
+    md.reset()
+    md.update(bytes, off, len)
+    md.digest(out, 0, 16)
+    ()
+  }
+
   /** Lower-case hex md5 of the UTF-8 bytes — byte-identical to SQL
     * `md5(...)` in Spark and DuckDB, for JVM-side fingerprinting in
     * the same tight loops.
