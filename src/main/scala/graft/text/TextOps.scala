@@ -650,8 +650,6 @@ object TextOps {
     // count aggregates joined back on the bigram key. The join-back
     // shuffles on (t1,t2) — vocab², still sublinear in corpus size.
     ("tx_bigram_surprisal", (s: SparkSession, d: String) => {
-      val t = docs(s, d).select(col("doc_id"), tokens(col("text")).as("t"))
-        .filter(size(col("t")) >= 2)
       // Bigram generation + per-doc multiplicity run as ONE typed JVM
       // loop (local HashMap per doc — zero shuffle cost, and the
       // interpreted zip_with/explode lambdas this replaced were the
