@@ -10,10 +10,18 @@ import org.apache.spark.sql.SparkSession
   * overrides via `SPARK_GRAFT_CPUS` on bigger machines).
   */
 object Graft {
+  /** Executor threads: SPARK_GRAFT_CPUS if set, else every available
+    * core (capped at 32 — the target single-node shape). The previous
+    * default of 4 silently ran benches at 1/8 of the machine while
+    * the DuckDB baseline used all cores.
+    */
+  def defaultCpus: String = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+    math.min(32, Runtime.getRuntime.availableProcessors()).toString)
+
   def session(appName: String = "graft",
-      master: String = s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]",
+      master: String = s"local[$defaultCpus]",
       extraConfs: Map[String, String] = Map.empty): SparkSession = {
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = defaultCpus
     val builder = SparkSession.builder()
     extraConfs.foreach { case (k, v) => builder.config(k, v) }
     val spark = builder

@@ -30,7 +30,7 @@ object AnnOps {
     * DuckDB oracle's CAST(... AS DOUBLE) exactly.
     */
   private def corpus(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(s"$d/embeddings.parquet")
+    graft.Tables.embeddings(s, d)
       .select(col("vec_id"), col("embedding").cast("array<double>").as("v"))
 
   /** All (probe, neighbor, cos) scores via broadcast nested-loop join
@@ -690,7 +690,7 @@ object AnnOps {
     // long format (label, dim, centroid); the building block for IVF
     // coarse quantizers and class prototypes.
     ("ann_label_centroids", (s: SparkSession, d: String) => {
-      s.read.parquet(s"$d/embeddings.parquet")
+      graft.Tables.embeddings(s, d)
         .select(col("label"), posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
         .filter(col("dim") < 8) // bounded output; full width at scale
         .groupBy("label", "dim")
@@ -715,7 +715,7 @@ object AnnOps {
     // bit-identical IEEE on both engines. Per-row array loops, zero
     // shuffle before the per-label agg.
     ("ann_quantize", (s: SparkSession, d: String) => {
-      s.read.parquet(s"$d/embeddings.parquet")
+      graft.Tables.embeddings(s, d)
         .selectExpr("label",
           """aggregate(
                transform(embedding,

@@ -41,7 +41,7 @@ object DedupOps {
   }
 
   private def docs(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(s"$d/documents.parquet")
+    graft.Tables.documents(s, d)
 
   /** 60-bit span fingerprint over W tokens starting at `from` —
     * byte-identical to SQL `conv(substring(md5(array_join(slice(...),

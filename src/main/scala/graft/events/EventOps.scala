@@ -22,7 +22,7 @@ object EventOps {
   type QFn = (SparkSession, String) => DataFrame
 
   private def ev(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(s"$d/events.parquet")
+    graft.Tables.events(s, d)
 
   private def log(s: SparkSession, d: String): EventLog = EventLog(s, d)
 

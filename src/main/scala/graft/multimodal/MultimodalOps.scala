@@ -101,7 +101,7 @@ object MultimodalOps {
 
     // C12: binary column + typed metadata extraction (pure Columns).
     ("mm_binary_meta", (s: SparkSession, d: String) => {
-      val media = asMedia(s.read.parquet(s"$d/documents.parquet"))
+      val media = asMedia(graft.Tables.documents(s, d))
       val h = md5(col("payload"))
       media.select(
         col("doc_id"), col("kind"),
@@ -128,7 +128,7 @@ object MultimodalOps {
     // shard at this corpus's payload sizes.
     ("mm_shard_manifest", (s: SparkSession, d: String) => {
       import s.implicits._
-      val media = asMedia(s.read.parquet(s"$d/documents.parquet"))
+      val media = asMedia(graft.Tables.documents(s, d))
         .select((col("doc_id") % 3).as("shard"), col("doc_id"),
           length(col("payload")).cast("long").as("n_bytes"))
       media.as[(Long, Long, Long)]
@@ -161,7 +161,7 @@ object MultimodalOps {
     // C13: partition-batched decode via the stub (rows-only oracle —
     // the stub's features are engine-side by design).
     ("mm_decode_stub", (s: SparkSession, d: String) => {
-      fakeDecode(asMedia(s.read.parquet(s"$d/documents.parquet")))
+      fakeDecode(asMedia(graft.Tables.documents(s, d)))
         .select(col("doc_id"), col("kind"), col("byte_len"),
           round(col("mean_byte"), 4).as("mean_byte"),
           col("hist")(0).as("h0"), col("hist")(1).as("h1"),
@@ -177,7 +177,7 @@ object MultimodalOps {
     ("mm_embed_ann", (s: SparkSession, d: String) => {
       graft.functions.GraftFunctions.register(s)
       import s.implicits._
-      val emb = asMedia(s.read.parquet(s"$d/documents.parquet"))
+      val emb = asMedia(graft.Tables.documents(s, d))
         .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
         .map { case (id, bytes) =>
           // STUB encoder: byte histogram folded into 16 dims, L2-normalized
@@ -202,7 +202,7 @@ object MultimodalOps {
 
     // C14: frame sampling for video payloads — every 2nd frame.
     ("mm_frame_sample", (s: SparkSession, d: String) => {
-      val media = asMedia(s.read.parquet(s"$d/documents.parquet"))
+      val media = asMedia(graft.Tables.documents(s, d))
         .filter(col("kind") === "video")
         .withColumn("n_frames", (floor(length(col("payload")) / 100) + 1).cast("int"))
         .withColumn("sha", sha2(col("payload"), 256))
@@ -235,7 +235,7 @@ object MultimodalOps {
     // decides a row's fate differently per engine.
     ("mm_pair_filter", (s: SparkSession, d: String) => {
       graft.functions.GraftFunctions.register(s)
-      val e = s.read.parquet(s"$d/embeddings.parquet")
+      val e = graft.Tables.embeddings(s, d)
         .select(col("vec_id"), col("embedding").cast("array<double>").as("v"),
           col("label"))
       val img = e.filter(col("vec_id") % 2 === 0)

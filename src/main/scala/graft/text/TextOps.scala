@@ -15,7 +15,7 @@ object TextOps {
   type QFn = (SparkSession, String) => DataFrame
 
   private def docs(s: SparkSession, d: String): DataFrame =
-    s.read.parquet(s"$d/documents.parquet")
+    graft.Tables.documents(s, d)
 
   /** lower-case, strip non-alphanumerics, collapse whitespace. */
   def normalize(c: Column): Column =
