@@ -22,6 +22,14 @@ object Tables {
     * still push through the Repartition to the scan (verified in the
     * plan audit), and at real scale — thousands of row groups — the
     * condition is false and this is the bare scan.
+    *
+    * Applied to documents and embeddings only: their consumers run
+    * expensive per-row kernels (tokenize/signatures/vector math)
+    * where the one-time shuffle pays for itself 3–6× (measured at
+    * sf1); events consumers are scan-light aggregations where the
+    * same shuffle measured as pure overhead (ev_gaps 0.6→1.6 s), so
+    * the event log reads bare and relies on its natural row-group
+    * parallelism at scale.
     */
   def scaled(df: DataFrame): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
@@ -35,7 +43,7 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = read(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = read(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = read(s, d, "lineitem")
-  def events(s: SparkSession, d: String): DataFrame    = scaled(read(s, d, "events"))
+  def events(s: SparkSession, d: String): DataFrame    = read(s, d, "events")
   def documents(s: SparkSession, d: String): DataFrame = scaled(read(s, d, "documents"))
   def embeddings(s: SparkSession, d: String): DataFrame = scaled(read(s, d, "embeddings"))
 
