@@ -25,7 +25,15 @@ object Bench {
     // rounds of join+agg+checkpoint) have the widest scheduler
     // variance, and one stray run otherwise decides the recorded
     // number (observed 1.7 s vs 4.2 s for the same HEAD).
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional focus list (comma-separated query names) for profiling
+    // single queries without paying the full-suite wall
+    val only = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val selected = only match {
+      case Some(names) => SparkEntry.queries.filter { case (k, _) => names(k) }
+      case None => SparkEntry.queries
+    }
+    val results = selected.map { case (name, fn) =>
       def once(): Double = {
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

@@ -113,6 +113,34 @@ object TextOps {
       .toDF("doc_id", "lang", "source", "n", "nd", "punct", "stops", "len", "fp")
   }
 
+  /** Per-doc DISTINCT char-n-gram 64-bit hashes of the normalized
+    * text in one typed pass (local HashSet per doc). Grams travel as
+    * 8-byte hashes, never n-char strings; distinct counts over them
+    * equal string counts up to negligible collision odds (the minhash
+    * shingle-hashing argument). Shared by tx_decontaminate and
+    * tx_contam_leakage.
+    */
+  def gramHashes(s: SparkSession, df: DataFrame, n: Int): org.apache.spark.sql.Dataset[(Long, Long)] = {
+    import s.implicits._
+    df.select(col("doc_id"), normalize(col("text")).as("norm"))
+      .as[(Long, String)]
+      .flatMap { case (id, norm) =>
+        // null text → null norm: zero grams (oracle parity), not NPE
+        if (norm == null) Iterator.empty
+        else {
+          val set = new java.util.HashSet[java.lang.Long]()
+          var i = 0
+          val max = norm.length - n
+          while (i <= max) {
+            set.add(graft.util.Hashing.string64(norm.substring(i, i + n)))
+            i += 1
+          }
+          scala.jdk.CollectionConverters.IteratorHasAsScala(set.iterator())
+            .asScala.map(h => (id, h.longValue()))
+        }
+      }
+  }
+
   /** Tokenize + LOCAL per-doc term counting in ONE typed pass: one
     * output row per DISTINCT term per document, with its in-doc count.
     * Downstream shuffles (tf-idf, Zipf fits, heavy hitters, entropy)
@@ -717,40 +745,18 @@ object TextOps {
     // Shingles join relationally (broadcast benchmark grams), the
     // standard eval-contamination sweep before training.
     ("tx_decontaminate", (s: SparkSession, d: String) => {
-      // grams travel as 64-bit hashes, not 30-char strings: the
-      // broadcast and the shuffle carry 8 bytes per gram instead of
-      // ~30; distinct-counts on 64-bit hashes equal string counts up
-      // to negligible collision odds (same argument as the minhash
-      // shingle hashing). The gram loop is a typed flatMap with a
-      // per-doc local HashSet (interpreted HOF explode was this
-      // query's hot cost), emitting each doc's DISTINCT gram hashes
-      // once — and the doc_id partition of the corpus happens BEFORE
-      // gram generation, so the benchmark side grams only its 10 docs
-      // and the corpus is gram-scanned exactly once (the pushed-down
-      // filter can't cross an opaque lambda).
-      import s.implicits._
-      def gramHashes(df: DataFrame): org.apache.spark.sql.Dataset[(Long, Long)] =
-        df.select(col("doc_id"), normalize(col("text")).as("norm"))
-          .as[(Long, String)]
-          .flatMap { case (id, norm) =>
-            // null text → null norm: zero grams (oracle parity), not NPE
-            if (norm == null) Iterator.empty
-            else {
-              val set = new java.util.HashSet[java.lang.Long]()
-              var i = 0
-              val max = norm.length - 30
-              while (i <= max) {
-                set.add(graft.util.Hashing.string64(norm.substring(i, i + 30)))
-                i += 1
-              }
-              scala.jdk.CollectionConverters.IteratorHasAsScala(set.iterator())
-                .asScala.map(h => (id, h.longValue()))
-            }
-          }
+      // grams travel as 64-bit hashes, not 30-char strings (the shared
+      // gramHashes kernel): the broadcast and the shuffle carry 8
+      // bytes per gram instead of ~30, the gram loop is a typed
+      // flatMap with a per-doc local HashSet (interpreted HOF explode
+      // was this query's hot cost), and the doc_id partition of the
+      // corpus happens BEFORE gram generation, so the benchmark side
+      // grams only its 10 docs and the corpus is gram-scanned exactly
+      // once (the pushed-down filter can't cross an opaque lambda).
       val src = docs(s, d)
-      val bench = broadcast(gramHashes(src.filter(col("doc_id") < 10))
+      val bench = broadcast(gramHashes(s, src.filter(col("doc_id") < 10), 30)
         .toDF("doc_id", "gh").select("gh").distinct())
-      gramHashes(src.filter(col("doc_id") >= 10)).toDF("doc_id", "gh")
+      gramHashes(s, src.filter(col("doc_id") >= 10), 30).toDF("doc_id", "gh")
         .join(bench, "gh")
         // gram hashes are already distinct within a doc — plain count
         .groupBy("doc_id")
@@ -780,25 +786,7 @@ object TextOps {
     // (per-doc distinct 64-bit hashes, ~8 B/gram shuffled), and the
     // ratio is exact int64 (ratio4).
     ("tx_ngram_novelty", (s: SparkSession, d: String) => {
-      import s.implicits._
-      val grams = docs(s, d)
-        .select(col("doc_id"), normalize(col("text")).as("norm"))
-        .as[(Long, String)]
-        .flatMap { case (id, norm) =>
-          if (norm == null) Iterator.empty
-          else {
-            val set = new java.util.HashSet[java.lang.Long]()
-            var i = 0
-            val max = norm.length - 20
-            while (i <= max) {
-              set.add(graft.util.Hashing.string64(norm.substring(i, i + 20)))
-              i += 1
-            }
-            scala.jdk.CollectionConverters.IteratorHasAsScala(set.iterator())
-              .asScala.map(h => (id, h.longValue()))
-          }
-        }
-        .toDF("doc_id", "gh")
+      val grams = gramHashes(s, docs(s, d), 20).toDF("doc_id", "gh")
       // no join-back of the gram stream: n_novel per doc is an
       // aggregate of the first-seer frame ALONE (count of grams whose
       // min doc is this doc), n_grams an aggregate of the gram stream
@@ -1450,6 +1438,93 @@ object TextOps {
              ((20000 * s.n_hapax + s.n_types) // (2 * s.n_types)) / 10000.0 AS hapax_share4,
              round(-((f.k * f.sxy - f.sx * f.sy) / (f.k * f.sxx - f.sx * f.sx)), 4) AS zipf_alpha4
       FROM stats s JOIN fit f USING (source)
-      ORDER BY source"""))
+      ORDER BY source""")),
+
+    // C55: temperature-scaled source mixing — the mT5/Gopher sampling
+    // schedule: a source with natural token share p gets sampling
+    // weight ∝ p^α (α=0.3 upsamples the tail, downsamples hub
+    // sources). Entirely per-source aggregates: one corpus scan →
+    // |sources| rows; everything after the scan runs on a frame whose
+    // size is independent of the corpus. The only double is
+    // pow(p, 0.3), immediately quantized to int64 at 1e8 grain (pow's
+    // cross-engine ulp noise is ~1e-8 of that grain), so the weight
+    // normalization and the per-epoch token budget split are exact
+    // integer arithmetic in both engines.
+    ("tx_temperature_mix", (s: SparkSession, d: String) => {
+      val perSrc = docs(s, d)
+        .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").cast("long").as("n_tokens"))
+      val tot = perSrc.agg(sum("n_tokens").cast("long").as("tn"))
+      val powed = perSrc.crossJoin(broadcast(tot))
+        .withColumn("pw",
+          round(pow(col("n_tokens").cast("double") / col("tn").cast("double"), 0.3) *
+            1e8).cast("long"))
+      val sp = powed.agg(sum("pw").cast("long").as("sp"))
+      powed.crossJoin(broadcast(sp))
+        .select(col("source"), col("n_docs"), col("n_tokens"),
+          ratio4(col("n_tokens"), col("tn")).as("nat_share4"),
+          ratio4(col("pw"), col("sp")).as("temp_weight4"),
+          call_function("div", col("pw") * lit(1000000L), col("sp")).as("epoch_tokens"))
+        .orderBy("source")
+    }, Some("""
+      WITH per AS (
+        SELECT source, count(*) AS n_docs,
+               CAST(sum(length(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tn FROM per),
+      p AS (
+        SELECT per.*, tn,
+               CAST(round(pow(CAST(n_tokens AS DOUBLE) / CAST(tn AS DOUBLE), 0.3) * 100000000) AS BIGINT) AS pw
+        FROM per, tot),
+      sp AS (SELECT CAST(sum(pw) AS BIGINT) AS sp FROM p)
+      SELECT source, n_docs, n_tokens,
+             ((20000 * n_tokens + tn) // (2 * tn)) / 10000.0 AS nat_share4,
+             ((20000 * pw + sp) // (2 * sp)) / 10000.0 AS temp_weight4,
+             (pw * 1000000) // sp AS epoch_tokens
+      FROM p, sp ORDER BY source""")),
+
+    // C22b: benchmark leakage score — the reverse direction of
+    // tx_decontaminate: per HELD-OUT benchmark doc (ids 0-9), the
+    // share of its distinct char-30-grams that appear anywhere in the
+    // training corpus — the number an eval team checks before trusting
+    // a benchmark. Same typed gram-hash kernel (8-byte hashes, per-doc
+    // distinct); the benchmark side is tiny and broadcast, the corpus
+    // streams once through the join, and only (bench_doc, gram) hit
+    // rows — bounded by the benchmark's own gram count — reach the
+    // final aggregate.
+    ("tx_contam_leakage", (s: SparkSession, d: String) => {
+      val src = docs(s, d)
+      val benchG = gramHashes(s, src.filter(col("doc_id") < 10), 30)
+        .toDF("doc_id", "gh")
+      val corpusG = gramHashes(s, src.filter(col("doc_id") >= 10), 30)
+        .toDF("cid", "gh").select("gh")
+      val hits = corpusG.join(broadcast(benchG), "gh")
+        .groupBy("doc_id").agg(countDistinct("gh").as("n_leaked"))
+      benchG.groupBy("doc_id").agg(count(lit(1)).as("n_grams"))
+        .join(hits, Seq("doc_id"), "left")
+        .withColumn("n_leaked", coalesce(col("n_leaked"), lit(0L)))
+        .withColumn("leak_rate4", ratio4(col("n_leaked"), col("n_grams")))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nrm
+        FROM documents),
+      grams AS (
+        SELECT DISTINCT doc_id, substr(nrm, i, 30) AS g
+        FROM norm, unnest(generate_series(1, greatest(length(nrm) - 29, 1))) AS t(i)
+        WHERE length(substr(nrm, i, 30)) = 30),
+      corpus AS (SELECT DISTINCT g FROM grams WHERE doc_id >= 10),
+      hits AS (
+        SELECT b.doc_id, count(*) AS n_leaked
+        FROM grams b JOIN corpus c ON b.g = c.g
+        WHERE b.doc_id < 10 GROUP BY b.doc_id)
+      SELECT t.doc_id, t.n_grams,
+             COALESCE(h.n_leaked, 0) AS n_leaked,
+             ((20000 * COALESCE(h.n_leaked, 0) + t.n_grams) // (2 * t.n_grams)) / 10000.0 AS leak_rate4
+      FROM (SELECT doc_id, count(*) AS n_grams FROM grams WHERE doc_id < 10 GROUP BY doc_id) t
+      LEFT JOIN hits h USING (doc_id)
+      ORDER BY doc_id"""))
   )
 }
