@@ -565,15 +565,33 @@ object DedupOps {
     // the corpus streams once. (Pairs sharing zero tokens drop out —
     // with any real vocabulary overlap they can never rank top-5.)
     ("dd_ngram_jaccard", (s: SparkSession, d: String) => {
-      val toks = docs(s, d).select(col("doc_id"), col("lang"),
-          array_distinct(TextOps.tokens(col("text"))).as("w"))
-        .withColumn("nw", size(col("w")))
-      val probeT = toks.filter(col("doc_id") < 100)
-        .select(col("doc_id").as("probe"), col("lang"), col("nw").as("nwa"),
-          explode(col("w")).as("t"))
-      val candT = toks
-        .select(col("doc_id").as("neighbor"), col("lang"), col("nw").as("nwb"),
-          explode(col("w")).as("t"))
+      // distinct tokens per doc come from a typed pass (the tokenize
+      // JVM scan — no regex/HOF per doc) and travel as 64-bit hashes:
+      // intersection counts on hashes equal counts on strings up to
+      // negligible collision odds, the join key narrows to
+      // (lang, int64), and nothing downstream ever needs the string.
+      // The probe side builds from a pushed-down doc_id<100 scan (the
+      // filter can't cross an opaque lambda), so the corpus is
+      // token-scanned exactly once.
+      import s.implicits._
+      def tokHashes(df: DataFrame): DataFrame =
+        df.select(col("doc_id"), col("lang"), col("text"))
+          .as[(Long, String, String)]
+          .mapPartitions(_.flatMap { case (id, lang, text) =>
+            if (text == null) Iterator.empty
+            else {
+              val hs = new java.util.HashSet[java.lang.Long]()
+              TextOps.tokenize(text).foreach(t => hs.add(graft.util.Hashing.string64(t)))
+              val nw = hs.size
+              scala.jdk.CollectionConverters.IteratorHasAsScala(hs.iterator())
+                .asScala.map(h => (id, lang, nw, h.longValue()))
+            }
+          })
+          .toDF("doc_id", "lang", "nw", "th")
+      val probeT = tokHashes(docs(s, d).filter(col("doc_id") < 100))
+        .select(col("doc_id").as("probe"), col("lang"), col("nw").as("nwa"), col("th").as("t"))
+      val candT = tokHashes(docs(s, d))
+        .select(col("doc_id").as("neighbor"), col("lang"), col("nw").as("nwb"), col("th").as("t"))
       val inter = broadcast(probeT).join(candT, Seq("lang", "t"))
         .filter(col("probe") =!= col("neighbor"))
         .groupBy("probe", "neighbor", "nwa", "nwb")

@@ -689,32 +689,43 @@ object TextOps {
       // 100 TB vocab they degrade to shuffle joins of aggregated
       // (small) sides, never of raw occurrences.
       import s.implicits._
+      // tokens and bigrams travel as 64-bit hashes (h1 = token hash,
+      // h12 = order-sensitive pair hash): the output carries no token
+      // strings, so counting on hashes is exact up to ~vocab²/2^64
+      // collision odds, the per-doc loop runs on two primitive
+      // LongMaps (no tuple/string boxing), and tokenize() replaces
+      // the two regex passes of normalize()
       val biK = docs(s, d)
-        .select(col("doc_id"), normalize(col("text")).as("norm"))
+        .select(col("doc_id"), col("text"))
         .as[(Long, String)]
         .mapPartitions { it =>
-          it.flatMap { case (id, norm) =>
-            if (norm == null || norm.isEmpty) Iterator.empty
+          it.flatMap { case (id, text) =>
+            if (text == null) Iterator.empty
             else {
-              val toks = norm.split(" ")
-              if (toks.length < 2) Iterator.empty
+              val toks = tokenize(text)
+              if (toks.length < 2 || (toks.length == 1 && toks(0).isEmpty)) Iterator.empty
               else {
-                val m = new java.util.HashMap[(String, String), Long]()
+                val hs = new Array[Long](toks.length)
                 var i = 0
+                while (i < toks.length) { hs(i) = graft.util.Hashing.string64(toks(i)); i += 1 }
+                val cnt = new scala.collection.mutable.LongMap[Long]()
+                val first = new scala.collection.mutable.LongMap[Long]()
+                i = 0
                 while (i < toks.length - 1) {
-                  m.merge((toks(i), toks(i + 1)), 1L, (a, b) => a + b)
+                  val h12 = graft.util.Hashing.mix64(hs(i) ^ graft.util.Hashing.rehash(hs(i + 1), 1))
+                  cnt.update(h12, cnt.getOrElse(h12, 0L) + 1L)
+                  if (!first.contains(h12)) first.update(h12, hs(i))
                   i += 1
                 }
-                scala.jdk.CollectionConverters.IteratorHasAsScala(m.entrySet().iterator())
-                  .asScala.map(e => (id, e.getKey._1, e.getKey._2, e.getValue))
+                cnt.iterator.map { case (h12, k) => (id, first(h12), h12, k) }
               }
             }
           }
         }
-        .toDF("doc_id", "t1", "t2", "k")
-      val c2 = biK.groupBy("t1", "t2").agg(sum("k").as("n2"))
-      val c1 = c2.groupBy("t1").agg(sum("n2").as("n1"))
-      biK.join(c2, Seq("t1", "t2")).join(c1, Seq("t1"))
+        .toDF("doc_id", "h1", "h12", "k")
+      val c2 = biK.groupBy("h1", "h12").agg(sum("k").as("n2"))
+      val c1 = c2.groupBy("h1").agg(sum("n2").as("n1"))
+      biK.join(c2, Seq("h1", "h12")).join(c1, Seq("h1"))
         .groupBy("doc_id")
         .agg(sum("k").cast("long").as("n_bigrams"),
           round(sum(col("k") * -log2(col("n2").cast("double") / col("n1").cast("double"))) /
