@@ -141,6 +141,52 @@ object TextOps {
       }
   }
 
+  /** Per-doc bigram counts in one typed pass: one row per DISTINCT
+    * (h1, h2) token-hash pair per document with its in-doc count.
+    * Tokens and bigrams travel as 64-bit hashes — no downstream
+    * consumer (surprisal, Kneser-Ney) ever needs the strings, so
+    * counting in hash space is exact up to ~vocab²/2^64 collision
+    * odds, join/agg keys narrow to two int64s, and the per-doc loop
+    * runs on a primitive-keyed map (no tuple/string boxing). Token
+    * semantics identical to adjacent pairs of `tokens(text)`; docs
+    * with <2 tokens (incl. empty/null text) emit nothing.
+    */
+  def docBigramCounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else {
+            val toks = tokenize(text)
+            if (toks.length < 2) Iterator.empty
+            else {
+              val hs = new Array[Long](toks.length)
+              var i = 0
+              while (i < toks.length) { hs(i) = graft.util.Hashing.string64(toks(i)); i += 1 }
+              // key the local count map by the order-sensitive pair
+              // hash; keep each pair's (h1, h2) for the emitted rows
+              val cnt = new scala.collection.mutable.LongMap[Long]()
+              val lefts = new scala.collection.mutable.LongMap[(Long, Long)]()
+              i = 0
+              while (i < toks.length - 1) {
+                val h12 = graft.util.Hashing.mix64(hs(i) ^ graft.util.Hashing.rehash(hs(i + 1), 1))
+                cnt.update(h12, cnt.getOrElse(h12, 0L) + 1L)
+                if (!lefts.contains(h12)) lefts.update(h12, (hs(i), hs(i + 1)))
+                i += 1
+              }
+              cnt.iterator.map { case (h12, k) =>
+                val (h1, h2) = lefts(h12)
+                (id, h1, h2, k)
+              }
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "h1", "h2", "k")
+  }
+
   /** Tokenize + LOCAL per-doc term counting in ONE typed pass: one
     * output row per DISTINCT term per document, with its in-doc count.
     * Downstream shuffles (tf-idf, Zipf fits, heavy hitters, entropy)
@@ -688,44 +734,10 @@ object TextOps {
       // vocab²-bounded; AQE picks broadcast joins here, and at a
       // 100 TB vocab they degrade to shuffle joins of aggregated
       // (small) sides, never of raw occurrences.
-      import s.implicits._
-      // tokens and bigrams travel as 64-bit hashes (h1 = token hash,
-      // h12 = order-sensitive pair hash): the output carries no token
-      // strings, so counting on hashes is exact up to ~vocab²/2^64
-      // collision odds, the per-doc loop runs on two primitive
-      // LongMaps (no tuple/string boxing), and tokenize() replaces
-      // the two regex passes of normalize()
-      val biK = docs(s, d)
-        .select(col("doc_id"), col("text"))
-        .as[(Long, String)]
-        .mapPartitions { it =>
-          it.flatMap { case (id, text) =>
-            if (text == null) Iterator.empty
-            else {
-              val toks = tokenize(text)
-              if (toks.length < 2 || (toks.length == 1 && toks(0).isEmpty)) Iterator.empty
-              else {
-                val hs = new Array[Long](toks.length)
-                var i = 0
-                while (i < toks.length) { hs(i) = graft.util.Hashing.string64(toks(i)); i += 1 }
-                val cnt = new scala.collection.mutable.LongMap[Long]()
-                val first = new scala.collection.mutable.LongMap[Long]()
-                i = 0
-                while (i < toks.length - 1) {
-                  val h12 = graft.util.Hashing.mix64(hs(i) ^ graft.util.Hashing.rehash(hs(i + 1), 1))
-                  cnt.update(h12, cnt.getOrElse(h12, 0L) + 1L)
-                  if (!first.contains(h12)) first.update(h12, hs(i))
-                  i += 1
-                }
-                cnt.iterator.map { case (h12, k) => (id, first(h12), h12, k) }
-              }
-            }
-          }
-        }
-        .toDF("doc_id", "h1", "h12", "k")
-      val c2 = biK.groupBy("h1", "h12").agg(sum("k").as("n2"))
+      val biK = docBigramCounts(s, d)
+      val c2 = biK.groupBy("h1", "h2").agg(sum("k").as("n2"))
       val c1 = c2.groupBy("h1").agg(sum("n2").as("n1"))
-      biK.join(c2, Seq("h1", "h12")).join(c1, Seq("h1"))
+      biK.join(c2, Seq("h1", "h2")).join(c1, Seq("h1"))
         .groupBy("doc_id")
         .agg(sum("k").cast("long").as("n_bigrams"),
           round(sum(col("k") * -log2(col("n2").cast("double") / col("n1").cast("double"))) /
@@ -1536,6 +1548,62 @@ object TextOps {
              ((20000 * COALESCE(h.n_leaked, 0) + t.n_grams) // (2 * t.n_grams)) / 10000.0 AS leak_rate4
       FROM (SELECT doc_id, count(*) AS n_grams FROM grams WHERE doc_id < 10 GROUP BY doc_id) t
       LEFT JOIN hits h USING (doc_id)
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // C56: interpolated Kneser-Ney bigram scoring — the smoothing real
+    // KenLM-style quality filters use (Kneser & Ney 1995; Chen &
+    // Goodman 1999): P(t2|t1) = max(c12−D,0)/c1 + D·|succ(t1)|/c1 ·
+    // P_cont(t2), with the continuation probability P_cont counting
+    // DISTINCT left-contexts, not raw frequency — the fix that stops
+    // "francisco" (frequent but one-context) from looking likely
+    // everywhere. Per doc: the tf-weighted mean −log₂ P_KN over its
+    // bigrams. All model statistics are integer aggregates of the
+    // shared hashed-bigram kernel (c2 → c1/d1/ct/T derive from the
+    // FINER aggregate, never a second corpus pass); the only doubles
+    // are the per-bigram P (identical IEEE op order both engines) and
+    // the 4dp-rounded final mean. D = 0.75 (the Chen–Goodman default).
+    ("tx_kn_surprisal", (s: SparkSession, d: String) => {
+      val biK = docBigramCounts(s, d)
+      val c2 = biK.groupBy("h1", "h2").agg(sum("k").as("n2"))
+      val c1 = c2.groupBy("h1").agg(sum("n2").as("n1"), count(lit(1)).as("d1"))
+      val cts = c2.groupBy("h2").agg(count(lit(1)).as("ct"))
+      val tt = c2.agg(count(lit(1)).as("tt"))
+      biK.join(c2, Seq("h1", "h2")).join(c1, Seq("h1")).join(cts, Seq("h2"))
+        .crossJoin(broadcast(tt))
+        .withColumn("p",
+          (col("n2").cast("double") - lit(0.75)) / col("n1").cast("double") +
+            ((lit(0.75) * col("d1").cast("double")) / col("n1").cast("double")) *
+              (col("ct").cast("double") / col("tt").cast("double")))
+        .groupBy("doc_id")
+        .agg(sum("k").cast("long").as("n_bigrams"),
+          round(sum(col("k").cast("double") * -log2(col("p"))) /
+            sum(col("k").cast("double")), 4).as("kn_xent"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH c AS (
+        SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nrm
+        FROM documents),
+      tk AS (
+        SELECT doc_id,
+               generate_subscripts(string_split(nrm, ' '), 1) AS ord,
+               unnest(string_split(nrm, ' ')) AS tok
+        FROM c WHERE length(nrm) >= 1),
+      bi AS (
+        SELECT a.doc_id, a.tok AS t1, b.tok AS t2
+        FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1),
+      bc AS (SELECT doc_id, t1, t2, CAST(count(*) AS BIGINT) AS k FROM bi GROUP BY 1, 2, 3),
+      c2 AS (SELECT t1, t2, CAST(sum(k) AS BIGINT) AS n2 FROM bc GROUP BY 1, 2),
+      c1 AS (SELECT t1, CAST(sum(n2) AS BIGINT) AS n1, CAST(count(*) AS BIGINT) AS d1 FROM c2 GROUP BY 1),
+      cts AS (SELECT t2, CAST(count(*) AS BIGINT) AS ct FROM c2 GROUP BY 1),
+      tt AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM c2),
+      p AS (
+        SELECT bc.doc_id, bc.k,
+               (CAST(n2 AS DOUBLE) - 0.75) / CAST(n1 AS DOUBLE) +
+                 ((0.75 * CAST(d1 AS DOUBLE)) / CAST(n1 AS DOUBLE)) *
+                   (CAST(ct AS DOUBLE) / CAST(tt AS DOUBLE)) AS p
+        FROM bc JOIN c2 USING (t1, t2) JOIN c1 USING (t1) JOIN cts USING (t2), tt)
+      SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
+             round(sum(CAST(k AS DOUBLE) * -log2(p)) / sum(CAST(k AS DOUBLE)), 4) AS kn_xent
+      FROM p GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
