@@ -33,6 +33,10 @@ object Graft {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // Producers write timestamp[us] with isAdjustedToUTC=false; default
+      // NTZ inference would surface those as TIMESTAMP_NTZ and break
+      // typed Timestamp paths. Read them as session-TZ (UTC) timestamps.
+      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -26,14 +26,23 @@ object Event {
     * model. Kept as pure Column expressions so Catalyst prunes the
     * parquet scan to exactly these columns.
     *
-    * The parquet `ts` is TIMESTAMP(NANOS), which Spark reads as a
-    * nanos-since-epoch LONG (see `spark.sql.legacy.parquet.nanosAsLong`
-    * in Graft.session); integer-division to µs keeps full precision
-    * (a double roundtrip would lose it — ns epochs exceed 2^53).
+    * The physical `ts` type varies by producer and must always
+    * normalize to session-TZ TIMESTAMP:
+    *  - TIMESTAMP(NANOS) parquet → Spark reads a nanos-since-epoch
+    *    LONG (`spark.sql.legacy.parquet.nanosAsLong` in Graft.session);
+    *    integer-division to µs keeps full precision (a double
+    *    roundtrip would lose it — ns epochs exceed 2^53).
+    *  - TIMESTAMP(MICROS, isAdjustedToUTC=false) → Spark ≥3.4 infers
+    *    TIMESTAMP_NTZ; cast to TimestampType interprets the wall-clock
+    *    value in the session zone (UTC for graft sessions), matching
+    *    the producer's epoch semantics.
+    *  - TIMESTAMP(MICROS/MILLIS, UTC) → already TimestampType.
     */
   def project(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     val tsCol = df.schema("ts").dataType match {
-      case org.apache.spark.sql.types.LongType => expr("timestamp_micros(ts div 1000)").as("ts")
+      case LongType => expr("timestamp_micros(ts div 1000)").as("ts")
+      case TimestampNTZType => col("ts").cast("timestamp").as("ts")
       case _ => col("ts")
     }
     // trace passes through when the source carries one, else null
