@@ -264,19 +264,31 @@ object DedupOps {
     hi
   }
 
-  /** Candidate pairs via banded bucket join with a mega-bucket guard. */
+  /** All i<j pairs of a sorted id array as (a, b) structs — pair
+    * generation INSIDE the row (SQL higher-order functions), so the
+    * bucket self-join disappears from the plan entirely.
+    */
+  private def sortedPairs(ids: Column): Column =
+    flatten(transform(ids, (x, i) =>
+      transform(slice(ids, i + lit(2), size(ids)), y =>
+        struct(x.as("a"), y.as("b")))))
+
+  /** Candidate pairs via banded bucket grouping with a mega-bucket
+    * guard. One shuffle: group members collect through the capped
+    * native aggregate (O(maxBucket) buffer per group even on a
+    * pathological bucket key — see CollectLongCapped), oversized
+    * buckets drop at the size guard, and the i<j member pairs explode
+    * map-side from the sorted array. The previous window-count +
+    * bucket-self-join form paid a window materialization plus a join
+    * for the same answer.
+    */
   def bandedCandidates(banded: DataFrame, maxBucket: Int): DataFrame = {
-    // skew guard as a window count, not groupBy+join: one shuffle on
-    // (band, bh) that the self-join below then REUSES (same keys →
-    // ReusedExchange), where the aggregate+join form paid a second
-    // exchange and a join just to apply the bound
-    val w = Window.partitionBy("band", "bh")
-    val small = banded.withColumn("bn", count(lit(1)).over(w))
-      .filter(col("bn") <= maxBucket).drop("bn")
-    small.as("x").join(small.as("y"),
-        col("x.band") === col("y.band") && col("x.bh") === col("y.bh") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+    graft.functions.GraftFunctions.register(banded.sparkSession)
+    banded.groupBy("band", "bh")
+      .agg(expr(s"collect_capped(doc_id, $maxBucket)").as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(sortedPairs(array_sort(col("ids")))).as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
   }
 
@@ -491,27 +503,37 @@ object DedupOps {
     // multiplicity squared, the standard exact-before-near dedup
     // ordering at corpus scale.
     ("dd_simhash", (s: SparkSession, d: String) => {
+      graft.functions.GraftFunctions.register(s)
       val base = simhashSignatures(docs(s, d))
-      // representatives: one doc per distinct signature
-      val reps = base.groupBy("simhash")
-        .agg(min("doc_id").as("doc_id"), count(lit(1)).as("grp_n"))
-      // hamming-0 pairs inside each identical-signature group (guarded)
-      val grouped = base.join(reps.select(col("simhash"), col("grp_n")), "simhash")
-        .filter(col("grp_n") <= 50)
-      val zeroPairs = grouped.as("x").join(grouped.as("y"),
-          col("x.simhash") === col("y.simhash") && col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"), lit(0).as("hamming"))
-      // banded LSH over DISTINCT signatures only
-      val repBase = reps.select(col("doc_id"), col("simhash"))
-        .join(base.select(col("doc_id"), col("bands")), "doc_id")
-      val banded = repBase.select(col("doc_id"),
+      // ONE shuffle on simhash carries the whole identical-signature
+      // tier: member list (capped — identical-sig mega-groups drop at
+      // the same 50 guard the join form had) and the bands, which are
+      // a pure function of the signature (first() is exact).
+      val sigGroups = base.groupBy("simhash")
+        .agg(expr("collect_capped(doc_id, 50)").as("ids0"),
+          min(col("doc_id")).as("rep"), // exact even when ids0 capped
+          first(col("bands")).as("bands"))
+        .withColumn("ids", array_sort(col("ids0"))).drop("ids0")
+      // hamming-0 pairs inside each identical-signature group,
+      // generated map-side from the sorted member array
+      val zeroPairs = sigGroups
+        .filter(size(col("ids")).between(2, 50))
+        .select(explode(sortedPairs(col("ids"))).as("p"))
+        .select(col("p.a").as("a"), col("p.b").as("b"), lit(0).as("hamming"))
+      // banded LSH over DISTINCT signatures only. The 64-bit signature
+      // rides through the bucket aggregation as the collect_capped2
+      // payload, so hamming computes map-side off the exploded pair —
+      // no join-back to re-attach signatures.
+      val banded = sigGroups.select(col("rep").as("doc_id"), col("simhash"),
         posexplode(col("bands")).as(Seq("band", "bh")))
-      val nearPairs = bandedCandidates(banded, maxBucket = 50)
-        .join(repBase.select(col("doc_id").as("a"), col("simhash").as("ha")), "a")
-        .join(repBase.select(col("doc_id").as("b"), col("simhash").as("hb")), "b")
-        .withColumn("hamming", bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int"))
+      val nearPairs = banded.groupBy("band", "bh")
+        .agg(expr("collect_capped2(doc_id, simhash, 50)").as("ms"))
+        .filter(size(col("ms")).between(2, 50))
+        .select(explode(sortedPairs(array_sort(col("ms")))).as("p"))
+        .select(col("p.a.k").as("a"), col("p.b.k").as("b"),
+          bit_count(col("p.a.v").bitwiseXOR(col("p.b.v"))).cast("int").as("hamming"))
         .filter(col("hamming") > 0)
-        .select("a", "b", "hamming")
+        .distinct()
       zeroPairs.unionByName(nearPairs)
         .orderBy(col("hamming").asc, col("a"), col("b"))
         .limit(100)

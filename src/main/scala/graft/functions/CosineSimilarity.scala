@@ -102,6 +102,10 @@ object GraftFunctions {
       "freq_sketch_w", FreqSketch.weightedBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "pq_assign", PqAssign.builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "collect_capped", CollectLongCapped.builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "collect_capped2", CollectLongPairCapped.builder, "built-in")
   }
 }
 
@@ -126,6 +130,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("pq_assign"),
       new ExpressionInfo(classOf[PqAssign].getName, "pq_assign"),
       PqAssign.builder))
+    ext.injectFunction((
+      FunctionIdentifier("collect_capped"),
+      new ExpressionInfo(classOf[CollectLongCapped].getName, "collect_capped"),
+      CollectLongCapped.builder))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectOptimizerRule(_ => graft.plans.RankFilterToTopK)
   }
