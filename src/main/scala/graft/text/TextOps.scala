@@ -24,6 +24,66 @@ object TextOps {
   /** whitespace tokens of the normalized text. */
   def tokens(c: Column): Column = split(normalize(c), " ")
 
+  /** JVM char-loop equivalent of `normalize` for typed kernels — the
+    * Catalyst regexp chain costs more than the document SCAN at sf1
+    * (measured 2.5 s vs 1.4 s warm), so hot per-run kernels normalize
+    * inside the partition instead. Semantics match exactly: keep
+    * [a-z0-9] (lower-cased), every other char (incl. all whitespace)
+    * becomes a separator, separators collapse, ends trim. Non-ASCII
+    * input falls back to Locale.ROOT lowering first, mirroring
+    * `lower()`; chars outside [a-z0-9] end up separators either way.
+    */
+  def normalizeLocal(s: String): String = {
+    if (s == null) return null
+    var ascii = true
+    var i = 0
+    while (ascii && i < s.length) { if (s.charAt(i) > 127) ascii = false; i += 1 }
+    val in = if (ascii) s else s.toLowerCase(java.util.Locale.ROOT)
+    val sb = new java.lang.StringBuilder(in.length)
+    i = 0
+    while (i < in.length) {
+      var c = in.charAt(i)
+      if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+      if ((c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')) sb.append(c)
+      else if (sb.length > 0 && sb.charAt(sb.length - 1) != ' ') sb.append(' ')
+      i += 1
+    }
+    if (sb.length > 0 && sb.charAt(sb.length - 1) == ' ') sb.setLength(sb.length - 1)
+    sb.toString
+  }
+
+  /** JVM equivalent of `size(tokens(c))`: the whitespace-token count
+    * of the normalized text. `split("", " ")` yields [""], so an
+    * empty normalization still counts 1 — preserved here. Null in,
+    * None out (size(null) is null under Spark 3 defaults).
+    */
+  def tokenCountLocal(s: String): Option[Int] = {
+    if (s == null) return None
+    var ascii = true
+    var i = 0
+    while (ascii && i < s.length) { if (s.charAt(i) > 127) ascii = false; i += 1 }
+    if (!ascii) {
+      val n = normalizeLocal(s)
+      return Some(if (n.isEmpty) 1 else {
+        var sp = 0; var j = 0
+        while (j < n.length) { if (n.charAt(j) == ' ') sp += 1; j += 1 }
+        sp + 1
+      })
+    }
+    var runs = 0
+    var inRun = false
+    i = 0
+    while (i < s.length) {
+      var c = s.charAt(i)
+      if (c >= 'A' && c <= 'Z') c = (c + 32).toChar
+      val alnum = (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
+      if (alnum && !inRun) runs += 1
+      inRun = alnum
+      i += 1
+    }
+    Some(math.max(runs, 1))
+  }
+
   /** BPE-ish pre-tokenizer: letter runs, digit runs, single symbols. */
   val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
 
@@ -507,24 +567,56 @@ object TextOps {
       import s.implicits._
       val rk = Window.partitionBy("lang").orderBy(col("n").desc, col("gram").asc)
       val partials = docs(s, d)
-        .select(col("lang"), TextOps.normalize(col("text")).as("norm"))
+        .select(col("lang"), col("text"))
         .as[(String, String)]
-        .mapPartitions { it =>
-          val m = scala.collection.mutable.HashMap.empty[(String, String), Long]
-          // null text → null norm: skip, matching the HOF/oracle
-          // behavior (zero grams), instead of NPE-ing the task
+        .mapPartitions { it0 =>
+          // normalize in the JVM too (normalizeLocal): the Catalyst
+          // regexp chain costs more than the scan itself at sf1
+          val it = it0.map { case (lang, text) =>
+            (lang, TextOps.normalizeLocal(text)) }
+          // normalized text is [a-z0-9 ] (37 symbols), so a 3-gram is
+          // a base-37 code < 37³ = 50653: count into one dense
+          // Array[Long] per language — a rolling-code loop with no
+          // substring allocation, no per-gram hash probe, no boxing
+          // (the hashed-gram kernel treatment C4/C38 got; ~4 MB of
+          // counters per task at 10 langs, independent of corpus size)
+          val langIdx = scala.collection.mutable.HashMap.empty[String, Int]
+          val counts = scala.collection.mutable.ArrayBuffer.empty[Array[Long]]
+          // null text → null norm: skip, matching the oracle (zero
+          // grams), instead of NPE-ing the task
           it.foreach { case (lang, norm) =>
-            if (norm != null) {
+            if (norm != null && norm.length >= 3) {
+              val li = langIdx.getOrElseUpdate(lang,
+                { counts += new Array[Long](50653); counts.length - 1 })
+              val c = counts(li)
               var i = 0
-              val max = norm.length - 3
-              while (i <= max) {
-                val k = (lang, norm.substring(i, i + 3))
-                m.update(k, m.getOrElse(k, 0L) + 1L)
+              var code = 0
+              var valid = 0 // consecutive in-alphabet chars ending here
+              while (i < norm.length) {
+                val ch = norm.charAt(i)
+                val v = if (ch >= 'a' && ch <= 'z') ch - 'a'
+                  else if (ch >= '0' && ch <= '9') 26 + (ch - '0')
+                  else if (ch == ' ') 36 else -1
+                if (v < 0) { valid = 0; code = 0 }
+                else {
+                  code = (code % 1369) * 37 + v // keep last 3 chars
+                  valid += 1
+                  if (valid >= 3) c(code) += 1
+                }
                 i += 1
               }
             }
           }
-          m.iterator.map { case ((lang, gram), n) => (lang, gram, n) }
+          def sym(v: Int): Char =
+            if (v < 26) ('a' + v).toChar else if (v < 36) ('0' + (v - 26)).toChar else ' '
+          langIdx.iterator.flatMap { case (lang, li) =>
+            val c = counts(li)
+            Iterator.range(0, c.length).filter(c(_) != 0L).map { code =>
+              val gram = new String(
+                Array(sym(code / 1369), sym((code / 37) % 37), sym(code % 37)))
+              (lang, gram, c(code))
+            }
+          }
         }
         .toDF("lang", "gram", "n_part")
       partials
@@ -946,8 +1038,16 @@ object TextOps {
       // the ~24 B/doc materialized blocks instead of re-tokenizing
       // the corpus text twice — at 100 TB the checkpoint is the
       // reduced projection, never the text
-      val t = docs(s, d)
-        .select(col("doc_id"), size(tokens(col("text"))).as("n_tok"))
+      val t = {
+        import s.implicits._
+        docs(s, d)
+          .select(col("doc_id"), col("text")).as[(Long, String)]
+          // JVM token count (== size(tokens(text))): the Catalyst
+          // regex normalize dominated this query's wall at sf1
+          .map { case (id, text) => (id, TextOps.tokenCountLocal(text)) }
+          .toDF("doc_id", "n_tok")
+          .select(col("doc_id"), col("n_tok").cast("int").as("n_tok"))
+      }
         .withColumn("blk", call_function("div", col("doc_id"), lit(4096L)))
         .localCheckpoint()
       val local = Window.partitionBy("blk").orderBy("doc_id")
