@@ -26,6 +26,35 @@ object EventOps {
 
   private def log(s: SparkSession, d: String): EventLog = EventLog(s, d)
 
+  /** Once-per-corpus ingest of the events table with the typed-meta
+    * write option (MetaColumn "$.k" → int `meta_k`). The materialized
+    * table lives in tmp keyed by SF dir and is reused across sessions
+    * while the source parquet is unchanged (size+mtime marker) — the
+    * write is the amortized ingest cost; queries measure the recurring
+    * read side.
+    */
+  private val typedMetaLock = new Object
+  private def typedMetaTable(s: SparkSession, d: String): graft.sources.EventsTable = {
+    import graft.sources.{EventsTable, MetaColumn}
+    val metaCols = Seq(MetaColumn("meta_k", "$.k", org.apache.spark.sql.types.IntegerType))
+    val src = new java.io.File(d, "events.parquet")
+    val key = s"${src.getAbsolutePath}:${src.length}:${src.lastModified}"
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      "graft-typedmeta-" + new java.io.File(d).getName).getAbsolutePath
+    typedMetaLock.synchronized {
+      val marker = java.nio.file.Paths.get(dir, "_GRAFT_SOURCE")
+      val fresh = java.nio.file.Files.exists(marker) &&
+        java.nio.file.Files.readString(marker).trim == key
+      val table = new EventsTable(s, dir, metaColumns = metaCols)
+      if (!fresh) {
+        graft.util.AtomicDir.deleteRec(dir)
+        table.insert(Event.project(ev(s, d)).drop("id")) // ids re-assigned
+        java.nio.file.Files.writeString(marker, key)
+      }
+      table
+    }
+  }
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
 
     // A1: event model projection (api.go:14) — id/type/foreign_id/ts/meta.
@@ -114,6 +143,33 @@ object EventOps {
       Event.project(ev(s, d))
         .withColumn("k", get_json_object(col("metadata"), "$.k").cast("int"))
         .filter(col("k") % 10 === 0 && col("k") < 50)
+        .groupBy(col("eventType").as("etype"))
+        .agg(count(lit(1)).as("n"),
+          graft.analytics.Queries.exactAvg(col("value"), 4).as("avg_val"))
+        .orderBy("etype")
+    }, Some("""
+      SELECT event_type AS etype, count(*) AS n,
+             round(sum(CAST(round(value * 100) AS BIGINT)) / (count(*) * 100.0), 4) AS avg_val
+      FROM events
+      WHERE CAST(json_extract_string(props, '$.k') AS INTEGER) % 10 = 0
+        AND CAST(json_extract_string(props, '$.k') AS INTEGER) < 50
+      GROUP BY event_type ORDER BY etype""")),
+
+    // A7b: the SAME metadata filter over a log whose table was written
+    // with MetaColumn("meta_k", "$.k", int) — the JSON path is parsed
+    // ONCE at write; every recurring read filters a plain typed parquet
+    // column (min/max-prunable, no per-row JSON parse — the scale-safe
+    // form a real 100 TB log would use; ev_filter_meta above keeps the
+    // parse-at-read fallback for logs written without the option).
+    // The typed table materializes once per corpus in tmp (re-used
+    // across sessions while the source is unchanged — the write is the
+    // amortized once-per-corpus ingest cost, same accounting as the
+    // bucketed-join compare); the oracle is identical to ev_filter_meta,
+    // proving read-path equivalence end-to-end.
+    ("ev_filter_meta_typed", (s: SparkSession, d: String) => {
+      val t = typedMetaTable(s, d)
+      t.log.df
+        .filter(col("meta_k") % 10 === 0 && col("meta_k") < 50)
         .groupBy(col("eventType").as("etype"))
         .agg(count(lit(1)).as("n"),
           graft.analytics.Queries.exactAvg(col("value"), 4).as("avg_val"))

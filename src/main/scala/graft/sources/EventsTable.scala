@@ -32,7 +32,18 @@ final class EventsTable(spark: SparkSession, dir: String,
       * canonical projection, exactly like the reference keeps
       * reflex.Event stable while the SQL schema varies.
       */
-    fieldMap: Map[String, String] = Map.empty) {
+    fieldMap: Map[String, String] = Map.empty,
+    /** typed metadata projections materialized AT WRITE TIME: each
+      * entry extracts a JSON path from `metadata` into its own typed
+      * physical column on insert, so recurring readers filter on a
+      * plain (min/max-prunable, dictionary-encoded) parquet column
+      * instead of re-parsing the JSON payload per row per query —
+      * the scale-safe form of ev_filter_meta (SURVEY §5; at 100 TB a
+      * per-row get_json_object on every consumer read is the single
+      * biggest avoidable CPU sink in the log path). The JSON-parse
+      * read path stays available for logs written without this.
+      */
+    metaColumns: Seq[MetaColumn] = Nil) {
 
   private val canonicalNames =
     Seq("id", "eventType", "foreignId", "ts", "value", "metadata", "trace")
@@ -53,6 +64,11 @@ final class EventsTable(spark: SparkSession, dir: String,
     "fieldMap physical names must not collide with the `date` partition column")
   private def physical(c: String): String = fieldMap.getOrElse(c, c)
 
+  require(metaColumns.map(_.name).distinct.size == metaColumns.size &&
+    metaColumns.forall(m => !canonicalNames.contains(m.name) &&
+      !fieldMap.values.exists(_ == m.name)),
+    "metaColumns names must be unique and distinct from event columns")
+
   val schema: StructType = StructType(Seq(
     StructField(physical("id"), LongType, nullable = false),
     StructField(physical("eventType"), StringType),
@@ -62,6 +78,11 @@ final class EventsTable(spark: SparkSession, dir: String,
     StructField(physical("metadata"), StringType),
     // api.go:18 Trace []byte — opaque tracing payload, null when absent
     StructField(physical("trace"), BinaryType)))
+
+  /** storage schema incl. the typed metadata projections. */
+  val fullSchema: StructType =
+    StructType(schema.fields ++ metaColumns.map(m =>
+      StructField(m.name, m.dataType, nullable = true)))
 
   /** physical → canonical projection of a stored frame. */
   private def canonicalize(df: DataFrame): DataFrame =
@@ -76,7 +97,7 @@ final class EventsTable(spark: SparkSession, dir: String,
   def log: EventLog = {
     val df =
       if (partitionByDate) spark.read.parquet(dir).drop("date")
-      else spark.read.schema(schema).parquet(dir)
+      else spark.read.schema(fullSchema).parquet(dir)
     new EventLog(canonicalize(df))
   }
 
@@ -143,7 +164,13 @@ final class EventsTable(spark: SparkSession, dir: String,
     val withIds = rdd.map { case (r, i) =>
       Row.fromSeq((base + 1 + i) +: r.toSeq)
     }
-    val df = spark.createDataFrame(withIds, schema)
+    val df0 = spark.createDataFrame(withIds, schema)
+    // typed metadata projections: parse the JSON ONCE here at write,
+    // never again on any read
+    val df = metaColumns.foldLeft(df0) { (acc, m) =>
+      acc.withColumn(m.name,
+        get_json_object(col(physical("metadata")), m.jsonPath).cast(m.dataType))
+    }
     val writer =
       if (partitionByDate)
         df.withColumn("date", to_date(col(physical("ts")))).write.partitionBy("date")
@@ -154,6 +181,14 @@ final class EventsTable(spark: SparkSession, dir: String,
     base + rdd.count()
   }
 }
+
+/** A typed metadata projection: JSON path `jsonPath` of the event
+  * metadata, materialized at write time as physical column `name` of
+  * `dataType` (rsql/eventstable.go's custom-field machinery extended
+  * to derived columns).
+  */
+final case class MetaColumn(name: String, jsonPath: String,
+    dataType: org.apache.spark.sql.types.DataType)
 
 /** String-foreign-id surface over the int64-physical EventsTable —
   * the exact mirror of the reference's typed wrapper

@@ -176,6 +176,31 @@ class SourcesSpec extends AnyFunSuite {
     assert(res.finalCursor === 29L)
   }
 
+  test("metaColumns materialize typed JSON projections at write; reads skip the parse") {
+    val dir = Files.createTempDirectory("graft-typedmeta").resolve("log").toString
+    val table = new EventsTable(spark, dir, metaColumns = Seq(
+      MetaColumn("meta_k", "$.k", org.apache.spark.sql.types.IntegerType),
+      MetaColumn("meta_tag", "$.tag", org.apache.spark.sql.types.StringType)))
+    import spark.implicits._
+    val batch = Seq(
+      ("click", 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0, """{"k": 7, "tag": "a"}"""),
+      ("click", 2L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 2.0, """{"k": 40}"""),
+      ("error", 3L, java.sql.Timestamp.valueOf("2024-01-01 00:02:00"), 3.0, "not json"))
+      .toDF("eventType", "foreignId", "ts", "value", "metadata")
+    table.insert(batch)
+
+    val df = table.log.df.orderBy("id")
+    // typed columns come straight off parquet — no json function in the plan
+    val filtered = df.filter(col("meta_k") === 40)
+    assert(!filtered.queryExecution.executedPlan.toString.contains("get_json_object"))
+    assert(filtered.select("foreignId").collect().map(_.getLong(0)).toSeq === Seq(2L))
+    val rows = df.select("meta_k", "meta_tag").collect()
+    assert(rows.map(r => Option(r.get(0))).toSeq === Seq(Some(7), Some(40), None))
+    assert(rows.map(r => Option(r.get(1))).toSeq === Seq(Some("a"), None, None))
+    // raw metadata is still stored untouched for the fallback path
+    assert(df.select("metadata").collect().map(_.getString(0)).last === "not json")
+  }
+
   test("forget on a date-partitioned log rewrites only the touched date partitions") {
     val dir = Files.createTempDirectory("graft-forget-part").resolve("log").toString
     val table = new EventsTable(spark, dir, partitionByDate = true)
