@@ -1668,12 +1668,20 @@ object TextOps {
       val c1 = c2.groupBy("h1").agg(sum("n2").as("n1"), count(lit(1)).as("d1"))
       val cts = c2.groupBy("h2").agg(count(lit(1)).as("ct"))
       val tt = c2.agg(count(lit(1)).as("tt"))
-      biK.join(c2, Seq("h1", "h2")).join(c1, Seq("h1")).join(cts, Seq("h2"))
+      // score DISTINCT bigrams first: c1/cts/tt fold onto the
+      // vocab²-bounded c2 frame, and the corpus-sized biK joins the
+      // scored model exactly once on the (h1, h2) key it was already
+      // shuffled on to build c2 — the previous chain re-shuffled the
+      // corpus-level frame on h1 and again on h2 just to attach
+      // model statistics a million-fold smaller
+      val scored = c2.join(c1, Seq("h1")).join(cts, Seq("h2"))
         .crossJoin(broadcast(tt))
         .withColumn("p",
           (col("n2").cast("double") - lit(0.75)) / col("n1").cast("double") +
             ((lit(0.75) * col("d1").cast("double")) / col("n1").cast("double")) *
               (col("ct").cast("double") / col("tt").cast("double")))
+        .select("h1", "h2", "p")
+      biK.join(scored, Seq("h1", "h2"))
         .groupBy("doc_id")
         .agg(sum("k").cast("long").as("n_bigrams"),
           round(sum(col("k").cast("double") * -log2(col("p"))) /
