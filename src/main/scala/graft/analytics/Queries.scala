@@ -518,10 +518,12 @@ object Queries {
       val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
         col("l_shipdate"))
       val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
-      val perSupp = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .groupBy("l_orderkey", "l_suppkey")
-        .agg(max(when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1L)
-          .otherwise(0L)).as("is_late"))
+      val perSupp = li.groupBy("l_orderkey", "l_suppkey")
+        .agg(max("l_shipdate").as("max_ship"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          when(col("max_ship") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1L)
+            .otherwise(0L).as("is_late"))
       perSupp.groupBy("l_orderkey")
         .agg(count(lit(1)).as("n_supp"),
           sum("is_late").as("n_late"),
