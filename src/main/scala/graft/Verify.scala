@@ -21,13 +21,20 @@ object Verify {
     .map { case (k, v) => s"${jsonQuote(k)}: ${jsonQuote(v)}" }.mkString("{", ",", "}")
 
   def main(args: Array[String]): Unit = {
-    val Array(sfDir, outDir) = args
+    // optional 3rd arg: comma-separated query filter (single-query
+    // re-verification without paying the full sweep)
+    val (sfDir, outDir, only) = args match {
+      case Array(a, b) => (a, b, None)
+      case Array(a, b, c, _*) => (a, b, Some(c.split(",").map(_.trim).toSet))
+    }
     // the engine's own session factory: identical conf (AQE, UTC,
     // nanos-as-long) AND the TopKPerKey rewrite — the gate must verify
     // the engine as shipped, optimizer rules included
     val spark = Graft.session("graft-verify")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.queries
+      .filter { case (name, _) => only.forall(_(name)) }
+      .foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

@@ -369,12 +369,17 @@ object Queries {
 
     // B19: CUBE over two dimensions.
     ("q_cube_status", (s: SparkSession, d: String) => {
+      // exact-int64-cents sum (SURVEY §6 money hygiene): the plain
+      // double sum flipped the grand-total row's 2dp half-boundary at
+      // sf1 (1.5 M addends, order-sensitive last-ulp drift)
       Tables.orders(s, d)
         .cube("o_orderstatus", "o_orderpriority")
-        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 2).as("tot"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(cents(col("o_totalprice"))) / 100.0, 2).as("tot"))
         .orderBy(col("o_orderstatus").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     }, Some("""
-      SELECT o_orderstatus, o_orderpriority, count(*) AS n, round(sum(o_totalprice), 2) AS tot
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS tot
       FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
       ORDER BY o_orderstatus ASC NULLS FIRST, o_orderpriority ASC NULLS FIRST""")),
 
