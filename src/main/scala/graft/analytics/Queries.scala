@@ -54,8 +54,10 @@ object Queries {
         .filter(col("l_shipdate") <= lit("1999-09-02").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
+          // l_quantity is integer-valued → double sum exact; prices
+          // are 2dp → exact-int64-cents (SURVEY §6 money hygiene)
           round(sum("l_quantity"), 2).as("sum_qty"),
-          round(sum("l_extendedprice"), 2).as("sum_base_price"),
+          round(sum(cents(col("l_extendedprice"))) / 100.0, 2).as("sum_base_price"),
           round(sum(cents(col("l_extendedprice")) * cents(lit(1) - col("l_discount"))) / 1e4, 2).as("sum_disc_price"),
           round(sum(cents(col("l_extendedprice")) * cents(lit(1) - col("l_discount")) * cents(lit(1) + col("l_tax"))) / 1e6, 2).as("sum_charge"),
           exactAvg(col("l_quantity"), 4).as("avg_qty"),
@@ -66,7 +68,7 @@ object Queries {
     }, Some("""
       SELECT l_returnflag, l_linestatus,
              round(sum(l_quantity), 2) AS sum_qty,
-             round(sum(l_extendedprice), 2) AS sum_base_price,
+             round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS sum_base_price,
              round(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT)) / 1e4, 2) AS sum_disc_price,
              round(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT) * CAST(round((1 + l_tax) * 100) AS BIGINT)) / 1e6, 2) AS sum_charge,
              round(sum(CAST(round(l_quantity * 100) AS BIGINT)) / (count(*) * 100.0), 4) AS avg_qty,
@@ -189,10 +191,11 @@ object Queries {
         .join(active, col("c_custkey") === col("o_custkey"), "left_anti")
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n_inactive"),
-             round(sum("c_acctbal"), 2).as("tot_acctbal"))
+             round(sum(cents(col("c_acctbal"))) / 100.0, 2).as("tot_acctbal"))
         .orderBy("c_mktsegment")
     }, Some("""
-      SELECT c_mktsegment, count(*) AS n_inactive, round(sum(c_acctbal), 2) AS tot_acctbal
+      SELECT c_mktsegment, count(*) AS n_inactive,
+             round(sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0, 2) AS tot_acctbal
       FROM customer
       WHERE NOT EXISTS (SELECT 1 FROM orders
                         WHERE o_custkey = c_custkey
@@ -222,17 +225,22 @@ object Queries {
     // B9: running total over bounded (monthly) dimension — window after
     // pre-aggregation so the unpartitioned frame is tiny, never the fact table.
     ("q_running_total", (s: SparkSession, d: String) => {
+      // monthly totals AND the running sum accumulate in exact int64
+      // cents; doubles appear only at the final 2dp presentation
       val monthly = Tables.orders(s, d)
         .groupBy(date_trunc("month", col("o_orderdate")).cast("date").as("month"))
-        .agg(round(sum("o_totalprice"), 2).as("month_rev"))
+        .agg(sum(cents(col("o_totalprice"))).as("month_c"))
       val w = Window.orderBy("month").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      monthly.withColumn("cum_rev", round(sum("month_rev").over(w), 2))
+      monthly.withColumn("cum_rev", round(sum("month_c").over(w) / 100.0, 2))
+        .withColumn("month_rev", round(col("month_c") / 100.0, 2))
+        .select("month", "month_rev", "cum_rev")
         .orderBy("month")
     }, Some("""
-      SELECT month, month_rev, round(sum(month_rev) OVER (ORDER BY month
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum_rev
+      SELECT month, round(month_c / 100.0, 2) AS month_rev,
+             round(sum(month_c) OVER (ORDER BY month
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0, 2) AS cum_rev
       FROM (SELECT CAST(date_trunc('month', o_orderdate) AS DATE) AS month,
-                   round(sum(o_totalprice), 2) AS month_rev
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS month_c
             FROM orders GROUP BY 1) t
       ORDER BY month""")),
 
@@ -584,7 +592,7 @@ object Queries {
     ("q_ntile_custspend", (s: SparkSession, d: String) => {
       val spend = Tables.orders(s, d)
         .groupBy("o_custkey")
-        .agg(round(sum("o_totalprice"), 2).as("spend"))
+        .agg(round(sum(cents(col("o_totalprice"))) / 100.0, 2).as("spend"))
         .withColumn("blk", floor(col("spend") / 1000.0).cast("long"))
       val local = Window.partitionBy("blk").orderBy(col("spend").desc, col("o_custkey").asc)
       val offW = Window.orderBy(col("blk").desc).rowsBetween(Window.unboundedPreceding, -1)
@@ -607,13 +615,15 @@ object Queries {
           .otherwise(col("r") + d4(col("rank") - col("cutoff") - 1L, col("small")) + 1L)
           .cast("int"))
       ranked.groupBy("quartile")
-        .agg(count(lit(1)).as("n_cust"), round(sum("spend"), 2).as("tot_spend"))
+        .agg(count(lit(1)).as("n_cust"),
+          round(sum(cents(col("spend"))) / 100.0, 2).as("tot_spend"))
         .orderBy("quartile")
     }, Some("""
-      SELECT CAST(quartile AS INTEGER) AS quartile, count(*) AS n_cust, round(sum(spend), 2) AS tot_spend
+      SELECT CAST(quartile AS INTEGER) AS quartile, count(*) AS n_cust,
+             round(sum(CAST(round(spend * 100) AS BIGINT)) / 100.0, 2) AS tot_spend
       FROM (SELECT o_custkey, spend,
                    ntile(4) OVER (ORDER BY spend DESC, o_custkey ASC) AS quartile
-            FROM (SELECT o_custkey, round(sum(o_totalprice), 2) AS spend
+            FROM (SELECT o_custkey, round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0, 2) AS spend
                   FROM orders GROUP BY o_custkey) sp) t
       GROUP BY quartile ORDER BY quartile""")),
 

@@ -186,11 +186,16 @@ object EventOps {
     ("ev_filter_combined", (s: SparkSession, d: String) => {
       val f = (EventFilter.ofType("click") || EventFilter.Raw(col("value") > 150)) &&
         EventFilter.Raw(col("foreignId") % 2 === 0)
+      // exact 1e6-grain int64 value sum (the money-hygiene pattern at
+      // the event values' precision): a raw double sum is summation-
+      // order sensitive and can flip the 2dp rounding at scale
       log(s, d).where(f).df
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_val"),
+        .agg(count(lit(1)).as("n"),
+             round(sum(round(col("value") * 1e6).cast("long")) / 1e6, 2).as("sum_val"),
              min("id").as("min_id"), max("id").as("max_id"))
     }, Some("""
-      SELECT count(*) AS n, round(sum(value), 2) AS sum_val,
+      SELECT count(*) AS n,
+             round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0, 2) AS sum_val,
              min(event_id) AS min_id, max(event_id) AS max_id
       FROM events
       WHERE (event_type = 'click' OR value > 150) AND user_id % 2 = 0""")),
@@ -290,11 +295,13 @@ object EventOps {
       Event.project(ev(s, d))
         .groupBy(date_trunc("day", col("ts")).cast("date").as("day"),
           col("eventType").as("etype"))
-        .agg(count(lit(1)).as("n"), round(sum("value"), 2).as("sum_val"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(round(col("value") * 1e6).cast("long")) / 1e6, 2).as("sum_val"))
         .orderBy("day", "etype")
     }, Some("""
       SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type AS etype,
-             count(*) AS n, round(sum(value), 2) AS sum_val
+             count(*) AS n,
+             round(sum(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0, 2) AS sum_val
       FROM events GROUP BY 1, 2 ORDER BY day, etype""")),
 
     // A23b: sliding-window aggregation (1-day windows every 12h) —
