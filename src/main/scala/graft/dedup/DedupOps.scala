@@ -292,6 +292,30 @@ object DedupOps {
       .distinct()
   }
 
+  /** MOSS overlap candidates over the winnowed sketch (C57b): doc
+    * pairs sharing ≥ `minShared` selected winnow fingerprints, with
+    * the same capped-collect mega-bucket guard as the minhash tier.
+    * Selection orders on the full md5 (oracle parity); the join key
+    * narrows to the first 60 bits before the shuffle — 8 B/fp instead
+    * of a 32-char string, exact up to the hash-space collision odds
+    * the gram kernels license. Returns (a, b, n_shared).
+    */
+  def winnowCandidatePairs(s: SparkSession, documents: DataFrame,
+      maxBucket: Int = 50, minShared: Long = 2): DataFrame = {
+    graft.functions.GraftFunctions.register(s)
+    TextOps.winnowFingerprints(s, documents, 20, 8)
+      .toDF("doc_id", "fp")
+      .select(col("doc_id"),
+        conv(substring(col("fp"), 1, 15), 16, 10).cast("long").as("fp"))
+      .groupBy("fp")
+      .agg(expr(s"collect_capped(doc_id, $maxBucket)").as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+      .select(explode(sortedPairs(array_sort(col("ids")))).as("p"))
+      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Verified near-dup candidate pairs with exact Jaccard, via
     * banded MinHash LSH (reusable DataFrame API; the dd_minhash_lsh
     * query entry is this over the documents table).
@@ -760,7 +784,118 @@ object DedupOps {
       SELECT e.doc_id, CAST(len(e.t) AS BIGINT) AS n_tokens,
              coalesce(p.n_removed, 0) AS n_removed
       FROM eligible e LEFT JOIN per_doc p USING (doc_id)
-      ORDER BY doc_id"""))
+      ORDER BY doc_id""")),
+
+    // C57b: MOSS-style overlap candidates over the winnowed sketch —
+    // document pairs sharing ≥2 selected winnow fingerprints (k=20,
+    // w=8 ⇒ any shared run ≥27 chars is guaranteed at least one
+    // shared fingerprint; ≥2 filters single-gram coincidences). The
+    // corpus shuffles only its ~2/(w+1)-density fingerprint sketch,
+    // never positions or text; the bucket group runs through the same
+    // capped-collect + in-row i<j pair explosion as the minhash tier
+    // (collect_capped overflows to cap+1, so the BETWEEN 2 AND 50
+    // guard matches the oracle's exact per-fingerprint doc count).
+    ("dd_winnow_pairs", (s: SparkSession, d: String) => {
+      winnowCandidatePairs(s, docs(s, d)).orderBy("a", "b")
+    }, Some("""
+      WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nrm
+        FROM documents),
+      pos AS (
+        SELECT doc_id, i - 1 AS p, md5(substr(nrm, i, 20)) AS h,
+               length(nrm) - 19 AS npos
+        FROM norm, unnest(generate_series(1, length(nrm) - 19)) AS t(i)
+        WHERE length(nrm) >= 27),
+      keyed AS (
+        SELECT doc_id, p, npos,
+               min(h || '-' || lpad(CAST(p AS VARCHAR), 10, '0'))
+                 OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin
+        FROM pos),
+      fp AS (
+        SELECT DISTINCT doc_id, substr(wmin, 1, 32) AS fp
+        FROM keyed WHERE p <= npos - 8),
+      ok AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) BETWEEN 2 AND 50),
+      pairs AS (
+        SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_shared
+        FROM fp a JOIN ok USING (fp) JOIN fp b USING (fp)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2)
+      SELECT a, b, CAST(n_shared AS BIGINT) AS n_shared
+      FROM pairs WHERE n_shared >= 2 ORDER BY a, b""")),
+
+    // C59: containment verification (Broder 1997, "On the resemblance
+    // and containment of documents") — for each winnow candidate pair,
+    // the EXACT asymmetric containment C(A,B) = |grams(A) ∩ grams(B)|
+    // / |grams(A)| over distinct char-20-gram sets: the doc-inside-doc
+    // signal resemblance/Jaccard misses (a tweet quoted whole inside
+    // an article has low J but C≈1). Pipeline shape: the sparse
+    // winnow sketch finds candidates (C57b), then gram sets are built
+    // ONLY for candidate docs (semi-join against the pair id list) —
+    // at corpus scale the exact verify touches |candidates| docs, not
+    // the corpus. Ratios in exact int64 (the ratio4 grain).
+    ("dd_containment", (s: SparkSession, d: String) => {
+      val pairs = winnowCandidatePairs(s, docs(s, d)).select("a", "b")
+      val candIds = pairs.select(col("a").as("doc_id"))
+        .union(pairs.select(col("b").as("doc_id"))).distinct()
+      val grams = TextOps.gramHashes(s,
+          docs(s, d).join(broadcast(candIds), "doc_id"), 20)
+        .toDF("doc_id", "gh")
+      val sizes = grams.groupBy("doc_id").agg(count(lit(1)).as("n"))
+      pairs
+        .join(grams.toDF("a", "gh"), "a")
+        .join(grams.toDF("b", "gh"), Seq("b", "gh"))
+        .groupBy("a", "b").agg(count(lit(1)).as("n_inter"))
+        .join(sizes.toDF("a", "na"), "a")
+        .join(sizes.toDF("b", "nb"), "b")
+        .select(col("a"), col("b"), col("n_inter"),
+          TextOps.ratio4(col("n_inter"), col("na")).as("c_ab4"),
+          TextOps.ratio4(col("n_inter"), col("nb")).as("c_ba4"))
+        .orderBy("a", "b")
+    }, Some("""
+      WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nrm
+        FROM documents),
+      pos AS (
+        SELECT doc_id, i - 1 AS p, md5(substr(nrm, i, 20)) AS h,
+               length(nrm) - 19 AS npos
+        FROM norm, unnest(generate_series(1, length(nrm) - 19)) AS t(i)
+        WHERE length(nrm) >= 27),
+      keyed AS (
+        SELECT doc_id, p, npos,
+               min(h || '-' || lpad(CAST(p AS VARCHAR), 10, '0'))
+                 OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin
+        FROM pos),
+      fp AS (
+        SELECT DISTINCT doc_id, substr(wmin, 1, 32) AS fp
+        FROM keyed WHERE p <= npos - 8),
+      ok AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) BETWEEN 2 AND 50),
+      pairs AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM fp a JOIN ok USING (fp) JOIN fp b USING (fp)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      grams AS (
+        SELECT DISTINCT doc_id, substr(nrm, i, 20) AS g
+        FROM norm, unnest(generate_series(1, greatest(length(nrm) - 19, 0))) AS t(i)
+        WHERE doc_id IN (SELECT a FROM pairs UNION SELECT b FROM pairs)),
+      sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n FROM grams GROUP BY 1),
+      inter AS (
+        SELECT p.a, p.b, CAST(count(*) AS BIGINT) AS n_inter
+        FROM pairs p
+        JOIN grams ga ON ga.doc_id = p.a
+        JOIN grams gb ON gb.doc_id = p.b AND gb.g = ga.g
+        GROUP BY 1, 2)
+      SELECT i.a, i.b, i.n_inter,
+             ((20000 * i.n_inter + sa.n) // (2 * sa.n)) / 10000.0 AS c_ab4,
+             ((20000 * i.n_inter + sb.n) // (2 * sb.n)) / 10000.0 AS c_ba4
+      FROM inter i
+      JOIN sizes sa ON sa.doc_id = i.a
+      JOIN sizes sb ON sb.doc_id = i.b
+      ORDER BY i.a, i.b"""))
     // C5 (dd_embed_neardup) lives in AnnOps — it shares the
     // broadcast-probe cosine kernel with ann_bruteforce.
   )

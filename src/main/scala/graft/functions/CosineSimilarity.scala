@@ -88,6 +88,32 @@ object GraftFunctions {
       s"jaccard_sorted expects 2 arguments, got ${other.size}")
   }
 
+  /** Spark's native runtime-filter Bloom expressions, surfaced as SQL
+    * functions (they ship in catalyst for join runtime filters but are
+    * not in the public registry): `bloom_filter_agg(longCol[, nItems
+    * [, nBits]])` builds a Bloom filter binary, `might_contain(bloom,
+    * longCol)` probes it. The bloom argument must be a constant or a
+    * scalar subquery (the expression's own contract) — exactly the
+    * broadcast-scalar shape the C58 decontamination pipeline uses.
+    */
+  val bloomAggBuilder: Seq[Expression] => Expression = {
+    case Seq(c) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c)
+    case Seq(c, n) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n)
+    case Seq(c, n, m) =>
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(c, n, m)
+    case other => throw new IllegalArgumentException(
+      s"bloom_filter_agg expects 1-3 arguments, got ${other.size}")
+  }
+
+  val mightContainBuilder: Seq[Expression] => Expression = {
+    case Seq(b, v) =>
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(b, v)
+    case other => throw new IllegalArgumentException(
+      s"might_contain expects 2 arguments, got ${other.size}")
+  }
+
   /** Imperative registration for sessions not built with the
     * extensions config.
     */
@@ -106,6 +132,10 @@ object GraftFunctions {
       "collect_capped", CollectLongCapped.builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "collect_capped2", CollectLongPairCapped.builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "bloom_filter_agg", bloomAggBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "might_contain", mightContainBuilder, "built-in")
   }
 }
 
@@ -134,6 +164,18 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("collect_capped"),
       new ExpressionInfo(classOf[CollectLongCapped].getName, "collect_capped"),
       CollectLongCapped.builder))
+    ext.injectFunction((
+      FunctionIdentifier("bloom_filter_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "bloom_filter_agg"),
+      GraftFunctions.bloomAggBuilder))
+    ext.injectFunction((
+      FunctionIdentifier("might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "might_contain"),
+      GraftFunctions.mightContainBuilder))
     ext.injectPlannerStrategy(_ => graft.plans.TopKPerKeyStrategy)
     ext.injectOptimizerRule(_ => graft.plans.RankFilterToTopK)
   }

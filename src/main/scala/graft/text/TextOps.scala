@@ -315,6 +315,67 @@ object TextOps {
   def fpBucket(fp: Column, nBuckets: Int): Column =
     conv(substring(fp, 1, 8), 16, 10).cast("bigint") % nBuckets
 
+  /** Winnowing (Schleimer–Wilkerson–Aiken, SIGMOD 2003): select, per
+    * full window of `w` consecutive char-`k`-gram hashes, the minimal
+    * (hash, pos) pair — ties break to the LEFTMOST position, so the
+    * selection is a pure function of the text. Guarantee: any shared
+    * substring of length ≥ k + w − 1 between two documents yields at
+    * least one shared selected fingerprint (the MOSS property).
+    * Hashes are md5 hex so an independent SQL engine reproduces the
+    * selection bit-for-bit. Returns (npos, selectedPositions, hashes);
+    * empty selection when the normalized text has fewer than `w` full
+    * windows (len < k + w − 1). Doc-local — callers run it inside a
+    * per-partition pass, so winnowing adds ZERO shuffle at any scale.
+    */
+  def winnowDoc(nrm: String, k: Int, w: Int): (Int, Array[Int], Array[String]) = {
+    val len = if (nrm == null) 0 else nrm.length
+    val npos = len - k + 1
+    if (npos < w) return (math.max(npos, 0), Array.empty, Array.empty)
+    val hashes = new Array[String](npos)
+    var i = 0
+    while (i < npos) {
+      hashes(i) = graft.util.Hashing.md5Hex(nrm.substring(i, i + k))
+      i += 1
+    }
+    val sel = new java.util.LinkedHashSet[Integer]()
+    var j = 0
+    while (j <= npos - w) {
+      var best = j
+      var t = j + 1
+      while (t < j + w) {
+        if (hashes(t).compareTo(hashes(best)) < 0) best = t
+        t += 1
+      }
+      sel.add(best)
+      j += 1
+    }
+    val arr = new Array[Int](sel.size)
+    val it = sel.iterator()
+    var n = 0
+    while (it.hasNext) { arr(n) = it.next().intValue(); n += 1 }
+    (npos, arr, hashes)
+  }
+
+  /** Distinct selected winnow fingerprints per doc: (doc_id, fp) rows
+    * from one typed per-partition pass over the corpus — the sparse
+    * document sketch MOSS-style overlap detection joins on. ~2/(w+1)
+    * of positions survive selection, so the downstream shuffle carries
+    * a constant fraction of the corpus independent of document size.
+    */
+  def winnowFingerprints(s: SparkSession, df: DataFrame, k: Int = 20,
+      w: Int = 8): org.apache.spark.sql.Dataset[(Long, String)] = {
+    import s.implicits._
+    df.select(col("doc_id"), normalize(col("text")).as("nrm"))
+      .as[(Long, String)]
+      .flatMap { case (id, nrm) =>
+        val (_, sel, hashes) = winnowDoc(nrm, k, w)
+        val set = new java.util.LinkedHashSet[String]()
+        sel.foreach(p => set.add(hashes(p)))
+        scala.jdk.CollectionConverters.IteratorHasAsScala(set.iterator())
+          .asScala.map(fp => (id, fp))
+      }
+  }
+
   val entries: Seq[(String, QFn, Option[String])] = Seq(
 
     // C29: corpus-mix report ("corpus card") — the per-(source, lang)
@@ -1712,6 +1773,97 @@ object TextOps {
         FROM bc JOIN c2 USING (t1, t2) JOIN c1 USING (t1) JOIN cts USING (t2), tt)
       SELECT doc_id, CAST(sum(k) AS BIGINT) AS n_bigrams,
              round(sum(CAST(k AS DOUBLE) * -log2(p)) / sum(CAST(k AS DOUBLE)), 4) AS kn_xent
-      FROM p GROUP BY doc_id ORDER BY doc_id"""))
+      FROM p GROUP BY doc_id ORDER BY doc_id""")),
+
+    // C57: winnowing fingerprint selection (Schleimer et al., MOSS) —
+    // per doc: positions, selected fingerprints (distinct positions /
+    // distinct hashes) and selection density under k=20, w=8 (detects
+    // any shared substring ≥ 27 chars). The whole selection is
+    // doc-local, so the Spark side is ONE typed per-partition pass —
+    // no explode, no window shuffle; only the 4-int result row per doc
+    // leaves the scan. Density ≈ 2/(w+1) by the winnowing theorem, and
+    // the recorded density4 lets a corpus card sanity-check the sketch
+    // size before anyone joins on it. The oracle replays the identical
+    // selection relationally (md5 keys + lpad'd position tie-break,
+    // window min over full windows only).
+    ("tx_winnow", (s: SparkSession, d: String) => {
+      import s.implicits._
+      docs(s, d).select(col("doc_id"), normalize(col("text")).as("nrm"))
+        .as[(Long, String)]
+        .flatMap { case (id, nrm) =>
+          val (npos, sel, hashes) = winnowDoc(nrm, 20, 8)
+          if (sel.isEmpty) Iterator.empty
+          else {
+            val fps = new java.util.HashSet[String]()
+            sel.foreach(p => fps.add(hashes(p)))
+            Iterator.single((id, npos.toLong, sel.length.toLong, fps.size.toLong))
+          }
+        }
+        .toDF("doc_id", "n_pos", "n_sel", "n_fp")
+        .withColumn("density4", ratio4(col("n_sel"), col("n_pos")))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nrm
+        FROM documents),
+      pos AS (
+        SELECT doc_id, i - 1 AS p, md5(substr(nrm, i, 20)) AS h,
+               length(nrm) - 19 AS npos
+        FROM norm, unnest(generate_series(1, length(nrm) - 19)) AS t(i)
+        WHERE length(nrm) >= 27),
+      keyed AS (
+        SELECT doc_id, p, npos,
+               min(h || '-' || lpad(CAST(p AS VARCHAR), 10, '0'))
+                 OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin
+        FROM pos),
+      sel AS (SELECT doc_id, npos, wmin FROM keyed WHERE p <= npos - 8)
+      SELECT doc_id, CAST(max(npos) AS BIGINT) AS n_pos,
+             CAST(count(DISTINCT wmin) AS BIGINT) AS n_sel,
+             CAST(count(DISTINCT substr(wmin, 1, 32)) AS BIGINT) AS n_fp,
+             ((20000 * count(DISTINCT wmin) + max(npos)) // (2 * max(npos))) / 10000.0 AS density4
+      FROM sel GROUP BY doc_id ORDER BY doc_id""")),
+
+    // C58: Bloom-filter decontamination — the 100 TB form of C22.
+    // C22 broadcasts the benchmark gram set as an exact hash relation;
+    // at a real benchmark-suite scale (10⁹ grams) that relation is too
+    // big for a broadcast hash join, but its Bloom filter is ~1 bit
+    // per gram ⇒ megabytes. Shape: one bloom_filter_agg scalar
+    // subquery over the benchmark grams (Spark's native
+    // BloomFilterAggregate, registered through GraftExtensions),
+    // might_contain prunes the corpus gram stream IN THE SCAN STAGE
+    // (no shuffle, no join for the ~never-matching majority), and only
+    // bloom-positive survivors enter the exact verify join that
+    // removes false positives. The final answer is EXACT — the bloom
+    // is pure pruning — so the oracle is the same relational
+    // decontamination count as C22.
+    ("tx_bloom_decontaminate", (s: SparkSession, d: String) => {
+      graft.functions.GraftFunctions.register(s)
+      val src = docs(s, d)
+      val bench = gramHashes(s, src.filter(col("doc_id") < 10), 30)
+        .toDF("bid", "gh").select("gh").distinct()
+      bench.createOrReplaceTempView("graft_bench_grams")
+      gramHashes(s, src.filter(col("doc_id") >= 10), 30).toDF("doc_id", "gh")
+        .where(expr(
+          "might_contain((SELECT bloom_filter_agg(gh) FROM graft_bench_grams), gh)"))
+        .join(broadcast(bench), "gh")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shared_grams"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nrm
+        FROM documents),
+      grams AS (
+        SELECT doc_id, substr(nrm, i, 30) AS g
+        FROM norm, unnest(generate_series(1, greatest(length(nrm) - 29, 1))) AS t(i)
+        WHERE length(substr(nrm, i, 30)) = 30),
+      bench AS (SELECT DISTINCT g FROM grams WHERE doc_id < 10)
+      SELECT doc_id, count(DISTINCT grams.g) AS n_shared_grams
+      FROM grams JOIN bench ON grams.g = bench.g
+      WHERE doc_id >= 10
+      GROUP BY doc_id ORDER BY doc_id"""))
   )
 }

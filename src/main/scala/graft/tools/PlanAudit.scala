@@ -16,7 +16,8 @@ object PlanAudit {
       "ann_range", "q9_product_profit", "q11_important_parts",
       "q16_part_suppliers", "q20_surplus_suppliers",
       "dd_simhash", "tx_ngram_profile", "tx_token_shards", "tx_kn_surprisal",
-      "ev_filter_meta_typed", "q21_waiting_supplier", "q_running_total").foreach { q =>
+      "ev_filter_meta_typed", "q21_waiting_supplier", "q_running_total",
+      "tx_winnow", "dd_winnow_pairs", "tx_bloom_decontaminate").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sfDir)
       df.collect() // materialize THIS frame so AQE reports the FINAL plan (a count() would plan separately)
       val plan = df.queryExecution.executedPlan.toString
