@@ -133,6 +133,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "collect_capped2", CollectLongPairCapped.builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "intersect_sorted_count", IntersectSortedCount.builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_filter_agg", bloomAggBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "might_contain", mightContainBuilder, "built-in")
@@ -164,6 +166,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("collect_capped"),
       new ExpressionInfo(classOf[CollectLongCapped].getName, "collect_capped"),
       CollectLongCapped.builder))
+    ext.injectFunction((
+      FunctionIdentifier("intersect_sorted_count"),
+      new ExpressionInfo(classOf[IntersectSortedCount].getName, "intersect_sorted_count"),
+      IntersectSortedCount.builder))
     ext.injectFunction((
       FunctionIdentifier("bloom_filter_agg"),
       new ExpressionInfo(

@@ -49,7 +49,9 @@ object ScaleStress {
       "tx_seqpack", "ann_quantize", "tx_quality_buckets", "ev_rate_spike",
       "dd_cdc_chunks", "ann_pq", "ann_pq_adc", "pipeline_pretrain_mix", "ann_ivf_pq", "tx_ngram_novelty",
       "dd_span_dedup", "dd_span_trim", "ann_range",
-      "tx_temperature_mix", "tx_contam_leakage", "tx_kn_surprisal")
+      "tx_temperature_mix", "tx_contam_leakage", "tx_kn_surprisal",
+      "tx_winnow", "dd_winnow_pairs", "dd_containment",
+      "tx_bloom_decontaminate")
     // SPARK_GRAFT_STRESS_QUERIES=a,b,c restricts the sweep — the deep
     // (100x) stress targets only the scale-critical tier, where a full
     // sweep would spend most wall on already-proved cheap operators
