@@ -1864,6 +1864,62 @@ object TextOps {
       SELECT doc_id, count(DISTINCT grams.g) AS n_shared_grams
       FROM grams JOIN bench ON grams.g = bench.g
       WHERE doc_id >= 10
-      GROUP BY doc_id ORDER BY doc_id"""))
+      GROUP BY doc_id ORDER BY doc_id""")),
+
+    // C60: linear text scorer, fastText-shaped inference (Joulin et
+    // al. 2016 serving shape): a top-V vocabulary weight table
+    // broadcast against the per-doc term frame, hashing-trick weights
+    // for OOV terms (Weinberger et al. 2009), per-doc mean score +
+    // OOV exposure. Weights are deterministic md5 stubs — there is no
+    // trainer in-container — but the SERVING plumbing is the real
+    // thing: model rows broadcast (a 100 TB corpus never shuffles for
+    // the model), OOV costs no join at all, and the score is one
+    // partial-agged pass over the distinct (doc, term) frame. Sums in
+    // exact int64 (weights are ints in [-10⁴, 10⁴]); ONE double
+    // division at the end.
+    ("tx_linear_score", (s: SparkSession, d: String) => {
+      def stubW(t: Column, salt: String): Column =
+        (conv(substring(md5(if (salt.isEmpty) t else concat(t, lit(salt))), 1, 8), 16, 10)
+          .cast("long") % 20001L) - 10000L
+      val dtf = docTermCounts(s, d)
+        .filter(length(col("term")) >= 1)
+        .select(col("doc_id"), col("term"), col("tf"))
+      val vocab = dtf.groupBy("term").agg(sum("tf").as("n"))
+        .orderBy(col("n").desc, col("term").asc)
+        .limit(256)
+        .select(col("term"), stubW(col("term"), "#v").as("wv"))
+      dtf.join(broadcast(vocab), Seq("term"), "left")
+        .select(col("doc_id"), col("tf"),
+          coalesce(col("wv"), stubW(col("term"), "")).as("w"),
+          when(col("wv").isNull, col("tf")).otherwise(0L).as("oov"))
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n_toks"),
+          sum("oov").cast("long").as("n_oov"),
+          round(sum(col("tf") * col("w")).cast("double") /
+            (lit(10000.0) * sum(col("tf")).cast("double")), 4).as("score4"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH c AS (
+        SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nrm
+        FROM documents),
+      t AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(string_split(nrm, ' ')) AS tok FROM c)
+        WHERE length(tok) >= 1
+        GROUP BY doc_id, tok),
+      tot AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS n FROM t GROUP BY tok),
+      vocab AS (
+        SELECT tok,
+               CAST('0x' || substr(md5(tok || '#v'), 1, 8) AS BIGINT) % 20001 - 10000 AS wv
+        FROM tot ORDER BY n DESC, tok LIMIT 256),
+      sc AS (
+        SELECT t.doc_id, t.tf,
+               coalesce(v.wv, CAST('0x' || substr(md5(t.tok), 1, 8) AS BIGINT) % 20001 - 10000) AS w,
+               CASE WHEN v.tok IS NULL THEN t.tf ELSE 0 END AS oov
+        FROM t LEFT JOIN vocab v ON v.tok = t.tok)
+      SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
+             CAST(sum(oov) AS BIGINT) AS n_oov,
+             round(CAST(sum(tf * w) AS DOUBLE) / (10000.0 * CAST(sum(tf) AS DOUBLE)), 4) AS score4
+      FROM sc GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
