@@ -78,6 +78,17 @@ class WinnowSpec extends AnyFunSuite {
     }
   }
 
+  test("winnowFingerprints normalizes like the column pipeline (punct/case/whitespace)") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val raw = "The QUICK,   brown FOX!!  jumps --- over the lazy dog; " +
+      "pack my box with FIVE dozen liquor jugs?? and again the quick brown fox."
+    val got = TextOps.winnowFingerprints(spark, Seq((1L, raw)).toDF("doc_id", "text"), K, W)
+      .collect().map(_._2).toSet
+    val (_, sel, hs) = TextOps.winnowDoc(TextOps.normalizeLocal(raw), K, W)
+    assert(got == sel.map(hs).toSet && got.nonEmpty)
+  }
+
   test("winnowFingerprints emits distinct (doc, fp) rows matching the kernel") {
     val spark = graft.TestSpark.spark
     import spark.implicits._
