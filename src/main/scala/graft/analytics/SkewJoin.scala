@@ -17,7 +17,7 @@ object SkewJoin {
 
   def saltedInner(big: DataFrame, small: DataFrame, key: String, salt: Int): DataFrame = {
     val bigS = big.withColumn("_salt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(salt.toLong)))
+      pmod(xxhash64(big.columns.toIndexedSeq.map(col): _*), lit(salt.toLong)))
     val smallS = small.withColumn("_salt",
       explode(sequence(lit(0L), lit(salt.toLong - 1))))
     bigS.join(smallS, Seq(key, "_salt")).drop("_salt")

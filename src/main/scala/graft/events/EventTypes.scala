@@ -8,7 +8,7 @@ import org.apache.spark.sql.functions.col
   * IsAnyType; api.go eventType).
   *
   * The log stores the string form (portable across engines and the
-  * oracle); the typed layer gives consumers compile-time-safe enum
+  * oracle); the typed layer gives consumers compile-time-safe `enum`
   * handling plus the reference's int-code contract.
   */
 trait EventType extends Serializable {
@@ -31,7 +31,7 @@ object EventType {
   def ofType(t: EventType): EventFilter = EventFilter.ofType(t.name)
   def ofAnyType(ts: EventType*): EventFilter = EventFilter.ofAnyType(ts.map(_.name): _*)
 
-  /** The synthetic log's enum (driver test data). */
+  /** The synthetic log's `enum` (driver test data). */
   object Known {
     val Click: EventType = Of(1, "click")
     val Signup: EventType = Of(2, "signup")
@@ -42,11 +42,11 @@ object EventType {
     val all: Seq[EventType] = Seq(Noop, Click, Signup, View, Purchase, Error)
   }
 
-  /** Map a string column to the enum's int codes (for compact storage
+  /** Map a string column to the `enum`'s int codes (for compact storage
     * or cross-service protobuf-style transport).
     */
-  def codeColumn(c: Column, enum: Seq[EventType] = Known.all): Column =
-    enum.foldLeft(org.apache.spark.sql.functions.lit(-1)) { (acc, t) =>
+  def codeColumn(c: Column, `enum`: Seq[EventType] = Known.all): Column =
+    `enum`.foldLeft(org.apache.spark.sql.functions.lit(-1)) { (acc, t) =>
       org.apache.spark.sql.functions.when(c === t.name, t.code).otherwise(acc)
     }
 }

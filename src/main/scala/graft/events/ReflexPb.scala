@@ -43,8 +43,8 @@ object ReflexPb {
     */
   def encodeEvent(id: Long, eventType: String, foreignId: Long, tsMs: Long,
       value: Double, metadata: String, trace: Array[Byte] = null,
-      enum: Seq[EventType] = EventType.Known.all): Array[Byte] = {
-    val code = enum.find(_.name == eventType).map(_.code).getOrElse(-1)
+      `enum`: Seq[EventType] = EventType.Known.all): Array[Byte] = {
+    val code = `enum`.find(_.name == eventType).map(_.code).getOrElse(-1)
     val w = new Writer(64)
     // proto3 emits non-default scalars only; field order = field number
     if (code != 0) w.int(3, code.toLong)
@@ -68,7 +68,7 @@ object ReflexPb {
     * EventsTableStr). Unknown fields (incl. reserved 1/2) skip.
     */
   def decodeEvent(bytes: Array[Byte],
-      enum: Seq[EventType] = EventType.Known.all): Option[PbEvent] = {
+      `enum`: Seq[EventType] = EventType.Known.all): Option[PbEvent] = {
     val r = new Reader(bytes)
     var code = 0; var tsMs = 0L; var fid = ""; var id = ""
     var meta = ""; var trace: Array[Byte] = null; var value = 0.0
@@ -93,7 +93,7 @@ object ReflexPb {
       case _ => r.skip()
     }
     if (!r.valid) return None
-    val name = enum.find(_.code == code).map(_.name).getOrElse(code.toString)
+    val name = `enum`.find(_.code == code).map(_.name).getOrElse(code.toString)
     for {
       idL <- id.toLongOption
       fidL <- fid.toLongOption
@@ -161,6 +161,6 @@ object ReflexPb {
 
   /** Read the next event frame (the client's Recv); None at EOF. */
   def readEventFrom(in: java.io.InputStream,
-      enum: Seq[EventType] = EventType.Known.all): Option[PbEvent] =
-    ProtoWire.readDelimited(in).flatMap(decodeEvent(_, enum))
+      `enum`: Seq[EventType] = EventType.Known.all): Option[PbEvent] =
+    ProtoWire.readDelimited(in).flatMap(decodeEvent(_, `enum`))
 }

@@ -119,7 +119,7 @@ final class StateTable(spark: SparkSession, dir: String, nBuckets: Int = 64) {
     val touched: Seq[Int] =
       if (deleteNotMatchedBySource && exists)
         read.select("state_bucket").distinct().collect().map(_.getInt(0)).toSeq
-          .union(reduced.select("state_bucket").distinct().collect().map(_.getInt(0)).toSeq)
+          .concat(reduced.select("state_bucket").distinct().collect().map(_.getInt(0)).toSeq)
           .distinct.sorted
       else reduced.select("state_bucket").distinct()
         .collect().map(_.getInt(0)).toSeq.sorted

@@ -263,7 +263,7 @@ object TextOps {
         it.flatMap { case (id, source, nullableText) =>
           val text = if (nullableText == null) "" else nullableText
           val toks = tokenize(text)
-          val m = new java.util.HashMap[String, Long]()
+          val m = new java.util.HashMap[String, java.lang.Long]()
           var i = 0
           while (i < toks.length) {
             val c = m.get(toks(i))
