@@ -1895,8 +1895,15 @@ object TextOps {
         .groupBy("doc_id")
         .agg(sum("tf").as("n_toks"),
           sum("oov").cast("long").as("n_oov"),
-          round(sum(col("tf") * col("w")).cast("double") /
-            (lit(10000.0) * sum(col("tf")).cast("double")), 4).as("score4"))
+          sum(col("tf") * col("w")).cast("long").as("num"))
+        // score = num / (10⁴·n) rounded half-away-from-zero to 4dp,
+        // ENTIRELY in int64 (round(double,4) flipped a boundary at
+        // sf1 — the multiply-then-round vs BigDecimal paths disagree
+        // on quotients near the 5·10⁻⁵ grid)
+        .select(col("doc_id"), col("n_toks"), col("n_oov"),
+          (signum(col("num")).cast("long") *
+            call_function("div", abs(col("num")) * 2L + col("n_toks"),
+              col("n_toks") * 2L)).cast("double")./(10000.0).as("score4"))
         .orderBy("doc_id")
     }, Some("""
       WITH c AS (
@@ -1919,7 +1926,8 @@ object TextOps {
         FROM t LEFT JOIN vocab v ON v.tok = t.tok)
       SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n_toks,
              CAST(sum(oov) AS BIGINT) AS n_oov,
-             round(CAST(sum(tf * w) AS DOUBLE) / (10000.0 * CAST(sum(tf) AS DOUBLE)), 4) AS score4
+             (CASE WHEN sum(tf * w) < 0 THEN -1 ELSE 1 END *
+              ((2 * abs(CAST(sum(tf * w) AS BIGINT)) + sum(tf)) // (2 * sum(tf)))) / 10000.0 AS score4
       FROM sc GROUP BY doc_id ORDER BY doc_id"""))
   )
 }
