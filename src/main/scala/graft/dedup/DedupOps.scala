@@ -273,24 +273,26 @@ object DedupOps {
       transform(slice(ids, i + lit(2), size(ids)), y =>
         struct(x.as("a"), y.as("b")))))
 
-  /** Candidate pairs via banded bucket grouping with a mega-bucket
-    * guard. One shuffle: group members collect through the capped
-    * native aggregate (O(maxBucket) buffer per group even on a
-    * pathological bucket key — see CollectLongCapped), oversized
-    * buckets drop at the size guard, and the i<j member pairs explode
-    * map-side from the sorted array. The previous window-count +
-    * bucket-self-join form paid a window materialization plus a join
-    * for the same answer.
+  /** The shared mega-bucket-guarded pair explosion: group `doc_id` by
+    * `keys`, collect members through the capped native aggregate
+    * (O(cap) buffer per group; overflow collects cap+1 so the BETWEEN
+    * guard rejects oversized buckets EXACTLY like a true count
+    * would), and explode the i<j member pairs map-side from the
+    * sorted array. One row per (bucket, pair) — callers dedup
+    * (banded LSH) or count multiplicity (winnow overlap) on top.
     */
-  def bandedCandidates(banded: DataFrame, maxBucket: Int): DataFrame = {
-    graft.functions.GraftFunctions.register(banded.sparkSession)
-    banded.groupBy("band", "bh")
+  private def cappedBucketPairs(grouped: DataFrame, keys: Seq[String],
+      maxBucket: Int): DataFrame = {
+    graft.functions.GraftFunctions.register(grouped.sparkSession)
+    grouped.groupBy(keys.map(col): _*)
       .agg(expr(s"collect_capped(doc_id, $maxBucket)").as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
       .select(explode(sortedPairs(array_sort(col("ids")))).as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
-      .distinct()
   }
+
+  def bandedCandidates(banded: DataFrame, maxBucket: Int): DataFrame =
+    cappedBucketPairs(banded, Seq("band", "bh"), maxBucket).distinct()
 
   /** MOSS overlap candidates over the winnowed sketch (C57b): doc
     * pairs sharing ≥ `minShared` selected winnow fingerprints, with
@@ -302,16 +304,12 @@ object DedupOps {
     */
   def winnowCandidatePairs(s: SparkSession, documents: DataFrame,
       maxBucket: Int = 50, minShared: Long = 2): DataFrame = {
-    graft.functions.GraftFunctions.register(s)
-    TextOps.winnowFingerprints(s, documents, 20, 8)
+    val fps = TextOps.winnowFingerprints(s, documents, 20, 8)
       .toDF("doc_id", "fp")
       .select(col("doc_id"),
         conv(substring(col("fp"), 1, 15), 16, 10).cast("long").as("fp"))
-      .groupBy("fp")
-      .agg(expr(s"collect_capped(doc_id, $maxBucket)").as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
-      .select(explode(sortedPairs(array_sort(col("ids")))).as("p"))
-      .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+    cappedBucketPairs(fps, Seq("fp"), maxBucket)
+      .groupBy("a", "b")
       .agg(count(lit(1)).as("n_shared"))
       .filter(col("n_shared") >= minShared)
   }

@@ -13,6 +13,14 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
   * exact int64 downstream; deriving it from the double Jaccard would
   * put an IEEE division on an exactness boundary. O(|a|+|b|), no
   * per-row allocation, whole-stage codegen.
+  *
+  * CONTRACT (shared with jaccard_sorted, not enforced in the hot
+  * loop): inputs must be null-free, duplicate-free and ascending —
+  * the merge undercounts or overcounts otherwise, and a null slot
+  * reads as 0 through ArrayData. Every in-repo producer satisfies
+  * this by construction (`array_sort(collect_list(...))` over
+  * distinct hashes); ad-hoc SQL callers must `array_sort` + distinct
+  * their inputs themselves.
   */
 case class IntersectSortedCount(left: Expression, right: Expression)
     extends BinaryExpression with Serializable {

@@ -1841,12 +1841,22 @@ object TextOps {
     ("tx_bloom_decontaminate", (s: SparkSession, d: String) => {
       graft.functions.GraftFunctions.register(s)
       val src = docs(s, d)
+      // cache(): the bench gram set feeds BOTH the bloom scalar
+      // subquery and the exact-verify broadcast — without it the
+      // typed gram pass runs twice (the subquery plans separately, so
+      // ReuseExchange can't dedupe it). CacheManager keys on the
+      // canonicalized plan, so repeated invocations share one entry.
+      // The view name is per-data-dir: a shared session running this
+      // query against two dirs concurrently must not race on one
+      // global view (the bloom would prune against the wrong bench).
       val bench = gramHashes(s, src.filter(col("doc_id") < 10), 30)
-        .toDF("bid", "gh").select("gh").distinct()
-      bench.createOrReplaceTempView("graft_bench_grams")
+        .toDF("bid", "gh").select("gh").distinct().cache()
+      val vname = "graft_bench_grams_" +
+        graft.util.Hashing.md5Hex(d).substring(0, 8)
+      bench.createOrReplaceTempView(vname)
       gramHashes(s, src.filter(col("doc_id") >= 10), 30).toDF("doc_id", "gh")
         .where(expr(
-          "might_contain((SELECT bloom_filter_agg(gh) FROM graft_bench_grams), gh)"))
+          s"might_contain((SELECT bloom_filter_agg(gh) FROM $vname), gh)"))
         .join(broadcast(bench), "gh")
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shared_grams"))
