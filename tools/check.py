@@ -28,6 +28,14 @@ def canon(val):
         return str(val).lower()
     return str(val)
 
+def tnorm(t):
+    """Arrow type name normalized across producers (Spark parquet
+    writes large_string where DuckDB reports string)."""
+    s = str(t)
+    return {"large_string": "string", "large_utf8": "string",
+            "utf8": "string"}.get(s, s)
+
+
 def norm_rows(cols, rows):
     order = sorted(range(len(cols)), key=lambda i: cols[i])
     out = [tuple(canon(r[i]) for i in order) for r in rows]
@@ -63,9 +71,6 @@ def main(sf_dir, out_dir):
             n_fail += 1
             continue
         # strict type parity (the driver may compare schemas strictly)
-        def tnorm(t):
-            s = str(t)
-            return {"large_string": "string", "large_utf8": "string", "utf8": "string"}.get(s, s)
         stypes = {c.lower(): tnorm(tbl.schema.field(i).type) for i, c in enumerate(tbl.column_names)}
         otypes = {c.lower(): tnorm(oarrow.schema.field(i).type) for i, c in enumerate(oarrow.column_names)}
         if stypes != otypes:

@@ -14,7 +14,7 @@ import sys, json, subprocess, pathlib, tempfile, shutil
 import pyarrow.parquet as pq
 
 sys.path.insert(0, str(pathlib.Path(__file__).parent))
-from check import canon, norm_rows, TABLES  # noqa: E402
+from check import canon, norm_rows, tnorm, TABLES  # noqa: E402
 
 WORKER = r'''
 import sys, json, pathlib
@@ -25,10 +25,13 @@ sf_dir, sql = sys.argv[1], sys.stdin.read()
 con = duckdb.connect()
 for t in TABLES:
     con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
-res = con.sql(sql)
-cols = [c.lower() for c in res.columns]
-types = [str(f.type) for f in con.sql(sql).arrow().schema]
-rows = [[canon(v) for v in r] for r in res.fetchall()]
+# ONE execution: types and rows both come off the same arrow table
+# (running the statement twice would halve the effective wall cap)
+tbl = con.sql(sql).arrow()
+cols = [c.lower() for c in tbl.column_names]
+types = [str(f.type) for f in tbl.schema]
+cells = [tbl.column(c).to_pylist() for c in tbl.column_names]
+rows = [[canon(v) for v in r] for r in zip(*cells)] if tbl.num_rows else []
 print("\x1e" + json.dumps({"cols": cols, "types": types, "rows": rows}))
 '''
 
@@ -71,9 +74,6 @@ def main(sf_dir, out_dir, cap=180, only=None):
         srows = [tuple(r) for r in zip(*[tbl.column(c).to_pylist()
                  for c in tbl.column_names])] if tbl.num_rows else []
 
-        def tnorm(t):
-            return {"large_string": "string", "large_utf8": "string",
-                    "utf8": "string"}.get(str(t), str(t))
         stypes = {c.lower(): tnorm(tbl.schema.field(i).type)
                   for i, c in enumerate(tbl.column_names)}
         otypes = {c.lower(): tnorm(t)
