@@ -1,0 +1,51 @@
+package graft.text
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** An empty corpus is a legitimate input at 100 TB (a fresh ingest
+  * partition, a filter that drops everything): every documents-table
+  * pipeline query must plan and return an EMPTY frame, never throw.
+  * Covers the typed kernels (flatMap over zero rows), the vocabulary
+  * orderBy/limit over an empty frame, the bloom scalar subquery over
+  * an empty relation, and the capped bucket-pair machinery.
+  */
+class EmptyCorpusSpec extends AnyFunSuite {
+
+  private val docQueries = Seq(
+    "dd_exact", "tx_winnow", "dd_winnow_pairs", "dd_containment",
+    "tx_linear_score", "tx_quality", "tx_tokens", "tx_fingerprint",
+    "dd_ngram_jaccard", "tx_entropy", "pipeline_prepare_corpus",
+    "tx_decontaminate", "tx_bloom_decontaminate")
+
+  test("documents-table queries return empty frames on an empty corpus") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-empty").toString
+    // the same schema the driver's testdata carries
+    Seq.empty[(Long, String, String, String, Long)]
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    docQueries.foreach { q =>
+      val n = graft.SparkEntry.queries(q)(spark, dir).count()
+      assert(n == 0L, s"$q returned $n rows on an empty corpus")
+    }
+  }
+
+  test("event queries return empty frames on an empty log") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-emptyev").toString
+    Seq.empty[(Long, java.sql.Timestamp, Long, String, Double, String)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    Seq("ev_model", "ev_sessionize", "ev_latest_state", "ev_gaps",
+      "ev_window_count", "ev_funnel").foreach { q =>
+      val n = graft.SparkEntry.queries(q)(spark, dir).count()
+      assert(n == 0L, s"$q returned $n rows on an empty log")
+    }
+    // a global (no-groupBy) aggregate correctly returns its single
+    // zero row on empty input — same as its SQL oracle
+    val r = graft.SparkEntry.queries("ev_dedup_ids")(spark, dir).collect()
+    assert(r.length == 1 && r(0).getLong(0) == 0L && r(0).getLong(1) == 0L)
+  }
+}
