@@ -251,6 +251,58 @@ object AnnOps {
       WHERE dot / (na.nrm * nb.nrm) >= 0.28
       ORDER BY a, b""")),
 
+    // C61: two-stage retrieval (recall → precision), the canonical
+    // serving pipeline (bi-encoder ANN recall feeding a cross-encoder
+    // re-rank): stage 1 takes brute-force cosine top-20 per probe,
+    // stage 2 re-scores ONLY those ≤ |probes|·20 candidates with a
+    // pairwise model and keeps the top-5. The model is a
+    // deterministic md5 stub (no cross-encoder in-container) but the
+    // SHAPE is the point at 100 TB: the expensive pairwise scorer
+    // touches a candidate set whose size is independent of the corpus,
+    // and the stage-2 rank-filter compiles through RankFilterToTopK
+    // into bounded per-probe heaps. Stub scores are exact int64
+    // (% 10001) with ONE trailing division both engines share.
+    ("ann_rerank_stub", (s: SparkSession, d: String) => {
+      val cands = topK(probeScores(s, d, probeMax = 16), 20)
+      val scored = cands.withColumn("score",
+        conv(substring(md5(concat_ws("_", col("probe"), col("neighbor"))), 1, 8), 16, 10)
+          .cast("long") % 10001L)
+      val w = Window.partitionBy("probe")
+        .orderBy(col("score").desc, col("neighbor").asc)
+      scored.withColumn("rrk", row_number().over(w))
+        .filter(col("rrk") <= 5)
+        .select(col("probe"), col("rrk").cast("int").as("rrk"), col("neighbor"),
+          (col("score").cast("double") / 10000.0).as("score4"), col("cos_sim"))
+        .orderBy("probe", "rrk")
+    }, Some("""
+      WITH f AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+      n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY vec_id),
+      dots AS (
+        SELECT a.vec_id AS probe, b.vec_id AS neighbor, sum(a.v * b.v) AS dot
+        FROM f a JOIN f b ON a.i = b.i AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < 16
+        GROUP BY a.vec_id, b.vec_id),
+      stage1 AS (
+        SELECT probe, neighbor, round(dot / (na.nrm * nb.nrm), 4) AS cos_sim,
+               row_number() OVER (PARTITION BY probe
+                 ORDER BY dot / (na.nrm * nb.nrm) DESC, neighbor ASC) AS rk
+        FROM dots JOIN n na ON na.vec_id = probe JOIN n nb ON nb.vec_id = neighbor),
+      stage2 AS (
+        SELECT probe, neighbor, cos_sim,
+               CAST('0x' || substr(md5(CAST(probe AS VARCHAR) || '_' || CAST(neighbor AS VARCHAR)), 1, 8) AS BIGINT) % 10001 AS score
+        FROM stage1 WHERE rk <= 20),
+      reranked AS (
+        SELECT probe, neighbor, cos_sim, score,
+               row_number() OVER (PARTITION BY probe
+                 ORDER BY score DESC, neighbor ASC) AS rrk
+        FROM stage2)
+      SELECT probe, CAST(rrk AS INTEGER) AS rrk, neighbor,
+             CAST(score AS DOUBLE) / 10000.0 AS score4, cos_sim
+      FROM reranked WHERE rrk <= 5 ORDER BY probe, rrk""")),
+
     // C30: near-dup PAIRS → dedup GROUPS. The cosine near-dup relation
     // is not transitive (A~B, B~C does not imply A~C), so keeping one
     // doc per PAIR over-deletes and under-deletes; the unit of dedup is

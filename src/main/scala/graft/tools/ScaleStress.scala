@@ -51,7 +51,7 @@ object ScaleStress {
       "dd_span_dedup", "dd_span_trim", "ann_range",
       "tx_temperature_mix", "tx_contam_leakage", "tx_kn_surprisal",
       "tx_winnow", "dd_winnow_pairs", "dd_containment",
-      "tx_bloom_decontaminate", "tx_linear_score")
+      "tx_bloom_decontaminate", "tx_linear_score", "ann_rerank_stub")
     // SPARK_GRAFT_STRESS_QUERIES=a,b,c restricts the sweep — the deep
     // (100x) stress targets only the scale-critical tier, where a full
     // sweep would spend most wall on already-proved cheap operators
