@@ -838,10 +838,15 @@ object DedupOps {
       val candIds = pairs.select(col("a").as("doc_id"))
         .union(pairs.select(col("b").as("doc_id"))).distinct()
       // each candidate doc's gram set as ONE sorted hash array: the
-      // verify join then carries one row per pair and the native
+      // verify join carries one row per pair and the native
       // linear-merge expression counts the intersection in codegen —
       // the gram-occurrence explode-join form this replaced shuffled
-      // |pairs|·|grams/doc| skinny rows twice (42 s → ~4 s at sf1)
+      // |pairs|·|grams/doc| skinny rows twice (42 s → 6.9 s at sf1).
+      // The groupBy's exchange doubles as the reuse point both
+      // verify-join sides read (a typed kernel emitting arrays
+      // directly measured ~12% SLOWER min-of-3: without that exchange
+      // the kernel re-runs per side, and forcing one costs more than
+      // the skinny-row shuffle it saves).
       val gramSets = TextOps.gramHashes(s,
           docs(s, d).join(candIds, "doc_id"), 20)
         .toDF("doc_id", "gh")
