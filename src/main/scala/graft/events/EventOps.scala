@@ -670,6 +670,54 @@ object EventOps {
              round(min(value), 2) AS lo, round(max(value), 2) AS hi
       FROM events GROUP BY 1 ORDER BY bucket""")),
 
+    // A59: daily densification with forward-fill — the gap-FILL
+    // companion to A18/A46 (rsql/gapfill.go detects and noop-fills id
+    // gaps; analytics wants the TIME axis dense): every (day, type)
+    // cell of the min..max calendar exists, missing cells carry n=0 +
+    // a filled flag + the last known daily value sum (the
+    // time_bucket_gapfill / InfluxDB fill(previous) shape). The
+    // calendar and type list are 1-row/tiny aggregates (broadcast
+    // cross), the carry is a per-type ordered window over DAYS (frame
+    // size = calendar length, corpus-independent), and the value sum
+    // carries in the exact 1e6 int64 grain before the one rounding.
+    ("ev_gapfill_daily", (s: SparkSession, d: String) => {
+      val daily = Event.project(ev(s, d))
+        .groupBy(to_date(col("ts")).as("day"), col("eventType").as("etype"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 1e6).cast("long")).as("v6"))
+      val cal = daily.agg(min("day").as("lo"), max("day").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 day"))).as("day"))
+      val grid = cal.crossJoin(broadcast(daily.select("etype").distinct()))
+      val w = Window.partitionBy("etype").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      grid.join(daily, Seq("day", "etype"), "left")
+        .select(col("day"), col("etype"),
+          coalesce(col("n"), lit(0L)).as("n"),
+          when(col("n").isNull, 1).otherwise(0).as("filled"),
+          round(last(col("v6"), ignoreNulls = true).over(w) / 1e6, 2)
+            .as("carried_sum"))
+        .orderBy("day", "etype")
+    }, Some("""
+      WITH daily AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type AS etype,
+               count(*) AS n,
+               CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS v6
+        FROM events GROUP BY 1, 2),
+      cal AS (
+        SELECT CAST(unnest(generate_series(
+          CAST((SELECT min(day) FROM daily) AS TIMESTAMP),
+          CAST((SELECT max(day) FROM daily) AS TIMESTAMP),
+          INTERVAL 1 DAY)) AS DATE) AS day),
+      grid AS (SELECT day, etype FROM cal, (SELECT DISTINCT etype FROM daily) t),
+      j AS (SELECT g.day, g.etype, d.n, d.v6
+            FROM grid g LEFT JOIN daily d ON d.day = g.day AND d.etype = g.etype)
+      SELECT day, etype, coalesce(n, 0) AS n,
+             CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS INTEGER) AS filled,
+             round(last_value(v6 IGNORE NULLS) OVER (PARTITION BY etype ORDER BY day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 1000000.0, 2) AS carried_sum
+      FROM j ORDER BY day, etype""")),
+
     // A25: at-least-once → exactly-once view via id dedup (doc.go note).
     ("ev_dedup_ids", (s: SparkSession, d: String) => {
       val base = Event.project(ev(s, d))
