@@ -18,7 +18,8 @@ object PlanAudit {
       "dd_simhash", "tx_ngram_profile", "tx_token_shards", "tx_kn_surprisal",
       "ev_filter_meta_typed", "q21_waiting_supplier", "q_running_total",
       "tx_winnow", "dd_winnow_pairs", "tx_bloom_decontaminate",
-      "dd_containment", "tx_linear_score", "ann_rerank_stub").foreach { q =>
+      "dd_containment", "tx_linear_score", "ann_rerank_stub",
+      "ev_gapfill_daily").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sfDir)
       df.collect() // materialize THIS frame so AQE reports the FINAL plan (a count() would plan separately)
       val plan = df.queryExecution.executedPlan.toString
