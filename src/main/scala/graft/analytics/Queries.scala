@@ -255,6 +255,31 @@ object Queries {
       FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
       ORDER BY l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
 
+    // B10b: explicit GROUPING SETS — the grouping construct CUBE (B19)
+    // and ROLLUP (B10) cannot express: two independent 1-key marginals
+    // in one pass, no combined cell. Dataset.groupingSets (Spark 4)
+    // plans it as the same Expand each other grouping op uses — one
+    // scan, partial-agged; grouping_id disambiguates the NULL key
+    // rows exactly as in the cube/rollup tier. Money in exact int64
+    // cents (the cents helper), one trailing division.
+    ("q_grouping_sets", (s: SparkSession, d: String) => {
+      Tables.lineitem(s, d)
+        .groupingSets(
+          Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+          col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping_id().cast("long").as("gid"),
+          count(lit(1)).as("n_rows"),
+          round(sum(cents(col("l_extendedprice"))) / 100.0, 2).as("sum_price"))
+        .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+          col("l_linestatus").asc_nulls_first)
+    }, Some("""
+      SELECT l_returnflag, l_linestatus,
+             CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus) AS BIGINT) AS gid,
+             count(*) AS n_rows,
+             round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0, 2) AS sum_price
+      FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      ORDER BY gid, l_returnflag ASC NULLS FIRST, l_linestatus ASC NULLS FIRST""")),
+
     // B11: exact distinct aggregation.
     ("q_distinct_parts", (s: SparkSession, d: String) => {
       Tables.lineitem(s, d)
