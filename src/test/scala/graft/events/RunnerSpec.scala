@@ -308,7 +308,9 @@ class RunnerSpec extends AnyFunSuite {
       insert(2, 200L)
       waitFor(seen.get() === 10L)
       assert(failures.get() >= 1L)
-      assert(store.get("c-forever") === Some(9L))
+      // the cursor commit lands after processing — under load it can
+      // trail the seen counter briefly, so wait, don't assert-once
+      waitFor(store.get("c-forever") === Some(9L))
     } finally handle.stop()
     assert(!handle.isRunning)
     // stop is idempotent
