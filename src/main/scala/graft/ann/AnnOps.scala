@@ -742,20 +742,24 @@ object AnnOps {
     // long format (label, dim, centroid); the building block for IVF
     // coarse quantizers and class prototypes.
     ("ann_label_centroids", (s: SparkSession, d: String) => {
+      // slice BEFORE explode: generating 64 dims to keep 8 would be
+      // 8× wasted explode output at any scale (full width at scale =
+      // drop the slice, not add a filter)
       graft.Tables.embeddings(s, d)
-        .select(col("label"), posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
-        .filter(col("dim") < 8) // bounded output; full width at scale
+        .select(col("label"),
+          posexplode(slice(col("embedding").cast("array<double>"), 1, 8))
+            .as(Seq("dim", "x")))
         .groupBy("label", "dim")
         .agg(round(avg("x"), 4).as("centroid"), count(lit(1)).as("n"))
         .orderBy("label", "dim")
     }, Some("""
       WITH f AS (
-        SELECT label, generate_subscripts(embedding, 1) - 1 AS dim,
-               CAST(unnest(embedding) AS DOUBLE) AS x
-        FROM embeddings)
+        SELECT label, generate_subscripts(sl, 1) - 1 AS dim,
+               CAST(unnest(sl) AS DOUBLE) AS x
+        FROM (SELECT label, list_slice(embedding, 1, 8) AS sl FROM embeddings))
       SELECT label, CAST(dim AS INTEGER) AS dim,
              round(avg(x), 4) AS centroid, count(*) AS n
-      FROM f WHERE dim < 8
+      FROM f
       GROUP BY label, dim ORDER BY label, dim""")),
 
     // C42: int8 embedding quantization — the storage/serving compression

@@ -695,8 +695,13 @@ object EventOps {
         .select(col("day"), col("etype"),
           coalesce(col("n"), lit(0L)).as("n"),
           when(col("n").isNull, 1).otherwise(0).as("filled"),
-          round(last(col("v6"), ignoreNulls = true).over(w) / 1e6, 2)
-            .as("carried_sum"))
+          // carried v6 (1e6 grain) → 2dp half-away-from-zero ENTIRELY
+          // in int64 (the tx_linear_score rule: round(double,2) is
+          // boundary-unstable cross-engine), ONE exact /100 at the end
+          (signum(last(col("v6"), ignoreNulls = true).over(w)).cast("long") *
+            call_function("div",
+              abs(last(col("v6"), ignoreNulls = true).over(w)) * 2L + 10000L,
+              lit(20000L))).cast("double")./(100.0).as("carried_sum"))
         .orderBy("day", "etype")
     }, Some("""
       WITH daily AS (
@@ -711,12 +716,16 @@ object EventOps {
           INTERVAL 1 DAY)) AS DATE) AS day),
       grid AS (SELECT day, etype FROM cal, (SELECT DISTINCT etype FROM daily) t),
       j AS (SELECT g.day, g.etype, d.n, d.v6
-            FROM grid g LEFT JOIN daily d ON d.day = g.day AND d.etype = g.etype)
+            FROM grid g LEFT JOIN daily d ON d.day = g.day AND d.etype = g.etype),
+      c AS (SELECT day, etype, n,
+                   last_value(v6 IGNORE NULLS) OVER (PARTITION BY etype ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cv
+            FROM j)
       SELECT day, etype, coalesce(n, 0) AS n,
              CAST(CASE WHEN n IS NULL THEN 1 ELSE 0 END AS INTEGER) AS filled,
-             round(last_value(v6 IGNORE NULLS) OVER (PARTITION BY etype ORDER BY day
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 1000000.0, 2) AS carried_sum
-      FROM j ORDER BY day, etype""")),
+             (CASE WHEN cv < 0 THEN -1 ELSE 1 END *
+              ((2 * abs(cv) + 10000) // 20000)) / 100.0 AS carried_sum
+      FROM c ORDER BY day, etype""")),
 
     // A25: at-least-once → exactly-once view via id dedup (doc.go note).
     ("ev_dedup_ids", (s: SparkSession, d: String) => {

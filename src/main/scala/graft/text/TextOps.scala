@@ -17,6 +17,28 @@ object TextOps {
   private def docs(s: SparkSession, d: String): DataFrame =
     graft.Tables.documents(s, d)
 
+  /** Bench-gram frames cached by tx_bloom_decontaminate, keyed
+    * (sessionUUID, dataDir) like DedupOps.sigCache — repeated
+    * invocations reuse ONE persisted entry, and `clearCaches`
+    * unpersists + drops the per-dir temp views so a long-lived
+    * session sweeping many data dirs doesn't accumulate entries.
+    */
+  private val benchGramCache =
+    scala.collection.concurrent.TrieMap.empty[(String, String), (DataFrame, String)]
+  private def sid(s: SparkSession): String =
+    org.apache.spark.sql.GraftSqlBridge.sessionUUID(s)
+
+  /** Unpersist and evict every bench-gram frame + temp view cached
+    * for `s`. */
+  def clearCaches(s: SparkSession): Unit = {
+    val id = sid(s)
+    benchGramCache.keys.filter(_._1 == id).foreach { k =>
+      benchGramCache.remove(k).foreach { case (df, view) =>
+        df.unpersist(); s.catalog.dropTempView(view); ()
+      }
+    }
+  }
+
   /** lower-case, strip non-alphanumerics, collapse whitespace. */
   def normalize(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9\\s]", " "), "\\s+", " "))
@@ -1849,11 +1871,14 @@ object TextOps {
       // The view name is per-data-dir: a shared session running this
       // query against two dirs concurrently must not race on one
       // global view (the bloom would prune against the wrong bench).
-      val bench = gramHashes(s, src.filter(col("doc_id") < 10), 30)
-        .toDF("bid", "gh").select("gh").distinct().cache()
-      val vname = "graft_bench_grams_" +
-        graft.util.Hashing.md5Hex(d).substring(0, 8)
-      bench.createOrReplaceTempView(vname)
+      val (bench, vname) = benchGramCache.getOrElseUpdate((sid(s), d), {
+        val b = gramHashes(s, src.filter(col("doc_id") < 10), 30)
+          .toDF("bid", "gh").select("gh").distinct().cache()
+        val v = "graft_bench_grams_" +
+          graft.util.Hashing.md5Hex(d).substring(0, 8)
+        b.createOrReplaceTempView(v)
+        (b, v)
+      })
       gramHashes(s, src.filter(col("doc_id") >= 10), 30).toDF("doc_id", "gh")
         .where(expr(
           s"might_contain((SELECT bloom_filter_agg(gh) FROM $vname), gh)"))

@@ -68,7 +68,17 @@ def main(sf_dir, out_dir, cap=180, only=None):
             n_fail += 1
             print(f"  ✗ {name}: ORACLE ERROR: {p.stderr.strip()[:160]}")
             continue
-        payload = json.loads(p.stdout.split("\x1e", 1)[1])
+        if "\x1e" not in p.stdout:
+            n_fail += 1
+            print(f"  ✗ {name}: ORACLE ERROR: no sentinel in worker stdout "
+                  f"({p.stdout.strip()[:120]!r})")
+            continue
+        try:
+            payload = json.loads(p.stdout.split("\x1e", 1)[1])
+        except (ValueError, KeyError) as e:
+            n_fail += 1
+            print(f"  ✗ {name}: ORACLE ERROR: malformed payload: {e}")
+            continue
         ocols, orows = payload["cols"], [tuple(r) for r in payload["rows"]]
         scols = [c.lower() for c in tbl.column_names]
         srows = [tuple(r) for r in zip(*[tbl.column(c).to_pylist()
