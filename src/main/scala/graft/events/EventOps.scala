@@ -513,23 +513,68 @@ object EventOps {
     // A55: inter-event-time distribution — the latency histogram of
     // gaps between a user's consecutive same-type events, log2-
     // bucketed. The bucket is EXACT integer arithmetic at any
-    // magnitude: floor(log2(gap)) = length(bin(gap)) − 1, computed on
-    // the binary string in both engines — no float log near a power-
-    // of-two boundary. One per-(user, type) window (high-cardinality
-    // partitions), then a map-side-combined histogram groupBy.
+    // magnitude: floor(log2(gap)) = numberOfLeadingZeros ≡
+    // length(bin(gap)) − 1 in the oracle — no float log near a power-
+    // of-two boundary. ONE shuffle total: repartition(fid, etype) +
+    // partition-local sort, then a typed kernel that IS the partial
+    // histogram (the lag-window form paid the non-codegen WindowExec
+    // plus a corpus-sized post-window frame; the kernel emits
+    // ≤ partitions × |etype| × 64 rows). event_id is never read: the
+    // gap multiset of a sorted sequence is tie-order invariant, so
+    // the sort needs no tiebreaker — one fewer int64 in scan+shuffle.
     ("ev_inter_event_time", (s: SparkSession, d: String) => {
-      val e = Event.project(ev(s, d)).select(
-        col("foreignId").as("fid"), col("eventType").as("etype"),
-        unix_timestamp(col("ts")).as("es"), col("id"))
-      val w = Window.partitionBy("fid", "etype").orderBy("es", "id")
-      e.withColumn("prev", lag("es", 1).over(w))
-        .filter(col("prev").isNotNull)
-        .withColumn("gap", col("es") - col("prev"))
-        .withColumn("bucket", (length(bin(col("gap"))) - 1).cast("int"))
+      import s.implicits._
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      val raw = ev(s, d)
+      // epoch seconds straight off the physical column: int64-nanos
+      // dirs reduce by integer division, timestamp dirs by
+      // unix_timestamp — no long→timestamp→long roundtrip
+      val esCol = raw.schema("ts").dataType match {
+        case LongType => expr("ts div 1000000000")
+        case TimestampNTZType => unix_timestamp(col("ts").cast("timestamp"))
+        case _ => unix_timestamp(col("ts"))
+      }
+      val partials = raw
+        .select(col("user_id").as("fid"), col("event_type").as("etype"),
+          esCol.as("es"))
+        .repartition(col("fid"), col("etype"))
+        .sortWithinPartitions("fid", "etype", "es")
+        .as[(java.lang.Long, String, java.lang.Long)]
+        .mapPartitions { it =>
+          val acc = new java.util.HashMap[(String, Int), Array[Long]]()
+          var curF: java.lang.Long = null
+          var curT: String = null
+          var prev: java.lang.Long = null
+          var first = true
+          while (it.hasNext) {
+            val (f, t, es) = it.next()
+            if (first || !java.util.Objects.equals(f, curF) ||
+                !java.util.Objects.equals(t, curT)) {
+              curF = f; curT = t; prev = null; first = false
+            } else if (prev != null && es != null) {
+              val gap = es - prev // sorted ⇒ non-negative
+              val bucket =
+                if (gap == 0L) 0
+                else 63 - java.lang.Long.numberOfLeadingZeros(gap)
+              val a = acc.get((t, bucket))
+              if (a == null) acc.put((t, bucket), Array(1L, gap, gap))
+              else {
+                a(0) += 1
+                if (gap < a(1)) a(1) = gap
+                if (gap > a(2)) a(2) = gap
+              }
+            }
+            prev = es
+          }
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(String, Int, Long, Long, Long)]
+          acc.forEach { (k, a) => out += ((k._1, k._2, a(0), a(1), a(2))) }
+          out.iterator
+        }
+      partials.toDF("etype", "bucket", "n", "min_gap_s", "max_gap_s")
         .groupBy("etype", "bucket")
-        .agg(count(lit(1)).as("n"),
-          min("gap").cast("long").as("min_gap_s"),
-          max("gap").cast("long").as("max_gap_s"))
+        .agg(sum("n").as("n"), min("min_gap_s").as("min_gap_s"),
+          max("max_gap_s").as("max_gap_s"))
         .orderBy("etype", "bucket")
     }, Some("""
       WITH e AS (
