@@ -1963,6 +1963,181 @@ object TextOps {
              CAST(sum(oov) AS BIGINT) AS n_oov,
              (CASE WHEN sum(tf * w) < 0 THEN -1 ELSE 1 END *
               ((2 * abs(CAST(sum(tf * w) AS BIGINT)) + sum(tf)) // (2 * sum(tf)))) / 10000.0 AS score4
-      FROM sc GROUP BY doc_id ORDER BY doc_id"""))
+      FROM sc GROUP BY doc_id ORDER BY doc_id""")),
+
+    // C62: corpus-derived BPE merge table (Sennrich et al. 2016,
+    // "Neural Machine Translation of Rare Words with Subword Units"
+    // §3.2) — greedily merge the most frequent adjacent symbol pair
+    // of the frequency-weighted vocabulary, K times. The corpus-scale
+    // part is relational (term counts → capped top-V vocab, the model
+    // input a 100 TB corpus reduces to); the K-merge loop runs on the
+    // driver over V rows like ann_kmeans' Lloyd passes; the oracle
+    // re-derives the same merges with K unrolled list_reduce layers.
+    ("tx_bpe_merges", (s: SparkSession, d: String) => {
+      import s.implicits._
+      bpeLearn(bpeVocab(s, d), BpeK)
+        .toDF("mrank", "lft", "rgt", "n_pairs").orderBy("mrank")
+    }, Some(bpeMergesOracle)),
+
+    // C62b: real-tokenizer token counts — every doc priced in BPE
+    // units, the budget unit the packing/mix queries care about at
+    // 100 TB (whitespace counts under-price code/URL-heavy docs).
+    // The merge table is K pairs in the task closure; the kernel
+    // applies them per term through a per-partition memo (Zipf
+    // locality: most occurrences hit the memo), so the corpus pass
+    // stays one scan + one partial-agged groupBy — no vocab join.
+    ("tx_bpe_tokens", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val merges = bpeLearn(bpeVocab(s, d), BpeK).map(m => (m._2, m._3))
+      docTermCounts(s, d).filter(length(col("term")) >= 1)
+        .select(col("doc_id"), col("term"), col("tf"))
+        .as[(Long, String, Long)]
+        .mapPartitions { it =>
+          val memo = new java.util.HashMap[String, Integer]()
+          it.map { case (id, term, tf) =>
+            var n = memo.get(term)
+            if (n == null) { n = bpeTokenCount(term, merges); memo.put(term, n) }
+            (id, tf, tf * n.toLong)
+          }
+        }
+        .toDF("doc_id", "tf", "bpe")
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n_words"), sum("bpe").as("n_bpe"))
+        .withColumn("ratio4", ratio4(col("n_bpe"), col("n_words")))
+        .orderBy("doc_id")
+    }, Some(bpeTokensOracle))
   )
+
+  // ---- BPE (C62/C62b) ------------------------------------------------
+
+  /** merge count and vocabulary cap for the BPE queries — small K so
+    * the oracle's unrolled CTE chain stays tractable; the learner and
+    * kernel are K-generic. `final val` literals: constant-folded at
+    * compile time, so the `entries` val (initialized earlier in the
+    * object) sees them, not a 0 from init order. */
+  final val BpeK = 8
+  final val BpeVocabCap = 1024
+
+  /** Classic BPE merge learning: K greedy rounds of most-frequent
+    * adjacent-pair merging over a (word, freq) vocabulary.
+    * Deterministic — ties break (count desc, left asc, right asc);
+    * symbols are ASCII [a-z0-9] runs so JVM and SQL collation agree.
+    */
+  def bpeLearn(vocab: Seq[(String, Long)], k: Int): Seq[(Int, String, String, Long)] = {
+    var segs: Seq[(Array[String], Long)] =
+      vocab.map { case (w, n) => (w.toCharArray.map(_.toString), n) }
+    val out = Seq.newBuilder[(Int, String, String, Long)]
+    for (r <- 1 to k) {
+      val cnt = new java.util.HashMap[(String, String), java.lang.Long]()
+      segs.foreach { case (syms, n) =>
+        var i = 0
+        while (i < syms.length - 1) {
+          val key = (syms(i), syms(i + 1))
+          val c = cnt.get(key)
+          cnt.put(key, if (c == null) n else c + n)
+          i += 1
+        }
+      }
+      var bk: (String, String) = null
+      var bc = Long.MinValue
+      cnt.forEach { (p, v) =>
+        if (v > bc || (v == bc && (p._1 < bk._1 ||
+            (p._1 == bk._1 && p._2 < bk._2)))) { bk = p; bc = v }
+      }
+      out += ((r, bk._1, bk._2, bc))
+      segs = segs.map { case (syms, n) => (bpeMergePass(syms, bk._1, bk._2), n) }
+    }
+    out.result()
+  }
+
+  /** ONE left-to-right merge pass: each adjacent (l, r) occurrence
+    * becomes l+r and a freshly merged symbol never re-merges within
+    * the pass — the exact fold the DuckDB list_reduce oracle applies.
+    */
+  def bpeMergePass(syms: Array[String], l: String, r: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](syms.length)
+    var i = 0
+    while (i < syms.length) {
+      if (out.nonEmpty && out.last == l && syms(i) == r)
+        out(out.length - 1) = l + r
+      else out += syms(i)
+      i += 1
+    }
+    out.toArray
+  }
+
+  /** Token count of `word` after applying `merges` in rank order. */
+  def bpeTokenCount(word: String, merges: Seq[(String, String)]): Int = {
+    var syms = word.toCharArray.map(_.toString)
+    merges.foreach { case (l, r) => syms = bpeMergePass(syms, l, r) }
+    syms.length
+  }
+
+  /** capped top-V word-frequency vocabulary — the driver-side model
+    * input (V rows, never the corpus). */
+  private def bpeVocab(s: SparkSession, d: String): Seq[(String, Long)] =
+    docTermCounts(s, d).filter(length(col("term")) >= 1)
+      .groupBy("term").agg(sum("tf").as("n"))
+      .orderBy(col("n").desc, col("term").asc).limit(BpeVocabCap)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
+  /** one learning layer k: pair counts over seg_{k-1} → argmax merge
+    * m_k → re-segment via the list_reduce left-to-right fold. */
+  private def bpeLearnLayerSql(k: Int): String = {
+    val prev = if (k > 1) s"s${k - 1}" else "seg0"
+    s"""
+      p$k AS (SELECT ls[i] AS lft, ls[i+1] AS rgt, sum(n) AS c
+        FROM (SELECT string_split(seg, '.') AS ls, n FROM $prev),
+             unnest(generate_series(1, len(ls) - 1)) AS u(i)
+        GROUP BY lft, rgt),
+      m$k AS (SELECT lft, rgt, CAST(c AS BIGINT) AS c FROM p$k
+              ORDER BY c DESC, lft, rgt LIMIT 1),
+      s$k AS (SELECT w, n, list_reduce(string_split(seg, '.'),
+          (a, b) -> CASE WHEN (a = m.lft OR ends_with(a, '.' || m.lft)) AND b = m.rgt
+                    THEN a || b ELSE a || '.' || b END) AS seg
+        FROM $prev, m$k m)"""
+  }
+
+  private def bpeApplyLayerSql(k: Int): String = {
+    val prev = if (k > 1) s"a${k - 1}" else "a0"
+    s"""
+      a$k AS (SELECT term, list_reduce(string_split(seg, '.'),
+          (a, b) -> CASE WHEN (a = m.lft OR ends_with(a, '.' || m.lft)) AND b = m.rgt
+                    THEN a || b ELSE a || '.' || b END) AS seg
+        FROM $prev, m$k m)"""
+  }
+
+  /** shared WITH prefix: normalized doc-term counts, capped vocab,
+    * initial char segmentation, K learning layers. */
+  private def bpeLearnSqlPrefix: String =
+    s"""
+      WITH c AS (
+        SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\s]', ' ', 'g'), '\\s+', ' ', 'g')) AS nrm
+        FROM documents),
+      dt AS (
+        SELECT doc_id, tok AS term, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(string_split(nrm, ' ')) AS tok FROM c)
+        WHERE length(tok) >= 1 GROUP BY doc_id, tok),
+      t AS (SELECT term AS w, CAST(sum(tf) AS BIGINT) AS n FROM dt
+            GROUP BY term ORDER BY n DESC, w LIMIT $BpeVocabCap),
+      seg0 AS (SELECT w, n, array_to_string(string_split(w, ''), '.') AS seg FROM t),""" +
+      (1 to BpeK).map(bpeLearnLayerSql).mkString(",")
+
+  private def bpeMergesOracle: String =
+    bpeLearnSqlPrefix + "\n      SELECT * FROM (" +
+      (1 to BpeK).map(k => s"SELECT $k AS mrank, lft, rgt, c AS n_pairs FROM m$k")
+        .mkString(" UNION ALL ") + ") ORDER BY mrank"
+
+  private def bpeTokensOracle: String =
+    bpeLearnSqlPrefix + s""",
+      a0 AS (SELECT term, array_to_string(string_split(term, ''), '.') AS seg
+             FROM (SELECT DISTINCT term FROM dt)),""" +
+      (1 to BpeK).map(bpeApplyLayerSql).mkString(",") + s""",
+      nt AS (SELECT term, CAST(len(string_split(seg, '.')) AS BIGINT) AS ntok FROM a$BpeK)
+      SELECT dt.doc_id, CAST(sum(dt.tf) AS BIGINT) AS n_words,
+             CAST(sum(dt.tf * nt.ntok) AS BIGINT) AS n_bpe,
+             ((CAST(sum(dt.tf * nt.ntok) AS BIGINT) * 20000 + CAST(sum(dt.tf) AS BIGINT))
+              // (CAST(sum(dt.tf) AS BIGINT) * 2)) / 10000.0 AS ratio4
+      FROM dt JOIN nt ON nt.term = dt.term
+      GROUP BY dt.doc_id ORDER BY dt.doc_id"""
 }
