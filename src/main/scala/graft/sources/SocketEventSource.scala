@@ -34,22 +34,17 @@ object SocketEventSource {
 
   /** Streaming DataFrame of canonical events from a line-oriented
     * socket feed. Malformed lines drop (from_json yields null id).
+    * The transport is the stock socket source; the format is the
+    * WireFraming.LineJson seam — a broker source swaps the first
+    * two lines, the framing, and everything downstream survives.
     */
   def stream(spark: SparkSession, host: String, port: Int): DataFrame =
-    spark.readStream
-      .format("socket")
-      .option("host", host)
-      .option("port", port)
-      .load()
-      .select(from_json(col("value"), wireSchema).as("e"))
-      .select(
-        col("e.id").as("id"),
-        col("e.eventType").as("eventType"),
-        col("e.foreignId").as("foreignId"),
-        timestamp_millis(col("e.ts_ms")).as("ts"),
-        col("e.value").as("value"),
-        col("e.metadata").as("metadata"))
-      .filter(col("id").isNotNull)
+    WireFraming.LineJson.decode(
+      spark.readStream
+        .format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load())
 
   /** Serialize one event to the wire format (producer side). */
   def toWire(id: Long, eventType: String, foreignId: Long, tsMs: Long,
