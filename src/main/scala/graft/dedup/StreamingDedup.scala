@@ -46,31 +46,51 @@ object StreamingDedup {
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val table = new graft.sources.StateTable(spark, stateDir, nBuckets)
-        val keyed = batch
-          .withColumn("fp", graft.text.TextOps.fingerprint(col("text")))
-          .withColumn("foreignId", xxhash64(col("fp")))
-        // batch-local winner per fingerprint first (a batch can carry
-        // its own dups): deterministic min doc_id
-        val w = Window.partitionBy("foreignId").orderBy("doc_id")
-        val firsts = keyed.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1).drop("rn")
-        // history = state admitted by OTHER batches; rows this batch
-        // wrote in a failed earlier attempt are invisible, so a replay
-        // re-derives the same decision
-        val novel =
-          if (table.exists)
-            firsts.join(
-              table.read.filter(col("src_batch") =!= batchId).select("foreignId"),
-              Seq("foreignId"), "left_anti")
-          else firsts
-        val admitted = novel.withColumn("src_batch", lit(batchId))
+        val admitted = admitBatch(spark, batch, table, batchId)
         graft.streaming.StreamOps.idempotentParquetSink(outDir)(
           admitted.drop("foreignId"), batchId)
-        table.upsert(admitted
-          .select(col("foreignId"), col("doc_id").as("id"),
-            col("doc_id"), col("fp"), col("src_batch")))
         ()
       }
       .start()
+  }
+
+  /** One micro-batch of the exact-dedup admission — the foreachBatch
+    * body of [[run]], factored so StreamingPipeline chains it with
+    * the near-dup / gate / pack stages inside ONE job. Admits rows
+    * whose fingerprint no OTHER batch has admitted (batch-provenance
+    * re-entrancy, see object Scaladoc), upserts the admitted
+    * fingerprints, and returns the admitted rows
+    * (batch columns + fp + foreignId + src_batch).
+    */
+  def admitBatch(spark: SparkSession, batch: DataFrame,
+      table: graft.sources.StateTable, batchId: Long): DataFrame = {
+    val keyed = batch
+      .withColumn("fp", graft.text.TextOps.fingerprint(col("text")))
+      .withColumn("foreignId", xxhash64(col("fp")))
+    // batch-local winner per fingerprint first (a batch can carry
+    // its own dups): deterministic min doc_id
+    val w = Window.partitionBy("foreignId").orderBy("doc_id")
+    val firsts = keyed.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    // history = state admitted by OTHER batches; rows this batch
+    // wrote in a failed earlier attempt are invisible, so a replay
+    // re-derives the same decision
+    val novel =
+      if (table.exists)
+        firsts.join(
+          table.read.filter(col("src_batch") =!= batchId).select("foreignId"),
+          Seq("foreignId"), "left_anti")
+      else firsts
+    // materialize the decision BEFORE the upsert: the plan reads the
+    // state table, and the upsert's atomic bucket swap invalidates
+    // that file listing — a caller evaluating the returned frame
+    // lazily (the composed pipeline does) must see the decision, not
+    // a FILE_NOT_EXIST on swapped-away state parquet
+    val admitted = novel.withColumn("src_batch", lit(batchId))
+      .localCheckpoint()
+    table.upsert(admitted
+      .select(col("foreignId"), col("doc_id").as("id"),
+        col("doc_id"), col("fp"), col("src_batch")))
+    admitted
   }
 }

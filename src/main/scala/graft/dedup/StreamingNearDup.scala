@@ -46,61 +46,77 @@ object StreamingNearDup {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import spark.implicits._
         val table = new graft.sources.StateTable(spark, stateDir, nBuckets)
-        // one typed pass: band keys + set fingerprint per doc (the
-        // memoized batch-tier signature cache is wrong here — every
-        // micro-batch is a new plan, entries would pile up)
-        val sigs = batch
-          .select(col("doc_id"), graft.text.TextOps.normalize(col("text")).as("norm"))
-          .as[(Long, String)]
-          .map { case (id, norm) =>
-            val n = if (norm == null) "" else norm
-            val shh = graft.util.Hashing.charShingleHashes(n, 4)
-            val (f1, f2) = graft.util.Hashing.setFingerprint(shh)
-            val bds = graft.util.Hashing.bands(
-              graft.util.Hashing.minhashSigL(shh, 32), 8)
-            (id, bds.toSeq, f1, f2)
-          }
-          .toDF("doc_id", "bands", "fp1", "fp2")
-        // batch-local canonical per identical shingle set
-        val w = Window.partitionBy("fp1", "fp2").orderBy("doc_id")
-        val firsts = sigs.withColumn("rn", row_number().over(w))
-          .filter(col("rn") === 1).drop("rn")
-        val bandRows = firsts
-          .select(col("doc_id"), col("fp1"), col("fp2"),
-            explode(col("bands")).as("foreignId"))
-        val verdict =
-          if (table.exists) {
-            val hist = table.read.filter(col("src_batch") =!= batchId)
-              .select(col("foreignId"),
-                col("fp1").as("h1"), col("fp2").as("h2"))
-            bandRows.join(hist, Seq("foreignId"), "left")
-              .groupBy("doc_id")
-              .agg(
-                max(when(col("h1") === col("fp1") &&
-                  col("h2") === col("fp2"), 1).otherwise(0)).as("is_dup"),
-                sum(when(col("h1").isNotNull &&
-                  (col("h1") =!= col("fp1") || col("h2") =!= col("fp2")), 1)
-                  .otherwise(0)).cast("long").as("n_suspect_bands"))
-          } else {
-            firsts.select(col("doc_id"), lit(0).as("is_dup"),
-              lit(0L).as("n_suspect_bands"))
-          }
-        val admitted = firsts.join(verdict, "doc_id")
-          .filter(col("is_dup") === 0)
         graft.streaming.StreamOps.idempotentParquetSink(outDir)(
-          batch.join(admitted.select("doc_id", "n_suspect_bands"), "doc_id")
-            .withColumn("src_batch", lit(batchId)),
-          batchId)
-        table.upsert(admitted
-          .select(col("doc_id"), col("fp1"), col("fp2"),
-            explode(col("bands")).as("foreignId"))
-          .select(col("foreignId"), col("doc_id").as("id"),
-            col("doc_id"), col("fp1"), col("fp2"),
-            lit(batchId).as("src_batch")))
+          admitBatch(spark, batch, table, batchId), batchId)
         ()
       }
       .start()
+  }
+
+  /** One micro-batch of the near-dup admission — the foreachBatch
+    * body of [[run]], factored so StreamingPipeline chains it.
+    * Drops identical-shingle-set duplicates against the banded
+    * history (other batches only — re-entrant under replay), flags
+    * band collisions (`n_suspect_bands`), upserts the admitted band
+    * rows, and returns admitted batch rows + n_suspect_bands +
+    * src_batch.
+    */
+  def admitBatch(spark: SparkSession, batch: DataFrame,
+      table: graft.sources.StateTable, batchId: Long): DataFrame = {
+    import spark.implicits._
+    // one typed pass: band keys + set fingerprint per doc (the
+    // memoized batch-tier signature cache is wrong here — every
+    // micro-batch is a new plan, entries would pile up)
+    val sigs = batch
+      .select(col("doc_id"), graft.text.TextOps.normalize(col("text")).as("norm"))
+      .as[(Long, String)]
+      .map { case (id, norm) =>
+        val n = if (norm == null) "" else norm
+        val shh = graft.util.Hashing.charShingleHashes(n, 4)
+        val (f1, f2) = graft.util.Hashing.setFingerprint(shh)
+        val bds = graft.util.Hashing.bands(
+          graft.util.Hashing.minhashSigL(shh, 32), 8)
+        (id, bds.toSeq, f1, f2)
+      }
+      .toDF("doc_id", "bands", "fp1", "fp2")
+    // batch-local canonical per identical shingle set
+    val w = Window.partitionBy("fp1", "fp2").orderBy("doc_id")
+    val firsts = sigs.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1).drop("rn")
+    val bandRows = firsts
+      .select(col("doc_id"), col("fp1"), col("fp2"),
+        explode(col("bands")).as("foreignId"))
+    val verdict =
+      if (table.exists) {
+        val hist = table.read.filter(col("src_batch") =!= batchId)
+          .select(col("foreignId"),
+            col("fp1").as("h1"), col("fp2").as("h2"))
+        bandRows.join(hist, Seq("foreignId"), "left")
+          .groupBy("doc_id")
+          .agg(
+            max(when(col("h1") === col("fp1") &&
+              col("h2") === col("fp2"), 1).otherwise(0)).as("is_dup"),
+            sum(when(col("h1").isNotNull &&
+              (col("h1") =!= col("fp1") || col("h2") =!= col("fp2")), 1)
+              .otherwise(0)).cast("long").as("n_suspect_bands"))
+      } else {
+        firsts.select(col("doc_id"), lit(0).as("is_dup"),
+          lit(0L).as("n_suspect_bands"))
+      }
+    // materialized BEFORE the upsert: the verdict plan reads the band
+    // table, whose buckets the upsert atomically swaps — see
+    // StreamingDedup.admitBatch
+    val admitted = firsts.join(verdict, "doc_id")
+      .filter(col("is_dup") === 0)
+      .localCheckpoint()
+    table.upsert(admitted
+      .select(col("doc_id"), col("fp1"), col("fp2"),
+        explode(col("bands")).as("foreignId"))
+      .select(col("foreignId"), col("doc_id").as("id"),
+        col("doc_id"), col("fp1"), col("fp2"),
+        lit(batchId).as("src_batch")))
+    batch.join(admitted.select("doc_id", "n_suspect_bands"), "doc_id")
+      .withColumn("src_batch", lit(batchId))
   }
 }

@@ -125,6 +125,23 @@ object TextOps {
     * computed entirely in int64 — floor((20000·N + D) / (2·D)) / 10^4.
     * Engine-independent: no double ever holds an unrounded ratio.
     */
+  /** The C40 quality-gate admit predicate over a text column — the
+    * conjunction of tx_quality_gate's four rejections (too short,
+    * punct-heavy, stopword-poor, repetitious), exact int64 on both
+    * sides of every comparison. Factored so StreamingPipeline's gate
+    * stage and the batch query share one definition.
+    */
+  def qualityKeepCol(text: Column): Column = {
+    val toks0 = tokens(text)
+    val n = size(toks0).cast("long")
+    val nd = size(array_distinct(toks0)).cast("long")
+    val punct = size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+    val stops = stopwordHits(toks0, stopwords).cast("long")
+    val l = length(text).cast("long")
+    !(n < 5L) && !(punct * 10L > l * 3L) &&
+      !(stops * 20L < n) && !((n - nd) * 5L > n)
+  }
+
   def ratio4(num: Column, den: Column): Column =
     call_function("div", (num * 20000L + den).cast("long"), (den * 2L).cast("long"))
       .cast("double") / 10000.0
