@@ -9,6 +9,15 @@ object Bench {
     val spark = Graft.session("graft-bench", extraConfs = Map(
       "spark.sql.warehouse.dir" ->
         java.nio.file.Files.createTempDirectory("graft-bench-wh").toString))
+    // Round-8 advisor: end-of-session gate runs measured the same code
+    // 2-4x slower than intra-round runs because the bench shared the
+    // machine with the spec suite — min-of-N cannot fix a loaded box.
+    // Record the 1-minute loadavg before and after so a loaded run is
+    // self-identifying from the artifact alone: load_avg_start >> 0
+    // before our own executors spin up means something else owned the
+    // CPUs when the timings were taken.
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadStart = osBean.getSystemLoadAverage
     // untimed warmup: JVM/codegen and file-listing costs land here,
     // not on whichever query happens to run first
     Seq("lineitem", "events", "documents", "embeddings").foreach { t =>
@@ -125,7 +134,9 @@ object Bench {
     val spreads = timings.map { case (name, runs) =>
       name -> (if (runs.min > 0) (runs.max - runs.min) / runs.min else 0.0)
     }
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runsPerQuery,"queries":$qs,"sf":"$sfDir"$joinCompare$annExtra$duckCompare}"""
+    val loadEnd = osBean.getSystemLoadAverage
+    val envInfo = s""","env":{"cpus":${Runtime.getRuntime.availableProcessors},"load_avg_start":${r3(loadStart)},"load_avg_end":${r3(loadEnd)}}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runsPerQuery,"queries":$qs,"sf":"$sfDir"$envInfo$joinCompare$annExtra$duckCompare}"""
     // stdout gets tail-truncated by harnesses — always keep the full
     // per-query JSON in a file too (path overridable via env), plus an
     // immutable timestamped copy: BENCH_LOCAL.json is overwritten on
@@ -151,7 +162,7 @@ object Bench {
     // per-query map is the line above and BENCH_LOCAL.json.
     val slowest = results.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"$k\":[${r3(v)},${r3(spreads(k))}]" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"runs_per_query":$runsPerQuery,"sf":"${new java.io.File(sfDir).getName}"$vsDuck$annExtra$joinCompare,"slowest_min_spread":$slowest,"full":"$out"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"runs_per_query":$runsPerQuery,"sf":"${new java.io.File(sfDir).getName}"$envInfo$vsDuck$annExtra$joinCompare,"slowest_min_spread":$slowest,"full":"$out"}""")
     spark.stop()
   }
 

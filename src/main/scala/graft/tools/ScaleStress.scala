@@ -36,6 +36,13 @@ object ScaleStress {
       .withColumn("user_id", col("user_id") + col("rep") * 10000000L)
       .drop("rep")
       .write.parquet(s"$out/events.parquet")
+    // lineitem replicates with shifted orderkeys so the relational
+    // stress rows (grouping sets) see N× fact rows, not N× duplicates
+    // of the same key space collapsing into one group
+    spark.read.parquet(s"$base/lineitem.parquet").crossJoin(reps)
+      .withColumn("l_orderkey", col("l_orderkey") + col("rep") * 100000000L)
+      .drop("rep")
+      .write.parquet(s"$out/lineitem.parquet")
 
     val defaultList = Seq(
       "dd_exact", "dd_minhash_lsh", "dd_simhash", "dd_ngram_jaccard",
@@ -51,7 +58,8 @@ object ScaleStress {
       "dd_span_dedup", "dd_span_trim", "ann_range",
       "tx_temperature_mix", "tx_contam_leakage", "tx_kn_surprisal",
       "tx_winnow", "dd_winnow_pairs", "dd_containment",
-      "tx_bloom_decontaminate", "tx_linear_score", "ann_rerank_stub")
+      "tx_bloom_decontaminate", "tx_linear_score", "ann_rerank_stub",
+      "ev_gapfill_daily", "q_grouping_sets", "tx_bpe_merges", "tx_bpe_tokens")
     // SPARK_GRAFT_STRESS_QUERIES=a,b,c restricts the sweep — the deep
     // (100x) stress targets only the scale-critical tier, where a full
     // sweep would spend most wall on already-proved cheap operators
