@@ -342,6 +342,58 @@ object EventStreamClient {
     })
   }
 
+  /** gRPC-transport variant of `relay`: Recv events from a
+    * [[GrpcEventServer]] (or any reference-compatible gRPC peer) over
+    * real HTTP/2 framing via [[GrpcEventClient]], and re-emit on the
+    * loopback line protocol for the stock Spark socket source.
+    * Reconnects re-issue Stream() from the last forwarded event id —
+    * resume without re-shipping the prefix, same as `relayPb`.
+    */
+  def relayGrpc(host: String, port: Int, after: Long,
+      toHead: Boolean = false): (Int, () => Unit) = {
+    val local = new ServerSocket(0, 1, InetAddress.getLoopbackAddress)
+    @volatile var closed = false
+    @volatile var liveRemote: Socket = null
+    val pump = new Thread(() => {
+      var cursor = after
+      try {
+        while (!closed) {
+          val sock = local.accept()
+          try {
+            val out = new PrintWriter(new java.io.OutputStreamWriter(
+              sock.getOutputStream, java.nio.charset.StandardCharsets.UTF_8), false)
+            GrpcEventClient.stream(host, port, cursor, toHead = toHead,
+              onOpen = s => liveRemote = s) { e =>
+              out.println(SocketEventSource.toWire(
+                e.id, e.eventType, e.foreignId, e.tsMs, e.value, e.metadata))
+              out.flush()
+              if (out.checkError() || closed) false // local side hung up → RST
+              else { cursor = e.id; true }
+            }
+            ()
+          } catch {
+            case NonFatal(_) if closed => ()
+          } finally {
+            liveRemote = null
+            try sock.close() catch { case NonFatal(_) => () }
+          }
+        }
+      } catch {
+        case _: InterruptedException | _: SocketException => ()
+        case NonFatal(e) =>
+          if (!closed) System.err.println(s"[event-stream-relay-grpc] pump exited: $e")
+      }
+    }, "event-stream-relay-grpc")
+    pump.setDaemon(true)
+    pump.start()
+    (local.getLocalPort, () => {
+      closed = true
+      val r = liveRemote
+      if (r != null) { try r.close() catch { case NonFatal(_) => () } }
+      try local.close() catch { case NonFatal(_) => () }
+    })
+  }
+
   /** Consume a remote event stream with this consumer's own cursor
     * store, resuming from the committed cursor (mid-stream, mid-log —
     * wherever it points). Returns the running query and a closer that

@@ -1,0 +1,228 @@
+package graft.sources
+
+import org.scalatest.funsuite.AnyFunSuite
+import java.nio.file.Files
+import graft.TestSpark
+import graft.events.ReflexPb
+import graft.util.{Hpack, Http2}
+
+/** End-to-end gRPC (HTTP/2 + HPACK + gRPC message framing) for
+  * `reflexpb.Reflex/Stream` — the reference's actual transport
+  * (server.go / client.go / grpctest): resume from a cursor, toHead
+  * termination with grpc-status 0 trailers, client cancel via
+  * RST_STREAM, UNIMPLEMENTED for unknown methods, flow-control past
+  * the 65535-octet initial window, and a Huffman-coded
+  * incrementally-indexed request header block (what grpc-go emits).
+  */
+class GrpcStreamSpec extends AnyFunSuite {
+  private lazy val spark = TestSpark.spark
+
+  private def mkTable(n: Int, metaBytes: Int = 0): EventsTable = {
+    val dir = Files.createTempDirectory("graft-grpc").resolve("log").toString
+    val table = new EventsTable(spark, dir)
+    import spark.implicits._
+    val meta = if (metaBytes > 0) "x" * metaBytes else "{}"
+    table.insert((0 until n).map { i =>
+      ("click", (i % 3).toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-01 00:${i % 60}%02d:00"), 1.0, meta)
+    }.toDF("eventType", "foreignId", "ts", "value", "metadata"))
+    table
+  }
+
+  test("Stream(after, toHead): events past the cursor arrive in order, status 0") {
+    val table = mkTable(10)
+    val server = new GrpcEventServer(() => table.log.df)
+    try {
+      val got = Seq.newBuilder[ReflexPb.PbEvent]
+      val res = GrpcEventClient.stream("localhost", server.boundPort,
+        after = 3, toHead = true) { e => got += e; true }
+      assert(res.grpcStatus == 0)
+      val evs = got.result()
+      assert(evs.map(_.id) == (4L to 9L))
+      assert(evs.forall(_.eventType == "click"))
+      assert(evs.map(_.foreignId) == Seq(1L, 2L, 0L, 1L, 2L, 0L))
+    } finally server.close()
+  }
+
+  test("live tail: events inserted after connect are streamed; client cancel sends RST") {
+    val table = mkTable(4)
+    val server = new GrpcEventServer(() => table.log.df, pollMs = 20)
+    try {
+      val got = new java.util.concurrent.CopyOnWriteArrayList[Long]()
+      val t = new Thread(() => {
+        GrpcEventClient.stream("localhost", server.boundPort, after = -1) { e =>
+          got.add(e.id)
+          got.size < 6 // cancel after six events
+        }
+        ()
+      })
+      t.start()
+      // wait for the initial four, then append two more while live
+      val deadline = System.currentTimeMillis() + 10000
+      while (got.size < 4 && System.currentTimeMillis() < deadline) Thread.sleep(20)
+      assert(got.size == 4)
+      import spark.implicits._
+      table.insert(Seq(
+        ("buy", 7L, java.sql.Timestamp.valueOf("2024-01-01 01:00:00"), 2.0, "{}"),
+        ("buy", 8L, java.sql.Timestamp.valueOf("2024-01-01 01:01:00"), 3.0, "{}"))
+        .toDF("eventType", "foreignId", "ts", "value", "metadata"))
+      t.join(10000)
+      assert(!t.isAlive)
+      assert(scala.jdk.CollectionConverters.ListHasAsScala(got).asScala.toSeq ==
+        (0L to 5L))
+    } finally server.close()
+  }
+
+  test("flow control: a stream larger than the 65535 initial window completes") {
+    // 120 events x ~1.2KB metadata ≈ 150KB >> 65535: requires the
+    // client's WINDOW_UPDATEs to be honored and DATA to fragment
+    val table = mkTable(120, metaBytes = 1200)
+    val server = new GrpcEventServer(() => table.log.df, chunk = 64)
+    try {
+      var n = 0
+      var bytes = 0L
+      val res = GrpcEventClient.stream("localhost", server.boundPort,
+        after = -1, toHead = true) { e => n += 1; bytes += e.metadata.length; true }
+      assert(res.grpcStatus == 0)
+      assert(n == 120)
+      assert(bytes == 120L * 1200)
+    } finally server.close()
+  }
+
+  test("relayGrpc bridges the gRPC transport to the socket-source line protocol, resuming on reconnect") {
+    val table = mkTable(10)
+    val server = new GrpcEventServer(() => table.log.df)
+    def readIds(port: Int): Seq[Long] = {
+      val sock = new java.net.Socket("localhost", port)
+      try {
+        val in = new java.io.BufferedReader(
+          new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+        Iterator.continually(in.readLine()).takeWhile(_ != null)
+          .map(l => """"id":(\d+)""".r.findFirstMatchIn(l).get.group(1).toLong)
+          .toSeq
+      } finally sock.close()
+    }
+    val (port, closeRelay) = EventStreamClient.relayGrpc(
+      "localhost", server.boundPort, after = 2L, toHead = true)
+    try {
+      assert(readIds(port) == (3L to 9L))
+      import spark.implicits._
+      table.insert((0 until 4).map { i =>
+        ("click", 0L, java.sql.Timestamp.valueOf(f"2024-01-02 00:0$i%d:00"), 1.0, "{}")
+      }.toDF("eventType", "foreignId", "ts", "value", "metadata"))
+      // reconnect: a fresh Stream() call presents the last forwarded id
+      assert(readIds(port) == (10L to 13L))
+    } finally { closeRelay(); server.close() }
+  }
+
+  test("unknown method gets grpc-status 12 UNIMPLEMENTED in trailers") {
+    val table = mkTable(2)
+    val server = new GrpcEventServer(() => table.log.df)
+    try {
+      val sock = new java.net.Socket("localhost", server.boundPort)
+      val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+      val in = new java.io.BufferedInputStream(sock.getInputStream)
+      out.write(Http2.Preface)
+      Http2.writeFrame(out, Http2.Settings, 0, 0, Http2.settingsPayload(Nil))
+      Http2.writeFrame(out, Http2.Headers,
+        Http2.FlagEndHeaders | Http2.FlagEndStream, 1, Hpack.encode(Seq(
+          ":method" -> "POST", ":scheme" -> "http",
+          ":path" -> "/some.Other/Method", ":authority" -> "localhost",
+          "content-type" -> "application/grpc", "te" -> "trailers")))
+      out.flush()
+      val hpackIn = new Hpack.Decoder()
+      var status = -1
+      var open = true
+      while (open) Http2.readFrame(in) match {
+        case None => open = false
+        case Some(f) if f.tpe == Http2.Headers =>
+          hpackIn.decode(Http2.unpad(f)).foreach(_.foreach {
+            case ("grpc-status", v) => status = v.toInt
+            case _ => ()
+          })
+          if (f.has(Http2.FlagEndStream)) open = false
+        case Some(f) if f.tpe == Http2.Settings && !f.has(Http2.FlagAck) =>
+          Http2.writeFrame(out, Http2.Settings, Http2.FlagAck, 0); out.flush()
+        case _ => ()
+      }
+      sock.close()
+      assert(status == 12)
+    } finally server.close()
+  }
+
+  test("huffman + incremental-indexing request headers decode (grpc-go's encoding)") {
+    val table = mkTable(5)
+    val server = new GrpcEventServer(() => table.log.df)
+    try {
+      val sock = new java.net.Socket("localhost", server.boundPort)
+      val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+      val in = new java.io.BufferedInputStream(sock.getInputStream)
+      out.write(Http2.Preface)
+      Http2.writeFrame(out, Http2.Settings, 0, 0, Http2.settingsPayload(Nil))
+      // hand-built header block in the style grpc-go emits: static
+      // indexing where possible, literal-with-INCREMENTAL-indexing +
+      // Huffman strings otherwise (exercises the server's dynamic
+      // table and Huffman paths, which Hpack.encode never uses)
+      val block = new java.io.ByteArrayOutputStream()
+      block.write(0x83) // :method POST (static 3)
+      block.write(0x86) // :scheme http (static 6)
+      def literalInc(nameStaticIdx: Int, name: String, value: String): Unit = {
+        if (nameStaticIdx > 0) Hpack.writeInt(block, 0x40, 6, nameStaticIdx)
+        else {
+          block.write(0x40)
+          val nh = Hpack.huffmanEncode(name)
+          Hpack.writeInt(block, 0x80, 7, nh.length)
+          block.write(nh)
+        }
+        val vh = Hpack.huffmanEncode(value)
+        Hpack.writeInt(block, 0x80, 7, vh.length)
+        block.write(vh)
+      }
+      literalInc(4, null, "/reflexpb.Reflex/Stream") // :path, huffman value
+      literalInc(1, null, "localhost") // :authority
+      literalInc(31, null, "application/grpc") // content-type
+      literalInc(0, "te", "trailers")
+      Http2.writeFrame(out, Http2.Headers, Http2.FlagEndHeaders, 1, block.toByteArray)
+      val req = ReflexPb.encodeStreamRequest(1, toHead = true)
+      val framed = new Array[Byte](5 + req.length)
+      framed(3) = ((req.length >>> 8) & 0xff).toByte
+      framed(4) = (req.length & 0xff).toByte
+      System.arraycopy(req, 0, framed, 5, req.length)
+      Http2.writeFrame(out, Http2.Data, Http2.FlagEndStream, 1, framed)
+      out.flush()
+      val hpackIn = new Hpack.Decoder()
+      val ids = Seq.newBuilder[Long]
+      val msgBuf = new java.io.ByteArrayOutputStream()
+      var status = -1
+      var open = true
+      while (open) Http2.readFrame(in) match {
+        case None => open = false
+        case Some(f) if f.tpe == Http2.Settings && !f.has(Http2.FlagAck) =>
+          Http2.writeFrame(out, Http2.Settings, Http2.FlagAck, 0); out.flush()
+        case Some(f) if f.tpe == Http2.Data =>
+          msgBuf.write(Http2.unpad(f))
+          if (f.has(Http2.FlagEndStream)) open = false
+        case Some(f) if f.tpe == Http2.Headers =>
+          hpackIn.decode(Http2.unpad(f)).foreach(_.foreach {
+            case ("grpc-status", v) => status = v.toInt
+            case _ => ()
+          })
+          if (f.has(Http2.FlagEndStream)) open = false
+        case _ => ()
+      }
+      sock.close()
+      val buf = msgBuf.toByteArray
+      var off = 0
+      while (buf.length - off >= 5) {
+        val len = ((buf(off + 1) & 0xff) << 24) | ((buf(off + 2) & 0xff) << 16) |
+          ((buf(off + 3) & 0xff) << 8) | (buf(off + 4) & 0xff)
+        ReflexPb.decodeEvent(
+          java.util.Arrays.copyOfRange(buf, off + 5, off + 5 + len))
+          .foreach(ids += _.id)
+        off += 5 + len
+      }
+      assert(status == 0)
+      assert(ids.result() == (2L to 4L)) // after=1, toHead
+    } finally server.close()
+  }
+}
