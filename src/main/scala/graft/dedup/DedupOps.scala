@@ -905,7 +905,76 @@ object DedupOps {
       FROM inter i
       JOIN sizes sa ON sa.doc_id = i.a
       JOIN sizes sb ON sb.doc_id = i.b
-      ORDER BY i.a, i.b"""))
+      ORDER BY i.a, i.b""")),
+
+    // C62: canonical-document selection per near-dup cluster — the
+    // "keep one per cluster" step every dedup pipeline ends with
+    // (e.g. keep the longest member, drop the rest). Winnow candidate
+    // pairs (C57b) become an undirected graph, connected components
+    // label the clusters (C30's min-label propagation), and the
+    // canonical member is the argmax by (n_chars DESC, doc_id ASC).
+    // Scale shape: the component labeling and the keep-window touch
+    // ONLY candidate docs (the pair graph), while the corpus-sized
+    // remainder is a map-only anti-join emitting keep=true singletons
+    // — no corpus shuffle, no window over singleton partitions. At
+    // 100 TB the expensive path is |candidates|, not |corpus|.
+    ("dd_cluster_keep_best", (s: SparkSession, d: String) => {
+      val dd = docs(s, d).select(col("doc_id"), col("n_chars"))
+      val pairs = winnowCandidatePairs(s, docs(s, d))
+        .select(col("a").as("src"), col("b").as("dst"))
+      val member = graft.graph.ConnectedComponents.components(pairs)
+        .select(col("v").as("doc_id"), col("component"))
+      val wRank = Window.partitionBy("component")
+        .orderBy(col("n_chars").desc, col("doc_id").asc)
+      val wSize = Window.partitionBy("component")
+      val clustered = dd.join(member, "doc_id")
+        .withColumn("cluster_size", count(lit(1)).over(wSize))
+        .withColumn("keep", row_number().over(wRank) === 1)
+        .select(col("doc_id"), col("component"), col("cluster_size"), col("keep"))
+      val singles = dd.join(member.select("doc_id"), Seq("doc_id"), "left_anti")
+        .select(col("doc_id"), col("doc_id").as("component"),
+          lit(1L).as("cluster_size"), lit(true).as("keep"))
+      clustered.unionByName(singles).orderBy("doc_id")
+    }, Some("""
+      WITH RECURSIVE norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nrm
+        FROM documents),
+      pos AS (
+        SELECT doc_id, i - 1 AS p, md5(substr(nrm, i, 20)) AS h,
+               length(nrm) - 19 AS npos
+        FROM norm, unnest(generate_series(1, length(nrm) - 19)) AS t(i)
+        WHERE length(nrm) >= 27),
+      keyed AS (
+        SELECT doc_id, p, npos,
+               min(h || '-' || lpad(CAST(p AS VARCHAR), 10, '0'))
+                 OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin
+        FROM pos),
+      fp AS (
+        SELECT DISTINCT doc_id, substr(wmin, 1, 32) AS fp
+        FROM keyed WHERE p <= npos - 8),
+      ok AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) BETWEEN 2 AND 50),
+      pairs AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM fp a JOIN ok USING (fp) JOIN fp b USING (fp)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      e AS (SELECT a AS src, b AS dst FROM pairs
+            UNION SELECT b, a FROM pairs),
+      reach(v, r) AS (
+        SELECT src, src FROM e
+        UNION
+        SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.v),
+      comp AS (SELECT v, min(r) AS component FROM reach GROUP BY v),
+      lbl AS (
+        SELECT d.doc_id, coalesce(c.component, d.doc_id) AS component, d.n_chars
+        FROM documents d LEFT JOIN comp c ON c.v = d.doc_id)
+      SELECT doc_id, component,
+             count(*) OVER (PARTITION BY component) AS cluster_size,
+             (row_number() OVER (PARTITION BY component
+                ORDER BY n_chars DESC, doc_id ASC)) = 1 AS keep
+      FROM lbl ORDER BY doc_id"""))
     // C5 (dd_embed_neardup) lives in AnnOps — it shares the
     // broadcast-probe cosine kernel with ann_bruteforce.
   )

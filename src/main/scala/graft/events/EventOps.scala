@@ -872,6 +872,61 @@ object EventOps {
       FROM hist h JOIN tot t USING (event_type)
         JOIN med m USING (event_type) JOIN mad a USING (event_type)
       GROUP BY 1, t.n, m.med4, a.mad4
-      ORDER BY event_type"""))
+      ORDER BY event_type""")),
+
+    // A62: event-time lateness histogram — per event, how far behind
+    // the arrival frontier (running max event-time in append/id order)
+    // it landed; the distribution a streaming deployment reads to SET
+    // its watermark delay (A27's withWatermark bound). A global
+    // running max doesn't partition, so it's decomposed exactly:
+    // ids bucket into fixed 4096-wide ranges, per-range maxes form a
+    // tiny frame whose EXCLUSIVE prefix max broadcasts back, and the
+    // within-range running max is a window over ≤4096-row partitions
+    // — greatest(prefix, within) IS the global frontier (ranges
+    // partition the order). Log2 buckets, same convention as A55.
+    ("ev_lateness", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      val raw = ev(s, d)
+      val esCol = raw.schema("ts").dataType match {
+        case LongType => expr("ts div 1000000000")
+        case TimestampNTZType => unix_timestamp(col("ts").cast("timestamp"))
+        case _ => unix_timestamp(col("ts"))
+      }
+      val e = raw.select(col("event_id").as("id"),
+        col("event_type").as("etype"), esCol.as("es"),
+        expr("event_id div 4096").as("grp"))
+      val grpMax = e.groupBy("grp").agg(max("es").as("gmax"))
+      val prior = grpMax
+        .withColumn("prefix", max("gmax").over(Window.orderBy("grp")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+        .select("grp", "prefix")
+      val wIn = Window.partitionBy("grp").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      e.join(broadcast(prior), "grp")
+        .select(col("etype"),
+          (greatest(max("es").over(wIn), coalesce(col("prefix"), col("es"))) -
+            col("es")).as("late"))
+        .groupBy(col("etype"), when(col("late") === 0L, 0)
+          .otherwise(expr("cast(length(bin(late)) - 1 as int)")).as("bucket"))
+        .agg(count(lit(1)).as("n"), max("late").as("max_late_s"))
+        .orderBy("etype", "bucket")
+    }, Some("""
+      WITH e AS (
+        SELECT event_id AS id, event_type AS etype,
+               CAST(floor(epoch(ts)) AS BIGINT) AS es
+        FROM events),
+      l AS (
+        SELECT etype,
+               max(es) OVER (ORDER BY id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - es AS late
+        FROM e),
+      b AS (
+        SELECT etype,
+               CASE WHEN late = 0 THEN 0
+                    ELSE CAST(length(bin(late)) - 1 AS INTEGER) END AS bucket,
+               late
+        FROM l)
+      SELECT etype, bucket, count(*) AS n, CAST(max(late) AS BIGINT) AS max_late_s
+      FROM b GROUP BY 1, 2 ORDER BY 1, 2"""))
   )
 }

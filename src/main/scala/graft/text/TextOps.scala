@@ -2022,7 +2022,50 @@ object TextOps {
         .agg(sum("tf").as("n_words"), sum("bpe").as("n_bpe"))
         .withColumn("ratio4", ratio4(col("n_bpe"), col("n_words")))
         .orderBy("doc_id")
-    }, Some(bpeTokensOracle))
+    }, Some(bpeTokensOracle)),
+
+    // C63: readability scoring (Flesch–Kincaid grade, Kincaid 1975) —
+    // the classic curriculum/quality feature a pretraining mix keys
+    // on. Counts are regex-run counts (words = [a-z0-9]+ runs,
+    // sentences = [.!?]+ runs, syllables ≈ [aeiouy]+ vowel groups —
+    // the standard cheap proxy); the grade 0.39·w/s + 11.8·sy/w −
+    // 15.59 is evaluated as ONE exact int64 rational N/D with
+    // D = 100·s·w (N = 39w² + 1180·sy·s − 1559·s·w), rounded
+    // half-away-from-zero at the 1e4 grain — no float sum can
+    // boundary-flip between engines. One scan, partial-agg-free
+    // per-row projection: at 100 TB this is a map-only pass.
+    ("tx_readability", (s: SparkSession, d: String) => {
+      val w = greatest(
+        size(regexp_extract_all(lower(col("text")), lit("[a-z0-9]+"), lit(0))).cast("long"),
+        lit(1L))
+      val snt = greatest(
+        size(regexp_extract_all(col("text"), lit("[.!?]+"), lit(0))).cast("long"),
+        lit(1L))
+      val sy = size(regexp_extract_all(lower(col("text")), lit("[aeiouy]+"), lit(0))).cast("long")
+      val num = lit(39L) * w * w + lit(1180L) * sy * snt - lit(1559L) * snt * w
+      val den = lit(100L) * snt * w
+      docs(s, d)
+        .select(col("doc_id"), w.as("n_words"), snt.as("n_sentences"),
+          sy.as("n_syllables"),
+          (signum(num).cast("long") *
+            call_function("div", abs(num) * 20000L + den, den * 2L))
+            .cast("double")./(10000.0).as("fk_grade4"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH f AS (
+        SELECT doc_id,
+               greatest(CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT), 1) AS w,
+               greatest(CAST(length(regexp_extract_all(text, '[.!?]+')) AS BIGINT), 1) AS s,
+               CAST(length(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS sy
+        FROM documents),
+      r AS (
+        SELECT doc_id, w AS n_words, s AS n_sentences, sy AS n_syllables,
+               39 * w * w + 1180 * sy * s - 1559 * s * w AS num,
+               100 * s * w AS den
+        FROM f)
+      SELECT doc_id, n_words, n_sentences, n_syllables,
+             (sign(num) * ((abs(num) * 20000 + den) // (den * 2))) / 10000.0 AS fk_grade4
+      FROM r ORDER BY doc_id"""))
   )
 
   // ---- BPE (C62/C62b) ------------------------------------------------
