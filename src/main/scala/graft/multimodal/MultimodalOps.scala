@@ -270,6 +270,61 @@ object MultimodalOps {
         JOIN n na ON na.vec_id = img_id JOIN n nb ON nb.vec_id = txt_id
         JOIN lab la ON la.vec_id = img_id JOIN lab lb ON lb.vec_id = txt_id)
       SELECT pair_id, img_id, txt_id, clip_sim, label_match
-      FROM scored WHERE clip_sim >= 0.05 ORDER BY pair_id"""))
+      FROM scored WHERE clip_sim >= 0.05 ORDER BY pair_id""")),
+
+    // C66: container-format sniffing by magic bytes — the first gate
+    // of any media ingest (the uploader's claimed MIME type is
+    // untrusted; the bytes are). The corpus carries no real media, so
+    // REAL magic headers are planted per kind (JPEG FF D8 FF E0,
+    // RIFF/WAVE, ISO-BMFF ftyp box) with every 7th doc left raw to
+    // exercise the unknown branch — the SNIFFER sees only bytes.
+    // Detection is a prefix test over hex(payload) (both engines hex
+    // identically), so the same CASE runs cross-engine byte-for-byte;
+    // map-only single scan at any scale.
+    ("mm_mime_sniff", (s: SparkSession, d: String) => {
+      val media = asMedia(graft.Tables.documents(s, d))
+      val jpeg = lit(Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte))
+      val wav = lit(("RIFF" + "\u0000" * 4 + "WAVE").getBytes("ISO-8859-1"))
+      val mp4 = lit((new String(Array[Char](0, 0, 0, 0x18)) + "ftypisom").getBytes("ISO-8859-1"))
+      val framed = media.select(col("doc_id"), col("kind"),
+        when(col("doc_id") % 7 === 0, col("payload"))
+          .when(col("kind") === "image", concat(jpeg, col("payload")))
+          .when(col("kind") === "audio", concat(wav, col("payload")))
+          .otherwise(concat(mp4, col("payload"))).as("payload"))
+      val h = hex(col("payload"))
+      framed.select(col("doc_id"), col("kind"),
+        when(substring(h, 1, 6) === "FFD8FF", "image/jpeg")
+          .when(substring(h, 1, 8) === "89504E47", "image/png")
+          .when(substring(h, 1, 8) === "47494638", "image/gif")
+          .when(substring(h, 1, 8) === "52494646" &&
+            substring(h, 17, 8) === "57415645", "audio/wav")
+          .when(substring(h, 9, 8) === "66747970", "video/mp4")
+          .otherwise("application/octet-stream").as("detected"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH media AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               encode(text) AS payload
+        FROM documents),
+      framed AS (
+        SELECT doc_id, kind,
+               CASE WHEN doc_id % 7 = 0 THEN payload
+                    WHEN kind = 'image' THEN '\xFF\xD8\xFF\xE0'::BLOB || payload
+                    WHEN kind = 'audio' THEN 'RIFF'::BLOB || '\x00\x00\x00\x00'::BLOB || 'WAVE'::BLOB || payload
+                    ELSE '\x00\x00\x00\x18'::BLOB || 'ftypisom'::BLOB || payload
+               END AS payload
+        FROM media),
+      hx AS (SELECT doc_id, kind, hex(payload) AS h FROM framed)
+      SELECT doc_id, kind,
+             CASE WHEN substr(h, 1, 6) = 'FFD8FF' THEN 'image/jpeg'
+                  WHEN substr(h, 1, 8) = '89504E47' THEN 'image/png'
+                  WHEN substr(h, 1, 8) = '47494638' THEN 'image/gif'
+                  WHEN substr(h, 1, 8) = '52494646'
+                       AND substr(h, 17, 8) = '57415645' THEN 'audio/wav'
+                  WHEN substr(h, 9, 8) = '66747970' THEN 'video/mp4'
+                  ELSE 'application/octet-stream'
+             END AS detected
+      FROM hx ORDER BY doc_id"""))
   )
 }

@@ -35,9 +35,25 @@ class GrpcEventServer(
     log: () => DataFrame,
     port: Int = 0,
     pollMs: Long = 100L,
-    chunk: Int = 1024) extends AutoCloseable {
+    chunk: Int = 1024,
+    /** TLS mode: serve HTTP/2 over TLS with ALPN "h2" — what
+      * `grpc.Dial` with transport credentials negotiates. Build a
+      * context from a keystore via [[GrpcTls]]. None = cleartext h2c
+      * prior knowledge.
+      */
+    sslContext: Option[javax.net.ssl.SSLContext] = None) extends AutoCloseable {
 
-  private val server = new ServerSocket(port, 16, InetAddress.getLoopbackAddress)
+  private val server: ServerSocket = sslContext match {
+    case None => new ServerSocket(port, 16, InetAddress.getLoopbackAddress)
+    case Some(ctx) =>
+      val ss = ctx.getServerSocketFactory
+        .createServerSocket(port, 16, InetAddress.getLoopbackAddress)
+        .asInstanceOf[javax.net.ssl.SSLServerSocket]
+      val params = ss.getSSLParameters
+      params.setApplicationProtocols(Array("h2")) // ALPN (RFC 7301)
+      ss.setSSLParameters(params)
+      ss
+  }
   @volatile private var running = true
 
   def boundPort: Int = server.getLocalPort
@@ -357,9 +373,25 @@ object GrpcEventClient {
     */
   def stream(host: String, port: Int, after: Long, toHead: Boolean = false,
       fromHead: Boolean = false, lagMs: Long = 0L,
-      onOpen: Socket => Unit = _ => ())
+      onOpen: Socket => Unit = _ => (),
+      /** TLS mode: negotiate ALPN "h2" before speaking HTTP/2 (the
+        * credentials-bearing `grpc.Dial`); None = h2c prior knowledge.
+        */
+      sslContext: Option[javax.net.ssl.SSLContext] = None)
       (f: ReflexPb.PbEvent => Boolean): Result = {
-    val sock = new Socket(host, port)
+    val sock = sslContext match {
+      case None => new Socket(host, port)
+      case Some(ctx) =>
+        val s = ctx.getSocketFactory.createSocket(host, port)
+          .asInstanceOf[javax.net.ssl.SSLSocket]
+        val params = s.getSSLParameters
+        params.setApplicationProtocols(Array("h2"))
+        s.setSSLParameters(params)
+        s.startHandshake()
+        require(s.getApplicationProtocol == "h2",
+          s"ALPN negotiated '${s.getApplicationProtocol}', expected h2")
+        s
+    }
     onOpen(sock)
     try {
       val out = new BufferedOutputStream(sock.getOutputStream)

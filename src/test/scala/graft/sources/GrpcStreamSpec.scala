@@ -115,6 +115,24 @@ class GrpcStreamSpec extends AnyFunSuite {
     } finally { closeRelay(); server.close() }
   }
 
+  test("TLS mode: ALPN negotiates h2 and the stream completes over TLSv1.3") {
+    val table = mkTable(8)
+    val ksDir = Files.createTempDirectory("graft-grpc-tls").toString
+    val ks = GrpcTls.selfSigned(ksDir)
+    val server = new GrpcEventServer(() => table.log.df,
+      sslContext = Some(GrpcTls.serverContext(ks, "changeit")))
+    try {
+      val got = Seq.newBuilder[Long]
+      val res = GrpcEventClient.stream("localhost", server.boundPort,
+        after = 2, toHead = true,
+        sslContext = Some(GrpcTls.clientContext(ks, "changeit"))) { e =>
+        got += e.id; true
+      }
+      assert(res.grpcStatus == 0)
+      assert(got.result() == (3L to 7L))
+    } finally server.close()
+  }
+
   test("unknown method gets grpc-status 12 UNIMPLEMENTED in trailers") {
     val table = mkTable(2)
     val server = new GrpcEventServer(() => table.log.df)
