@@ -19,7 +19,9 @@ object PlanAudit {
       "ev_filter_meta_typed", "q21_waiting_supplier", "q_running_total",
       "tx_winnow", "dd_winnow_pairs", "tx_bloom_decontaminate",
       "dd_containment", "tx_linear_score", "ann_rerank_stub",
-      "ev_gapfill_daily").foreach { q =>
+      "ev_gapfill_daily",
+      "tx_bpe_merges", "tx_bpe_tokens", "dd_cluster_keep_best",
+      "tx_readability", "ev_lateness", "mm_mime_sniff").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sfDir)
       df.collect() // materialize THIS frame so AQE reports the FINAL plan (a count() would plan separately)
       val plan = df.queryExecution.executedPlan.toString
