@@ -2065,7 +2065,67 @@ object TextOps {
         FROM f)
       SELECT doc_id, n_words, n_sentences, n_syllables,
              (sign(num) * ((abs(num) * 20000 + den) // (den * 2))) / 10000.0 AS fk_grade4
-      FROM r ORDER BY doc_id"""))
+      FROM r ORDER BY doc_id""")),
+
+    // C67: span-corruption statistics (Raffel'20 T5 §3.1.4 denoising /
+    // UL2 span objectives): deterministic ~15% token masking via an
+    // md5 coin per (doc, position) — the SAME coin both engines flip —
+    // with consecutive masked tokens merged into spans by the island
+    // trick (idx − row_number), yielding the per-doc numbers a
+    // denoising data pipeline budgets with: mask ratio, span count,
+    // mean span length (exact 1e4-grain ratios). One scan + one
+    // per-doc window over masked rows only; at 100 TB the window's
+    // partitions are doc-sized — no global order anywhere.
+    ("tx_span_corrupt", (s: SparkSession, d: String) => {
+      val toks = docs(s, d)
+        .select(col("doc_id"),
+          posexplode(split(normalize(col("text")), " ")).as(Seq("idx", "tok")))
+        .filter(length(col("tok")) >= 1)
+      val counts = toks.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
+      val wIsl = Window.partitionBy("doc_id").orderBy("idx")
+      val spans = toks
+        .filter((conv(substring(md5(concat_ws("-", col("doc_id"), col("idx"))), 1, 4), 16, 10)
+          .cast("long") % 100L) < 15L)
+        .withColumn("island", col("idx") - row_number().over(wIsl))
+        .groupBy("doc_id")
+        .agg(countDistinct("island").as("n_spans"), count(lit(1)).as("n_masked"))
+      counts.join(spans, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_toks"),
+          coalesce(col("n_masked"), lit(0L)).as("n_masked"),
+          coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+          ratio4(coalesce(col("n_masked"), lit(0L)), col("n_toks")).as("mask_ratio4"),
+          when(col("n_spans").isNull, lit(0.0))
+            .otherwise(ratio4(col("n_masked"), col("n_spans"))).as("mean_span_len4"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nrm
+        FROM documents),
+      toks AS (
+        SELECT doc_id,
+               generate_subscripts(string_split(nrm, ' '), 1) - 1 AS idx,
+               unnest(string_split(nrm, ' ')) AS tok
+        FROM norm),
+      t AS (SELECT doc_id, idx FROM toks WHERE length(tok) >= 1),
+      counts AS (SELECT doc_id, count(*) AS n_toks FROM t GROUP BY 1),
+      masked AS (
+        SELECT doc_id, idx,
+               idx - row_number() OVER (PARTITION BY doc_id ORDER BY idx) AS island
+        FROM t
+        WHERE CAST('0x' || substr(md5(doc_id || '-' || idx), 1, 4) AS INTEGER) % 100 < 15),
+      spans AS (
+        SELECT doc_id, count(DISTINCT island) AS n_spans, count(*) AS n_masked
+        FROM masked GROUP BY 1)
+      SELECT c.doc_id, c.n_toks,
+             coalesce(s.n_masked, 0) AS n_masked,
+             coalesce(s.n_spans, 0) AS n_spans,
+             ((coalesce(s.n_masked, 0) * 20000 + c.n_toks) // (c.n_toks * 2)) / 10000.0 AS mask_ratio4,
+             CASE WHEN s.n_spans IS NULL THEN 0.0
+                  ELSE ((s.n_masked * 20000 + s.n_spans) // (s.n_spans * 2)) / 10000.0
+             END AS mean_span_len4
+      FROM counts c LEFT JOIN spans s ON s.doc_id = c.doc_id
+      ORDER BY c.doc_id"""))
   )
 
   // ---- BPE (C62/C62b) ------------------------------------------------
