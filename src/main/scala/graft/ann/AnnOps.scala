@@ -228,6 +228,56 @@ object AnnOps {
       SELECT probe, neighbor, round(cos, 4) AS cos_sim
       FROM scored WHERE cos >= 0.30 ORDER BY probe, neighbor""")),
 
+    // C6c: FILTERED vector search — top-k restricted to neighbors
+    // sharing the probe's label (the "similar items in the same
+    // category" retrieval API; metadata predicates are table stakes in
+    // every vector store). Pre-filter beats post-filter at any scale:
+    // the label predicate lands in the broadcast-probe join condition,
+    // so non-matching corpus rows never reach the cosine kernel and k
+    // results are k RESULTS (a post-filtered top-k can starve).
+    ("ann_filtered", (s: SparkSession, d: String) => {
+      GraftFunctions.register(s)
+      val e = graft.Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val probes = broadcast(e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("probe"), col("label").as("pl"),
+          col("v").as("pv")))
+      val scored = probes.join(
+        e.select(col("vec_id").as("neighbor"), col("label").as("nl"),
+          col("v").as("nv")),
+        col("probe") =!= col("neighbor") && col("pl") === col("nl"))
+        .selectExpr("probe", "neighbor", "cosine_sim(pv, nv) AS cos")
+      val w = Window.partitionBy("probe")
+        .orderBy(col("cos").desc, col("neighbor").asc)
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("probe"), col("rk").cast("int").as("rk"),
+          col("neighbor"), round(col("cos"), 4).as("cos_sim"))
+        .orderBy("probe", "rk")
+    }, Some("""
+      WITH f AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+      n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY vec_id),
+      lab AS (SELECT vec_id, label FROM embeddings),
+      dots AS (
+        SELECT a.vec_id AS probe, b.vec_id AS neighbor, sum(a.v * b.v) AS dot
+        FROM f a
+        JOIN lab la ON la.vec_id = a.vec_id
+        JOIN lab lb ON lb.label = la.label
+        JOIN f b ON b.vec_id = lb.vec_id AND a.i = b.i AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < 16
+        GROUP BY a.vec_id, b.vec_id),
+      scored AS (
+        SELECT probe, neighbor, dot / (na.nrm * nb.nrm) AS cos,
+               row_number() OVER (PARTITION BY probe
+                 ORDER BY dot / (na.nrm * nb.nrm) DESC, neighbor ASC) AS rk
+        FROM dots JOIN n na ON na.vec_id = probe JOIN n nb ON nb.vec_id = neighbor)
+      SELECT probe, CAST(rk AS INTEGER) AS rk, neighbor, round(cos, 4) AS cos_sim
+      FROM scored WHERE rk <= 5 ORDER BY probe, rk""")),
+
     // C5: embedding-cosine near-dup pairs over a probe window.
     ("dd_embed_neardup", (s: SparkSession, d: String) => {
       probeScores(s, d, probeMax = 200)

@@ -2125,7 +2125,65 @@ object TextOps {
                   ELSE ((s.n_masked * 20000 + s.n_spans) // (s.n_spans * 2)) / 10000.0
              END AS mean_span_len4
       FROM counts c LEFT JOIN spans s ON s.doc_id = c.doc_id
-      ORDER BY c.doc_id"""))
+      ORDER BY c.doc_id""")),
+
+    // C68: preference-pair construction (the DPO/RLHF data-prep step:
+    // per group, pair the best against the worst candidate by a
+    // shared reward proxy — here tx_quality's exact-int score).
+    // Chosen/rejected are ARGMAX/ARGMIN via struct-ordered min/max —
+    // pure partially-aggregable aggregates, so a low-cardinality
+    // group key (source) costs a tiny map-side-combined agg, not a
+    // corpus window over skewed partitions. Degenerate groups (single
+    // doc, or all-equal scores collapsing to one argmin=argmax doc)
+    // drop, as a pair needs two distinct members.
+    ("pipeline_pref_pairs", (s: SparkSession, d: String) => {
+      val toks = tokens(col("text"))
+      val n = size(toks).cast("long")
+      val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+      val stops = stopwordHits(toks, stopwords).cast("long")
+      val l = length(col("text")).cast("long")
+      val qn = lit(500L) * stops * l + lit(300L) * (l - punct) * n +
+        lit(2L) * least(n, lit(100L)) * n * l
+      val qd = lit(1000L) * n * l
+      val q = docs(s, d).select(col("doc_id"), col("source"),
+        ratio4(qn, qd).as("q4"))
+      q.groupBy("source")
+        .agg(
+          max(struct(col("q4").as("q4"), (-col("doc_id")).as("nd"))).as("b"),
+          min(struct(col("q4").as("q4"), col("doc_id").as("doc_id"))).as("w"),
+          count(lit(1)).as("n_docs"))
+        .filter(col("n_docs") >= 2 && -col("b.nd") =!= col("w.doc_id"))
+        .select(col("source"),
+          (-col("b.nd")).as("chosen_id"), col("b.q4").as("chosen_q4"),
+          col("w.doc_id").as("rejected_id"), col("w.q4").as("rejected_q4"),
+          round(col("b.q4") - col("w.q4"), 4).as("gap4"))
+        .orderBy("source")
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id, source,
+               CAST(length(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n,
+               CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS punct,
+               CAST(length(list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) AS stops,
+               CAST(length(text) AS BIGINT) AS len
+        FROM documents),
+      q AS (
+        SELECT doc_id, source,
+               ((20000 * (500 * stops * len + 300 * (len - punct) * n + 2 * least(n, 100) * n * len)
+                 + 1000 * n * len) // (2 * 1000 * n * len)) / 10000.0 AS q4
+        FROM t),
+      r AS (
+        SELECT source, doc_id, q4,
+               row_number() OVER (PARTITION BY source ORDER BY q4 DESC, doc_id ASC) AS rb,
+               row_number() OVER (PARTITION BY source ORDER BY q4 ASC, doc_id ASC) AS rw,
+               count(*) OVER (PARTITION BY source) AS n_docs
+        FROM q)
+      SELECT b.source, b.doc_id AS chosen_id, b.q4 AS chosen_q4,
+             w.doc_id AS rejected_id, w.q4 AS rejected_q4,
+             round(b.q4 - w.q4, 4) AS gap4
+      FROM (SELECT * FROM r WHERE rb = 1 AND n_docs >= 2) b
+      JOIN (SELECT * FROM r WHERE rw = 1) w USING (source)
+      WHERE b.doc_id <> w.doc_id
+      ORDER BY b.source"""))
   )
 
   // ---- BPE (C62/C62b) ------------------------------------------------
