@@ -2205,7 +2205,9 @@ object TextOps {
     var segs: Seq[(Array[String], Long)] =
       vocab.map { case (w, n) => (w.toCharArray.map(_.toString), n) }
     val out = Seq.newBuilder[(Int, String, String, Long)]
-    for (r <- 1 to k) {
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
       val cnt = new java.util.HashMap[(String, String), java.lang.Long]()
       segs.foreach { case (syms, n) =>
         var i = 0
@@ -2216,14 +2218,22 @@ object TextOps {
           i += 1
         }
       }
-      var bk: (String, String) = null
-      var bc = Long.MinValue
-      cnt.forEach { (p, v) =>
-        if (v > bc || (v == bc && (p._1 < bk._1 ||
-            (p._1 == bk._1 && p._2 < bk._2)))) { bk = p; bc = v }
+      if (cnt.isEmpty) {
+        // empty vocab, or every word fully merged: no pair left to
+        // count — fewer than k merges is the defined result (the
+        // oracle's per-round argmax over zero pairs emits nothing too)
+        exhausted = true
+      } else {
+        var bk: (String, String) = null
+        var bc = Long.MinValue
+        cnt.forEach { (p, v) =>
+          if (v > bc || (v == bc && (p._1 < bk._1 ||
+              (p._1 == bk._1 && p._2 < bk._2)))) { bk = p; bc = v }
+        }
+        out += ((r, bk._1, bk._2, bc))
+        segs = segs.map { case (syms, n) => (bpeMergePass(syms, bk._1, bk._2), n) }
       }
-      out += ((r, bk._1, bk._2, bc))
-      segs = segs.map { case (syms, n) => (bpeMergePass(syms, bk._1, bk._2), n) }
+      r += 1
     }
     out.result()
   }

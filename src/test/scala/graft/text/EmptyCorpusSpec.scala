@@ -15,7 +15,13 @@ class EmptyCorpusSpec extends AnyFunSuite {
     "dd_exact", "tx_winnow", "dd_winnow_pairs", "dd_containment",
     "tx_linear_score", "tx_quality", "tx_tokens", "tx_fingerprint",
     "dd_ngram_jaccard", "tx_entropy", "pipeline_prepare_corpus",
-    "tx_decontaminate", "tx_bloom_decontaminate")
+    "tx_decontaminate", "tx_bloom_decontaminate",
+    // round-9 additions: cluster labeling (CC over zero edges +
+    // anti-join), readability/span-corruption projections, BPE learn
+    // over an empty vocab, magic-byte sniff, preference pairs
+    "dd_cluster_keep_best", "tx_readability", "tx_span_corrupt",
+    "tx_bpe_merges", "tx_bpe_tokens", "mm_mime_sniff",
+    "pipeline_pref_pairs")
 
   test("documents-table queries return empty frames on an empty corpus") {
     val spark = graft.TestSpark.spark
@@ -39,7 +45,8 @@ class EmptyCorpusSpec extends AnyFunSuite {
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     Seq("ev_model", "ev_sessionize", "ev_latest_state", "ev_gaps",
-      "ev_window_count").foreach { q =>
+      "ev_window_count", "ev_lateness", "ev_inter_event_time",
+      "ev_gapfill_daily").foreach { q =>
       val n = graft.SparkEntry.queries(q)(spark, dir).count()
       assert(n == 0L, s"$q returned $n rows on an empty log")
     }
