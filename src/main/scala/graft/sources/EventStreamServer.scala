@@ -412,4 +412,23 @@ object EventStreamClient {
       availableNow = false)
     (q, closeRelay)
   }
+
+  /** `consume` over the gRPC transport: the standard durable-cursor
+    * consume loop (Runner.runStreamFrom + the consumer's own
+    * CursorStore) riding a [[GrpcEventServer]] peer via `relayGrpc` —
+    * the full client.go shape over the reference's actual transport.
+    */
+  def consumeGrpc(
+      spark: org.apache.spark.sql.SparkSession,
+      host: String,
+      port: Int,
+      spec: graft.events.Spec,
+      checkpointDir: String): (org.apache.spark.sql.streaming.StreamingQuery, () => Unit) = {
+    val after = spec.store.get(spec.consumer.name).getOrElse(-1L)
+    val (localPort, closeRelay) = relayGrpc(host, port, after)
+    val q = graft.events.Runner.runStreamFrom(
+      SocketEventSource.stream(spark, "localhost", localPort), spec, checkpointDir,
+      availableNow = false)
+    (q, closeRelay)
+  }
 }

@@ -115,6 +115,38 @@ class GrpcStreamSpec extends AnyFunSuite {
     } finally { closeRelay(); server.close() }
   }
 
+  test("full consume loop over gRPC: durable cursor presented, committed, live tail") {
+    import scala.jdk.CollectionConverters._
+    val table = mkTable(10)
+    val server = new GrpcEventServer(() => table.log.df, pollMs = 50)
+    val store = new graft.events.MemCursorStore(Map("remote" -> 3L))
+    val seen = java.util.concurrent.ConcurrentHashMap.newKeySet[Long]()
+    val spec = graft.events.Spec(null, store, graft.events.Consumer("remote",
+      b => b.select("id").collect().foreach(r => seen.add(r.getLong(0)))))
+    val ckpt = Files.createTempDirectory("graft-grpc-ckpt").toString
+    val (q, closeRelay) = EventStreamClient.consumeGrpc(
+      spark, "localhost", server.boundPort, spec, ckpt)
+    try {
+      val deadline = System.currentTimeMillis() + 60000
+      while (seen.size < 6 && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable(); Thread.sleep(100)
+      }
+      assert(seen.asScala.toSet == (4L to 9L).toSet,
+        s"server must start after the presented cursor, got ${seen.asScala.toSet}")
+      assert(store.get("remote").contains(9L))
+      // producer appends while the consumer is live (gRPC long-poll)
+      import spark.implicits._
+      table.insert((0 until 3).map { i =>
+        ("tail", 1L, java.sql.Timestamp.valueOf(f"2024-01-01 01:0$i%d:00"), 1.0, "{}")
+      }.toDF("eventType", "foreignId", "ts", "value", "metadata"))
+      while (seen.size < 9 && System.currentTimeMillis() < deadline) {
+        q.processAllAvailable(); Thread.sleep(100)
+      }
+      assert(seen.asScala.toSet == (4L to 12L).toSet)
+      assert(store.get("remote").contains(12L))
+    } finally { q.stop(); closeRelay(); server.close() }
+  }
+
   test("TLS mode: ALPN negotiates h2 and the stream completes over TLSv1.3") {
     val table = mkTable(8)
     val ksDir = Files.createTempDirectory("graft-grpc-tls").toString
