@@ -1024,6 +1024,107 @@ object Queries {
       FROM supplier JOIN nation ON s_nationkey = n_nationkey
       WHERE s_suppkey IN (
         SELECT l_suppkey FROM ps JOIN p ON l_partkey = pk WHERE q_ps * 2 > q_p)
-      ORDER BY s_suppkey"""))
+      ORDER BY s_suppkey""")),
+
+    // B41: equi-depth histogram (8 buckets) of l_extendedprice —
+    // optimizer-statistics collection WITHOUT a global sort: rows
+    // collapse map-side onto the exact-cents value domain (bounded by
+    // the price grid — qty 1-50 × part price domain — independent of
+    // row count, the same domain-bounded-frame argument as the CCNet
+    // quality thirds), the prefix sum runs over that tiny frame, and
+    // a value lands in the bucket of its exclusive cumulative rank.
+    // Value-atomic: all rows of one distinct value share a bucket, so
+    // bucket populations wobble around N/8 exactly like real
+    // equi-depth stats do.
+    ("q_equidepth", (s: SparkSession, d: String) => {
+      val h = Tables.lineitem(s, d)
+        .select(cents(col("l_extendedprice")).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("cnt"))
+      val tot = h.agg(sum("cnt").as("total"))
+      h.crossJoin(broadcast(tot))
+        .withColumn("cum_excl", coalesce(sum("cnt").over(Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("bucket",
+          call_function("div", col("cum_excl") * 8L, col("total")).cast("int"))
+        .groupBy("bucket")
+        .agg((min("v") / 100.0).as("lo"), (max("v") / 100.0).as("hi"),
+          sum("cnt").as("n_rows"), count(lit(1)).as("n_values"))
+        .orderBy("bucket")
+    }, Some("""
+      WITH h AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v, count(*) AS cnt
+        FROM lineitem GROUP BY 1),
+      t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM h),
+      c AS (SELECT v, cnt, COALESCE(sum(cnt) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+            FROM h),
+      b AS (SELECT CAST((cum_excl * 8) // total AS INTEGER) AS bucket, v, cnt
+            FROM c, t)
+      SELECT bucket, min(v) / 100.0 AS lo, max(v) / 100.0 AS hi,
+             CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_values
+      FROM b GROUP BY bucket ORDER BY bucket""")),
+
+    // B42: Z-order (Morton) layout audit — the data-clustering
+    // decision behind Delta/Iceberg OPTIMIZE ZORDER at 100 TB. Both
+    // join dims quantize to 8-bit range buckets; 64 "files" are cut
+    // either linearly (by orderkey bucket alone) or by the top bits of
+    // the 16-bit interleaved Morton code; the report is each layout's
+    // summed per-file min-max span in BOTH dims — the exact quantity
+    // min/max zone maps skip on. Linear files are razor-thin in x but
+    // span all of y; Z-order files are ~32×32 tiles, so predicates on
+    // EITHER dim prune ~8× better than the worse linear dim. One scan,
+    // two tiny groupBys; the Morton code is pure integer bit math in
+    // identical form both engines.
+    ("q_zorder", (s: SparkSession, d: String) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").cast("long").as("ok"),
+          col("l_partkey").cast("long").as("pk"))
+      val mx = li.agg(max("ok").as("mok"), max("pk").as("mpk"))
+      val q = li.crossJoin(broadcast(mx))
+        .select(
+          least(lit(255L), call_function("div", col("ok") * 256L, col("mok") + 1L)).as("x"),
+          least(lit(255L), call_function("div", col("pk") * 256L, col("mpk") + 1L)).as("y"))
+      val zc = (0 until 8).map { i =>
+        (shiftright(col("x"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+          (shiftright(col("y"), i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+      }.reduce(_ + _)
+      def spans(df: DataFrame, file: Column, layout: String): DataFrame =
+        df.groupBy(file.as("file"))
+          .agg((max("x") - min("x") + 1L).as("sx"),
+            (max("y") - min("y") + 1L).as("sy"), count(lit(1)).as("n"))
+          .agg(lit(layout).as("layout"), count(lit(1)).as("n_files"),
+            sum("sx").as("span_x_total"), sum("sy").as("span_y_total"),
+            sum("n").as("n_rows"))
+      spans(q, call_function("div", col("x") * 64L, lit(256L)), "linear")
+        .unionAll(spans(q.withColumn("zc", zc),
+          call_function("div", col("zc"), lit(1024L)), "zorder"))
+        .orderBy("layout")
+    }, {
+      val zExpr = (0 until 8).map { i =>
+        s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})"
+      }.mkString(" + ")
+      Some(s"""
+      WITH m AS (SELECT max(l_orderkey) AS mok, max(l_partkey) AS mpk FROM lineitem),
+      q AS (SELECT least(255, (l_orderkey * 256) // (mok + 1)) AS x,
+                   least(255, (l_partkey * 256) // (mpk + 1)) AS y
+            FROM lineitem, m),
+      z AS (SELECT x, y, $zExpr AS zc FROM q),
+      lf AS (SELECT (x * 64) // 256 AS file, max(x) - min(x) + 1 AS sx,
+                    max(y) - min(y) + 1 AS sy, count(*) AS n
+             FROM q GROUP BY 1),
+      zf AS (SELECT zc // 1024 AS file, max(x) - min(x) + 1 AS sx,
+                    max(y) - min(y) + 1 AS sy, count(*) AS n
+             FROM z GROUP BY 1)
+      SELECT 'linear' AS layout, count(*) AS n_files,
+             CAST(sum(sx) AS BIGINT) AS span_x_total,
+             CAST(sum(sy) AS BIGINT) AS span_y_total,
+             CAST(sum(n) AS BIGINT) AS n_rows
+      FROM lf
+      UNION ALL
+      SELECT 'zorder', count(*), CAST(sum(sx) AS BIGINT),
+             CAST(sum(sy) AS BIGINT), CAST(sum(n) AS BIGINT)
+      FROM zf
+      ORDER BY layout""")
+    })
   )
 }

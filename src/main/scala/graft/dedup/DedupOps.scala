@@ -974,7 +974,57 @@ object DedupOps {
              count(*) OVER (PARTITION BY component) AS cluster_size,
              (row_number() OVER (PARTITION BY component
                 ORDER BY n_chars DESC, doc_id ASC)) = 1 AS keep
-      FROM lbl ORDER BY doc_id"""))
+      FROM lbl ORDER BY doc_id""")),
+
+    // C72: Bloom-pruned incremental dedup — the 100 TB form of the
+    // CDC-batch dedup (C32), borrowing C58's prune-then-verify
+    // discipline: at petabyte scale the HISTORY fingerprint set
+    // (billions of rows) cannot broadcast as an exact relation, but
+    // its Bloom filter is megabytes and rides the task closure. The
+    // new batch's rows die in their scan stage unless bloom-positive;
+    // only survivors enter the exact verify semi-join (which also
+    // kills Bloom false positives), and within-batch dups resolve by
+    // a batch-sized first-seer window. The answer is EXACT — the
+    // bloom only prunes — so the oracle is plain relational dedup.
+    // History = doc_id % 10 != 0, batch = the other 10%.
+    ("dd_bloom_incremental", (s: SparkSession, d: String) => {
+      graft.functions.GraftFunctions.register(s)
+      val base = docs(s, d)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .withColumn("fph", conv(substring(col("fp"), 1, 15), 16, 10).cast("long"))
+      val hist = base.filter(col("doc_id") % 10 =!= 0).select("fp", "fph").distinct()
+      val vname = "graft_hist_fp_" + graft.util.Hashing.md5Hex(d).substring(0, 8)
+      hist.createOrReplaceTempView(vname)
+      val batch = base.filter(col("doc_id") % 10 === 0)
+      val histDup = batch
+        .where(expr(s"might_contain((SELECT bloom_filter_agg(fph) FROM $vname), fph)"))
+        .join(hist.select("fp"), Seq("fp"), "left_semi")
+        .select(col("doc_id"), lit(1).as("h"))
+      batch
+        .join(histDup, Seq("doc_id"), "left")
+        .withColumn("first_in_batch", min("doc_id").over(Window.partitionBy("fp")))
+        .select(col("doc_id"), col("fp"),
+          when(col("h").isNotNull, "dup_history")
+            .when(col("first_in_batch") < col("doc_id"), "dup_batch")
+            .otherwise("admit").as("status"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH base AS (
+        SELECT doc_id,
+               md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        FROM documents),
+      hist AS (SELECT DISTINCT fp FROM base WHERE doc_id % 10 != 0),
+      batch AS (SELECT doc_id, fp FROM base WHERE doc_id % 10 = 0),
+      m AS (
+        SELECT b.doc_id, b.fp,
+               CASE WHEN b.fp IN (SELECT fp FROM hist) THEN 1 ELSE 0 END AS h,
+               min(b.doc_id) OVER (PARTITION BY b.fp) AS fib
+        FROM batch b)
+      SELECT doc_id, fp,
+             CASE WHEN h = 1 THEN 'dup_history'
+                  WHEN fib < doc_id THEN 'dup_batch'
+                  ELSE 'admit' END AS status
+      FROM m ORDER BY doc_id"""))
     // C5 (dd_embed_neardup) lives in AnnOps — it shares the
     // broadcast-probe cosine kernel with ann_bruteforce.
   )

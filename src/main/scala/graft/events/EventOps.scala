@@ -927,6 +927,79 @@ object EventOps {
                late
         FROM l)
       SELECT etype, bucket, count(*) AS n, CAST(max(late) AS BIGINT) AS max_late_s
-      FROM b GROUP BY 1, 2 ORDER BY 1, 2"""))
+      FROM b GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // A63: peak concurrency per day — every event opens a 30-minute
+    // activity interval [ts, ts+1800s); the answer is the max number
+    // of simultaneously-open intervals observed each day (capacity
+    // planning / connection-pool sizing over the event log). Classic
+    // boundary-sweep: +1 at open, -1 at close, running sum = live
+    // count. The running sum is GLOBAL (midnight carry-over must
+    // survive), so it is decomposed exactly like ev_lateness: ties
+    // collapse per-second map-side, per-DAY net deltas form a tiny
+    // calendar-sized frame whose exclusive prefix sum broadcasts back
+    // as the day's carry-in, and the within-day running sum is an
+    // ordinary day-partitioned window — no global sort or single
+    // global partition touches the event-sized frame at any scale.
+    ("ev_concurrency", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      val raw = ev(s, d)
+      val esCol = raw.schema("ts").dataType match {
+        case LongType => expr("ts div 1000000000")
+        case TimestampNTZType => unix_timestamp(col("ts").cast("timestamp"))
+        case _ => unix_timestamp(col("ts"))
+      }
+      val e = raw.select(esCol.as("es"))
+      val bounds = e.select(col("es").as("t"), lit(1L).as("delta"))
+        .unionAll(e.select((col("es") + 1800L).as("t"), lit(-1L).as("delta")))
+      val g = bounds.groupBy("t").agg(sum("delta").as("delta"))
+        .withColumn("day", to_date(timestamp_seconds(col("t"))))
+      val carry = g.groupBy("day").agg(sum("delta").as("dnet"))
+        .withColumn("carry", coalesce(sum("dnet").over(Window.orderBy("day")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select("day", "carry")
+      val wIn = Window.partitionBy("day").orderBy("t")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      g.join(broadcast(carry), "day")
+        .select(col("day"), (col("carry") + sum("delta").over(wIn)).as("conc"))
+        .groupBy("day").agg(max("conc").as("peak_concurrent"))
+        .orderBy("day")
+    }, Some("""
+      WITH e AS (SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es FROM events),
+      b AS (SELECT es AS t, 1 AS delta FROM e
+            UNION ALL SELECT es + 1800, -1 FROM e),
+      g AS (SELECT t, CAST(sum(delta) AS BIGINT) AS delta FROM b GROUP BY t),
+      r AS (SELECT CAST(to_timestamp(t) AS DATE) AS day,
+                   sum(delta) OVER (ORDER BY t) AS conc FROM g)
+      SELECT day, CAST(max(conc) AS BIGINT) AS peak_concurrent
+      FROM r GROUP BY day ORDER BY day""")),
+
+    // A64: behavioral trigrams — the 20 most frequent event-type
+    // 3-sequences across per-user id-ordered histories (sequence
+    // mining lite: the "what do users actually do" report that feeds
+    // funnel design). Per-user lead windows (high-cardinality
+    // partitions), partial-agged trigram counts, and a global top-20
+    // via TakeOrdered on the total order (n desc, trigram asc) — no
+    // global sort of the trigram frame.
+    ("ev_type_ngrams", (s: SparkSession, d: String) => {
+      val e = Event.project(ev(s, d))
+      val w = Window.partitionBy("foreignId").orderBy("id")
+      e.select(col("eventType").as("t1"),
+          lead(col("eventType"), 1).over(w).as("t2"),
+          lead(col("eventType"), 2).over(w).as("t3"))
+        .filter(col("t3").isNotNull)
+        .groupBy("t1", "t2", "t3").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("t1"), col("t2"), col("t3"))
+        .limit(20)
+    }, Some("""
+      WITH s AS (
+        SELECT event_type AS t1,
+               lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS t2,
+               lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY event_id) AS t3
+        FROM events)
+      SELECT t1, t2, t3, count(*) AS n
+      FROM s WHERE t3 IS NOT NULL
+      GROUP BY 1, 2, 3
+      ORDER BY n DESC, t1, t2, t3 LIMIT 20"""))
   )
 }

@@ -2183,7 +2183,128 @@ object TextOps {
       FROM (SELECT * FROM r WHERE rb = 1 AND n_docs >= 2) b
       JOIN (SELECT * FROM r WHERE rw = 1) w USING (source)
       WHERE b.doc_id <> w.doc_id
-      ORDER BY b.source"""))
+      ORDER BY b.source""")),
+
+    // C70: boilerplate/template detection per source — the
+    // trafilatura/jusText concern at corpus scale: crawls repeat
+    // nav/footer/licence text across a site's pages, and token-level
+    // dedup misses it because whole documents differ. Docs split into
+    // NON-overlapping 8-token chunks (stride = size, unlike
+    // tx_chunks' overlapping char windows and dd_span_dedup's
+    // every-position spans); a chunk appearing in ≥2 DISTINCT docs of
+    // the SAME source is a template chunk; the report is each
+    // source's template inventory and how much of its chunk mass is
+    // boilerplate. Only ~n_tokens/8 16-byte hashes shuffle (not text),
+    // counts partial-agg, the template frame is tiny and the doc-mark
+    // join keys on (source, chunk) — no all-pairs anything.
+    ("tx_boilerplate", (s: SparkSession, d: String) => {
+      val chunks = docs(s, d)
+        .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+        .withColumn("nch", (size(col("t")) / 8).cast("int"))
+        .filter(col("nch") > 0)
+        .select(col("doc_id"), col("source"), explode(expr(
+          "transform(sequence(0, nch - 1), i -> md5(concat_ws(' ', slice(t, i*8+1, 8))))")).as("ch"))
+      val boiler = chunks.groupBy("source", "ch")
+        .agg(countDistinct("doc_id").as("nd"))
+        .filter(col("nd") >= 2).select("source", "ch")
+      val perDoc = chunks
+        .join(broadcast(boiler.withColumn("b", lit(1))), Seq("source", "ch"), "left")
+        .groupBy("doc_id", "source")
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("b").isNotNull, 1L).otherwise(0L)).as("n_boiler"))
+      val templ = boiler.groupBy("source").agg(count(lit(1)).as("n_template_chunks"))
+      perDoc.groupBy("source")
+        .agg(sum(when(col("n_boiler") > 0, 1L).otherwise(0L)).as("n_docs_affected"),
+          ratio4(sum("n_boiler"), sum("n_chunks")).as("boiler_share4"))
+        .join(broadcast(templ), Seq("source"), "left")
+        .select(col("source"),
+          coalesce(col("n_template_chunks"), lit(0L)).as("n_template_chunks"),
+          col("n_docs_affected"), col("boiler_share4"))
+        .orderBy("source")
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+        FROM documents),
+      idx AS (
+        SELECT doc_id, source, t,
+               unnest(range(0, CAST(length(t) // 8 AS BIGINT))) AS i
+        FROM toks),
+      chunks AS (
+        SELECT doc_id, source,
+               md5(array_to_string(t[(i*8+1):(i*8+8)], ' ')) AS ch
+        FROM idx),
+      boiler AS (
+        SELECT source, ch FROM chunks
+        GROUP BY 1, 2 HAVING count(DISTINCT doc_id) >= 2),
+      perdoc AS (
+        SELECT c.doc_id, c.source, count(*) AS n_chunks,
+               CAST(sum(CASE WHEN b.ch IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+        FROM chunks c LEFT JOIN boiler b ON c.source = b.source AND c.ch = b.ch
+        GROUP BY 1, 2),
+      templ AS (SELECT source, CAST(count(*) AS BIGINT) AS n_template_chunks
+                FROM boiler GROUP BY 1)
+      SELECT p.source,
+             COALESCE(t.n_template_chunks, 0) AS n_template_chunks,
+             CAST(sum(CASE WHEN p.n_boiler > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_affected,
+             ((20000 * sum(p.n_boiler) + sum(p.n_chunks)) // (2 * sum(p.n_chunks))) / 10000.0 AS boiler_share4
+      FROM perdoc p LEFT JOIN templ t ON p.source = t.source
+      GROUP BY 1, 2 ORDER BY p.source""")),
+
+    // C71: corpus snapshot diff — the dataset-versioning audit run
+    // between two crawl/ingest snapshots before retraining ("what
+    // changed, and how many tokens moved"). Versions are simulated
+    // deterministically from one corpus (v1 drops doc_id≡6 mod 7,
+    // v2 drops ≡4 mod 5 and edits ≡0 mod 11 — both engines build the
+    // same two views); the diff is ONE full-outer join co-partitioned
+    // on doc_id comparing content fingerprints, classifying
+    // added/removed/modified/unchanged with net token deltas per
+    // (source, status). At 100 TB both snapshots shuffle once on the
+    // id they are already keyed by; fingerprints travel instead of
+    // text.
+    ("pipeline_snapshot_diff", (s: SparkSession, d: String) => {
+      val dd = docs(s, d).select(col("doc_id"), col("source"), col("text"))
+      val v1 = dd.filter(col("doc_id") % 7 =!= 6)
+        .select(col("doc_id"), col("source"), fingerprint(col("text")).as("fp1"),
+          size(tokens(col("text"))).cast("long").as("tok1"))
+      val v2 = dd.filter(col("doc_id") % 5 =!= 4)
+        .withColumn("t2", when(col("doc_id") % 11 === 0,
+          concat(col("text"), lit(" edited"))).otherwise(col("text")))
+        .select(col("doc_id"), col("source"), fingerprint(col("t2")).as("fp2"),
+          size(tokens(col("t2"))).cast("long").as("tok2"))
+      v1.join(v2, Seq("doc_id", "source"), "full_outer")
+        .withColumn("status",
+          when(col("fp1").isNull, "added")
+            .when(col("fp2").isNull, "removed")
+            .when(col("fp1") === col("fp2"), "unchanged")
+            .otherwise("modified"))
+        .withColumn("tok_delta", coalesce(col("tok2"), lit(0L)) - coalesce(col("tok1"), lit(0L)))
+        .groupBy("source", "status")
+        .agg(count(lit(1)).as("n"), sum("tok_delta").as("tok_delta"))
+        .orderBy("source", "status")
+    }, Some("""
+      WITH v1 AS (
+        SELECT doc_id, source,
+               md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp1,
+               CAST(length(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS tok1
+        FROM documents WHERE doc_id % 7 != 6),
+      v2 AS (
+        SELECT doc_id, source,
+               md5(trim(regexp_replace(regexp_replace(lower(t2), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp2,
+               CAST(length(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(t2), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS tok2
+        FROM (SELECT doc_id, source,
+                     CASE WHEN doc_id % 11 = 0 THEN text || ' edited' ELSE text END AS t2
+              FROM documents WHERE doc_id % 5 != 4)),
+      j AS (
+        SELECT COALESCE(v1.source, v2.source) AS source,
+               CASE WHEN fp1 IS NULL THEN 'added'
+                    WHEN fp2 IS NULL THEN 'removed'
+                    WHEN fp1 = fp2 THEN 'unchanged'
+                    ELSE 'modified' END AS status,
+               COALESCE(tok2, 0) - COALESCE(tok1, 0) AS tok_delta
+        FROM v1 FULL OUTER JOIN v2 USING (doc_id))
+      SELECT source, status, count(*) AS n, CAST(sum(tok_delta) AS BIGINT) AS tok_delta
+      FROM j GROUP BY 1, 2 ORDER BY source, status"""))
   )
 
   // ---- BPE (C62/C62b) ------------------------------------------------
