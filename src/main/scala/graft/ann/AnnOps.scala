@@ -982,6 +982,140 @@ object AnnOps {
       SELECT a, b, round(dot / (na.nrm * nb.nrm), 4) AS cos_sim
       FROM pairdots JOIN n na ON na.vec_id = a JOIN n nb ON nb.vec_id = b
       WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.28
-      ORDER BY a, b"""))
+      ORDER BY a, b""")),
+
+    // C73: recall evaluation report — the offline eval loop every ANN
+    // deployment runs before changing an index: per probe, recall@5 of
+    // a compressed-domain search against the float32 brute-force
+    // ground truth, both computed in ONE job. The approximate side is
+    // SQ8 scalar quantization (FAISS SQ8 shape, C42's clamp(floor(
+    // 200x+0.5)) codes): dot products and squared norms of int8 codes
+    // are EXACT int64 sums, so the only doubles are one sqrt+divide on
+    // identical integer operands — bit-stable cross-engine. Both
+    // stages are broadcast-probe single scans; the intersect join
+    // touches 16×5-row frames.
+    ("ann_recall_report", (s: SparkSession, d: String) => {
+      val exact = topK(probeScores(s, d, probeMax = 16), 5)
+        .select(col("probe"), col("neighbor"))
+      val q = corpus(s, d).select(col("vec_id"), expr(
+        """transform(v, x -> greatest(least(CAST(floor(x * 200.0 + 0.5) AS BIGINT),
+             CAST(127 AS BIGINT)), CAST(-127 AS BIGINT)))""").as("q"))
+      val probes = broadcast(q.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("probe"), col("q").as("qp")))
+      val scored = probes
+        .join(q.select(col("vec_id").as("neighbor"), col("q").as("qn")),
+          col("probe") =!= col("neighbor"))
+        .selectExpr("probe", "neighbor",
+          "aggregate(zip_with(qp, qn, (a, b) -> a * b), CAST(0 AS BIGINT), (acc, x) -> acc + x) AS dq",
+          "aggregate(qp, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) AS np2",
+          "aggregate(qn, CAST(0 AS BIGINT), (acc, x) -> acc + x * x) AS nq2")
+        .select(col("probe"), col("neighbor"),
+          (col("dq") / sqrt((col("np2") * col("nq2")).cast("double"))).as("csq"))
+      val approx = graft.plans.TopKPerKeyOps.topK(scored, Seq("probe"),
+          Seq(col("csq").desc, col("neighbor").asc), 5)
+        .select(col("probe"), col("neighbor"))
+      val hits = exact.join(approx, Seq("probe", "neighbor"))
+        .groupBy("probe").agg(count(lit(1)).as("n_hit"))
+      exact.select("probe").distinct()
+        .join(hits, Seq("probe"), "left")
+        .select(col("probe"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("recall4", graft.text.TextOps.ratio4(col("n_hit"), lit(5L)))
+        .orderBy("probe")
+    }, Some("""
+      WITH f AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+      n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY vec_id),
+      dots AS (
+        SELECT a.vec_id AS probe, b.vec_id AS neighbor, sum(a.v * b.v) AS dot
+        FROM f a JOIN f b ON a.i = b.i AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < 16
+        GROUP BY a.vec_id, b.vec_id),
+      ex AS (
+        SELECT probe, neighbor FROM (
+          SELECT probe, neighbor,
+                 row_number() OVER (PARTITION BY probe
+                   ORDER BY dot / (na.nrm * nb.nrm) DESC, neighbor ASC) AS rk
+          FROM dots JOIN n na ON na.vec_id = probe JOIN n nb ON nb.vec_id = neighbor)
+        WHERE rk <= 5),
+      q AS (
+        SELECT vec_id, list_transform(embedding,
+                 x -> CAST(greatest(least(CAST(floor(CAST(x AS DOUBLE) * 200.0 + 0.5) AS BIGINT), 127), -127) AS BIGINT)) AS q
+        FROM embeddings),
+      qd AS (
+        SELECT p.vec_id AS probe, v.vec_id AS neighbor,
+               CAST(list_sum(list_transform(generate_series(1, 64), i -> p.q[i] * v.q[i])) AS BIGINT) AS dq,
+               CAST(list_sum(list_transform(p.q, x -> x * x)) AS BIGINT) AS np2,
+               CAST(list_sum(list_transform(v.q, x -> x * x)) AS BIGINT) AS nq2
+        FROM q p JOIN q v ON p.vec_id < 16 AND v.vec_id <> p.vec_id),
+      ap AS (
+        SELECT probe, neighbor FROM (
+          SELECT probe, neighbor,
+                 row_number() OVER (PARTITION BY probe
+                   ORDER BY dq / sqrt(CAST(np2 * nq2 AS DOUBLE)) DESC, neighbor ASC) AS rk
+          FROM qd)
+        WHERE rk <= 5),
+      h AS (SELECT e.probe, CAST(count(*) AS BIGINT) AS n_hit
+            FROM ex e JOIN ap ON e.probe = ap.probe AND e.neighbor = ap.neighbor
+            GROUP BY 1)
+      SELECT p.probe, COALESCE(h.n_hit, 0) AS n_hit,
+             ((20000 * COALESCE(h.n_hit, 0) + 5) // 10) / 10000.0 AS recall4
+      FROM (SELECT DISTINCT probe FROM ex) p LEFT JOIN h ON p.probe = h.probe
+      ORDER BY p.probe""")),
+
+    // C74: OPQ-lite subspace permutation — before training PQ
+    // codebooks, balance the per-dimension signal across the m=8
+    // subspaces (the permutation half of Ge et al.'s Optimized
+    // Product Quantization: naive contiguous dim grouping concentrates
+    // energy in a few subspaces and starves the rest's codebooks).
+    // Per-dim second moments aggregate as EXACT int64 at the 1e4
+    // grain (the §6 hygiene rule — double variance sums are
+    // order-sensitive), ranked dims deal boustrophedon (snake) into
+    // subspaces, and the report compares each subspace's energy under
+    // naive vs balanced assignment. One corpus scan collapsing
+    // map-side onto a 64-row dim frame; everything after is
+    // constant-sized.
+    ("ann_opq_permute", (s: SparkSession, d: String) => {
+      val st = graft.Tables.embeddings(s, d)
+        .select(posexplode(col("embedding").cast("array<double>")).as(Seq("d", "x")))
+        .select(col("d").cast("long").as("d"),
+          floor(col("x") * 10000.0 + 0.5).cast("long").as("q"))
+        .groupBy("d").agg(sum(col("q") * col("q")).as("energy"))
+      val rk = st.withColumn("r",
+        row_number().over(Window.orderBy(col("energy").desc, col("d"))).cast("long"))
+      val asg = rk
+        .withColumn("pass", call_function("div", col("r") - 1L, lit(8L)))
+        .withColumn("pos", (col("r") - 1L) % 8L)
+        .withColumn("s_opq",
+          when(col("pass") % 2L === 0L, col("pos")).otherwise(lit(7L) - col("pos")))
+        .withColumn("s_naive", call_function("div", col("d"), lit(8L)))
+      val naive = asg.groupBy(col("s_naive").as("subspace"))
+        .agg(sum("energy").as("energy_naive"))
+      val opq = asg.groupBy(col("s_opq").as("subspace"))
+        .agg(sum("energy").as("energy_opq"))
+      naive.join(opq, Seq("subspace"))
+        .select(col("subspace"), col("energy_naive"), col("energy_opq"))
+        .orderBy("subspace")
+    }, Some("""
+      WITH f AS (
+        SELECT generate_subscripts(embedding, 1) - 1 AS d,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS q
+        FROM embeddings),
+      st AS (SELECT d, CAST(sum(q * q) AS BIGINT) AS energy FROM f GROUP BY d),
+      rk AS (SELECT d, energy,
+                    row_number() OVER (ORDER BY energy DESC, d) AS r FROM st),
+      asg AS (
+        SELECT d, energy,
+               CASE WHEN ((r - 1) // 8) % 2 = 0 THEN (r - 1) % 8
+                    ELSE 7 - ((r - 1) % 8) END AS s_opq,
+               d // 8 AS s_naive
+        FROM rk),
+      a AS (SELECT s_opq AS subspace, CAST(sum(energy) AS BIGINT) AS energy_opq
+            FROM asg GROUP BY 1),
+      b AS (SELECT s_naive AS subspace, CAST(sum(energy) AS BIGINT) AS energy_naive
+            FROM asg GROUP BY 1)
+      SELECT b.subspace, energy_naive, energy_opq
+      FROM b JOIN a ON a.subspace = b.subspace ORDER BY b.subspace"""))
   )
 }

@@ -325,6 +325,40 @@ object MultimodalOps {
                   WHEN substr(h, 9, 8) = '66747970' THEN 'video/mp4'
                   ELSE 'application/octet-stream'
              END AS detected
-      FROM hx ORDER BY doc_id"""))
+      FROM hx ORDER BY doc_id""")),
+
+    // C75: resolution/aspect gate — the first metadata filter of an
+    // image-training pipeline (LAION-style: drop tiny thumbnails and
+    // extreme banners before paying for decode). Width/height come
+    // from the same md5-derived typed-metadata stub as mm_binary_meta
+    // (no codec in-container; a real pipeline reads them from EXIF /
+    // the container header via the MediaCodec seam); every threshold
+    // is an integer compare (aspect bound 2:1 as cross-multiplied
+    // ints — no double ratio decides a boundary). Map-only single
+    // scan with per-reason flags, tx_quality_gate's reporting shape.
+    ("mm_res_filter", (s: SparkSession, d: String) => {
+      val media = asMedia(graft.Tables.documents(s, d))
+      val h = md5(col("payload"))
+      media.filter(col("kind") === "image")
+        .select(col("doc_id"),
+          (conv(substring(h, 1, 4), 16, 10).cast("int") % 240 + 16).as("width"),
+          (conv(substring(h, 5, 4), 16, 10).cast("int") % 240 + 16).as("height"))
+        .withColumn("r_small", col("width") < 64 || col("height") < 64)
+        .withColumn("r_aspect",
+          col("width") > col("height") * 2 || col("height") > col("width") * 2)
+        .withColumn("keep", !col("r_small") && !col("r_aspect"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH m AS (
+        SELECT doc_id,
+               CAST(CAST('0x' || substr(md5(text), 1, 4) AS INTEGER) % 240 AS INTEGER) + 16 AS width,
+               CAST(CAST('0x' || substr(md5(text), 5, 4) AS INTEGER) % 240 AS INTEGER) + 16 AS height
+        FROM documents WHERE doc_id % 3 = 0)
+      SELECT doc_id, width, height,
+             (width < 64 OR height < 64) AS r_small,
+             (width > height * 2 OR height > width * 2) AS r_aspect,
+             NOT (width < 64 OR height < 64
+                  OR width > height * 2 OR height > width * 2) AS keep
+      FROM m ORDER BY doc_id"""))
   )
 }
