@@ -1116,6 +1116,73 @@ object AnnOps {
       b AS (SELECT s_naive AS subspace, CAST(sum(energy) AS BIGINT) AS energy_naive
             FROM asg GROUP BY 1)
       SELECT b.subspace, energy_naive, energy_opq
-      FROM b JOIN a ON a.subspace = b.subspace ORDER BY b.subspace"""))
+      FROM b JOIN a ON a.subspace = b.subspace ORDER BY b.subspace""")),
+
+    // C78: Matryoshka truncation eval — recall@5 of searching on the
+    // FIRST 16 of 64 dims vs the full-dimension ground truth (the
+    // MRL-style question: how much cheaper can the first-stage index
+    // be?). Same one-job eval harness as ann_recall_report; the
+    // truncated stage slices the array before the codegen cosine so
+    // only 16-dim math runs, and both stages are broadcast-probe
+    // single scans.
+    ("ann_mrl_report", (s: SparkSession, d: String) => {
+      GraftFunctions.register(s)
+      val exact = topK(probeScores(s, d, probeMax = 16), 5)
+        .select(col("probe"), col("neighbor"))
+      val e = corpus(s, d).select(col("vec_id"), slice(col("v"), 1, 16).as("v16"))
+      val probes = broadcast(e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("probe"), col("v16").as("pv")))
+      val scored = probes
+        .join(e.select(col("vec_id").as("neighbor"), col("v16").as("nv")),
+          col("probe") =!= col("neighbor"))
+        .selectExpr("probe", "neighbor", "cosine_sim(pv, nv) AS cs16")
+      val trunc = graft.plans.TopKPerKeyOps.topK(scored, Seq("probe"),
+          Seq(col("cs16").desc, col("neighbor").asc), 5)
+        .select(col("probe"), col("neighbor"))
+      val hits = exact.join(trunc, Seq("probe", "neighbor"))
+        .groupBy("probe").agg(count(lit(1)).as("n_hit"))
+      exact.select("probe").distinct()
+        .join(hits, Seq("probe"), "left")
+        .select(col("probe"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("recall4", graft.text.TextOps.ratio4(col("n_hit"), lit(5L)))
+        .orderBy("probe")
+    }, Some("""
+      WITH f AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+      n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY vec_id),
+      dots AS (
+        SELECT a.vec_id AS probe, b.vec_id AS neighbor, sum(a.v * b.v) AS dot
+        FROM f a JOIN f b ON a.i = b.i AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < 16
+        GROUP BY a.vec_id, b.vec_id),
+      ex AS (
+        SELECT probe, neighbor FROM (
+          SELECT probe, neighbor,
+                 row_number() OVER (PARTITION BY probe
+                   ORDER BY dot / (na.nrm * nb.nrm) DESC, neighbor ASC) AS rk
+          FROM dots JOIN n na ON na.vec_id = probe JOIN n nb ON nb.vec_id = neighbor)
+        WHERE rk <= 5),
+      n16 AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM f WHERE i <= 16 GROUP BY vec_id),
+      d16 AS (
+        SELECT a.vec_id AS probe, b.vec_id AS neighbor, sum(a.v * b.v) AS dot
+        FROM f a JOIN f b ON a.i = b.i AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < 16 AND a.i <= 16
+        GROUP BY a.vec_id, b.vec_id),
+      tr AS (
+        SELECT probe, neighbor FROM (
+          SELECT probe, neighbor,
+                 row_number() OVER (PARTITION BY probe
+                   ORDER BY dot / (na.nrm * nb.nrm) DESC, neighbor ASC) AS rk
+          FROM d16 JOIN n16 na ON na.vec_id = probe JOIN n16 nb ON nb.vec_id = neighbor)
+        WHERE rk <= 5),
+      h AS (SELECT e.probe, CAST(count(*) AS BIGINT) AS n_hit
+            FROM ex e JOIN tr ON e.probe = tr.probe AND e.neighbor = tr.neighbor
+            GROUP BY 1)
+      SELECT p.probe, COALESCE(h.n_hit, 0) AS n_hit,
+             ((20000 * COALESCE(h.n_hit, 0) + 5) // 10) / 10000.0 AS recall4
+      FROM (SELECT DISTINCT probe FROM ex) p LEFT JOIN h ON p.probe = h.probe
+      ORDER BY p.probe"""))
   )
 }

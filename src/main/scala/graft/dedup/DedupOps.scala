@@ -1024,7 +1024,50 @@ object DedupOps {
              CASE WHEN h = 1 THEN 'dup_history'
                   WHEN fib < doc_id THEN 'dup_batch'
                   ELSE 'admit' END AS status
-      FROM m ORDER BY doc_id"""))
+      FROM m ORDER BY doc_id""")),
+
+    // C76: soft dedup weights — instead of DROPPING duplicates,
+    // down-weight them for sampling (the UniMax/D4-style alternative
+    // when near-dup clusters carry signal): every doc in an exact-dup
+    // group of size g samples at weight 1/g, so each distinct content
+    // contributes one expected copy per epoch. Per-source report:
+    // raw vs effective token mass and the retention ratio. Per-doc
+    // effective tokens are rounded HALF-UP at the 1e4 grain in exact
+    // int64 (div((20000·tok + g), 2g)) and SUMMED as ints — no double
+    // ever decides a boundary, and the sum is order-insensitive. One
+    // scan + one fp-partitioned window + one groupBy.
+    ("dd_soft_weights", (s: SparkSession, d: String) => {
+      val base = docs(s, d).select(col("doc_id"), col("source"),
+        size(TextOps.tokens(col("text"))).cast("long").as("tok"),
+        TextOps.fingerprint(col("text")).as("fp"))
+      val g = base.withColumn("g", count(lit(1)).over(Window.partitionBy("fp")))
+      g.select(col("source"), col("tok"), col("g"),
+          call_function("div", col("tok") * 20000L + col("g"), col("g") * 2L).as("eff_e4"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("g") > 1L, 1L).otherwise(0L)).as("n_dup_docs"),
+          sum("tok").as("raw_tokens"),
+          (sum("eff_e4") / 10000.0).as("eff_tokens4"),
+          TextOps.ratio4(sum("eff_e4"), sum("tok") * 10000L).as("retention4"))
+        .orderBy("source")
+    }, Some("""
+      WITH base AS (
+        SELECT doc_id, source,
+               CAST(length(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS tok,
+               md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        FROM documents),
+      w AS (
+        SELECT source, tok, count(*) OVER (PARTITION BY fp) AS g
+        FROM base),
+      e AS (
+        SELECT source, tok, g, (20000 * tok + g) // (2 * g) AS eff_e4
+        FROM w)
+      SELECT source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN g > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_docs,
+             CAST(sum(tok) AS BIGINT) AS raw_tokens,
+             sum(eff_e4) / 10000.0 AS eff_tokens4,
+             ((20000 * sum(eff_e4) + sum(tok) * 10000) // (2 * sum(tok) * 10000)) / 10000.0 AS retention4
+      FROM e GROUP BY source ORDER BY source"""))
     // C5 (dd_embed_neardup) lives in AnnOps — it shares the
     // broadcast-probe cosine kernel with ann_bruteforce.
   )

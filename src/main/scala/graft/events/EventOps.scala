@@ -1000,6 +1000,108 @@ object EventOps {
       SELECT t1, t2, t3, count(*) AS n
       FROM s WHERE t3 IS NOT NULL
       GROUP BY 1, 2, 3
-      ORDER BY n DESC, t1, t2, t3 LIMIT 20"""))
+      ORDER BY n DESC, t1, t2, t3 LIMIT 20""")),
+
+    // A65: join-key skew audit — the statistic that decides salting /
+    // AQE skew-join thresholds before a fact-fact join on user_id:
+    // top-20 heaviest keys with each key's skew factor (its count ×
+    // distinct keys / total rows — the multiple-of-average AQE
+    // compares against). Per-key counts partial-agg map-side; the
+    // totals are a 1-row broadcast; top-20 via TakeOrdered on the
+    // (cnt desc, key asc) total order — the key frame is never
+    // globally sorted.
+    ("ev_key_skew", (s: SparkSession, d: String) => {
+      val cnts = Event.project(ev(s, d))
+        .groupBy(col("foreignId").as("fid")).agg(count(lit(1)).as("cnt"))
+      val tot = cnts.agg(sum("cnt").as("total"), count(lit(1)).as("n_keys"))
+      cnts.crossJoin(broadcast(tot))
+        .select(col("fid"), col("cnt"),
+          graft.text.TextOps.ratio4(col("cnt") * col("n_keys"), col("total")).as("skew4"))
+        .orderBy(col("cnt").desc, col("fid"))
+        .limit(20)
+    }, Some("""
+      WITH c AS (SELECT user_id AS fid, count(*) AS cnt FROM events GROUP BY 1),
+      t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n_keys FROM c)
+      SELECT fid, cnt,
+             ((20000 * cnt * n_keys + total) // (2 * total)) / 10000.0 AS skew4
+      FROM c, t ORDER BY cnt DESC, fid LIMIT 20""")),
+
+    // A66: RFM segmentation (recency / frequency / monetary terciles
+    // — the classic user-value report): each user's days-since-last-
+    // event, event count, and purchase cents bucket into data-derived
+    // terciles. NO per-user global sort at any scale: each metric's
+    // tercile boundaries come from a prefix sum over the metric's
+    // VALUE histogram (recency ≤ calendar days, frequency ≤ max
+    // activity, monetary on the cents grid — all value-domain-bounded
+    // frames, the C43 pattern applied three ways), and users join the
+    // tiny (value → bucket) maps by broadcast. Buckets are
+    // value-atomic: equal metric values share a bucket.
+    ("ev_rfm_segments", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      val raw = ev(s, d)
+      val esCol = raw.schema("ts").dataType match {
+        case LongType => expr("ts div 1000000000")
+        case TimestampNTZType => unix_timestamp(col("ts").cast("timestamp"))
+        case _ => unix_timestamp(col("ts"))
+      }
+      val e = raw.select(col("user_id").as("fid"), esCol.as("es"),
+        col("event_type").as("etype"),
+        round(col("value") * 100).cast("long").as("cents"))
+      val maxDay = e.agg(call_function("div", max("es"), lit(86400L)).as("max_day"))
+      val u = e.groupBy("fid").agg(
+          call_function("div", max("es"), lit(86400L)).as("last_day"),
+          count(lit(1)).as("f"),
+          sum(when(col("etype") === "purchase", col("cents")).otherwise(0L)).as("m"))
+        .crossJoin(broadcast(maxDay))
+        .select(col("fid"), (col("max_day") - col("last_day")).as("r"), col("f"), col("m"))
+      def tercileMap(metric: String): DataFrame = {
+        val h = u.groupBy(col(metric).as("v")).agg(count(lit(1)).as("cnt"))
+        val t = h.agg(sum("cnt").as("nu"))
+        h.crossJoin(broadcast(t))
+          .withColumn("cum_excl", coalesce(sum("cnt").over(Window.orderBy("v")
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+          .select(col("v"),
+            call_function("div", col("cum_excl") * 3L, col("nu")).cast("int").as(metric + "_b"))
+      }
+      u.join(broadcast(tercileMap("r")), col("r") === col("v")).drop("v")
+        .join(broadcast(tercileMap("f")), col("f") === col("v")).drop("v")
+        .join(broadcast(tercileMap("m")), col("m") === col("v")).drop("v")
+        .groupBy("r_b", "f_b", "m_b")
+        .agg(count(lit(1)).as("n_users"),
+          (sum("m") / 100.0).as("total_monetary"))
+        .orderBy("r_b", "f_b", "m_b")
+    }, Some("""
+      WITH e AS (
+        SELECT user_id AS fid, CAST(floor(epoch(ts)) AS BIGINT) AS es, event_type,
+               CAST(round(value * 100) AS BIGINT) AS cents
+        FROM events),
+      md AS (SELECT max(es) // 86400 AS max_day FROM e),
+      u AS (
+        SELECT fid, (SELECT max_day FROM md) - (max(es) // 86400) AS r,
+               count(*) AS f,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN cents ELSE 0 END) AS BIGINT) AS m
+        FROM e GROUP BY fid),
+      rh AS (SELECT v, (cum_excl * 3) // nu AS b FROM (
+               SELECT r AS v, COALESCE(sum(count(*)) OVER (ORDER BY r
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl,
+                 (SELECT count(*) FROM u) AS nu
+               FROM u GROUP BY r)),
+      fh AS (SELECT v, (cum_excl * 3) // nu AS b FROM (
+               SELECT f AS v, COALESCE(sum(count(*)) OVER (ORDER BY f
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl,
+                 (SELECT count(*) FROM u) AS nu
+               FROM u GROUP BY f)),
+      mh AS (SELECT v, (cum_excl * 3) // nu AS b FROM (
+               SELECT m AS v, COALESCE(sum(count(*)) OVER (ORDER BY m
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl,
+                 (SELECT count(*) FROM u) AS nu
+               FROM u GROUP BY m)),
+      seg AS (
+        SELECT CAST(rh.b AS INTEGER) AS r_b, CAST(fh.b AS INTEGER) AS f_b,
+               CAST(mh.b AS INTEGER) AS m_b, u.m
+        FROM u JOIN rh ON u.r = rh.v JOIN fh ON u.f = fh.v JOIN mh ON u.m = mh.v)
+      SELECT r_b, f_b, m_b, count(*) AS n_users, sum(m) / 100.0 AS total_monetary
+      FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
   )
 }

@@ -2304,7 +2304,43 @@ object TextOps {
                COALESCE(tok2, 0) - COALESCE(tok1, 0) AS tok_delta
         FROM v1 FULL OUTER JOIN v2 USING (doc_id))
       SELECT source, status, count(*) AS n, CAST(sum(tok_delta) AS BIGINT) AS tok_delta
-      FROM j GROUP BY 1, 2 ORDER BY source, status"""))
+      FROM j GROUP BY 1, 2 ORDER BY source, status""")),
+
+    // C77: SFT pair construction — instruction-tuning data prep:
+    // docs ≥40 tokens split into a 32-token prompt prefix and the
+    // completion remainder, then PROMPT-dedup'd (many crawl pages
+    // share openings; training on duplicate prompts with different
+    // completions is label noise — first doc per prompt fingerprint
+    // survives, the rest are flagged with their collision count).
+    // One scan + one prompt-fp window; prompts travel as md5, never
+    // re-joined as text.
+    ("pipeline_sft_pairs", (s: SparkSession, d: String) => {
+      val base = docs(s, d)
+        .select(col("doc_id"), col("source"), tokens(col("text")).as("t"))
+        .withColumn("n", size(col("t")).cast("long"))
+        .filter(col("n") >= 40L)
+        .select(col("doc_id"), col("source"),
+          md5(concat_ws(" ", slice(col("t"), 1, 32))).as("prompt_fp"),
+          (col("n") - 32L).as("n_comp_tok"))
+      val w = Window.partitionBy("prompt_fp")
+      base
+        .withColumn("prompt_dups", count(lit(1)).over(w))
+        .withColumn("keep", col("doc_id") === min("doc_id").over(w))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, source,
+               regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+        FROM documents),
+      base AS (
+        SELECT doc_id, source,
+               md5(array_to_string(t[1:32], ' ')) AS prompt_fp,
+               CAST(length(t) - 32 AS BIGINT) AS n_comp_tok
+        FROM toks WHERE length(t) >= 40)
+      SELECT doc_id, source, prompt_fp, n_comp_tok,
+             count(*) OVER (PARTITION BY prompt_fp) AS prompt_dups,
+             doc_id = min(doc_id) OVER (PARTITION BY prompt_fp) AS keep
+      FROM base ORDER BY doc_id"""))
   )
 
   // ---- BPE (C62/C62b) ------------------------------------------------

@@ -21,7 +21,12 @@ class EmptyCorpusSpec extends AnyFunSuite {
     // over an empty vocab, magic-byte sniff, preference pairs
     "dd_cluster_keep_best", "tx_readability", "tx_span_corrupt",
     "tx_bpe_merges", "tx_bpe_tokens", "mm_mime_sniff",
-    "pipeline_pref_pairs")
+    "pipeline_pref_pairs",
+    // second round-9 tranche: template detection, snapshot diff,
+    // bloom-pruned incremental dedup (bloom agg over an empty
+    // relation), resolution gate
+    "tx_boilerplate", "pipeline_snapshot_diff", "dd_bloom_incremental",
+    "mm_res_filter", "dd_soft_weights", "pipeline_sft_pairs")
 
   test("documents-table queries return empty frames on an empty corpus") {
     val spark = graft.TestSpark.spark
@@ -46,7 +51,8 @@ class EmptyCorpusSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$dir/events.parquet")
     Seq("ev_model", "ev_sessionize", "ev_latest_state", "ev_gaps",
       "ev_window_count", "ev_lateness", "ev_inter_event_time",
-      "ev_gapfill_daily").foreach { q =>
+      "ev_gapfill_daily", "ev_concurrency", "ev_type_ngrams",
+      "ev_key_skew", "ev_rfm_segments").foreach { q =>
       val n = graft.SparkEntry.queries(q)(spark, dir).count()
       assert(n == 0L, s"$q returned $n rows on an empty log")
     }
@@ -56,6 +62,19 @@ class EmptyCorpusSpec extends AnyFunSuite {
       val r = graft.SparkEntry.queries(q)(spark, dir).collect()
       assert(r.length == 1 && r(0).getLong(0) == 0L,
         s"$q should return one zero row on an empty log")
+    }
+  }
+
+  test("embedding queries return empty frames on an empty table") {
+    val spark = graft.TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-emptyemb").toString
+    Seq.empty[(Long, Array[Float], Int)]
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    Seq("ann_opq_permute", "ann_recall_report", "ann_mrl_report").foreach { q =>
+      val n = graft.SparkEntry.queries(q)(spark, dir).count()
+      assert(n == 0L, s"$q returned $n rows on an empty table")
     }
   }
 }
