@@ -1048,25 +1048,35 @@ object EventOps {
       val e = raw.select(col("user_id").as("fid"), esCol.as("es"),
         col("event_type").as("etype"),
         round(col("value") * 100).cast("long").as("cents"))
-      val maxDay = e.agg(call_function("div", max("es"), lit(86400L)).as("max_day"))
-      val u = e.groupBy("fid").agg(
-          call_function("div", max("es"), lit(86400L)).as("last_day"),
-          count(lit(1)).as("f"),
-          sum(when(col("etype") === "purchase", col("cents")).otherwise(0L)).as("m"))
-        .crossJoin(broadcast(maxDay))
+      val u0 = e.groupBy("fid").agg(
+        call_function("div", max("es"), lit(86400L)).as("last_day"),
+        count(lit(1)).as("f"),
+        sum(when(col("etype") === "purchase", col("cents")).otherwise(0L)).as("m"))
+      // global frontier = max over per-user maxes — no second log scan
+      val maxDay = u0.agg(max("last_day").as("max_day"))
+      val u = u0.crossJoin(broadcast(maxDay))
         .select(col("fid"), (col("max_day") - col("last_day")).as("r"), col("f"), col("m"))
-      def tercileMap(metric: String): DataFrame = {
-        val h = u.groupBy(col(metric).as("v")).agg(count(lit(1)).as("cnt"))
-        val t = h.agg(sum("cnt").as("nu"))
-        h.crossJoin(broadcast(t))
-          .withColumn("cum_excl", coalesce(sum("cnt").over(Window.orderBy("v")
+      // ONE melted histogram job builds all three value→bucket maps
+      // (metric-partitioned prefix sums over the tiny value frames)
+      // instead of three separate event-log re-aggregations
+      val hm = u.select(explode(array(
+          struct(lit("r").as("metric"), col("r").as("v")),
+          struct(lit("f").as("metric"), col("f").as("v")),
+          struct(lit("m").as("metric"), col("m").as("v")))).as("x"))
+        .select(col("x.metric").as("metric"), col("x.v").as("v"))
+        .groupBy("metric", "v").agg(count(lit(1)).as("cnt"))
+        .withColumn("cum_excl", coalesce(sum("cnt").over(
+          Window.partitionBy("metric").orderBy("v")
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-          .select(col("v"),
-            call_function("div", col("cum_excl") * 3L, col("nu")).cast("int").as(metric + "_b"))
-      }
-      u.join(broadcast(tercileMap("r")), col("r") === col("v")).drop("v")
-        .join(broadcast(tercileMap("f")), col("f") === col("v")).drop("v")
-        .join(broadcast(tercileMap("m")), col("m") === col("v")).drop("v")
+        .withColumn("nu", sum("cnt").over(Window.partitionBy("metric")))
+        .select(col("metric"), col("v"),
+          call_function("div", col("cum_excl") * 3L, col("nu")).cast("int").as("b"))
+      def bmap(metric: String): DataFrame = broadcast(
+        hm.filter(col("metric") === metric)
+          .select(col("v").as(metric + "_v"), col("b").as(metric + "_b")))
+      u.join(bmap("r"), col("r") === col("r_v"))
+        .join(bmap("f"), col("f") === col("f_v"))
+        .join(bmap("m"), col("m") === col("m_v"))
         .groupBy("r_b", "f_b", "m_b")
         .agg(count(lit(1)).as("n_users"),
           (sum("m") / 100.0).as("total_monetary"))

@@ -21,7 +21,12 @@ object PlanAudit {
       "dd_containment", "tx_linear_score", "ann_rerank_stub",
       "ev_gapfill_daily",
       "tx_bpe_merges", "tx_bpe_tokens", "dd_cluster_keep_best",
-      "tx_readability", "ev_lateness", "mm_mime_sniff").foreach { q =>
+      "tx_readability", "ev_lateness", "mm_mime_sniff",
+      "ev_concurrency", "ev_type_ngrams", "ev_key_skew", "ev_rfm_segments",
+      "q_equidepth", "q_zorder", "tx_boilerplate", "pipeline_snapshot_diff",
+      "dd_bloom_incremental", "dd_soft_weights", "pipeline_sft_pairs",
+      "mm_res_filter", "ann_recall_report", "ann_opq_permute",
+      "ann_mrl_report").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sfDir)
       df.collect() // materialize THIS frame so AQE reports the FINAL plan (a count() would plan separately)
       val plan = df.queryExecution.executedPlan.toString
