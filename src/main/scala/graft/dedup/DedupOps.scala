@@ -989,9 +989,17 @@ object DedupOps {
     // History = doc_id % 10 != 0, batch = the other 10%.
     ("dd_bloom_incremental", (s: SparkSession, d: String) => {
       graft.functions.GraftFunctions.register(s)
-      val base = docs(s, d)
-        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
-        .withColumn("fph", conv(substring(col("fp"), 1, 15), 16, 10).cast("long"))
+      // the fingerprint projection feeds THREE consumers (the bloom
+      // scalar subquery plans separately, the verify-join build side,
+      // and the batch probe) — memoize+cache it per (session, dir) so
+      // the regex+md5 corpus scan runs once, not three times (the
+      // sigCache discipline; at 100 TB this is the fingerprint
+      // projection a real ingest would have materialized anyway)
+      val base = memo(s, "bloomfp:" + d) { Seq(
+        docs(s, d)
+          .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+          .withColumn("fph", conv(substring(col("fp"), 1, 15), 16, 10).cast("long"))
+          .cache()) }.head
       val hist = base.filter(col("doc_id") % 10 =!= 0).select("fp", "fph").distinct()
       val vname = "graft_hist_fp_" + graft.util.Hashing.md5Hex(d).substring(0, 8)
       hist.createOrReplaceTempView(vname)
