@@ -1133,6 +1133,53 @@ object Queries {
              CAST(sum(sy) AS BIGINT), CAST(sum(n) AS BIGINT)
       FROM zf
       ORDER BY layout""")
-    })
+    }),
+
+    // B43: incremental aggregate maintenance — the materialized-view
+    // argument at 100 TB: additive partial states (sum, count) over a
+    // closed HISTORY partition combine with the DELTA partition's
+    // states instead of re-scanning history. The query runs both paths
+    // in one plan — combine(history ⊎ delta) and a full recompute —
+    // and emits the per-month states plus a `matches` proof column.
+    // Money in exact int64 cents (partial-state combination is only
+    // sound because the state is order-insensitive — the same reason
+    // the §6 hygiene rule exists).
+    ("q_mv_incremental", (s: SparkSession, d: String) => {
+      val o = Tables.orders(s, d).select(
+        date_format(col("o_orderdate"), "yyyy-MM").as("month"),
+        col("o_orderdate"), cents(col("o_totalprice")).as("c"))
+      def part(df: DataFrame, tag: String): DataFrame =
+        df.groupBy("month").agg(count(lit(1)).as("n"), sum("c").as("rev"))
+          .withColumn("part", lit(tag))
+      val hist = part(o.filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp")), "hist")
+      val delta = part(o.filter(col("o_orderdate") >= lit("1998-01-01").cast("timestamp")), "delta")
+      val combined = hist.unionAll(delta)
+        .groupBy("month").agg(sum("n").as("n_inc"), sum("rev").as("rev_inc"))
+      val full = o.groupBy("month")
+        .agg(count(lit(1)).as("n_full"), sum("c").as("rev_full"))
+      combined.join(full, Seq("month"))
+        .select(col("month"), col("n_inc"), money2(col("rev_inc") * 100).as("rev_inc2"),
+          (col("n_inc") === col("n_full") && col("rev_inc") === col("rev_full")).as("matches"))
+        .orderBy("month")
+    }, Some("""
+      WITH o AS (
+        SELECT strftime(o_orderdate, '%Y-%m') AS month, o_orderdate,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders),
+      hist AS (SELECT month, count(*) AS n, CAST(sum(c) AS BIGINT) AS rev
+               FROM o WHERE o_orderdate < TIMESTAMP '1998-01-01' GROUP BY month),
+      delta AS (SELECT month, count(*) AS n, CAST(sum(c) AS BIGINT) AS rev
+                FROM o WHERE o_orderdate >= TIMESTAMP '1998-01-01' GROUP BY month),
+      combined AS (
+        SELECT month, CAST(sum(n) AS BIGINT) AS n_inc,
+               CAST(sum(rev) AS BIGINT) AS rev_inc
+        FROM (SELECT * FROM hist UNION ALL SELECT * FROM delta) GROUP BY month),
+      f AS (SELECT month, count(*) AS n_full, CAST(sum(c) AS BIGINT) AS rev_full
+            FROM o GROUP BY month)
+      SELECT combined.month AS month, n_inc,
+             (floor((rev_inc * 100 * 2 + 100) / 200)) / 100.0 AS rev_inc2,
+             (n_inc = n_full AND rev_inc = rev_full) AS matches
+      FROM combined JOIN f ON combined.month = f.month
+      ORDER BY combined.month"""))
   )
 }

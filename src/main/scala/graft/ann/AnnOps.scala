@@ -1183,6 +1183,56 @@ object AnnOps {
       SELECT p.probe, COALESCE(h.n_hit, 0) AS n_hit,
              ((20000 * COALESCE(h.n_hit, 0) + 5) // 10) / 10000.0 AS recall4
       FROM (SELECT DISTINCT probe FROM ex) p LEFT JOIN h ON p.probe = h.probe
-      ORDER BY p.probe"""))
+      ORDER BY p.probe""")),
+
+    // C79: embedding drift monitoring — the ML-ops check run when an
+    // embedding model or upstream corpus changes: per label, squared
+    // L2 distance between the two snapshots' centroids plus the
+    // population shift. Snapshots are deterministic subsets (v1 drops
+    // vec_id≡4 mod 5, v2 drops ≡6 mod 7 — both engines build the
+    // same views); per-(label, dim) means round half-up to the 1e4
+    // grain in exact int64 BEFORE differencing (double mean sums are
+    // order-sensitive — §6), so the drift number is pure integer
+    // arithmetic. One explode pass per snapshot collapsing map-side
+    // onto (label, dim) frames; everything after is label×64-sized.
+    ("ann_drift_report", (s: SparkSession, d: String) => {
+      def cent(mod: Int, drop: Int): DataFrame =
+        graft.Tables.embeddings(s, d)
+          .filter(col("vec_id") % mod =!= drop)
+          .select(col("label"),
+            posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+          .select(col("label"), col("dim"),
+            floor(col("x") * 10000.0 + 0.5).cast("long").as("q"))
+          .groupBy("label", "dim")
+          .agg(sum("q").as("sq"), count(lit(1)).as("n"))
+          .select(col("label"), col("dim"), col("n"),
+            (signum(col("sq")).cast("long") *
+              call_function("div", abs(col("sq")) * 2L + col("n"), col("n") * 2L)).as("m"))
+      val c1 = cent(5, 4).withColumnRenamed("m", "m1").withColumnRenamed("n", "n1")
+      val c2 = cent(7, 6).withColumnRenamed("m", "m2").withColumnRenamed("n", "n2")
+      c1.join(c2, Seq("label", "dim"))
+        .groupBy("label")
+        .agg(min("n1").as("n_v1"), min("n2").as("n_v2"),
+          sum((col("m1") - col("m2")) * (col("m1") - col("m2"))).as("drift_e8"))
+        .orderBy("label")
+    }, Some("""
+      WITH f1 AS (
+        SELECT label, generate_subscripts(embedding, 1) AS dim,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS q
+        FROM embeddings WHERE vec_id % 5 != 4),
+      f2 AS (
+        SELECT label, generate_subscripts(embedding, 1) AS dim,
+               CAST(floor(CAST(unnest(embedding) AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS q
+        FROM embeddings WHERE vec_id % 7 != 6),
+      c1 AS (SELECT label, dim, count(*) AS n1,
+                    CAST(sign(sum(q)) * ((abs(CAST(sum(q) AS BIGINT)) * 2 + count(*)) // (count(*) * 2)) AS BIGINT) AS m1
+             FROM f1 GROUP BY 1, 2),
+      c2 AS (SELECT label, dim, count(*) AS n2,
+                    CAST(sign(sum(q)) * ((abs(CAST(sum(q) AS BIGINT)) * 2 + count(*)) // (count(*) * 2)) AS BIGINT) AS m2
+             FROM f2 GROUP BY 1, 2)
+      SELECT c1.label, CAST(min(n1) AS BIGINT) AS n_v1, CAST(min(n2) AS BIGINT) AS n_v2,
+             CAST(sum((m1 - m2) * (m1 - m2)) AS BIGINT) AS drift_e8
+      FROM c1 JOIN c2 ON c1.label = c2.label AND c1.dim = c2.dim
+      GROUP BY c1.label ORDER BY c1.label"""))
   )
 }

@@ -1112,6 +1112,76 @@ object EventOps {
                CAST(mh.b AS INTEGER) AS m_b, u.m
         FROM u JOIN rh ON u.r = rh.v JOIN fh ON u.f = fh.v JOIN mh ON u.m = mh.v)
       SELECT r_b, f_b, m_b, count(*) AS n_users, sum(m) / 100.0 AS total_monetary
-      FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""))
+      FROM seg GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""")),
+
+    // A67: time-windowed conversion cohorts — the growth metric
+    // ev_funnel's id-ordered stages can't express: per signup-week
+    // cohort, how many users made their first POST-signup purchase
+    // within 7 event-time days, plus the mean days-to-convert. First
+    // signup per user and first qualifying purchase are partial-agged
+    // min()s (never a per-user sort); the cohort rollup is one tiny
+    // groupBy; rates and day-means are exact int64 ratio4.
+    ("ev_conversion_window", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      val raw = ev(s, d)
+      val esCol = raw.schema("ts").dataType match {
+        case LongType => expr("ts div 1000000000")
+        case TimestampNTZType => unix_timestamp(col("ts").cast("timestamp"))
+        case _ => unix_timestamp(col("ts"))
+      }
+      val e = raw.select(col("user_id").as("fid"), esCol.as("es"),
+        col("event_type").as("etype"))
+      val su = e.filter(col("etype") === "signup")
+        .groupBy("fid").agg(min("es").as("s_es"))
+      val conv = su.join(e.filter(col("etype") === "purchase")
+            .select(col("fid"), col("es").as("p_es")), Seq("fid"))
+        .filter(col("p_es") >= col("s_es"))
+        .groupBy("fid").agg(min("p_es").as("first_p"))
+      su.join(conv, Seq("fid"), "left")
+        .select(
+          to_date(timestamp_seconds(
+            call_function("div", col("s_es"), lit(604800L)) * 604800L)).as("cohort_week"),
+          col("s_es"), col("first_p"))
+        .withColumn("conv7",
+          when(col("first_p").isNotNull && col("first_p") <= col("s_es") + 604800L, 1L)
+            .otherwise(0L))
+        .withColumn("days_to_conv",
+          when(col("conv7") === 1L,
+            call_function("div", col("first_p") - col("s_es"), lit(86400L))))
+        .groupBy("cohort_week")
+        .agg(count(lit(1)).as("n_signups"),
+          sum("conv7").as("n_conv_7d"),
+          sum(coalesce(col("days_to_conv"), lit(0L))).as("sum_days"))
+        .withColumn("conv_rate4",
+          graft.text.TextOps.ratio4(col("n_conv_7d"), col("n_signups")))
+        .withColumn("avg_days4",
+          when(col("n_conv_7d") > 0L,
+            graft.text.TextOps.ratio4(col("sum_days"), col("n_conv_7d"))))
+        .drop("sum_days")
+        .orderBy("cohort_week")
+    }, Some("""
+      WITH e AS (
+        SELECT user_id AS fid, CAST(floor(epoch(ts)) AS BIGINT) AS es, event_type
+        FROM events),
+      su AS (SELECT fid, min(es) AS s_es FROM e WHERE event_type = 'signup' GROUP BY fid),
+      conv AS (
+        SELECT su.fid, min(p.es) AS first_p
+        FROM su JOIN e p ON p.fid = su.fid AND p.event_type = 'purchase'
+                        AND p.es >= su.s_es
+        GROUP BY su.fid),
+      c AS (
+        SELECT CAST(to_timestamp((su.s_es // 604800) * 604800) AS DATE) AS cohort_week,
+               CASE WHEN first_p IS NOT NULL AND first_p <= s_es + 604800
+                    THEN 1 ELSE 0 END AS conv7,
+               CASE WHEN first_p IS NOT NULL AND first_p <= s_es + 604800
+                    THEN (first_p - s_es) // 86400 END AS days_to_conv
+        FROM su LEFT JOIN conv ON su.fid = conv.fid)
+      SELECT cohort_week, count(*) AS n_signups,
+             CAST(sum(conv7) AS BIGINT) AS n_conv_7d,
+             ((20000 * sum(conv7) + count(*)) // (2 * count(*))) / 10000.0 AS conv_rate4,
+             CASE WHEN sum(conv7) > 0 THEN
+               ((20000 * sum(COALESCE(days_to_conv, 0)) + sum(conv7))
+                 // (2 * sum(conv7))) / 10000.0 END AS avg_days4
+      FROM c GROUP BY cohort_week ORDER BY cohort_week"""))
   )
 }

@@ -2340,7 +2340,48 @@ object TextOps {
       SELECT doc_id, source, prompt_fp, n_comp_tok,
              count(*) OVER (PARTITION BY prompt_fp) AS prompt_dups,
              doc_id = min(doc_id) OVER (PARTITION BY prompt_fp) AS keep
-      FROM base ORDER BY doc_id"""))
+      FROM base ORDER BY doc_id""")),
+
+    // C80: per-source length quantiles (p50/p90/p99 token counts —
+    // the data-card stat that sizes packing budgets and truncation
+    // limits) WITHOUT any per-source sort: docs collapse map-side
+    // onto the (source, token-count) value frame (token counts are
+    // value-domain-bounded — doc length, not corpus size), a
+    // source-partitioned prefix sum ranks the values, and each
+    // quantile is the smallest value whose cumulative count crosses
+    // the exact integer threshold cum·100 ≥ q·total.
+    ("tx_length_quantiles", (s: SparkSession, d: String) => {
+      val h = docs(s, d)
+        .select(col("source"), size(tokens(col("text"))).cast("long").as("v"))
+        .groupBy("source", "v").agg(count(lit(1)).as("cnt"))
+      val w = Window.partitionBy("source").orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wp = Window.partitionBy("source")
+      h.withColumn("cum", sum("cnt").over(w))
+        .withColumn("total", sum("cnt").over(wp))
+        .groupBy("source")
+        .agg(sum("cnt").as("n_docs"),
+          min(when(col("cum") * 100L >= col("total") * 50L, col("v"))).as("p50"),
+          min(when(col("cum") * 100L >= col("total") * 90L, col("v"))).as("p90"),
+          min(when(col("cum") * 100L >= col("total") * 99L, col("v"))).as("p99"))
+        .orderBy("source")
+    }, Some("""
+      WITH h AS (
+        SELECT source,
+               CAST(length(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS v,
+               count(*) AS cnt
+        FROM documents GROUP BY 1, 2),
+      c AS (
+        SELECT source, v, cnt,
+               sum(cnt) OVER (PARTITION BY source ORDER BY v
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+               sum(cnt) OVER (PARTITION BY source) AS total
+        FROM h)
+      SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs,
+             min(CASE WHEN cum * 100 >= total * 50 THEN v END) AS p50,
+             min(CASE WHEN cum * 100 >= total * 90 THEN v END) AS p90,
+             min(CASE WHEN cum * 100 >= total * 99 THEN v END) AS p99
+      FROM c GROUP BY source ORDER BY source"""))
   )
 
   // ---- BPE (C62/C62b) ------------------------------------------------

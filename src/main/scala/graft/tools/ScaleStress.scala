@@ -43,6 +43,12 @@ object ScaleStress {
       .withColumn("l_orderkey", col("l_orderkey") + col("rep") * 100000000L)
       .drop("rep")
       .write.parquet(s"$out/lineitem.parquet")
+    // orders replicates the same stride (q_mv_incremental et al.)
+    spark.read.parquet(s"$base/orders.parquet").crossJoin(reps)
+      .withColumn("o_orderkey", col("o_orderkey") + col("rep") * 100000000L)
+      .withColumn("o_custkey", col("o_custkey") + col("rep") * 10000000L)
+      .drop("rep")
+      .write.parquet(s"$out/orders.parquet")
 
     val defaultList = Seq(
       "dd_exact", "dd_minhash_lsh", "dd_simhash", "dd_ngram_jaccard",

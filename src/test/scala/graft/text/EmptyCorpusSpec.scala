@@ -26,7 +26,8 @@ class EmptyCorpusSpec extends AnyFunSuite {
     // bloom-pruned incremental dedup (bloom agg over an empty
     // relation), resolution gate
     "tx_boilerplate", "pipeline_snapshot_diff", "dd_bloom_incremental",
-    "mm_res_filter", "dd_soft_weights", "pipeline_sft_pairs")
+    "mm_res_filter", "dd_soft_weights", "pipeline_sft_pairs",
+    "tx_length_quantiles")
 
   test("documents-table queries return empty frames on an empty corpus") {
     val spark = graft.TestSpark.spark
@@ -52,7 +53,7 @@ class EmptyCorpusSpec extends AnyFunSuite {
     Seq("ev_model", "ev_sessionize", "ev_latest_state", "ev_gaps",
       "ev_window_count", "ev_lateness", "ev_inter_event_time",
       "ev_gapfill_daily", "ev_concurrency", "ev_type_ngrams",
-      "ev_key_skew", "ev_rfm_segments").foreach { q =>
+      "ev_key_skew", "ev_rfm_segments", "ev_conversion_window").foreach { q =>
       val n = graft.SparkEntry.queries(q)(spark, dir).count()
       assert(n == 0L, s"$q returned $n rows on an empty log")
     }
@@ -72,7 +73,8 @@ class EmptyCorpusSpec extends AnyFunSuite {
     Seq.empty[(Long, Array[Float], Int)]
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-    Seq("ann_opq_permute", "ann_recall_report", "ann_mrl_report").foreach { q =>
+    Seq("ann_opq_permute", "ann_recall_report", "ann_mrl_report",
+      "ann_drift_report").foreach { q =>
       val n = graft.SparkEntry.queries(q)(spark, dir).count()
       assert(n == 0L, s"$q returned $n rows on an empty table")
     }
