@@ -1182,6 +1182,96 @@ object EventOps {
              CASE WHEN sum(conv7) > 0 THEN
                ((20000 * sum(COALESCE(days_to_conv, 0)) + sum(conv7))
                  // (2 * sum(conv7))) / 10000.0 END AS avg_days4
-      FROM c GROUP BY cohort_week ORDER BY cohort_week"""))
+      FROM c GROUP BY cohort_week ORDER BY cohort_week""")),
+
+    // A68: k-anonymity audit — the data-release check before an event
+    // extract leaves the platform: rows whose quasi-identifier tuple
+    // (event type, day, value decile) is shared by fewer than k=5
+    // rows are re-identifiable. Per event type: group inventory,
+    // small-group count, rows at risk, risk share (exact int64
+    // ratio4). One scan collapsing map-side onto the quasi-identifier
+    // domain (types × days × 10 deciles — calendar-bounded), then a
+    // domain-sized rollup.
+    ("ev_k_anonymity", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      val raw = ev(s, d)
+      val esCol = raw.schema("ts").dataType match {
+        case LongType => expr("ts div 1000000000")
+        case TimestampNTZType => unix_timestamp(col("ts").cast("timestamp"))
+        case _ => unix_timestamp(col("ts"))
+      }
+      val q = raw.select(col("event_type").as("etype"),
+        call_function("div", esCol, lit(86400L)).as("day"),
+        least(lit(9L), floor(col("value") / 10.0).cast("long")).as("vdec"))
+      q.groupBy("etype", "day", "vdec").agg(count(lit(1)).as("n"))
+        .groupBy("etype")
+        .agg(count(lit(1)).as("n_groups"),
+          sum(when(col("n") < 5L, 1L).otherwise(0L)).as("n_small_groups"),
+          sum(when(col("n") < 5L, col("n")).otherwise(0L)).as("rows_at_risk"),
+          sum("n").as("n_rows"))
+        .withColumn("risk_share4",
+          graft.text.TextOps.ratio4(col("rows_at_risk"), col("n_rows")))
+        .orderBy("etype")
+    }, Some("""
+      WITH q AS (
+        SELECT event_type AS etype,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day,
+               least(9, CAST(floor(value / 10.0) AS BIGINT)) AS vdec
+        FROM events),
+      g AS (SELECT etype, day, vdec, count(*) AS n FROM q GROUP BY 1, 2, 3)
+      SELECT etype, count(*) AS n_groups,
+             CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+             CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) AS rows_at_risk,
+             CAST(sum(n) AS BIGINT) AS n_rows,
+             ((20000 * sum(CASE WHEN n < 5 THEN n ELSE 0 END) + sum(n))
+               // (2 * sum(n))) / 10000.0 AS risk_share4
+      FROM g GROUP BY etype ORDER BY etype""")),
+
+    // A69: A/B experiment report — deterministic 50/50 assignment by
+    // user-id parity (what a hash-bucketed experiment framework
+    // produces), per-variant user counts, purchase conversion, mean
+    // events per user, and revenue per converted user — every rate an
+    // exact int64 ratio4, revenue in exact cents. One scan, one
+    // per-user partial agg, one 2-row rollup.
+    ("ev_ab_report", (s: SparkSession, d: String) => {
+      val e = Event.project(ev(s, d))
+        .select(col("foreignId").as("fid"), col("eventType").as("etype"),
+          round(col("value") * 100).cast("long").as("cents"))
+      e.groupBy("fid")
+        .agg(count(lit(1)).as("n_ev"),
+          sum(when(col("etype") === "purchase", 1L).otherwise(0L)).as("n_p"),
+          sum(when(col("etype") === "purchase", col("cents")).otherwise(0L)).as("rev"))
+        .withColumn("variant", when(col("fid") % 2 === 0, "A").otherwise("B"))
+        .groupBy("variant")
+        .agg(count(lit(1)).as("n_users"),
+          sum(when(col("n_p") > 0L, 1L).otherwise(0L)).as("n_converted"),
+          sum("n_ev").as("n_events"),
+          sum("rev").as("rev_cents"))
+        .withColumn("conv_rate4",
+          graft.text.TextOps.ratio4(col("n_converted"), col("n_users")))
+        .withColumn("events_per_user4",
+          graft.text.TextOps.ratio4(col("n_events"), col("n_users")))
+        .withColumn("rev_per_conv2", when(col("n_converted") > 0L,
+          call_function("div", col("rev_cents") * 2L + col("n_converted"),
+            col("n_converted") * 2L) / 100.0))
+        .drop("n_events", "rev_cents")
+        .orderBy("variant")
+    }, Some("""
+      WITH u AS (
+        SELECT user_id AS fid, count(*) AS n_ev,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_p,
+               CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS rev
+        FROM events GROUP BY user_id),
+      v AS (SELECT CASE WHEN fid % 2 = 0 THEN 'A' ELSE 'B' END AS variant, * FROM u)
+      SELECT variant, count(*) AS n_users,
+             CAST(sum(CASE WHEN n_p > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_converted,
+             ((20000 * sum(CASE WHEN n_p > 0 THEN 1 ELSE 0 END) + count(*))
+               // (2 * count(*))) / 10000.0 AS conv_rate4,
+             ((20000 * sum(n_ev) + count(*)) // (2 * count(*))) / 10000.0 AS events_per_user4,
+             CASE WHEN sum(CASE WHEN n_p > 0 THEN 1 ELSE 0 END) > 0 THEN
+               ((sum(rev) * 2 + sum(CASE WHEN n_p > 0 THEN 1 ELSE 0 END))
+                 // (2 * sum(CASE WHEN n_p > 0 THEN 1 ELSE 0 END))) / 100.0 END AS rev_per_conv2
+      FROM v GROUP BY variant ORDER BY variant"""))
   )
 }

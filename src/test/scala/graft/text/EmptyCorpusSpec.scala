@@ -27,7 +27,7 @@ class EmptyCorpusSpec extends AnyFunSuite {
     // relation), resolution gate
     "tx_boilerplate", "pipeline_snapshot_diff", "dd_bloom_incremental",
     "mm_res_filter", "dd_soft_weights", "pipeline_sft_pairs",
-    "tx_length_quantiles")
+    "tx_length_quantiles", "pipeline_doremi_mix")
 
   test("documents-table queries return empty frames on an empty corpus") {
     val spark = graft.TestSpark.spark
