@@ -43,6 +43,27 @@ object DedupOps {
   private def docs(s: SparkSession, d: String): DataFrame =
     graft.Tables.documents(s, d)
 
+  /** Distinct tokens per doc as 64-bit hashes via the typed tokenize
+    * kernel — the shared front end of dd_ngram_jaccard and
+    * dd_threshold_curve: (doc_id, lang, n_distinct, token_hash).
+    */
+  private def distinctTokenHashes(s: SparkSession, df: DataFrame): DataFrame = {
+    import s.implicits._
+    df.select(col("doc_id"), col("lang"), col("text"))
+      .as[(Long, String, String)]
+      .mapPartitions(_.flatMap { case (id, lang, text) =>
+        if (text == null) Iterator.empty
+        else {
+          val hs = new java.util.HashSet[java.lang.Long]()
+          TextOps.tokenize(text).foreach(t => hs.add(graft.util.Hashing.string64(t)))
+          val nw = hs.size
+          scala.jdk.CollectionConverters.IteratorHasAsScala(hs.iterator())
+            .asScala.map(h => (id, lang, nw, h.longValue()))
+        }
+      })
+      .toDF("doc_id", "lang", "nw", "th")
+  }
+
   /** 60-bit span fingerprint over W tokens starting at `from` —
     * byte-identical to SQL `conv(substring(md5(array_join(slice(...),
     * ' ')), 1, 15), 16, 10)`, the one hash both engines compute the
@@ -617,21 +638,7 @@ object DedupOps {
       // The probe side builds from a pushed-down doc_id<100 scan (the
       // filter can't cross an opaque lambda), so the corpus is
       // token-scanned exactly once.
-      import s.implicits._
-      def tokHashes(df: DataFrame): DataFrame =
-        df.select(col("doc_id"), col("lang"), col("text"))
-          .as[(Long, String, String)]
-          .mapPartitions(_.flatMap { case (id, lang, text) =>
-            if (text == null) Iterator.empty
-            else {
-              val hs = new java.util.HashSet[java.lang.Long]()
-              TextOps.tokenize(text).foreach(t => hs.add(graft.util.Hashing.string64(t)))
-              val nw = hs.size
-              scala.jdk.CollectionConverters.IteratorHasAsScala(hs.iterator())
-                .asScala.map(h => (id, lang, nw, h.longValue()))
-            }
-          })
-          .toDF("doc_id", "lang", "nw", "th")
+      def tokHashes(df: DataFrame): DataFrame = distinctTokenHashes(s, df)
       val probeT = tokHashes(docs(s, d).filter(col("doc_id") < 100))
         .select(col("doc_id").as("probe"), col("lang"), col("nw").as("nwa"), col("th").as("t"))
       val candT = tokHashes(docs(s, d))
@@ -1033,6 +1040,54 @@ object DedupOps {
                   WHEN fib < doc_id THEN 'dup_batch'
                   ELSE 'admit' END AS status
       FROM m ORDER BY doc_id""")),
+
+    // C82: dedup threshold sensitivity curve — the tuning artifact
+    // behind every near-dup deployment: how many pairs (and docs)
+    // would a Jaccard threshold of 0.5/0.6/0.7/0.8/0.9 remove? One
+    // candidate-pair frame (the shared distinct-token-hash kernel,
+    // probe-bounded like dd_ngram_jaccard, deduped to unordered
+    // pairs), then five EXACT integer compares (ni·100 ≥ t·union) —
+    // the curve never re-verifies pairs per threshold. At corpus
+    // scale the probe set is the tuning sample; candidates stay
+    // bucket-bounded.
+    ("dd_threshold_curve", (s: SparkSession, d: String) => {
+      val probeT = distinctTokenHashes(s, docs(s, d).filter(col("doc_id") < 100))
+        .select(col("doc_id").as("probe"), col("lang"), col("nw").as("nwa"), col("th").as("t"))
+      val candT = distinctTokenHashes(s, docs(s, d))
+        .select(col("doc_id").as("neighbor"), col("lang"), col("nw").as("nwb"), col("th").as("t"))
+      val pairs = broadcast(probeT).join(candT, Seq("lang", "t"))
+        .filter(col("probe") < col("neighbor"))
+        .groupBy("probe", "neighbor", "nwa", "nwb")
+        .agg(count(lit(1)).as("ni"))
+        .withColumn("u", (col("nwa") + col("nwb")).cast("long") - col("ni"))
+      pairs
+        .select(col("probe"), col("neighbor"), col("ni"), col("u"),
+          explode(array((5 to 9).map(t => lit(t * 10L)): _*)).as("thresh_pct"))
+        .filter(col("ni") * 100L >= col("thresh_pct") * col("u"))
+        .groupBy("thresh_pct")
+        .agg(count(lit(1)).as("n_pairs"),
+          countDistinct(col("probe")).as("n_probe_docs"),
+          countDistinct(col("neighbor")).as("n_neighbor_docs"))
+        .orderBy("thresh_pct")
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, lang,
+               list_distinct(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS w
+        FROM documents),
+      pairs AS (
+        SELECT a.doc_id AS probe, b.doc_id AS neighbor,
+               CAST(length(list_intersect(a.w, b.w)) AS BIGINT) AS ni,
+               CAST(length(a.w) + length(b.w) AS BIGINT)
+                 - CAST(length(list_intersect(a.w, b.w)) AS BIGINT) AS u
+        FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id < b.doc_id
+        WHERE a.doc_id < 100),
+      th AS (SELECT unnest([50, 60, 70, 80, 90]) AS thresh_pct)
+      SELECT CAST(thresh_pct AS BIGINT) AS thresh_pct, count(*) AS n_pairs,
+             CAST(count(DISTINCT probe) AS BIGINT) AS n_probe_docs,
+             CAST(count(DISTINCT neighbor) AS BIGINT) AS n_neighbor_docs
+      FROM pairs, th
+      WHERE ni * 100 >= thresh_pct * u
+      GROUP BY 1 ORDER BY thresh_pct""")),
 
     // C76: soft dedup weights — instead of DROPPING duplicates,
     // down-weight them for sampling (the UniMax/D4-style alternative

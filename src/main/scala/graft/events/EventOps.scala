@@ -1272,6 +1272,46 @@ object EventOps {
              CASE WHEN sum(CASE WHEN n_p > 0 THEN 1 ELSE 0 END) > 0 THEN
                ((sum(rev) * 2 + sum(CASE WHEN n_p > 0 THEN 1 ELSE 0 END))
                  // (2 * sum(CASE WHEN n_p > 0 THEN 1 ELSE 0 END))) / 100.0 END AS rev_per_conv2
-      FROM v GROUP BY variant ORDER BY variant"""))
+      FROM v GROUP BY variant ORDER BY variant""")),
+
+    // A70: time-decayed trending scores — "what is hot NOW" with an
+    // exponential half-life of one day, in EXACT integer arithmetic:
+    // weight(age) = 2^(30-age) for age ≤ 30 days else 0, so the score
+    // is a sum of exact powers of two (pow(2, k) is exactly
+    // representable and exact in both engines' libm for integer k —
+    // no FP-order sensitivity anywhere). One scan collapsing onto the
+    // (type, day) frame; the day frontier is a 1-row broadcast.
+    ("ev_trending", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      val raw = ev(s, d)
+      val esCol = raw.schema("ts").dataType match {
+        case LongType => expr("ts div 1000000000")
+        case TimestampNTZType => unix_timestamp(col("ts").cast("timestamp"))
+        case _ => unix_timestamp(col("ts"))
+      }
+      val e = raw.select(col("event_type").as("etype"),
+        call_function("div", esCol, lit(86400L)).as("day"))
+      val md = e.agg(max("day").as("max_day"))
+      e.groupBy("etype", "day").agg(count(lit(1)).as("cnt"))
+        .crossJoin(broadcast(md))
+        .withColumn("age", col("max_day") - col("day"))
+        .groupBy("etype")
+        .agg(sum("cnt").as("n_events"),
+          sum(when(col("age") <= 30L,
+            col("cnt") * expr("CAST(pow(2, 30 - age) AS BIGINT)")).otherwise(0L))
+            .as("trend_score"))
+        .orderBy(col("trend_score").desc, col("etype"))
+    }, Some("""
+      WITH e AS (
+        SELECT event_type AS etype,
+               CAST(floor(epoch(ts)) AS BIGINT) // 86400 AS day
+        FROM events),
+      md AS (SELECT max(day) AS max_day FROM e),
+      g AS (SELECT etype, day, count(*) AS cnt FROM e GROUP BY 1, 2)
+      SELECT etype, CAST(sum(cnt) AS BIGINT) AS n_events,
+             CAST(sum(CASE WHEN max_day - day <= 30
+                           THEN cnt * CAST(pow(2, 30 - (max_day - day)) AS BIGINT)
+                           ELSE 0 END) AS BIGINT) AS trend_score
+      FROM g, md GROUP BY etype ORDER BY trend_score DESC, etype"""))
   )
 }

@@ -28,7 +28,8 @@ object PlanAudit {
       "mm_res_filter", "ann_recall_report", "ann_opq_permute",
       "ann_mrl_report", "ev_conversion_window", "q_mv_incremental",
       "ann_drift_report", "tx_length_quantiles", "pipeline_doremi_mix",
-      "ev_k_anonymity", "ev_ab_report").foreach { q =>
+      "ev_k_anonymity", "ev_ab_report", "dd_threshold_curve",
+      "ev_trending").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sfDir)
       df.collect() // materialize THIS frame so AQE reports the FINAL plan (a count() would plan separately)
       val plan = df.queryExecution.executedPlan.toString

@@ -27,7 +27,7 @@ class EmptyCorpusSpec extends AnyFunSuite {
     // relation), resolution gate
     "tx_boilerplate", "pipeline_snapshot_diff", "dd_bloom_incremental",
     "mm_res_filter", "dd_soft_weights", "pipeline_sft_pairs",
-    "tx_length_quantiles", "pipeline_doremi_mix")
+    "tx_length_quantiles", "pipeline_doremi_mix", "dd_threshold_curve")
 
   test("documents-table queries return empty frames on an empty corpus") {
     val spark = graft.TestSpark.spark
@@ -53,7 +53,8 @@ class EmptyCorpusSpec extends AnyFunSuite {
     Seq("ev_model", "ev_sessionize", "ev_latest_state", "ev_gaps",
       "ev_window_count", "ev_lateness", "ev_inter_event_time",
       "ev_gapfill_daily", "ev_concurrency", "ev_type_ngrams",
-      "ev_key_skew", "ev_rfm_segments", "ev_conversion_window").foreach { q =>
+      "ev_key_skew", "ev_rfm_segments", "ev_conversion_window",
+      "ev_trending").foreach { q =>
       val n = graft.SparkEntry.queries(q)(spark, dir).count()
       assert(n == 0L, s"$q returned $n rows on an empty log")
     }
