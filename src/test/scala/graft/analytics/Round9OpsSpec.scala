@@ -104,6 +104,60 @@ class Round9OpsSpec extends AnyFunSuite {
     assert(opq.max - opq.min <= naive.max - naive.min)
   }
 
+  test("doremi reweighting moves mass toward above-average-loss sources") {
+    val s = spark
+    val rows = graft.SparkEntry.queries("pipeline_doremi_mix")(s, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    // weights stay a (rounded) distribution
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 0.01)
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 0.01)
+    // multiplicative weights: the max-loss source never loses mass,
+    // the min-loss source never gains (ties aside)
+    val byLoss = rows.sortBy(_._2)
+    assert(byLoss.last._4 >= byLoss.last._3 - 1e-9,
+      s"max-loss source lost mass: ${byLoss.last}")
+    assert(byLoss.head._4 <= byLoss.head._3 + 1e-9,
+      s"min-loss source gained mass: ${byLoss.head}")
+  }
+
+  test("dedup threshold curve is monotone non-increasing") {
+    val s = spark
+    val rows = graft.SparkEntry.queries("dd_threshold_curve")(s, "/root/testdata/sf0.001")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq(50L, 60L, 70L, 80L, 90L).take(rows.length))
+    rows.toSeq.sliding(2).foreach {
+      case Seq((_, a), (_, b)) => assert(a >= b, s"curve not monotone: ${rows.toSeq}")
+      case _ =>
+    }
+  }
+
+  test("ev_trending equals brute-force power-of-two decay") {
+    val s = spark
+    import s.implicits._
+    val rnd = new scala.util.Random(11)
+    val base = 1700000000L
+    val evs = (1 to 300).map { i =>
+      (i.toLong, new java.sql.Timestamp((base + rnd.nextInt(40 * 86400)) * 1000L),
+        i.toLong % 5, if (i % 3 == 0) "login" else "view", 1.0, "{}")
+    }
+    val dir = java.nio.file.Files.createTempDirectory("graft-trend").toString
+    evs.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = graft.SparkEntry.queries("ev_trending")(s, dir)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+    val days = evs.map(e => (e._4, e._2.getTime / 1000L / 86400L))
+    val maxDay = days.map(_._2).max
+    val expected = days.groupBy(_._1).map { case (t, ds) =>
+      t -> ds.map { case (_, day) =>
+        val age = maxDay - day
+        if (age <= 30) (1L << (30 - age).toInt) else 0L
+      }.sum
+    }
+    assert(got == expected)
+  }
+
   test("Morton interleave in q_zorder matches a reference bit-interleave") {
     // the same arithmetic the query builds, pinned to a direct
     // bit-by-bit reference on the full 8-bit domain corners + randoms
