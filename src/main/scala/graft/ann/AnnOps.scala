@@ -1,6 +1,6 @@
 package graft.ann
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import graft.GraftConf
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -1196,21 +1196,28 @@ object AnnOps {
     // arithmetic. One explode pass per snapshot collapsing map-side
     // onto (label, dim) frames; everything after is label×64-sized.
     ("ann_drift_report", (s: SparkSession, d: String) => {
-      def cent(mod: Int, drop: Int): DataFrame =
-        graft.Tables.embeddings(s, d)
-          .filter(col("vec_id") % mod =!= drop)
-          .select(col("label"),
-            posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
-          .select(col("label"), col("dim"),
-            floor(col("x") * 10000.0 + 0.5).cast("long").as("q"))
-          .groupBy("label", "dim")
-          .agg(sum("q").as("sq"), count(lit(1)).as("n"))
-          .select(col("label"), col("dim"), col("n"),
-            (signum(col("sq")).cast("long") *
-              call_function("div", abs(col("sq")) * 2L + col("n"), col("n") * 2L)).as("m"))
-      val c1 = cent(5, 4).withColumnRenamed("m", "m1").withColumnRenamed("n", "n1")
-      val c2 = cent(7, 6).withColumnRenamed("m", "m2").withColumnRenamed("n", "n2")
-      c1.join(c2, Seq("label", "dim"))
+      // ONE scan+explode pass: the snapshots overlap heavily, so each
+      // (vec, dim) row carries two membership flags and the per-
+      // snapshot sums are conditional aggregates of the same frame —
+      // halves the corpus work of the two-pass formulation (plan
+      // yields one exchange over the (label, dim) frame, no join)
+      def mean(sq: Column, n: Column): Column =
+        signum(sq).cast("long") * call_function("div", abs(sq) * 2L + n, n * 2L)
+      val f = graft.Tables.embeddings(s, d)
+        .filter(col("vec_id") % 5 =!= 4 || col("vec_id") % 7 =!= 6)
+        .select(col("label"), (col("vec_id") % 5 =!= 4).as("in1"),
+          (col("vec_id") % 7 =!= 6).as("in2"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "x")))
+        .select(col("label"), col("dim"), col("in1"), col("in2"),
+          floor(col("x") * 10000.0 + 0.5).cast("long").as("q"))
+      f.groupBy("label", "dim")
+        .agg(sum(when(col("in1"), col("q")).otherwise(0L)).as("sq1"),
+          sum(when(col("in1"), 1L).otherwise(0L)).as("n1"),
+          sum(when(col("in2"), col("q")).otherwise(0L)).as("sq2"),
+          sum(when(col("in2"), 1L).otherwise(0L)).as("n2"))
+        .filter(col("n1") > 0L && col("n2") > 0L) // = the old inner join
+        .select(col("label"), col("n1"), col("n2"),
+          mean(col("sq1"), col("n1")).as("m1"), mean(col("sq2"), col("n2")).as("m2"))
         .groupBy("label")
         .agg(min("n1").as("n_v1"), min("n2").as("n_v2"),
           sum((col("m1") - col("m2")) * (col("m1") - col("m2"))).as("drift_e8"))
