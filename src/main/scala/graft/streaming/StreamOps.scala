@@ -126,6 +126,43 @@ object StreamOps {
       }
   }
 
+  final case class TrendState(lastDay: Long, score: Long)
+  final case class TrendScore(etype: String, lastDay: Long, score: Long)
+
+  /** Streaming time-decayed trending — ev_trending (A70) as keyed
+    * state: per event type, ONE (frontier day, score) pair; events at
+    * the frontier add 2^30, advancing the frontier by k days shifts
+    * the score right k bits (the exact integer form of a 1-day
+    * half-life — no floats anywhere, so a replay reproduces scores
+    * bit-identically). Late events older than 30 days add 0, exactly
+    * like the batch operator. State is two longs per type —
+    * unbounded-stream safe. Consistency with the batch form is
+    * spec'd: after aligning each type's frontier to the global max
+    * day (a right shift), streamed scores EQUAL ev_trending's.
+    */
+  def streamingTrending(events: DataFrame): Dataset[TrendScore] = {
+    import events.sparkSession.implicits._
+    events
+      .select(col("eventType"), expr("unix_timestamp(ts) div 86400").as("day"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[TrendState, TrendScore](GroupStateTimeout.NoTimeout()) {
+        (etype: String, it: Iterator[(String, Long)], state: GroupState[TrendState]) =>
+          var st = state.getOption.getOrElse(TrendState(Long.MinValue, 0L))
+          it.toSeq.sortBy(_._2).foreach { case (_, day) =>
+            if (st.lastDay == Long.MinValue) st = TrendState(day, 0L)
+            if (day > st.lastDay) {
+              val shift = day - st.lastDay
+              st = TrendState(day, if (shift >= 63) 0L else st.score >> shift.toInt)
+            }
+            val age = st.lastDay - day
+            if (age <= 30) st = TrendState(st.lastDay, st.score + (1L << (30 - age).toInt))
+          }
+          state.update(st)
+          TrendScore(etype, st.lastDay, st.score)
+      }
+  }
+
   /** Exactly-once parquet sink for foreachBatch: each micro-batch
     * lands in its own `batch_id=N` partition with overwrite, so a
     * replayed batch (at-least-once delivery) overwrites itself instead

@@ -104,6 +104,50 @@ class StreamOpsSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streamingTrending decays across micro-batches and matches the batch form") {
+    val mem = MemoryStream[Event]
+    val out = StreamOps.streamingTrending(mem.toDF())
+    val q = out.writeStream.format("memory").queryName("trend")
+      .outputMode("update").start()
+    def dayTs(day: Int): Timestamp = new Timestamp((1700000000L + day * 86400L) * 1000L)
+    val batch1 = Seq(
+      Event(0, "click", 1, dayTs(0), 1.0, "{}"),
+      Event(1, "click", 2, dayTs(0), 1.0, "{}"),
+      Event(2, "view", 1, dayTs(1), 1.0, "{}"))
+    val batch2 = Seq(
+      Event(3, "click", 1, dayTs(2), 1.0, "{}"), // click frontier 0 -> 2: score halves twice
+      Event(4, "view", 3, dayTs(2), 1.0, "{}"))
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      val rows = spark.table("trend").collect()
+        .map(r => (r.getAs[String]("etype"), r.getAs[Long]("lastDay"), r.getAs[Long]("score")))
+      // latest state per type (Update mode emits one row per batch)
+      val last = rows.groupBy(_._1).map { case (t, rs) => t -> rs.maxBy(_._2) }
+      // click: 2 events at day 0 (2 * 2^30), frontier to day 2 (>>2), +2^30
+      assert(last("click")._3 === (2L << 30 >> 2) + (1L << 30))
+      // view: 1 at day 1 shifted 1 + 1 at day 2
+      assert(last("view")._3 === (1L << 29) + (1L << 30))
+
+      // batch parity: align each frontier to the global max day —
+      // streamed scores must equal ev_trending on the same events
+      val dir = java.nio.file.Files.createTempDirectory("graft-trend-par").toString
+      (batch1 ++ batch2).map(e =>
+          (e.id, e.ts, e.foreignId, e.eventType, e.value, e.metadata))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.mode("overwrite").parquet(s"$dir/events.parquet")
+      val batchScores = graft.SparkEntry.queries("ev_trending")(spark, dir)
+        .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+      val globalMax = last.values.map(_._2).max
+      last.foreach { case (t, (_, lastDay, score)) =>
+        assert((score >> (globalMax - lastDay).toInt) === batchScores(t),
+          s"streamed/batch divergence for $t")
+      }
+    } finally q.stop()
+  }
+
   test("streamingSeqPack: pack fill carries across micro-batches per shard") {
     val mem = MemoryStream[(Long, Long)]
     // 2 shards (docId % 2), budget 100
