@@ -1312,6 +1312,46 @@ object EventOps {
              CAST(sum(CASE WHEN max_day - day <= 30
                            THEN cnt * CAST(pow(2, 30 - (max_day - day)) AS BIGINT)
                            ELSE 0 END) AS BIGINT) AS trend_score
-      FROM g, md GROUP BY etype ORDER BY trend_score DESC, etype"""))
+      FROM g, md GROUP BY etype ORDER BY trend_score DESC, etype""")),
+
+    // A71: backfill chunk planning — how a 100 TB replay gets
+    // parallelized: split the id range into 16 row-balanced chunks so
+    // every backfill worker gets equal work even when id density is
+    // uneven (gap-filled ranges, forgotten users). Events collapse
+    // map-side onto 4096-id block counts (the ev_lateness block
+    // pattern); the prefix sum over that tiny frame assigns each
+    // block the chunk of its exclusive cumulative rank — chunk
+    // boundaries are block-atomic, the granularity a row-group scan
+    // actually prunes at. Output: per chunk, id bounds + actual rows.
+    ("ev_backfill_plan", (s: SparkSession, d: String) => {
+      val blocks = ev(s, d)
+        .select(expr("event_id div 4096").as("blk"))
+        .groupBy("blk").agg(count(lit(1)).as("cnt"))
+      val tot = blocks.agg(sum("cnt").as("total"))
+      blocks.crossJoin(broadcast(tot))
+        .withColumn("cum_excl", coalesce(sum("cnt").over(Window.orderBy("blk")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .withColumn("chunk",
+          call_function("div", col("cum_excl") * 16L, col("total")).cast("int"))
+        .groupBy("chunk")
+        .agg((min("blk") * 4096L).as("from_id"),
+          ((max("blk") + 1L) * 4096L - 1L).as("to_id"),
+          sum("cnt").as("n_rows"), count(lit(1)).as("n_blocks"))
+        .orderBy("chunk")
+    }, Some("""
+      WITH b AS (
+        SELECT event_id // 4096 AS blk, count(*) AS cnt
+        FROM events GROUP BY 1),
+      t AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM b),
+      c AS (SELECT blk, cnt,
+                   COALESCE(sum(cnt) OVER (ORDER BY blk
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+            FROM b),
+      k AS (SELECT CAST((cum_excl * 16) // total AS INTEGER) AS chunk, blk, cnt
+            FROM c, t)
+      SELECT chunk, CAST(min(blk) * 4096 AS BIGINT) AS from_id,
+             CAST((max(blk) + 1) * 4096 - 1 AS BIGINT) AS to_id,
+             CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_blocks
+      FROM k GROUP BY chunk ORDER BY chunk"""))
   )
 }

@@ -54,7 +54,7 @@ class EmptyCorpusSpec extends AnyFunSuite {
       "ev_window_count", "ev_lateness", "ev_inter_event_time",
       "ev_gapfill_daily", "ev_concurrency", "ev_type_ngrams",
       "ev_key_skew", "ev_rfm_segments", "ev_conversion_window",
-      "ev_trending").foreach { q =>
+      "ev_trending", "ev_backfill_plan").foreach { q =>
       val n = graft.SparkEntry.queries(q)(spark, dir).count()
       assert(n == 0L, s"$q returned $n rows on an empty log")
     }
