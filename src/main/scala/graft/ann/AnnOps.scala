@@ -248,8 +248,14 @@ object AnnOps {
           col("v").as("nv")),
         col("probe") =!= col("neighbor") && col("pl") === col("nl"))
         .selectExpr("probe", "neighbor", "cosine_sim(pv, nv) AS cos")
+      // rank on the 4dp-ROUNDED cosine (the displayed value), id as
+      // the decisive tie-break: the replica corpus carries exact
+      // clones whose raw double dots are bit-equal under the fixed
+      // kernel order but last-ulp-APART under the oracle's label-join
+      // aggregation order — ranking the raw double made "ties"
+      // engine-dependent (caught by the sf1 sweep)
       val w = Window.partitionBy("probe")
-        .orderBy(col("cos").desc, col("neighbor").asc)
+        .orderBy(round(col("cos"), 4).desc, col("neighbor").asc)
       scored.withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 5)
         .select(col("probe"), col("rk").cast("int").as("rk"),
@@ -273,7 +279,7 @@ object AnnOps {
       scored AS (
         SELECT probe, neighbor, dot / (na.nrm * nb.nrm) AS cos,
                row_number() OVER (PARTITION BY probe
-                 ORDER BY dot / (na.nrm * nb.nrm) DESC, neighbor ASC) AS rk
+                 ORDER BY round(dot / (na.nrm * nb.nrm), 4) DESC, neighbor ASC) AS rk
         FROM dots JOIN n na ON na.vec_id = probe JOIN n nb ON nb.vec_id = neighbor)
       SELECT probe, CAST(rk AS INTEGER) AS rk, neighbor, round(cos, 4) AS cos_sim
       FROM scored WHERE rk <= 5 ORDER BY probe, rk""")),
