@@ -10,6 +10,16 @@ libraryDependencies ++= Seq(
   "org.scalacheck" %% "scalacheck" % "1.18.0" % Test,
 )
 Test / fork := true
+// The per-round driver parses the LAST stdout line of `sbt runMain`
+// as JSON. With the default LoggedOutput strategy every forked-run
+// line is prefixed "[info] " and sbt appends a "[success] Total time"
+// banner, so the parse failed three rounds running ("parsed": null).
+// StdoutOutput passes the child's stdout through verbatim, and
+// showSuccess drops the banner — the bench's compact JSON line is now
+// genuinely the last thing on stdout.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
+Global / excludeLintKeys ++= Set(run / outputStrategy, showSuccess)
 // streaming suites share one SparkSession; concurrent suites race on
 // the streaming query listener state → run suites sequentially
 Test / parallelExecution := false
