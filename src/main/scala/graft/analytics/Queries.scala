@@ -553,15 +553,24 @@ object Queries {
     // sf0.1; the oracle keeps the textbook EXISTS form and hashes
     // identically, proving the rewrite).
     ("q21_waiting_supplier", (s: SparkSession, d: String) => {
+      // ONE fact-size exchange, not three (r8-r9 sat at 2.1-2.6x sf1
+      // with agg->exchange->join->exchange): shuffle-hash join li and
+      // orders on orderkey FIRST, then both aggregations reuse the
+      // join's HashPartitioning(l_orderkey) — (l_orderkey, l_suppkey)
+      // clustering is satisfied by the orderkey partitioning, so
+      // neither groupBy adds an exchange. Per-supplier lateness is
+      // max(per-line late flag): a supplier is late iff ANY of its
+      // lines ships >60d after the order date, so the per-line flag
+      // aggregates to the same value as the old max_ship compare.
       val li = Tables.lineitem(s, d).select(col("l_orderkey"), col("l_suppkey"),
         col("l_shipdate"))
       val ord = Tables.orders(s, d).select(col("o_orderkey"), col("o_orderdate"))
-      val perSupp = li.groupBy("l_orderkey", "l_suppkey")
-        .agg(max("l_shipdate").as("max_ship"))
-        .join(ord, col("l_orderkey") === col("o_orderkey"))
+      val perSupp = li.join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
         .select(col("l_orderkey"), col("l_suppkey"),
-          when(col("max_ship") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1L)
-            .otherwise(0L).as("is_late"))
+          when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1L)
+            .otherwise(0L).as("late_line"))
+        .groupBy("l_orderkey", "l_suppkey")
+        .agg(max("late_line").as("is_late"))
       perSupp.groupBy("l_orderkey")
         .agg(count(lit(1)).as("n_supp"),
           sum("is_late").as("n_late"),

@@ -193,7 +193,7 @@ object TextOps {
     * five regex/HOF passes per document: the declarative form measured
     * ~4x slower at sf1 on the pipeline queries (SURVEY §4(d)).
     */
-  def docQualityStats(s: SparkSession, d: String): DataFrame = {
+  def docQualityStats(s: SparkSession, d: String, withFp: Boolean = true): DataFrame = {
     import s.implicits._
     val stopSet = stopwords.toSet
     docs(s, d).select(col("doc_id"), col("lang"), col("source"), col("text"))
@@ -202,7 +202,9 @@ object TextOps {
         it.map { case (id, lang, source, nullableText) =>
           val text = if (nullableText == null) "" else nullableText
           val toks = tokenize(text)
-          val nrm = toks.mkString(" ")
+          // callers that never read `fp` skip the md5 (it is the
+          // dominant per-row cost for long docs)
+          val nrm = if (withFp) toks.mkString(" ") else ""
           var punct = 0
           var i = 0
           while (i < text.length) {
@@ -215,7 +217,7 @@ object TextOps {
           (id, lang, source, toks.length.toLong,
             toks.toSet.size.toLong, punct.toLong,
             toks.count(stopSet).toLong, text.length.toLong,
-            graft.util.Hashing.md5Hex(nrm))
+            if (withFp) graft.util.Hashing.md5Hex(nrm) else "")
         }
       }
       .toDF("doc_id", "lang", "source", "n", "nd", "punct", "stops", "len", "fp")
@@ -2146,16 +2148,20 @@ object TextOps {
     // doc, or all-equal scores collapsing to one argmin=argmax doc)
     // drop, as a pair needs two distinct members.
     ("pipeline_pref_pairs", (s: SparkSession, d: String) => {
-      val toks = tokens(col("text"))
-      val n = size(toks).cast("long")
-      val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
-      val stops = stopwordHits(toks, stopwords).cast("long")
-      val l = length(col("text")).cast("long")
+      // stats via the ONE-pass typed kernel (no fingerprint — unused
+      // here): r9 measured the three separate declarative expression
+      // trees over `text` (tokens twice + regexp_extract_all + length)
+      // at 6.4x DuckDB at sf1; the kernel computes n/punct/stops/len
+      // in a single JVM loop per doc (SURVEY §4d), bit-identical.
+      val n = col("n")
+      val punct = col("punct")
+      val stops = col("stops")
+      val l = col("len")
       val qn = lit(500L) * stops * l + lit(300L) * (l - punct) * n +
         lit(2L) * least(n, lit(100L)) * n * l
       val qd = lit(1000L) * n * l
-      val q = docs(s, d).select(col("doc_id"), col("source"),
-        ratio4(qn, qd).as("q4"))
+      val q = docQualityStats(s, d, withFp = false)
+        .select(col("doc_id"), col("source"), ratio4(qn, qd).as("q4"))
       q.groupBy("source")
         .agg(
           max(struct(col("q4").as("q4"), (-col("doc_id")).as("nd"))).as("b"),
