@@ -1,0 +1,164 @@
+package graft.analytics
+
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.ParquetFileReader
+import org.apache.parquet.hadoop.util.HadoopInputFile
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Data-layout write paths: Z-order (Morton) clustering and the
+  * zone-map evidence that justifies it.
+  *
+  * `q_zorder` (Queries.scala) *audits* the Morton math on a computed
+  * frame; this object is the part a 100 TB operator actually runs —
+  * it WRITES files in Z-order and proves, from the written files' own
+  * parquet footers, that a two-dimensional predicate prunes most of
+  * them. The layout trade is the classic one (Morton curves, e.g.
+  * "Integrating the UB-tree into a DBMS kernel", and Delta Lake's
+  * OPTIMIZE ZORDER BY): linear clustering gives perfect pruning on
+  * the sort dim and none on any other; Z-order files are ~square
+  * tiles in quantized key space, so min/max zone maps prune ~sqrt
+  * selectivity on EITHER dim.
+  *
+  * Scale: `zorderWrite` is one range-partitioned sorted write — the
+  * z-code is pure integer bit math per row, `repartitionByRange`
+  * samples boundaries the same way any global sort does, and each
+  * output task writes one file. No driver-side data movement. The
+  * footer scan in `fileZones` reads metadata only (KBs per file); at
+  * real scale the file list would come from the table format's
+  * manifest instead, which stores identical min/max zones.
+  */
+object Layout {
+
+  /** Quantize a non-negative int64 key to 8 bits against its max:
+    * floor(v * 256 / (max+1)), clamped — identical arithmetic on the
+    * SQL side, so bucket assignment is engine-independent.
+    */
+  def quantize8(v: Column, maxV: Column): Column =
+    least(lit(255L), call_function("div", v * 256L, maxV + 1L))
+
+  /** 16-bit Morton interleave of two 8-bit quantized dims: x gets the
+    * even bits, y the odd bits.
+    */
+  def morton2(x: Column, y: Column): Column =
+    (0 until 8).map { i =>
+      (shiftright(x, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i))) +
+        (shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+
+  /** Write `df` clustered by the Morton interleave of two int64 key
+    * columns: quantize each against its max, interleave, range-
+    * partition into `targetFiles` z-code ranges, sort within each, and
+    * write one parquet file per range. Every output file then covers a
+    * compact z-range — a ~square tile in (kx, ky) space — so its
+    * footer min/max on BOTH keys is tight.
+    */
+  def zorderWrite(df: DataFrame, kx: String, ky: String, outDir: String,
+      targetFiles: Int): Unit = {
+    val mx = df.agg(max(col(kx)).as("mx"), max(col(ky)).as("my"))
+    val q = df.crossJoin(broadcast(mx))
+      .withColumn("_zc", morton2(
+        quantize8(col(kx), col("mx")), quantize8(col(ky), col("my"))))
+      .drop("mx", "my")
+    q.repartitionByRange(targetFiles, col("_zc"))
+      .sortWithinPartitions("_zc")
+      .drop("_zc")
+      .write.mode("overwrite").parquet(outDir)
+  }
+
+  /** Baseline: linear clustering by one key (range partition + sort). */
+  def linearWrite(df: DataFrame, k: String, outDir: String,
+      targetFiles: Int): Unit =
+    df.repartitionByRange(targetFiles, col(k))
+      .sortWithinPartitions(k)
+      .write.mode("overwrite").parquet(outDir)
+
+  /** Real zone maps: per parquet FILE under `dir`, the footer's
+    * [min,max] for each int64 column in `cols`, plus the row count —
+    * aggregated over the file's row groups. Metadata-only reads.
+    * Returns (filePath, colName -> (min, max), numRows).
+    */
+  def fileZones(spark: SparkSession, dir: String, cols: Seq[String])
+      : Seq[(String, Map[String, (Long, Long)], Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(conf)
+    val files = fs.listStatus(new Path(dir)).map(_.getPath)
+      .filter(p => p.getName.endsWith(".parquet"))
+      .sortBy(_.getName)
+    files.toSeq.map { p =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try {
+        val blocks = reader.getFooter.getBlocks
+        var rows = 0L
+        val zones = scala.collection.mutable.Map.empty[String, (Long, Long)]
+        blocks.forEach { b =>
+          rows += b.getRowCount
+          b.getColumns.forEach { c =>
+            val name = c.getPath.toDotString
+            if (cols.contains(name)) {
+              val st = c.getStatistics
+              val mn = st.genericGetMin.asInstanceOf[java.lang.Long].longValue()
+              val mxv = st.genericGetMax.asInstanceOf[java.lang.Long].longValue()
+              val cur = zones.getOrElse(name, (Long.MaxValue, Long.MinValue))
+              zones(name) = (math.min(cur._1, mn), math.max(cur._2, mxv))
+            }
+          }
+        }
+        (p.toString, zones.toMap, rows)
+      } finally reader.close()
+    }
+  }
+
+  /** Zone maps of a dynamically-partitioned layout: one entry per
+    * `k=v` partition directory under `dir`, with footer [min,max] of
+    * `cols` and row count aggregated over the partition's files.
+    * Sorted by partition value.
+    */
+  def partitionZones(spark: SparkSession, dir: String, cols: Seq[String])
+      : Seq[(Long, Map[String, (Long, Long)], Long)] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(conf)
+    fs.listStatus(new Path(dir))
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .toSeq
+      .map { st =>
+        val bucket = st.getPath.getName.split("=", 2)(1).toLong
+        val zones = fileZones(spark, st.getPath.toString, cols)
+        val merged = cols.map { c =>
+          val per = zones.map(_._2(c))
+          c -> (per.map(_._1).min, per.map(_._2).max)
+        }.toMap
+        (bucket, merged, zones.map(_._3).sum)
+      }
+      .sortBy(_._1)
+  }
+
+  /** Row groups a min/max-pruning reader would SKIP for `lo <= col <=
+    * hi`: (skipped, total) over every row group of every file under
+    * `dir` — the exact quantity parquet predicate pushdown skips on.
+    */
+  def rowGroupsSkipped(spark: SparkSession, dir: String, colName: String,
+      lo: Long, hi: Long): (Int, Int) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new Path(dir).getFileSystem(conf)
+    val files = fs.listStatus(new Path(dir)).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet"))
+    var skipped = 0
+    var total = 0
+    files.foreach { p =>
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(p, conf))
+      try reader.getFooter.getBlocks.forEach { b =>
+        total += 1
+        b.getColumns.forEach { c =>
+          if (c.getPath.toDotString == colName) {
+            val st = c.getStatistics
+            val mn = st.genericGetMin.asInstanceOf[java.lang.Long].longValue()
+            val mxv = st.genericGetMax.asInstanceOf[java.lang.Long].longValue()
+            if (mxv < lo || mn > hi) skipped += 1
+          }
+        }
+      } finally reader.close()
+    }
+    (skipped, total)
+  }
+}

@@ -1144,6 +1144,86 @@ object Queries {
       ORDER BY layout""")
     }),
 
+    // B42b: the WRITE path behind q_zorder's audit — actually writes
+    // both layouts as parquet (one file per bucket via dynamic
+    // partitioning), reads the zone maps back from the REAL file
+    // footers (Layout.fileZones — parquet min/max statistics, the
+    // exact metadata a pruning reader consults), and reports how many
+    // files each layout scans for a 2-dim predicate and a y-only
+    // predicate. Bucketing is deterministic closed-form (zc//1024 /
+    // x//4 over 8-bit quantized keys, 64 buckets each) so DuckDB
+    // derives the identical per-bucket zones straight from lineitem —
+    // a hash match proves the written files contain exactly the
+    // computed buckets AND that their footer stats are tight. The
+    // driver-side part touches 64 zone rows (metadata), never data.
+    ("q_zorder_files", (s: SparkSession, d: String) => {
+      val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey").cast("long").as("ok"),
+          col("l_partkey").cast("long").as("pk"))
+      val mx = li.agg(max("ok").as("mok"), max("pk").as("mpk"))
+      val q = li.crossJoin(broadcast(mx))
+        .select(Layout.quantize8(col("ok"), col("mok")).as("x"),
+          Layout.quantize8(col("pk"), col("mpk")).as("y"))
+      val base = q
+        .withColumn("zb", call_function("div", Layout.morton2(col("x"), col("y")), lit(1024L)))
+        .withColumn("lb", call_function("div", col("x"), lit(4L)))
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-zorder-files-${new java.io.File(d).getName}"
+      base.select("x", "y", "zb").repartition(8, col("zb"))
+        .write.mode("overwrite").partitionBy("zb").parquet(s"$tmp/z")
+      base.select("x", "y", "lb").repartition(8, col("lb"))
+        .write.mode("overwrite").partitionBy("lb").parquet(s"$tmp/l")
+      def zoneRows(sub: String): Seq[(Long, Long, Long, Long, Long)] =
+        Layout.partitionZones(s, s"$tmp/$sub", Seq("x", "y")).map {
+          case (_, z, n) =>
+            (z("x")._1, z("x")._2, z("y")._1, z("y")._2, n)
+        }
+      import s.implicits._
+      def report(layout: String, sub: String): DataFrame =
+        zoneRows(sub).toDF("min_x", "max_x", "min_y", "max_y", "n")
+          .withColumn("layout", lit(layout))
+          .groupBy("layout")
+          .agg(count(lit(1)).as("n_files"),
+            sum(when(!(col("max_x") < 64L || col("min_x") > 79L ||
+              col("max_y") < 128L || col("min_y") > 191L), 1L)
+              .otherwise(0L)).as("scan_xy"),
+            sum(when(!(col("max_y") < 128L || col("min_y") > 191L), 1L)
+              .otherwise(0L)).as("scan_y"),
+            sum(when(!(col("max_x") < 64L || col("min_x") > 79L ||
+              col("max_y") < 128L || col("min_y") > 191L), col("n"))
+              .otherwise(0L)).as("rows_xy"),
+            sum(col("max_x") - col("min_x") + 1L).as("span_x_total"),
+            sum(col("max_y") - col("min_y") + 1L).as("span_y_total"))
+      report("linear", "l").unionAll(report("zorder", "z")).orderBy("layout")
+    }, {
+      val zExpr = (0 until 8).map { i =>
+        s"(((x >> $i) & 1) << ${2 * i}) + (((y >> $i) & 1) << ${2 * i + 1})"
+      }.mkString(" + ")
+      Some(s"""
+      WITH m AS (SELECT max(l_orderkey) AS mok, max(l_partkey) AS mpk FROM lineitem),
+      q AS (SELECT least(255, (l_orderkey * 256) // (mok + 1)) AS x,
+                   least(255, (l_partkey * 256) // (mpk + 1)) AS y
+            FROM lineitem, m),
+      b AS (SELECT x, y, ($zExpr) // 1024 AS zb, x // 4 AS lb FROM q),
+      zz AS (SELECT zb, min(x) AS min_x, max(x) AS max_x, min(y) AS min_y,
+                    max(y) AS max_y, count(*) AS n FROM b GROUP BY 1),
+      lz AS (SELECT lb, min(x) AS min_x, max(x) AS max_x, min(y) AS min_y,
+                    max(y) AS max_y, count(*) AS n FROM b GROUP BY 1),
+      rep AS (
+        SELECT 'linear' AS layout, min_x, max_x, min_y, max_y, n FROM lz
+        UNION ALL
+        SELECT 'zorder', min_x, max_x, min_y, max_y, n FROM zz)
+      SELECT layout, count(*) AS n_files,
+             CAST(sum(CASE WHEN NOT (max_x < 64 OR min_x > 79 OR max_y < 128 OR min_y > 191)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS scan_xy,
+             CAST(sum(CASE WHEN NOT (max_y < 128 OR min_y > 191)
+                      THEN 1 ELSE 0 END) AS BIGINT) AS scan_y,
+             CAST(sum(CASE WHEN NOT (max_x < 64 OR min_x > 79 OR max_y < 128 OR min_y > 191)
+                      THEN n ELSE 0 END) AS BIGINT) AS rows_xy,
+             CAST(sum(max_x - min_x + 1) AS BIGINT) AS span_x_total,
+             CAST(sum(max_y - min_y + 1) AS BIGINT) AS span_y_total
+      FROM rep GROUP BY layout ORDER BY layout""")
+    }),
+
     // B43: incremental aggregate maintenance — the materialized-view
     // argument at 100 TB: additive partial states (sum, count) over a
     // closed HISTORY partition combine with the DELTA partition's
