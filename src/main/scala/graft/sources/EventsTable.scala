@@ -149,6 +149,57 @@ final class EventsTable(spark: SparkSession, dir: String,
     head
   }
 
+  /** Small-file compaction (the OPTIMIZE step a streaming ingest needs
+    * forever: every micro-batch append is its own parquet file, so an
+    * uncompacted log's file count grows without bound and every read
+    * pays O(batches) footer opens). Each partition (date dirs on a
+    * partitioned log; the whole directory otherwise) whose file count
+    * exceeds ceil(bytes/targetBytes) is rewritten into that many
+    * id-range-partitioned, id-sorted files and atomically swapped —
+    * the same old-or-new discipline as `forget`/StateTable.merge, at
+    * the same partition granularity a table format would commit.
+    *
+    * Rows, ids, and the head are untouched (content-preserving
+    * rewrite); sorting by id makes each output file a disjoint id
+    * range, so footer min/max zone maps turn cursor reads
+    * (`id > cursor`) into file skips — after compaction a consumer
+    * near the head opens O(1) files per partition, not O(batches).
+    * Returns the number of partitions rewritten.
+    */
+  def compact(targetBytes: Long = 128L << 20): Int = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    if (!fs.exists(root)) return 0
+    val parts: Seq[org.apache.hadoop.fs.Path] =
+      if (partitionByDate)
+        fs.listStatus(root).filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("date=")).map(_.getPath).toSeq
+      else Seq(root)
+    var rewritten = 0
+    parts.foreach { p =>
+      val files = fs.listStatus(p).filter(st => st.isFile &&
+        st.getPath.getName.endsWith(".parquet"))
+      val bytes = files.map(_.getLen).sum
+      val want = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
+      if (files.length > want) {
+        val idCol = col(physical("id"))
+        val staging = new org.apache.hadoop.fs.Path(p.toString + ".compacting")
+        graft.util.AtomicDir.deleteRec(staging.toUri.getPath)
+        spark.read.parquet(p.toString)
+          .repartitionByRange(want, idCol)
+          .sortWithinPartitions(idCol)
+          .write.parquet(staging.toString)
+        // drop the _SUCCESS marker so the swapped dir holds data files
+        // only, like the append-written partitions it replaces
+        fs.delete(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"), false)
+        graft.util.AtomicDir.replace(staging.toUri.getPath, p.toUri.getPath)
+        rewritten += 1
+      }
+    }
+    rewritten
+  }
+
   /** Insert a batch of events (columns: eventType, foreignId, ts,
     * value, metadata, optional trace), assigning the next id range.
     * Returns the new head.
