@@ -40,20 +40,68 @@ object StreamingPipeline {
       checkpointDir: String,
       budget: Long = 64L,
       nShards: Int = 4,
-      nBuckets: Int = 16): StreamingQuery = {
+      nBuckets: Int = 16,
+      /** added to every micro-batch id before it reaches the state
+        * tables and the sink — the recovery lever: see [[recover]].
+        */
+      batchIdOffset: Long = 0L): StreamingQuery = {
     val schema = spark.read.parquet(docsDir).schema
     val stream = spark.readStream.schema(schema).parquet(docsDir)
     stream.writeStream
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val out = processBatch(spark, batch, stateRoot, batchId,
+        val out = processBatch(spark, batch, stateRoot, batchIdOffset + batchId,
           budget, nShards, nBuckets)
-        StreamOps.idempotentParquetSink(outDir)(out, batchId)
+        StreamOps.idempotentParquetSink(outDir)(out, batchIdOffset + batchId)
         ()
       }
       .start()
   }
+
+  /** Highest batch id any state table has committed — the recovery
+    * cursor when the streaming checkpoint is lost. Column-pruned
+    * metadata-sized read (src_batch only); a deployment that wants
+    * this O(1) can mirror the value into a CursorStore at commit time.
+    */
+  def maxCommittedBatch(spark: SparkSession, stateRoot: String): Long =
+    Seq("exact", "bands", "packs").flatMap { t =>
+      val table = new StateTable(spark, s"$stateRoot/$t")
+      if (table.exists)
+        table.read.agg(max(col("src_batch"))).collect()(0) match {
+          case r if r.isNullAt(0) => None
+          case r => Some(r.getLong(0))
+        }
+      else None
+    }.foldLeft(-1L)(math.max)
+
+  /** Checkpoint-LOSS recovery: the checkpoint directory is gone, so
+    * the file source will re-present EVERY input file under fresh
+    * batch ids starting at 0. The state tables are the real source of
+    * truth — each row carries src_batch provenance — so recovery is:
+    * restart with a FRESH checkpoint and every batch id offset past
+    * the highest committed batch. No re-presented batch then shares
+    * an id with the state rows it wrote, so nothing is hidden from
+    * it: every already-admitted doc collides with its own history and
+    * drops (exact stage), already-rejected docs drop for the original
+    * reasons, genuinely-new docs admit against the full history, and
+    * pack cursors resume from the latest committed cursor. The output
+    * directory gains only new-doc batches — zero duplicates — at the
+    * cost of one full input re-read, after which the pipeline behaves
+    * exactly as if the checkpoint had never been lost.
+    */
+  def recover(
+      spark: SparkSession,
+      docsDir: String,
+      stateRoot: String,
+      outDir: String,
+      freshCheckpointDir: String,
+      budget: Long = 64L,
+      nShards: Int = 4,
+      nBuckets: Int = 16): StreamingQuery =
+    run(spark, docsDir, stateRoot, outDir, freshCheckpointDir, budget,
+      nShards, nBuckets,
+      batchIdOffset = maxCommittedBatch(spark, stateRoot) + 1L)
 
   /** One micro-batch through all four stages; returns the packed
     * admitted rows (doc columns + n_suspect_bands + n_tok + shard +

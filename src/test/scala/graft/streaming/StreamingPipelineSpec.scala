@@ -101,6 +101,46 @@ class StreamingPipelineSpec extends AnyFunSuite {
     assert(outRows(out) === r2)
   }
 
+  test("checkpoint LOSS: recover() rebuilds from state provenance, zero duplicate output") {
+    val root = Files.createTempDirectory("graft-spipe-loss").toString
+    val (in, state, out, ckpt) =
+      (s"$root/in", s"$root/state", s"$root/out", s"$root/ckpt")
+    // two committed batches, exactly like the happy path: 0,4 admit in
+    // batch 0; 6,7 admit in batch 1 (5 is a cross-batch exact dup)
+    writeDocs(in, Seq(0L -> good(0), 1L -> good(0), 3L -> "too short", 4L -> good(4)))
+    StreamingPipeline.run(spark, in, state, out, ckpt,
+      budget = 100L, nShards = 2).awaitTermination()
+    writeDocs(in, Seq(5L -> good(4), 6L -> good(6), 7L -> good(7)))
+    StreamingPipeline.run(spark, in, state, out, ckpt,
+      budget = 100L, nShards = 2).awaitTermination()
+    val committed = outRows(out)
+    assert(committed.keySet === Set(0L, 4L, 6L, 7L))
+    assert(StreamingPipeline.maxCommittedBatch(spark, state) === 1L)
+
+    // disaster: the checkpoint directory is lost; new data arrives
+    graft.util.AtomicDir.deleteRec(ckpt)
+    writeDocs(in, Seq(8L -> good(8)))
+    StreamingPipeline.recover(spark, in, state, out, s"$root/ckpt2",
+      budget = 100L, nShards = 2).awaitTermination()
+    val recovered = outRows(out)
+    // every re-presented doc dropped against its own provenance;
+    // only the genuinely-new doc admitted, exactly once
+    assert(recovered.keySet === committed.keySet + 8L,
+      s"recovery duplicated or lost docs: ${recovered.keySet}")
+    committed.foreach { case (id, v) =>
+      assert(recovered(id) === v, s"recovery rewrote doc $id: ${recovered(id)} != $v")
+    }
+    // the pack cursor carried across the loss: shard 0 held pack 1 at
+    // fill 40 (doc 6); doc 8 (40 tokens, shard 0) joins pack 1
+    assert(recovered(8L)._1 === 0L && recovered(8L)._2 === 1L,
+      s"pack cursor lost in recovery: ${recovered(8L)}")
+
+    // a second recovery with nothing new is a fixpoint
+    StreamingPipeline.recover(spark, in, state, out, s"$root/ckpt3",
+      budget = 100L, nShards = 2).awaitTermination()
+    assert(outRows(out) === recovered)
+  }
+
   test("gate stage equals the batch tx_quality_gate keep set") {
     val df = spark.read.parquet(s"${TestSpark.sf}/documents.parquet")
     val viaCol = df.filter(graft.text.TextOps.qualityKeepCol(col("text")))
