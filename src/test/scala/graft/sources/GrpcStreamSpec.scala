@@ -200,6 +200,94 @@ class GrpcStreamSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("stock-client handshake fixture: frozen golden bytes drive a full Stream call") {
+    // The ENTIRE client side of a grpc-go `Stream` call as literal
+    // frozen bytes — hand-derived from RFC 7540/7541 (HPACK static
+    // indices; Huffman codes per Appendix B, produced by this repo's
+    // Appendix-C-conformance-tested encoder and frozen here so the
+    // decode path is tested against bytes NO current code generates):
+    //   1. connection preface
+    //   2. empty SETTINGS (grpc-go's default client settings frame)
+    //   3. connection WINDOW_UPDATE +983041 (grpc-go raises the conn
+    //      window to 1 MiB at connect)
+    //   4. HEADERS (stream 1, END_HEADERS): :method POST (idx 3),
+    //      :scheme http (idx 6), then literal-with-incremental-
+    //      indexing Huffman values — :path /reflexpb.Reflex/Stream,
+    //      :authority localhost, content-type application/grpc,
+    //      user-agent grpc-go/1.60.0, te: trailers (new name)
+    //   5. DATA (stream 1, END_STREAM): grpc message framing
+    //      (uncompressed flag + u32 length) around the protobuf
+    //      StreamRequest{after: "1", toHead: true}
+    // What stays untestable without a real grpc-go binary in the
+    // container is documented in SURVEY §2 A61.
+    def unhex(s: String): Array[Byte] =
+      s.grouped(2).map(Integer.parseInt(_, 16).toByte).toArray
+    def frame(tpe: Int, flags: Int, streamId: Int, payload: Array[Byte]): Array[Byte] = {
+      val h = Array[Byte](
+        ((payload.length >>> 16) & 0xff).toByte,
+        ((payload.length >>> 8) & 0xff).toByte,
+        (payload.length & 0xff).toByte,
+        tpe.toByte, flags.toByte,
+        ((streamId >>> 24) & 0x7f).toByte, ((streamId >>> 16) & 0xff).toByte,
+        ((streamId >>> 8) & 0xff).toByte, (streamId & 0xff).toByte)
+      h ++ payload
+    }
+    val preface = unhex("505249202a20485454502f322e300d0a0d0a534d0d0a0d0a")
+    val settings = frame(0x4, 0, 0, Array.empty)
+    val windowUpdate = frame(0x8, 0, 0, unhex("000f0001")) // +983041
+    val headersBlock = unhex(
+      "8386449162c2cb417cd71afb4b2d05f2c6e4d851d34186a0e41d139d095f8b" +
+        "1d75d0620d263d4c4d65647a8a9acac8b4c7602bb805c14082497f864d8335" +
+        "05b11f")
+    val headers = frame(0x1, 0x4, 1, headersBlock)
+    // 00 (uncompressed) + 00000007 (len) + StreamRequest protobuf
+    val data = frame(0x0, 0x1, 1, unhex("0000000007" + "120220011a0131"))
+
+    val table = mkTable(5)
+    val server = new GrpcEventServer(() => table.log.df)
+    try {
+      val sock = new java.net.Socket("localhost", server.boundPort)
+      val out = new java.io.BufferedOutputStream(sock.getOutputStream)
+      val in = new java.io.BufferedInputStream(sock.getInputStream)
+      out.write(preface); out.write(settings); out.write(windowUpdate)
+      out.write(headers); out.write(data); out.flush()
+
+      val hpackIn = new Hpack.Decoder()
+      val ids = Seq.newBuilder[Long]
+      val msgBuf = new java.io.ByteArrayOutputStream()
+      var status = -1
+      var open = true
+      while (open) Http2.readFrame(in) match {
+        case None => open = false
+        case Some(f) if f.tpe == Http2.Settings && !f.has(Http2.FlagAck) =>
+          Http2.writeFrame(out, Http2.Settings, Http2.FlagAck, 0); out.flush()
+        case Some(f) if f.tpe == Http2.Data =>
+          msgBuf.write(Http2.unpad(f))
+          if (f.has(Http2.FlagEndStream)) open = false
+        case Some(f) if f.tpe == Http2.Headers =>
+          hpackIn.decode(Http2.unpad(f)).foreach(_.foreach {
+            case ("grpc-status", v) => status = v.toInt
+            case _ => ()
+          })
+          if (f.has(Http2.FlagEndStream)) open = false
+        case _ => ()
+      }
+      sock.close()
+      val buf = msgBuf.toByteArray
+      var off = 0
+      while (buf.length - off >= 5) {
+        val len = ((buf(off + 1) & 0xff) << 24) | ((buf(off + 2) & 0xff) << 16) |
+          ((buf(off + 3) & 0xff) << 8) | (buf(off + 4) & 0xff)
+        ReflexPb.decodeEvent(
+          java.util.Arrays.copyOfRange(buf, off + 5, off + 5 + len))
+          .foreach(ids += _.id)
+        off += 5 + len
+      }
+      assert(status == 0, s"stock handshake did not complete: grpc-status $status")
+      assert(ids.result() == (2L to 4L)) // after=1, toHead
+    } finally server.close()
+  }
+
   test("huffman + incremental-indexing request headers decode (grpc-go's encoding)") {
     val table = mkTable(5)
     val server = new GrpcEventServer(() => table.log.df)
