@@ -1224,6 +1224,84 @@ object Queries {
       FROM rep GROUP BY layout ORDER BY layout""")
     }),
 
+    // B44: encoding/compression audit — the other half of the layout
+    // decision (B42 chooses file CUTS; this predicts how well each
+    // column RLE/dictionary-encodes under the table's physical order):
+    // per column, distinct count, number of value RUNS in
+    // (l_orderkey, l_linenumber) order, average run length, and the
+    // encoding a parquet writer would pick (integer rules shared with
+    // the oracle). The run count needs adjacent-row compares in a
+    // GLOBAL order — decomposed exactly like ev_lateness: within-block
+    // lag windows (block = orderkey div 4096, so partitions are
+    // bounded) plus a tiny per-block first/last frame whose self-join
+    // stitches the block boundaries. No global sort at any scale.
+    ("q_encoding_audit", (s: SparkSession, d: String) => {
+      val li = Tables.lineitem(s, d).select(
+        (col("l_orderkey") * 10L + col("l_linenumber")).as("ok"),
+        expr("l_orderkey div 4096").as("blk"),
+        col("l_returnflag").cast("string").as("returnflag"),
+        col("l_linestatus").cast("string").as("linestatus"),
+        col("l_quantity").cast("long").cast("string").as("quantity"))
+      val t = li.selectExpr("ok", "blk",
+        "stack(3, 'returnflag', returnflag, 'linestatus', linestatus, 'quantity', quantity) AS (cname, val)")
+      // (l_orderkey, l_linenumber) is NOT unique in the synthetic
+      // corpus — ties ordered by val make the run count independent
+      // of which engine's sort wins within a tie group (permuting
+      // equal-val rows never changes adjacent-inequality counts)
+      val wB = Window.partitionBy("cname", "blk").orderBy("ok", "val")
+      val inBlk = t.withColumn("prev", lag("val", 1).over(wB))
+        .groupBy("cname")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("prev").isNotNull && col("prev") =!= col("val"), 1L)
+            .otherwise(0L)).as("chg_in"))
+      // stitch against the previous EXISTING block (lag over the tiny
+      // per-block frame), not blk-1: present blocks need not be
+      // contiguous (id-shifted replicas, pruned partitions)
+      val firstLast = t.groupBy("cname", "blk")
+        .agg(min(struct(col("ok"), col("val"))).getField("val").as("first_val"),
+          max(struct(col("ok"), col("val"))).getField("val").as("last_val"))
+      val wFL = Window.partitionBy("cname").orderBy("blk")
+      val bnd = firstLast
+        .withColumn("prev_last", lag("last_val", 1).over(wFL))
+        .groupBy("cname")
+        .agg(sum(when(col("prev_last").isNotNull &&
+          col("prev_last") =!= col("first_val"), 1L)
+          .otherwise(0L)).as("chg_bnd"))
+      val nd = t.groupBy("cname").agg(countDistinct("val").as("n_distinct"))
+      inBlk.join(bnd, Seq("cname"), "left").join(nd, Seq("cname"))
+        .withColumn("n_runs",
+          col("chg_in") + coalesce(col("chg_bnd"), lit(0L)) + 1L)
+        .select(col("cname"), col("n_rows"), col("n_distinct"), col("n_runs"),
+          graft.text.TextOps.ratio4(col("n_rows"), col("n_runs")).as("avg_run_len4"),
+          when(col("n_rows") >= col("n_runs") * 8L, "RLE_DICT")
+            .when(col("n_distinct") * 20L <= col("n_rows"), "DICT")
+            .otherwise("PLAIN").as("pred_encoding"))
+        .orderBy("cname")
+    }, Some("""
+      WITH t AS (
+        SELECT l_orderkey * 10 + l_linenumber AS ok, 'returnflag' AS cname,
+               l_returnflag AS val FROM lineitem
+        UNION ALL
+        SELECT l_orderkey * 10 + l_linenumber, 'linestatus', l_linestatus FROM lineitem
+        UNION ALL
+        SELECT l_orderkey * 10 + l_linenumber, 'quantity',
+               CAST(CAST(l_quantity AS BIGINT) AS VARCHAR) FROM lineitem),
+      l AS (
+        SELECT cname, val,
+               lag(val) OVER (PARTITION BY cname ORDER BY ok, val) AS prev
+        FROM t),
+      a AS (
+        SELECT cname, count(*) AS n_rows,
+               count(DISTINCT val) AS n_distinct,
+               CAST(sum(CASE WHEN prev IS NOT NULL AND prev <> val THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_runs
+        FROM l GROUP BY cname)
+      SELECT cname, n_rows, n_distinct, n_runs,
+             ((20000 * n_rows + n_runs) // (2 * n_runs)) / 10000.0 AS avg_run_len4,
+             CASE WHEN n_rows >= n_runs * 8 THEN 'RLE_DICT'
+                  WHEN n_distinct * 20 <= n_rows THEN 'DICT'
+                  ELSE 'PLAIN' END AS pred_encoding
+      FROM a ORDER BY cname""")),
+
     // B43: incremental aggregate maintenance — the materialized-view
     // argument at 100 TB: additive partial states (sum, count) over a
     // closed HISTORY partition combine with the DELTA partition's

@@ -284,6 +284,78 @@ object AnnOps {
       SELECT probe, CAST(rk AS INTEGER) AS rk, neighbor, round(cos, 4) AS cos_sim
       FROM scored WHERE rk <= 5 ORDER BY probe, rk""")),
 
+    // C83: hard-negative mining — the contrastive-training data step
+    // (DPR/Contriever style): per anchor, the hardest negatives are
+    // the highest-cosine vectors of a DIFFERENT label, with a
+    // false-negative ceiling (cos ≥ 0.98 is almost surely a mislabeled
+    // duplicate, not a negative — standard practice excludes it), and
+    // each negative reports its margin against the anchor's best
+    // positive (what a triplet loss actually consumes). Same scale
+    // shape as ann_filtered: the label predicate rides INSIDE the
+    // broadcast-probe join (pre-filter, so 5 negatives are 5
+    // negatives), one corpus scan, per-probe bounded heaps via the
+    // rank-filter rewrite. Rank on the 4dp-rounded cosine (the
+    // displayed value) — the ann_filtered tie-break lesson.
+    ("ann_hard_negatives", (s: SparkSession, d: String) => {
+      GraftFunctions.register(s)
+      val e = graft.Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val probes = broadcast(e.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("probe"), col("label").as("pl"),
+          col("v").as("pv")))
+      val corpus = e.select(col("vec_id").as("neighbor"),
+        col("label").as("nl"), col("v").as("nv"))
+      // best positive per probe: max 4dp cosine over same-label others
+      val pos = probes.join(corpus,
+        col("probe") =!= col("neighbor") && col("pl") === col("nl"))
+        .selectExpr("probe", "round(cosine_sim(pv, nv), 4) AS pc")
+        .groupBy("probe").agg(max("pc").as("pos_cos"))
+      val negs = probes.join(corpus, col("pl") =!= col("nl"))
+        .selectExpr("probe", "neighbor", "round(cosine_sim(pv, nv), 4) AS cos4")
+        .filter(col("cos4") < 0.98)
+      val w = Window.partitionBy("probe")
+        .orderBy(col("cos4").desc, col("neighbor").asc)
+      negs.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .join(broadcast(pos), Seq("probe"))
+        .select(col("probe"), col("rk").cast("int").as("rk"),
+          col("neighbor"), col("cos4").as("neg_cos"), col("pos_cos"),
+          round(col("pos_cos") - col("cos4"), 4).as("margin"))
+        .orderBy("probe", "rk")
+    }, Some("""
+      WITH f AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+      n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY vec_id),
+      lab AS (SELECT vec_id, label FROM embeddings),
+      dots AS (
+        SELECT a.vec_id AS probe, b.vec_id AS neighbor,
+               la.label AS pl, lb.label AS nl, sum(a.v * b.v) AS dot
+        FROM f a
+        JOIN lab la ON la.vec_id = a.vec_id
+        JOIN f b ON a.i = b.i AND a.vec_id <> b.vec_id
+        JOIN lab lb ON lb.vec_id = b.vec_id
+        WHERE a.vec_id < 16
+        GROUP BY a.vec_id, b.vec_id, la.label, lb.label),
+      scored AS (
+        SELECT probe, neighbor, pl, nl,
+               round(dot / (na.nrm * nb.nrm), 4) AS cos4
+        FROM dots JOIN n na ON na.vec_id = probe
+                  JOIN n nb ON nb.vec_id = neighbor),
+      pos AS (SELECT probe, max(cos4) AS pos_cos FROM scored
+              WHERE pl = nl GROUP BY probe),
+      negs AS (
+        SELECT probe, neighbor, cos4,
+               row_number() OVER (PARTITION BY probe
+                 ORDER BY cos4 DESC, neighbor ASC) AS rk
+        FROM scored WHERE pl <> nl AND cos4 < 0.98)
+      SELECT negs.probe AS probe, CAST(rk AS INTEGER) AS rk, neighbor,
+             cos4 AS neg_cos, pos_cos, round(pos_cos - cos4, 4) AS margin
+      FROM negs JOIN pos ON pos.probe = negs.probe
+      WHERE rk <= 5 ORDER BY negs.probe, rk""")),
+
     // C5: embedding-cosine near-dup pairs over a probe window.
     ("dd_embed_neardup", (s: SparkSession, d: String) => {
       probeScores(s, d, probeMax = 200)

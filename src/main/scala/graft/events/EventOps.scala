@@ -1352,6 +1352,120 @@ object EventOps {
       SELECT chunk, CAST(min(blk) * 4096 AS BIGINT) AS from_id,
              CAST((max(blk) + 1) * 4096 - 1 AS BIGINT) AS to_id,
              CAST(sum(cnt) AS BIGINT) AS n_rows, count(*) AS n_blocks
-      FROM k GROUP BY chunk ORDER BY chunk"""))
+      FROM k GROUP BY chunk ORDER BY chunk""")),
+
+    // A73: TTL / retention-policy simulation — the storage-lifecycle
+    // decision at 100 TB ("what does a 30/90/365-day policy delete,
+    // and how many bytes does it free"): each type's TTL class comes
+    // from a deterministic rule both engines share, the cutoff is
+    // relative to the log's own head timestamp (a 1-row broadcast, so
+    // the report is reproducible from the data alone), and the whole
+    // query is one map-side-combined scan — counts and freed bytes
+    // partial-agg per type, nothing shuffles but |types| rows.
+    ("ev_ttl_expire", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      val raw = ev(s, d)
+      val esCol = raw.schema("ts").dataType match {
+        case LongType => expr("ts div 1000000000")
+        case TimestampNTZType => unix_timestamp(col("ts").cast("timestamp"))
+        case _ => unix_timestamp(col("ts"))
+      }
+      val e = raw.select(col("event_type").as("etype"), esCol.as("es"),
+        length(col("props")).cast("long").as("pbytes"))
+      val head = e.agg(max("es").as("head_es"))
+      val ttlDays = when(length(col("etype")) % 3 === 0, 30L)
+        .when(length(col("etype")) % 3 === 1, 90L).otherwise(365L)
+      e.crossJoin(broadcast(head))
+        .withColumn("ttl_days", ttlDays)
+        .withColumn("expired",
+          col("es") < col("head_es") - col("ttl_days") * 86400L)
+        .groupBy("etype", "ttl_days")
+        .agg(sum(when(col("expired"), 1L).otherwise(0L)).as("n_expired"),
+          sum(when(!col("expired"), 1L).otherwise(0L)).as("n_retained"),
+          sum(when(col("expired"), col("pbytes")).otherwise(0L))
+            .cast("long").as("bytes_freed"),
+          graft.text.TextOps.ratio4(
+            sum(when(col("expired"), 1L).otherwise(0L)), count(lit(1)))
+            .as("expired_share4"))
+        .orderBy("etype")
+    }, Some("""
+      WITH e AS (
+        SELECT event_type AS etype,
+               CAST(floor(epoch(ts)) AS BIGINT) AS es,
+               CAST(octet_length(encode(props)) AS BIGINT) AS pbytes
+        FROM events),
+      h AS (SELECT max(es) AS head_es FROM e),
+      x AS (
+        SELECT etype,
+               CASE length(etype) % 3 WHEN 0 THEN 30 WHEN 1 THEN 90 ELSE 365 END AS ttl_days,
+               es, pbytes, head_es
+        FROM e, h)
+      SELECT etype, CAST(ttl_days AS BIGINT) AS ttl_days,
+             CAST(sum(CASE WHEN es < head_es - ttl_days * 86400 THEN 1 ELSE 0 END) AS BIGINT) AS n_expired,
+             CAST(sum(CASE WHEN es < head_es - ttl_days * 86400 THEN 0 ELSE 1 END) AS BIGINT) AS n_retained,
+             CAST(sum(CASE WHEN es < head_es - ttl_days * 86400 THEN pbytes ELSE 0 END) AS BIGINT) AS bytes_freed,
+             ((20000 * sum(CASE WHEN es < head_es - ttl_days * 86400 THEN 1 ELSE 0 END) + count(*))
+               // (2 * count(*))) / 10000.0 AS expired_share4
+      FROM x GROUP BY etype, ttl_days ORDER BY etype""")),
+
+    // A74: watermark-delay tuning — THE Structured Streaming config
+    // decision (`withWatermark(D)`: too small drops late data, too
+    // large bloats state): for four candidate delays, the fraction of
+    // events each would drop, per type. An event is dropped iff its
+    // lateness against the arrival frontier (running max event-time
+    // in id order — ev_lateness's exactly-decomposed global running
+    // max: per-4096-block maxes, broadcast exclusive prefix, within-
+    // block window) exceeds D. One lateness frame, four integer
+    // compares — the dd_threshold_curve shape: candidates are
+    // evaluated on the SAME pass, never per-candidate scans.
+    ("ev_watermark_report", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      val raw = ev(s, d)
+      val esCol = raw.schema("ts").dataType match {
+        case LongType => expr("ts div 1000000000")
+        case TimestampNTZType => unix_timestamp(col("ts").cast("timestamp"))
+        case _ => unix_timestamp(col("ts"))
+      }
+      val e = raw.select(col("event_id").as("id"),
+        col("event_type").as("etype"), esCol.as("es"),
+        expr("event_id div 4096").as("grp"))
+      val grpMax = e.groupBy("grp").agg(max("es").as("gmax"))
+      val prior = grpMax
+        .withColumn("prefix", max("gmax").over(Window.orderBy("grp")
+          .rowsBetween(Window.unboundedPreceding, -1)))
+        .select("grp", "prefix")
+      val wIn = Window.partitionBy("grp").orderBy("id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val late = e.join(broadcast(prior), "grp")
+        .select(col("etype"),
+          (greatest(max("es").over(wIn), coalesce(col("prefix"), col("es"))) -
+            col("es")).as("late"))
+      def dropped(d0: Long) =
+        sum(when(col("late") > d0, 1L).otherwise(0L)).as(s"drop_$d0")
+      late.groupBy("etype")
+        .agg(count(lit(1)).as("n"),
+          dropped(60L), dropped(300L), dropped(1800L), dropped(7200L),
+          graft.text.TextOps.ratio4(
+            sum(when(col("late") > 300L, 1L).otherwise(0L)), count(lit(1)))
+            .as("drop_share_300_4"))
+        .orderBy("etype")
+    }, Some("""
+      WITH e AS (
+        SELECT event_id AS id, event_type AS etype,
+               CAST(floor(epoch(ts)) AS BIGINT) AS es
+        FROM events),
+      l AS (
+        SELECT etype,
+               max(es) OVER (ORDER BY id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - es AS late
+        FROM e)
+      SELECT etype, count(*) AS n,
+             CAST(sum(CASE WHEN late > 60 THEN 1 ELSE 0 END) AS BIGINT) AS drop_60,
+             CAST(sum(CASE WHEN late > 300 THEN 1 ELSE 0 END) AS BIGINT) AS drop_300,
+             CAST(sum(CASE WHEN late > 1800 THEN 1 ELSE 0 END) AS BIGINT) AS drop_1800,
+             CAST(sum(CASE WHEN late > 7200 THEN 1 ELSE 0 END) AS BIGINT) AS drop_7200,
+             ((20000 * sum(CASE WHEN late > 300 THEN 1 ELSE 0 END) + count(*))
+               // (2 * count(*))) / 10000.0 AS drop_share_300_4
+      FROM l GROUP BY etype ORDER BY etype"""))
   )
 }

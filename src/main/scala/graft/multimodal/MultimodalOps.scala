@@ -158,6 +158,41 @@ object MultimodalOps {
              min(doc_id) AS first_doc, max(doc_id) AS last_doc
       FROM packed GROUP BY shard, pack_id ORDER BY kind_id, pack_id""")),
 
+    // C84: exact binary dedup by content hash — the first pass of any
+    // multimodal ingest (the same frame re-encoded into N shards, the
+    // same image mirrored across N crawl sources). Only 16-byte md5
+    // hashes + a length ever shuffle (payloads stay in place — at
+    // 100 TB the bytes are the corpus; moving them to count them is
+    // the bug); per-kind storage report with exact-int savings ratio.
+    ("mm_dedup_bytes", (s: SparkSession, d: String) => {
+      val media = asMedia(graft.Tables.documents(s, d))
+        .select(col("kind"), md5(col("payload")).as("h"),
+          length(col("payload")).cast("long").as("n_bytes"))
+      media.groupBy("kind", "h")
+        // identical hash ⇒ identical bytes ⇒ identical length
+        .agg(count(lit(1)).as("copies"), max("n_bytes").as("n_bytes"))
+        .groupBy("kind")
+        .agg(sum("copies").cast("long").as("n_payloads"),
+          count(lit(1)).as("n_distinct"),
+          sum(col("copies") * col("n_bytes")).cast("long").as("bytes_total"),
+          sum("n_bytes").cast("long").as("bytes_distinct"))
+        .withColumn("savings4", graft.text.TextOps.ratio4(
+          col("bytes_total") - col("bytes_distinct"), col("bytes_total")))
+        .orderBy("kind")
+    }, Some("""
+      WITH h AS (
+        SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               md5(text) AS h, count(*) AS copies,
+               max(CAST(octet_length(encode(text)) AS BIGINT)) AS n_bytes
+        FROM documents GROUP BY 1, 2)
+      SELECT kind, CAST(sum(copies) AS BIGINT) AS n_payloads,
+             count(*) AS n_distinct,
+             CAST(sum(copies * n_bytes) AS BIGINT) AS bytes_total,
+             CAST(sum(n_bytes) AS BIGINT) AS bytes_distinct,
+             ((20000 * (sum(copies * n_bytes) - sum(n_bytes)) + sum(copies * n_bytes))
+               // (2 * sum(copies * n_bytes))) / 10000.0 AS savings4
+      FROM h GROUP BY kind ORDER BY kind""")),
+
     // C13: partition-batched decode via the stub (rows-only oracle —
     // the stub's features are engine-side by design).
     ("mm_decode_stub", (s: SparkSession, d: String) => {

@@ -27,7 +27,9 @@ class EmptyCorpusSpec extends AnyFunSuite {
     // relation), resolution gate
     "tx_boilerplate", "pipeline_snapshot_diff", "dd_bloom_incremental",
     "mm_res_filter", "dd_soft_weights", "pipeline_sft_pairs",
-    "tx_length_quantiles", "pipeline_doremi_mix", "dd_threshold_curve")
+    "tx_length_quantiles", "pipeline_doremi_mix", "dd_threshold_curve",
+    // round-10: binary payload dedup
+    "mm_dedup_bytes")
 
   test("documents-table queries return empty frames on an empty corpus") {
     val spark = graft.TestSpark.spark
@@ -54,7 +56,9 @@ class EmptyCorpusSpec extends AnyFunSuite {
       "ev_window_count", "ev_lateness", "ev_inter_event_time",
       "ev_gapfill_daily", "ev_concurrency", "ev_type_ngrams",
       "ev_key_skew", "ev_rfm_segments", "ev_conversion_window",
-      "ev_trending", "ev_backfill_plan").foreach { q =>
+      "ev_trending", "ev_backfill_plan",
+      // round-10: lifecycle + watermark tuning
+      "ev_ttl_expire", "ev_watermark_report").foreach { q =>
       val n = graft.SparkEntry.queries(q)(spark, dir).count()
       assert(n == 0L, s"$q returned $n rows on an empty log")
     }
@@ -75,7 +79,7 @@ class EmptyCorpusSpec extends AnyFunSuite {
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     Seq("ann_opq_permute", "ann_recall_report", "ann_mrl_report",
-      "ann_drift_report").foreach { q =>
+      "ann_drift_report", "ann_hard_negatives").foreach { q =>
       val n = graft.SparkEntry.queries(q)(spark, dir).count()
       assert(n == 0L, s"$q returned $n rows on an empty table")
     }
