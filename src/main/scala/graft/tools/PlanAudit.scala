@@ -29,7 +29,9 @@ object PlanAudit {
       "ann_mrl_report", "ev_conversion_window", "q_mv_incremental",
       "ann_drift_report", "tx_length_quantiles", "pipeline_doremi_mix",
       "ev_k_anonymity", "ev_ab_report", "dd_threshold_curve",
-      "ev_trending", "ev_backfill_plan").foreach { q =>
+      "ev_trending", "ev_backfill_plan",
+      "ann_hard_negatives", "mm_dedup_bytes", "ev_ttl_expire",
+      "ev_watermark_report", "q_encoding_audit", "q_zorder_files").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sfDir)
       df.collect() // materialize THIS frame so AQE reports the FINAL plan (a count() would plan separately)
       val plan = df.queryExecution.executedPlan.toString
