@@ -1466,6 +1466,88 @@ object EventOps {
              CAST(sum(CASE WHEN late > 7200 THEN 1 ELSE 0 END) AS BIGINT) AS drop_7200,
              ((20000 * sum(CASE WHEN late > 300 THEN 1 ELSE 0 END) + count(*))
                // (2 * count(*))) / 10000.0 AS drop_share_300_4
-      FROM l GROUP BY etype ORDER BY etype"""))
+      FROM l GROUP BY etype ORDER BY etype""")),
+
+    // A75: cohort retention MATRIX — the weekly cohort × week-offset
+    // triangle every growth dashboard is built on (ev_retention's A37
+    // span check collapses each user to first/last; the matrix needs
+    // "active in week k", a different shape). Everything reduces to
+    // the DISTINCT (user, week) frame first — one map-side-combined
+    // distinct per user-week, NOT per event — then a broadcast join
+    // against the per-user cohort week and one count per (cohort,
+    // offset) cell. Weeks are epoch-day div 7 (engine-independent
+    // integer arithmetic; no WEEK() locale traps).
+    ("ev_cohort_matrix", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      val raw = ev(s, d)
+      val esCol = raw.schema("ts").dataType match {
+        case LongType => expr("ts div 1000000000")
+        case TimestampNTZType => unix_timestamp(col("ts").cast("timestamp"))
+        case _ => unix_timestamp(col("ts"))
+      }
+      val uw = raw.select(col("user_id").as("uid"),
+        call_function("div", call_function("div", esCol, lit(86400L)), lit(7L)).as("wk"))
+        .distinct()
+      val cohort = uw.groupBy("uid").agg(min("wk").as("cwk"))
+      uw.join(cohort, "uid")
+        .groupBy(col("cwk"), (col("wk") - col("cwk")).as("offset_wk"))
+        .agg(countDistinct("uid").as("n_active"))
+        .orderBy("cwk", "offset_wk")
+    }, Some("""
+      WITH uw AS (
+        SELECT DISTINCT user_id AS uid,
+               (CAST(floor(epoch(ts)) AS BIGINT) // 86400) // 7 AS wk
+        FROM events),
+      c AS (SELECT uid, min(wk) AS cwk FROM uw GROUP BY uid)
+      SELECT c.cwk, uw.wk - c.cwk AS offset_wk,
+             count(DISTINCT uw.uid) AS n_active
+      FROM uw JOIN c ON c.uid = uw.uid
+      GROUP BY 1, 2 ORDER BY 1, 2""")),
+
+    // A76: daily-count anomaly flags in EXACT integer arithmetic —
+    // the monitoring rule (|z| > 2 on a type's daily volume) without
+    // the cross-engine double-stddev trap: (x−μ)² > 4s² multiplies
+    // out to (n·x − Σ)²·(n−1) > 4·n·(n·Σx² − Σ²), all int64 at the
+    // tested scales (documented overflow bound: needs Σx² < 2^63/4n;
+    // beyond that the same compare runs in decimal). Per-type daily
+    // counts partial-agg map-side; the per-type moment frame is
+    // |types| rows and broadcasts back; n = 1 degenerates to no flag
+    // (both sides zero) with no division anywhere.
+    ("ev_anomaly_days", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      val raw = ev(s, d)
+      val esCol = raw.schema("ts").dataType match {
+        case LongType => expr("ts div 1000000000")
+        case TimestampNTZType => unix_timestamp(col("ts").cast("timestamp"))
+        case _ => unix_timestamp(col("ts"))
+      }
+      val daily = raw.select(col("event_type").as("etype"),
+          to_date(timestamp_seconds(esCol)).as("day"))
+        .groupBy("etype", "day").agg(count(lit(1)).as("x"))
+      val stats = daily.groupBy("etype").agg(count(lit(1)).as("n"),
+        sum("x").as("sx"), sum(col("x") * col("x")).as("sxx"))
+      val lhs = (col("n") * col("x") - col("sx")) *
+        (col("n") * col("x") - col("sx")) * (col("n") - 1L)
+      val rhs = lit(4L) * col("n") *
+        (col("n") * col("sxx") - col("sx") * col("sx"))
+      daily.join(broadcast(stats), "etype")
+        .filter(lhs > rhs)
+        .select(col("etype"), col("day"), col("x").as("n_events"),
+          when(col("n") * col("x") > col("sx"), "spike")
+            .otherwise("drop").as("direction"))
+        .orderBy("etype", "day")
+    }, Some("""
+      WITH daily AS (
+        SELECT event_type AS etype,
+               CAST(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)) AS DATE) AS day,
+               count(*) AS x
+        FROM events GROUP BY 1, 2),
+      st AS (SELECT etype, count(*) AS n, sum(x) AS sx, sum(x * x) AS sxx
+             FROM daily GROUP BY etype)
+      SELECT daily.etype, day, CAST(x AS BIGINT) AS n_events,
+             CASE WHEN n * x > sx THEN 'spike' ELSE 'drop' END AS direction
+      FROM daily JOIN st ON st.etype = daily.etype
+      WHERE (n * x - sx) * (n * x - sx) * (n - 1) > 4 * n * (n * sxx - sx * sx)
+      ORDER BY daily.etype, day"""))
   )
 }

@@ -182,6 +182,30 @@ final class StateTable(spark: SparkSession, dir: String, nBuckets: Int = 64) {
     AtomicDir.deleteRec(staging)
   }
 
+  /** Bounded-window state expiry — the mapGroupsWithState timeout
+    * analog for this table: drop every row whose `ageCol` (default:
+    * the src_batch provenance every streaming stage writes) is
+    * strictly below `cutoff`, rewriting ONLY the buckets that
+    * actually hold expired rows (the probe is a column-pruned scan of
+    * one int64 column; untouched buckets are never rewritten). This
+    * is what turns an ever-growing exact-dedup memory into a
+    * trailing-window dedup at 100 TB: state stays O(window), at the
+    * documented cost that a duplicate older than the window
+    * re-admits — windowed-dedup semantics, chosen deliberately.
+    * @return the bucket ids rewritten
+    */
+  def expire(cutoff: Long, ageCol: String = "src_batch"): Seq[Int] = {
+    if (!exists) return Nil
+    val touched = read.filter(col(ageCol) < cutoff)
+      .select("state_bucket").distinct().collect().map(_.getInt(0)).toSeq.sorted
+    if (touched.isEmpty) return Nil
+    val keep = read.filter(
+      col("state_bucket").isin(touched.map(Integer.valueOf): _*) &&
+        col(ageCol) >= cutoff)
+    writeBuckets(keep, touched)
+    touched
+  }
+
   /** Remove one entity from the state table, rewriting only its
     * bucket (right-to-be-forgotten on materialized state).
     */

@@ -211,4 +211,35 @@ class StateTableSpec extends AnyFunSuite {
     // and the refused merges left the state untouched
     assert(table.read.count() === 2L)
   }
+
+  test("expire drops rows below the age cutoff, rewriting only buckets that held them") {
+    val dir = Files.createTempDirectory("graft-statetable-exp").toString + "/state"
+    val table = new StateTable(spark, dir, nBuckets = 8)
+    // three "batches" of streaming state rows with src_batch provenance
+    def batch(ids: Range, b: Long) = ids.map(i =>
+      (i.toLong, i.toLong, b)).toDF("foreignId", "id", "src_batch")
+    table.upsert(batch(0 until 40, 0L))
+    table.upsert(batch(100 until 140, 1L))
+    table.upsert(batch(200 until 240, 2L))
+    assert(table.read.count() === 120L)
+    val before = bucketFiles(dir)
+
+    // expire everything older than batch 1 (trailing-window dedup)
+    val touched = table.expire(cutoff = 1L)
+    assert(touched.nonEmpty)
+    val remaining = table.read
+    assert(remaining.count() === 80L)
+    assert(remaining.filter(col("src_batch") < 1L).isEmpty)
+    // only buckets that actually contained batch-0 rows were rewritten
+    val after = bucketFiles(dir)
+    val changed = (before.keySet ++ after.keySet)
+      .filter(k => before.get(k) != after.get(k))
+    assert(changed === touched.map(b => s"state_bucket=$b").toSet)
+    // idempotent: nothing else below the cutoff → no-op
+    assert(table.expire(cutoff = 1L) === Nil)
+    // an expired key re-admits on the next upsert (the documented
+    // windowed-dedup semantic)
+    table.upsert(batch(0 until 10, 3L))
+    assert(table.read.filter(col("foreignId") < 10L).count() === 10L)
+  }
 }

@@ -57,8 +57,9 @@ class EmptyCorpusSpec extends AnyFunSuite {
       "ev_gapfill_daily", "ev_concurrency", "ev_type_ngrams",
       "ev_key_skew", "ev_rfm_segments", "ev_conversion_window",
       "ev_trending", "ev_backfill_plan",
-      // round-10: lifecycle + watermark tuning
-      "ev_ttl_expire", "ev_watermark_report").foreach { q =>
+      // round-10: lifecycle, watermark tuning, cohorts, anomalies
+      "ev_ttl_expire", "ev_watermark_report", "ev_cohort_matrix",
+      "ev_anomaly_days").foreach { q =>
       val n = graft.SparkEntry.queries(q)(spark, dir).count()
       assert(n == 0L, s"$q returned $n rows on an empty log")
     }
