@@ -356,6 +356,88 @@ object AnnOps {
       FROM negs JOIN pos ON pos.probe = negs.probe
       WHERE rk <= 5 ORDER BY negs.probe, rk""")),
 
+    // C86: k-NN label-prediction eval — the standard "are these
+    // embeddings any good" probe (leave-one-out 5-NN majority vote
+    // over a probe window, accuracy per true label). Same broadcast-
+    // probe single-scan shape as ann_filtered; the vote is a tiny
+    // per-probe count frame (≤ 5 rows each) ranked (votes desc, label
+    // asc) so ties break identically in both engines; cosine ranked
+    // on the 4dp-rounded value with neighbor-id tie-break throughout.
+    ("ann_knn_classifier", (s: SparkSession, d: String) => {
+      GraftFunctions.register(s)
+      val e = graft.Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          col("embedding").cast("array<double>").as("v"))
+      val probes = broadcast(e.filter(col("vec_id") < 32)
+        .select(col("vec_id").as("probe"), col("label").as("true_label"),
+          col("v").as("pv")))
+      val scored = probes.join(
+        e.select(col("vec_id").as("neighbor"), col("label").as("nl"),
+          col("v").as("nv")),
+        col("probe") =!= col("neighbor"))
+        .selectExpr("probe", "true_label", "nl",
+          "round(cosine_sim(pv, nv), 4) AS cos4")
+      // rank keys (cos4, nl) make the VOTE deterministic even among
+      // exact cosine ties: equal (cos4, nl) rows are interchangeable
+      // for a label vote, and unequal ones order totally
+      val top5 = scored
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("probe").orderBy(col("cos4").desc, col("nl").asc)))
+        .filter(col("rk") <= 5)
+      val votes = top5.groupBy("probe", "true_label", "nl")
+        .agg(count(lit(1)).as("votes"))
+      val wVote = Window.partitionBy("probe")
+        .orderBy(col("votes").desc, col("nl").asc)
+      val pred = votes.withColumn("vr", row_number().over(wVote))
+        .filter(col("vr") === 1)
+        .select(col("probe"), col("true_label"), col("nl").as("pred_label"))
+      pred.groupBy("true_label")
+        .agg(count(lit(1)).as("n_probes"),
+          sum(when(col("pred_label") === col("true_label"), 1L)
+            .otherwise(0L)).as("n_correct"),
+          graft.text.TextOps.ratio4(
+            sum(when(col("pred_label") === col("true_label"), 1L).otherwise(0L)),
+            count(lit(1))).as("acc4"))
+        .orderBy("true_label")
+    }, Some("""
+      WITH f AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+      n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY vec_id),
+      lab AS (SELECT vec_id, label FROM embeddings),
+      dots AS (
+        SELECT a.vec_id AS probe, b.vec_id AS neighbor, sum(a.v * b.v) AS dot
+        FROM f a JOIN f b ON a.i = b.i AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < 32
+        GROUP BY a.vec_id, b.vec_id),
+      scored AS (
+        SELECT probe, la.label AS true_label, lb.label AS nl,
+               round(dot / (na.nrm * nb.nrm), 4) AS cos4
+        FROM dots JOIN n na ON na.vec_id = probe
+                  JOIN n nb ON nb.vec_id = neighbor
+                  JOIN lab la ON la.vec_id = probe
+                  JOIN lab lb ON lb.vec_id = neighbor),
+      top5 AS (
+        SELECT probe, true_label, nl,
+               row_number() OVER (PARTITION BY probe
+                 ORDER BY cos4 DESC, nl ASC) AS rk
+        FROM scored),
+      votes AS (
+        SELECT probe, true_label, nl, count(*) AS votes
+        FROM top5 WHERE rk <= 5 GROUP BY 1, 2, 3),
+      pred AS (
+        SELECT probe, true_label, nl AS pred_label,
+               row_number() OVER (PARTITION BY probe
+                 ORDER BY votes DESC, nl ASC) AS vr
+        FROM votes)
+      SELECT true_label, count(*) AS n_probes,
+             CAST(sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+             ((20000 * sum(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END) + count(*))
+               // (2 * count(*))) / 10000.0 AS acc4
+      FROM pred WHERE vr = 1
+      GROUP BY true_label ORDER BY true_label""")),
+
     // C5: embedding-cosine near-dup pairs over a probe window.
     ("dd_embed_neardup", (s: SparkSession, d: String) => {
       probeScores(s, d, probeMax = 200)

@@ -392,6 +392,35 @@ object DedupOps {
              count(*) OVER (PARTITION BY md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')))) AS group_size
       FROM documents ORDER BY doc_id""")),
 
+    // C87: duplicate-cluster size histogram — the capacity/tuning
+    // artifact behind dd_exact ("is duplication a long tail of pairs
+    // or a few mega-clusters" decides bucket caps and LSH band
+    // budgets): per cluster size, how many clusters, docs, and
+    // removable copies. Fingerprints partial-agg to (fp,size), sizes
+    // partial-agg to the ≤|max size| histogram — nothing bigger than
+    // 16-byte hashes ever shuffles, and the histogram frame is tiny
+    // at any corpus scale.
+    ("dd_cluster_sizes", (s: SparkSession, d: String) => {
+      docs(s, d)
+        .select(TextOps.fingerprint(col("text")).as("fp"))
+        .groupBy("fp").agg(count(lit(1)).as("sz"))
+        .filter(col("sz") >= 2)
+        .groupBy("sz")
+        .agg(count(lit(1)).as("n_clusters"),
+          (count(lit(1)) * col("sz")).cast("long").as("n_docs"),
+          (count(lit(1)) * (col("sz") - 1L)).cast("long").as("n_removable"))
+        .orderBy("sz")
+    }, Some("""
+      WITH g AS (
+        SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp,
+               count(*) AS sz
+        FROM documents GROUP BY 1),
+      c AS (SELECT sz, count(*) AS n_clusters FROM g WHERE sz >= 2 GROUP BY sz)
+      SELECT CAST(sz AS BIGINT) AS sz, n_clusters,
+             CAST(n_clusters * sz AS BIGINT) AS n_docs,
+             CAST(n_clusters * (sz - 1) AS BIGINT) AS n_removable
+      FROM c ORDER BY sz""")),
+
     // C44: content-defined chunking (CDC) — the byte-level dedup
     // primitive (rsync/LBFS/backup-dedup lineage): chunk boundaries
     // are a pure function of a LOCAL 8-char content window (windowed

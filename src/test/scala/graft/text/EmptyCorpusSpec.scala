@@ -28,8 +28,8 @@ class EmptyCorpusSpec extends AnyFunSuite {
     "tx_boilerplate", "pipeline_snapshot_diff", "dd_bloom_incremental",
     "mm_res_filter", "dd_soft_weights", "pipeline_sft_pairs",
     "tx_length_quantiles", "pipeline_doremi_mix", "dd_threshold_curve",
-    // round-10: binary payload dedup
-    "mm_dedup_bytes")
+    // round-10: binary payload dedup, dup-cluster histogram
+    "mm_dedup_bytes", "dd_cluster_sizes")
 
   test("documents-table queries return empty frames on an empty corpus") {
     val spark = graft.TestSpark.spark
@@ -80,7 +80,7 @@ class EmptyCorpusSpec extends AnyFunSuite {
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     Seq("ann_opq_permute", "ann_recall_report", "ann_mrl_report",
-      "ann_drift_report", "ann_hard_negatives").foreach { q =>
+      "ann_drift_report", "ann_hard_negatives", "ann_knn_classifier").foreach { q =>
       val n = graft.SparkEntry.queries(q)(spark, dir).count()
       assert(n == 0L, s"$q returned $n rows on an empty table")
     }
