@@ -46,6 +46,18 @@ object Layout {
         (shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1)))
     }.reduce(_ + _)
 
+  /** k-dim Morton interleave of 8-bit quantized dims (k ≤ 7 → ≤ 56
+    * bits): dim j holds bit positions j, j+k, j+2k, … Pure integer
+    * bit math, k·8 terms, engine-independent.
+    */
+  def mortonK(dims: Seq[Column]): Column = {
+    require(dims.nonEmpty && dims.size <= 7, s"1..7 dims, got ${dims.size}")
+    val k = dims.size
+    (for { i <- 0 until 8; (d, j) <- dims.zipWithIndex } yield
+      shiftright(d, i).bitwiseAND(lit(1L)) * lit(1L << (i * k + j))
+    ).reduce(_ + _)
+  }
+
   /** Write `df` clustered by the Morton interleave of two int64 key
     * columns: quantize each against its max, interleave, range-
     * partition into `targetFiles` z-code ranges, sort within each, and
@@ -54,12 +66,24 @@ object Layout {
     * footer min/max on BOTH keys is tight.
     */
   def zorderWrite(df: DataFrame, kx: String, ky: String, outDir: String,
+      targetFiles: Int): Unit =
+    zorderWrite(df, Seq(kx, ky), outDir, targetFiles)
+
+  /** k-dim variant (Delta's OPTIMIZE ZORDER BY (c1, …, ck)): quantize
+    * each int64 key to 8 bits against its max, Morton-interleave all
+    * k, range-partition by z-code, sort, write one file per range —
+    * every output file a ~hypercube tile with tight footer min/max on
+    * EVERY clustered key.
+    */
+  def zorderWrite(df: DataFrame, keys: Seq[String], outDir: String,
       targetFiles: Int): Unit = {
-    val mx = df.agg(max(col(kx)).as("mx"), max(col(ky)).as("my"))
-    val q = df.crossJoin(broadcast(mx))
-      .withColumn("_zc", morton2(
-        quantize8(col(kx), col("mx")), quantize8(col(ky), col("my"))))
-      .drop("mx", "my")
+    val maxes = df.agg(max(col(keys.head)).as(s"_m0"),
+      keys.tail.zipWithIndex.map { case (c, i) =>
+        max(col(c)).as(s"_m${i + 1}") }: _*)
+    val q = df.crossJoin(broadcast(maxes))
+      .withColumn("_zc", mortonK(keys.zipWithIndex.map { case (c, i) =>
+        quantize8(col(c), col(s"_m$i")) }))
+      .drop(keys.indices.map(i => s"_m$i"): _*)
     q.repartitionByRange(targetFiles, col("_zc"))
       .sortWithinPartitions("_zc")
       .drop("_zc")

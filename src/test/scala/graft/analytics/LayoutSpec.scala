@@ -61,6 +61,20 @@ class LayoutSpec extends AnyFunSuite {
     assert(zSkipOk > 0)
   }
 
+  test("3-dim zorderWrite prunes on every clustered key") {
+    val out = tmp("graft-zw3d")
+    Layout.zorderWrite(li, Seq("ok", "pk", "qty"), out, targetFiles = 16)
+    val back = spark.read.parquet(out)
+    assert(back.count() === li.count())
+    assert(back.exceptAll(li).isEmpty)
+    // an eighth-of-range predicate on EACH dim must skip row groups
+    Seq("ok", "pk", "qty").foreach { c =>
+      val mx = li.agg(max(c)).collect()(0).getLong(0)
+      val (skip, total) = Layout.rowGroupsSkipped(spark, out, c, 0L, mx / 8)
+      assert(skip > 0, s"3-dim z-order skipped nothing on $c (0/$total)")
+    }
+  }
+
   test("fileZones reports footer stats consistent with the data") {
     val out = tmp("graft-zw3")
     Layout.zorderWrite(li, "ok", "pk", out, targetFiles = 8)
