@@ -1302,6 +1302,54 @@ object Queries {
                   ELSE 'PLAIN' END AS pred_encoding
       FROM a ORDER BY cname""")),
 
+    // B45: ANALYZE TABLE — the optimizer-statistics collection pass
+    // every cost-based planner runs before choosing join orders and
+    // broadcast sides (Spark's own ANALYZE TABLE … COMPUTE STATISTICS
+    // FOR COLUMNS): per column, row/null counts, exact NDV, min/max.
+    // Non-integer columns normalize to int64 first (cents, epoch
+    // days) so min/max hash identically cross-engine; the unpivot
+    // triples the scan but every aggregate partial-combines map-side
+    // and the output is |columns| rows.
+    ("q_analyze_stats", (s: SparkSession, d: String) => {
+      val li = Tables.lineitem(s, d).select(
+        col("l_orderkey").cast("long").as("orderkey"),
+        col("l_partkey").cast("long").as("partkey"),
+        col("l_suppkey").cast("long").as("suppkey"),
+        col("l_quantity").cast("long").as("quantity"),
+        cents(col("l_extendedprice")).as("price_cents"),
+        datediff(to_date(col("l_shipdate")), lit("1970-01-01").cast("date"))
+          .cast("long").as("shipdate_day"))
+      val t = li.selectExpr(
+        "stack(6, 'orderkey', orderkey, 'partkey', partkey, 'suppkey', suppkey, " +
+          "'quantity', quantity, 'price_cents', price_cents, 'shipdate_day', shipdate_day) AS (cname, val)")
+      t.groupBy("cname")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("val").isNull, 1L).otherwise(0L)).as("n_nulls"),
+          countDistinct("val").as("ndv"),
+          min("val").as("min_v"), max("val").as("max_v"))
+        .orderBy("cname")
+    }, Some("""
+      WITH li AS (
+        SELECT CAST(l_orderkey AS BIGINT) AS orderkey,
+               CAST(l_partkey AS BIGINT) AS partkey,
+               CAST(l_suppkey AS BIGINT) AS suppkey,
+               CAST(l_quantity AS BIGINT) AS quantity,
+               CAST(round(l_extendedprice * 100) AS BIGINT) AS price_cents,
+               CAST(CAST(l_shipdate AS DATE) - DATE '1970-01-01' AS BIGINT) AS shipdate_day
+        FROM lineitem),
+      t AS (
+        SELECT 'orderkey' AS cname, orderkey AS val FROM li
+        UNION ALL SELECT 'partkey', partkey FROM li
+        UNION ALL SELECT 'suppkey', suppkey FROM li
+        UNION ALL SELECT 'quantity', quantity FROM li
+        UNION ALL SELECT 'price_cents', price_cents FROM li
+        UNION ALL SELECT 'shipdate_day', shipdate_day FROM li)
+      SELECT cname, count(*) AS n_rows,
+             CAST(sum(CASE WHEN val IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_nulls,
+             count(DISTINCT val) AS ndv,
+             min(val) AS min_v, max(val) AS max_v
+      FROM t GROUP BY cname ORDER BY cname""")),
+
     // B43: incremental aggregate maintenance — the materialized-view
     // argument at 100 TB: additive partial states (sum, count) over a
     // closed HISTORY partition combine with the DELTA partition's

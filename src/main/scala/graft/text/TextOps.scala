@@ -665,6 +665,55 @@ object TextOps {
                   ELSE 'fr' END AS pred_lang
       FROM sc ORDER BY doc_id""")),
 
+    // C88: language-ID confusion matrix — the eval artifact for C8
+    // (which languages the classifier mistakes for which, and each
+    // true language's accuracy): the same marker-hit prediction
+    // expression as tx_langid, aggregated per (true, predicted) cell
+    // with an exact-int per-cell share of the true language's docs.
+    // One scan, map-side-combined counts, a ≤|langs|² output frame.
+    ("tx_lang_confusion", (s: SparkSession, d: String) => {
+      val toks = tokens(col("text"))
+      val scored = docs(s, d).select(
+        (col("lang") +: langMarkers.map { case (l, ws) =>
+          stopwordHits(toks, ws).as(s"s_$l")
+        }): _*)
+      val pred = when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
+        .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
+        .when(col("s_de") >= col("s_fr"), "de")
+        .otherwise("fr")
+      val cells = scored.select(col("lang").as("true_lang"), pred.as("pred_lang"))
+        .groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))
+      val totals = cells.groupBy("true_lang").agg(sum("n").as("tot"))
+      cells.join(broadcast(totals), "true_lang")
+        .select(col("true_lang"), col("pred_lang"), col("n"),
+          ratio4(col("n"), col("tot")).as("share4"))
+        .orderBy("true_lang", "pred_lang")
+    }, Some("""
+      WITH toks AS (
+        SELECT lang,
+               regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS w
+        FROM documents),
+      sc AS (
+        SELECT lang,
+               CAST(length(list_filter(w, x -> x IN ('the','a','fast','slow'))) AS INTEGER) AS s_en,
+               CAST(length(list_filter(w, x -> x IN ('data','table','row'))) AS INTEGER) AS s_es,
+               CAST(length(list_filter(w, x -> x IN ('stream','batch','merge'))) AS INTEGER) AS s_de,
+               CAST(length(list_filter(w, x -> x IN ('query','filter','join'))) AS INTEGER) AS s_fr
+        FROM toks),
+      p AS (
+        SELECT lang AS true_lang,
+               CASE WHEN s_en >= s_es AND s_en >= s_de AND s_en >= s_fr THEN 'en'
+                    WHEN s_es >= s_de AND s_es >= s_fr THEN 'es'
+                    WHEN s_de >= s_fr THEN 'de'
+                    ELSE 'fr' END AS pred_lang
+        FROM sc),
+      cells AS (SELECT true_lang, pred_lang, count(*) AS n FROM p GROUP BY 1, 2),
+      t AS (SELECT true_lang, sum(n) AS tot FROM cells GROUP BY 1)
+      SELECT cells.true_lang, pred_lang, n,
+             ((20000 * n + tot) // (2 * tot)) / 10000.0 AS share4
+      FROM cells JOIN t ON t.true_lang = cells.true_lang
+      ORDER BY cells.true_lang, pred_lang""")),
+
     // C8b: character n-gram frequency profile per labeled language —
     // the statistical basis real language ID models train on.
     // Gram counting runs as a typed per-partition loop with LOCAL

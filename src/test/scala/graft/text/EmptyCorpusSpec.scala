@@ -28,8 +28,9 @@ class EmptyCorpusSpec extends AnyFunSuite {
     "tx_boilerplate", "pipeline_snapshot_diff", "dd_bloom_incremental",
     "mm_res_filter", "dd_soft_weights", "pipeline_sft_pairs",
     "tx_length_quantiles", "pipeline_doremi_mix", "dd_threshold_curve",
-    // round-10: binary payload dedup, dup-cluster histogram
-    "mm_dedup_bytes", "dd_cluster_sizes")
+    // round-10: binary payload dedup, dup-cluster histogram, lang
+    // confusion
+    "mm_dedup_bytes", "dd_cluster_sizes", "tx_lang_confusion")
 
   test("documents-table queries return empty frames on an empty corpus") {
     val spark = graft.TestSpark.spark
