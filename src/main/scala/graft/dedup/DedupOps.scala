@@ -401,8 +401,11 @@ object DedupOps {
     // 16-byte hashes ever shuffles, and the histogram frame is tiny
     // at any corpus scale.
     ("dd_cluster_sizes", (s: SparkSession, d: String) => {
-      docs(s, d)
-        .select(TextOps.fingerprint(col("text")).as("fp"))
+      // fingerprints from the one-pass typed kernel (bit-identical to
+      // TextOps.fingerprint — the documented docQualityStats parity):
+      // the declarative regex-chain + md5 measured 2.5x DuckDB at sf1
+      TextOps.docQualityStats(s, d)
+        .select(col("fp"))
         .groupBy("fp").agg(count(lit(1)).as("sz"))
         .filter(col("sz") >= 2)
         .groupBy("sz")

@@ -672,16 +672,31 @@ object TextOps {
     // with an exact-int per-cell share of the true language's docs.
     // One scan, map-side-combined counts, a ≤|langs|² output frame.
     ("tx_lang_confusion", (s: SparkSession, d: String) => {
-      val toks = tokens(col("text"))
-      val scored = docs(s, d).select(
-        (col("lang") +: langMarkers.map { case (l, ws) =>
-          stopwordHits(toks, ws).as(s"s_$l")
-        }): _*)
-      val pred = when(col("s_en") >= col("s_es") && col("s_en") >= col("s_de") && col("s_en") >= col("s_fr"), "en")
-        .when(col("s_es") >= col("s_de") && col("s_es") >= col("s_fr"), "es")
-        .when(col("s_de") >= col("s_fr"), "de")
-        .otherwise("fr")
-      val cells = scored.select(col("lang").as("true_lang"), pred.as("pred_lang"))
+      // ONE typed pass per doc (the docQualityStats treatment): the
+      // declarative form ran tokens() + four list-filter passes per
+      // row and measured 4.5x DuckDB at sf1; the kernel tokenizes
+      // once (bit-identical tokenize, §4d) and counts all four marker
+      // sets in that loop. Prediction CASE identical to tx_langid.
+      import s.implicits._
+      val sets = langMarkers.map { case (_, ws) => ws.toSet }
+      val cells = docs(s, d).select(col("lang"), col("text"))
+        .as[(String, String)]
+        .mapPartitions { it =>
+          it.map { case (lang, text0) =>
+            // null text: every SQL marker count is NULL, every CASE
+            // compare is NULL → 'fr' (three-valued logic) — mirror it
+            val pred = if (text0 == null) "fr" else {
+              val toks = tokenize(text0)
+              val h = sets.map(ws => toks.count(ws))
+              if (h(0) >= h(1) && h(0) >= h(2) && h(0) >= h(3)) "en"
+              else if (h(1) >= h(2) && h(1) >= h(3)) "es"
+              else if (h(2) >= h(3)) "de"
+              else "fr"
+            }
+            (lang, pred)
+          }
+        }
+        .toDF("true_lang", "pred_lang")
         .groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))
       val totals = cells.groupBy("true_lang").agg(sum("n").as("tot"))
       cells.join(broadcast(totals), "true_lang")
