@@ -1395,6 +1395,151 @@ object Queries {
              (floor((rev_inc * 100 * 2 + 100) / 200)) / 100.0 AS rev_inc2,
              (n_inc = n_full AND rev_inc = rev_full) AS matches
       FROM combined JOIN f ON combined.month = f.month
-      ORDER BY combined.month"""))
+      ORDER BY combined.month""")),
+
+    // B46: referential-integrity / data-contract audit — the check a
+    // warehouse runs before promoting a snapshot: every FK edge of
+    // the star schema gets (rows scanned, orphan count) via a
+    // LEFT ANTI join on the key, and every PK gets its duplicate
+    // count (rows − distinct keys). Shapes at 100 TB: dim-side anti
+    // joins (nation/region/customer/supplier/part) broadcast the
+    // parent key column; the two fact-fact edges
+    // (lineitem→orders, orders→customer) shuffle on their join key —
+    // key-column-only projections, so the exchange carries one int64
+    // per row. Each check is a count-only aggregate; the union frame
+    // is |checks| rows. All-zero results on clean TPC-H data are the
+    // point: the op proves the invariants, it does not assume them.
+    ("q_fk_audit", (s: SparkSession, d: String) => {
+      // one scan per CHILD table, not per check: each table's FK
+      // orphan flags come from left joins against DISTINCT parent-key
+      // sets (distinct so a corrupt dup-PK parent cannot inflate the
+      // child row count), its PK dup count from countDistinct in the
+      // same aggregate, and the per-table single-row agg explodes
+      // into its (check_name, n_rows, n_bad) rows — so lineitem is
+      // read once for all four of its checks.
+      def isNull0(c: Column): Column = sum(when(c.isNull, 1L).otherwise(0L))
+      def rows(agg: DataFrame, checks: (String, Column, Column)*): DataFrame =
+        agg.select(explode(array(checks.map { case (n, r, b) =>
+            struct(lit(n).as("check_name"), r.as("n_rows"), b.as("n_bad"))
+          }: _*)).as("c"))
+          .select(col("c.check_name"), col("c.n_rows"), col("c.n_bad"))
+      val li = Tables.lineitem(s, d); val ord = Tables.orders(s, d)
+      val cust = Tables.customer(s, d); val sup = Tables.supplier(s, d)
+      val nat = Tables.nation(s, d); val reg = Tables.region(s, d)
+      val prt = Tables.part(s, d)
+      val natKeys = nat.select(col("n_nationkey")).distinct()
+      val liAgg = li
+        .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"), col("l_linenumber"))
+        .join(broadcast(prt.select(col("p_partkey")).distinct()),
+          col("l_partkey") === col("p_partkey"), "left")
+        .join(broadcast(sup.select(col("s_suppkey")).distinct()),
+          col("l_suppkey") === col("s_suppkey"), "left")
+        .join(ord.select(col("o_orderkey")).distinct(),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .agg(count(lit(1)).as("n"), isNull0(col("o_orderkey")).as("orph_ord"),
+          isNull0(col("p_partkey")).as("orph_part"),
+          isNull0(col("s_suppkey")).as("orph_supp"),
+          (count(lit(1)) - countDistinct("l_orderkey", "l_linenumber")).as("dup"))
+      val ordAgg = ord.select(col("o_orderkey"), col("o_custkey"))
+        .join(broadcast(cust.select(col("c_custkey")).distinct()),
+          col("o_custkey") === col("c_custkey"), "left")
+        .agg(count(lit(1)).as("n"), isNull0(col("c_custkey")).as("orph"),
+          (count(lit(1)) - countDistinct("o_orderkey")).as("dup"))
+      val custAgg = cust.select(col("c_custkey"), col("c_nationkey"))
+        .join(broadcast(natKeys), col("c_nationkey") === col("n_nationkey"), "left")
+        .agg(count(lit(1)).as("n"), isNull0(col("n_nationkey")).as("orph"),
+          (count(lit(1)) - countDistinct("c_custkey")).as("dup"))
+      val supAgg = sup.select(col("s_suppkey"), col("s_nationkey"))
+        .join(broadcast(natKeys), col("s_nationkey") === col("n_nationkey"), "left")
+        .agg(count(lit(1)).as("n"), isNull0(col("n_nationkey")).as("orph"),
+          (count(lit(1)) - countDistinct("s_suppkey")).as("dup"))
+      val natAgg = nat.select(col("n_nationkey"), col("n_regionkey"))
+        .join(broadcast(reg.select(col("r_regionkey")).distinct()),
+          col("n_regionkey") === col("r_regionkey"), "left")
+        .agg(count(lit(1)).as("n"), isNull0(col("r_regionkey")).as("orph"),
+          (count(lit(1)) - countDistinct("n_nationkey")).as("dup"))
+      val regAgg = reg.agg(count(lit(1)).as("n"),
+        (count(lit(1)) - countDistinct("r_regionkey")).as("dup"))
+      val prtAgg = prt.agg(count(lit(1)).as("n"),
+        (count(lit(1)) - countDistinct("p_partkey")).as("dup"))
+      Seq(
+        rows(liAgg,
+          ("fk:lineitem.l_orderkey", col("n"), col("orph_ord")),
+          ("fk:lineitem.l_partkey", col("n"), col("orph_part")),
+          ("fk:lineitem.l_suppkey", col("n"), col("orph_supp")),
+          ("pk:lineitem", col("n"), col("dup"))),
+        rows(ordAgg,
+          ("fk:orders.o_custkey", col("n"), col("orph")),
+          ("pk:orders", col("n"), col("dup"))),
+        rows(custAgg,
+          ("fk:customer.c_nationkey", col("n"), col("orph")),
+          ("pk:customer", col("n"), col("dup"))),
+        rows(supAgg,
+          ("fk:supplier.s_nationkey", col("n"), col("orph")),
+          ("pk:supplier", col("n"), col("dup"))),
+        rows(natAgg,
+          ("fk:nation.n_regionkey", col("n"), col("orph")),
+          ("pk:nation", col("n"), col("dup"))),
+        rows(regAgg, ("pk:region", col("n"), col("dup"))),
+        rows(prtAgg, ("pk:part", col("n"), col("dup")))
+      ).reduce(_.unionAll(_)).orderBy("check_name")
+    }, Some("""
+      SELECT * FROM (
+        SELECT 'fk:lineitem.l_orderkey' AS check_name,
+               (SELECT count(*) FROM lineitem) AS n_rows,
+               (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+                  ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL) AS n_bad
+        UNION ALL
+        SELECT 'fk:lineitem.l_partkey',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem l LEFT JOIN part p
+                  ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL)
+        UNION ALL
+        SELECT 'fk:lineitem.l_suppkey',
+               (SELECT count(*) FROM lineitem),
+               (SELECT count(*) FROM lineitem l LEFT JOIN supplier sp
+                  ON l.l_suppkey = sp.s_suppkey WHERE sp.s_suppkey IS NULL)
+        UNION ALL
+        SELECT 'fk:orders.o_custkey',
+               (SELECT count(*) FROM orders),
+               (SELECT count(*) FROM orders o LEFT JOIN customer c
+                  ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+        UNION ALL
+        SELECT 'fk:customer.c_nationkey',
+               (SELECT count(*) FROM customer),
+               (SELECT count(*) FROM customer c LEFT JOIN nation n
+                  ON c.c_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL)
+        UNION ALL
+        SELECT 'fk:supplier.s_nationkey',
+               (SELECT count(*) FROM supplier),
+               (SELECT count(*) FROM supplier sp LEFT JOIN nation n
+                  ON sp.s_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL)
+        UNION ALL
+        SELECT 'fk:nation.n_regionkey',
+               (SELECT count(*) FROM nation),
+               (SELECT count(*) FROM nation n LEFT JOIN region r
+                  ON n.n_regionkey = r.r_regionkey WHERE r.r_regionkey IS NULL)
+        UNION ALL
+        SELECT 'pk:customer', (SELECT count(*) FROM customer),
+               (SELECT count(*) - count(DISTINCT c_custkey) FROM customer)
+        UNION ALL
+        SELECT 'pk:lineitem', (SELECT count(*) FROM lineitem),
+               (SELECT count(*) - count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem)
+        UNION ALL
+        SELECT 'pk:nation', (SELECT count(*) FROM nation),
+               (SELECT count(*) - count(DISTINCT n_nationkey) FROM nation)
+        UNION ALL
+        SELECT 'pk:orders', (SELECT count(*) FROM orders),
+               (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders)
+        UNION ALL
+        SELECT 'pk:part', (SELECT count(*) FROM part),
+               (SELECT count(*) - count(DISTINCT p_partkey) FROM part)
+        UNION ALL
+        SELECT 'pk:region', (SELECT count(*) FROM region),
+               (SELECT count(*) - count(DISTINCT r_regionkey) FROM region)
+        UNION ALL
+        SELECT 'pk:supplier', (SELECT count(*) FROM supplier),
+               (SELECT count(*) - count(DISTINCT s_suppkey) FROM supplier)
+      ) ORDER BY check_name"""))
   )
 }

@@ -1400,6 +1400,96 @@ object AnnOps {
       SELECT c1.label, CAST(min(n1) AS BIGINT) AS n_v1, CAST(min(n2) AS BIGINT) AS n_v2,
              CAST(sum((m1 - m2) * (m1 - m2)) AS BIGINT) AS drift_e8
       FROM c1 JOIN c2 ON c1.label = c2.label AND c1.dim = c2.dim
-      GROUP BY c1.label ORDER BY c1.label"""))
+      GROUP BY c1.label ORDER BY c1.label""")),
+
+    // C89: cosine silhouette report — the embedding-quality gate run
+    // before trusting labels for hard-negative mining or
+    // classifier-free filtering: per vector, cosine to its own
+    // label's centroid (a) vs the best other-label centroid (b);
+    // per label the report carries n, Σ(a−b) in exact e4 ints, and
+    // how many vectors are separated (a > b). Determinism: vectors
+    // quantize to e4 ints (floor(x·1e4+0.5)) and centroids are the
+    // integer rounded mean of those ints (the ann_drift_report
+    // convention) — every sum is int64, so no float-accumulation
+    // order can flip a hash. Shapes at 100 TB: the centroid pass is
+    // one map-side partial agg to |labels|×8 rows; the scoring pass
+    // broadcasts the |labels|-row centroid matrix and folds each
+    // vector against all L centroids in ONE scan with zero shuffle
+    // (no explode of the corpus — the N·D·L candidate frame exists
+    // only inside the oracle's SQL); the final frame is |labels|
+    // rows. First 8 dims, the shared slice convention (§2 C20).
+    ("ann_silhouette", (s: SparkSession, d: String) => {
+      val f = graft.Tables.embeddings(s, d)
+        .select(col("label"),
+          posexplode(slice(col("embedding").cast("array<double>"), 1, 8))
+            .as(Seq("dim", "x")))
+        .select(col("label"), col("dim"),
+          floor(col("x") * 10000d + 0.5d).cast("long").as("q"))
+      val cent = f.groupBy(col("label").as("clabel"), col("dim"))
+        .agg(count(lit(1)).as("n"), sum("q").as("sq"))
+        .select(col("clabel"), col("dim"),
+          (signum(col("sq")).cast("long") *
+            call_function("div", abs(col("sq")) * 2L + col("n"), col("n") * 2L)).as("m"))
+      val centArr = cent.groupBy("clabel")
+        .agg(array_sort(collect_list(struct(col("dim"), col("m")))).as("cm"))
+        .select(col("clabel"),
+          transform(col("cm"), x => x.getField("m")).as("cvec"))
+        .select(col("clabel"), col("cvec"),
+          aggregate(transform(col("cvec"), x => x * x), lit(0L), (a, y) => a + y).as("nm"))
+      // ALL centroids collapse into one broadcast row, so the corpus
+      // pass is a single crossJoin(1 row) + per-row HOF fold over the
+      // L centroids — no N·L frame ever exists and nothing corpus-
+      // sized shuffles before the |labels|-row final groupBy.
+      val centRow = centArr
+        .agg(collect_list(struct(col("clabel"), col("cvec"), col("nm"))).as("cents"))
+      val vecs = graft.Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          transform(slice(col("embedding").cast("array<double>"), 1, 8),
+            x => floor(x * 10000d + 0.5d).cast("long")).as("qv"))
+        .withColumn("nq",
+          aggregate(transform(col("qv"), x => x * x), lit(0L), (a, y) => a + y))
+      def cos4Of(c: Column): Column = round(
+        aggregate(zip_with(col("qv"), c.getField("cvec"), (a, b) => a * b),
+          lit(0L), (a, y) => a + y).cast("double")
+          / sqrt(col("nq").cast("double") * c.getField("nm").cast("double")), 4)
+      vecs.crossJoin(broadcast(centRow))
+        .select(col("label"),
+          array_max(transform(
+            filter(col("cents"), c => c.getField("clabel") === col("label")),
+            c => cos4Of(c))).as("a"),
+          array_max(transform(
+            filter(col("cents"), c => c.getField("clabel") =!= col("label")),
+            c => cos4Of(c))).as("b"))
+        .select(col("label"),
+          (round(col("a") * 10000d).cast("long") -
+            round(col("b") * 10000d).cast("long")).as("margin_e4"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+             sum("margin_e4").as("sum_margin_e4"),
+             sum(when(col("margin_e4") > 0L, 1L).otherwise(0L)).as("n_separated"))
+        .orderBy("label")
+    }, Some("""
+      WITH f AS (
+        SELECT vec_id, label, generate_subscripts(sl, 1) - 1 AS dim,
+               CAST(floor(CAST(unnest(sl) AS DOUBLE) * 10000.0 + 0.5) AS BIGINT) AS q
+        FROM (SELECT vec_id, label, list_slice(embedding, 1, 8) AS sl FROM embeddings)),
+      cent AS (
+        SELECT label AS clabel, dim,
+               CAST(sign(sum(q)) * ((abs(CAST(sum(q) AS BIGINT)) * 2 + count(*)) // (count(*) * 2)) AS BIGINT) AS m
+        FROM f GROUP BY 1, 2),
+      dots AS (
+        SELECT vec_id, f.label, clabel,
+               round(CAST(sum(q * m) AS DOUBLE)
+                 / sqrt(CAST(sum(q * q) AS DOUBLE) * CAST(sum(m * m) AS DOUBLE)), 4) AS cos4
+        FROM f JOIN cent ON cent.dim = f.dim
+        GROUP BY 1, 2, 3),
+      mm AS (
+        SELECT vec_id, label,
+               CAST(round(max(CASE WHEN label = clabel THEN cos4 END) * 10000) AS BIGINT) AS a4,
+               CAST(round(max(CASE WHEN label <> clabel THEN cos4 END) * 10000) AS BIGINT) AS b4
+        FROM dots GROUP BY 1, 2)
+      SELECT label, count(*) AS n, CAST(sum(a4 - b4) AS BIGINT) AS sum_margin_e4,
+             CAST(sum(CASE WHEN a4 > b4 THEN 1 ELSE 0 END) AS BIGINT) AS n_separated
+      FROM mm GROUP BY label ORDER BY label"""))
   )
 }

@@ -1548,6 +1548,84 @@ object EventOps {
              CASE WHEN n * x > sx THEN 'spike' ELSE 'drop' END AS direction
       FROM daily JOIN st ON st.etype = daily.etype
       WHERE (n * x - sx) * (n * x - sx) * (n - 1) > 4 * n * (n * sxx - sx * sx)
-      ORDER BY daily.etype, day"""))
+      ORDER BY daily.etype, day""")),
+
+    // A77: top onboarding paths (sequence mining over rpatterns
+    // streams, reference events/api.go:14 ordering semantics) — each
+    // user's first 5 event types in arrival order (ts, then event_id
+    // as the total-order tie-break, same as the log's cursor order)
+    // concatenated into a path string; the 20 most common paths.
+    // Scale: the row_number window partitions by user_id (high
+    // cardinality — the same shuffle key every per-user op here uses)
+    // and the per-user frame is then capped at 5 rows BEFORE the
+    // path-count aggregation, so the second groupBy sees ≤5 rows per
+    // user regardless of user activity; path cardinality is bounded
+    // by |types|^5 in theory and by #users in fact. The final top-20
+    // is a sort of the path-count frame only.
+    ("ev_funnel_paths", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      ev(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .groupBy("user_id")
+        .agg(array_join(
+          transform(array_sort(collect_list(struct(col("rn"), col("event_type")))),
+            x => x.getField("event_type")), ">").as("path"))
+        .groupBy("path").agg(count(lit(1)).as("n_users"))
+        .orderBy(desc("n_users"), col("path"))
+        .limit(20)
+    }, Some("""
+      WITH r AS (
+        SELECT user_id, event_type,
+               row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events),
+      p AS (
+        SELECT user_id, string_agg(event_type, '>' ORDER BY rn) AS path
+        FROM r WHERE rn <= 5 GROUP BY user_id)
+      SELECT path, count(*) AS n_users FROM p
+      GROUP BY path ORDER BY n_users DESC, path LIMIT 20""")),
+
+    // A78: traffic seasonality profile — per event type, the
+    // day-of-week × hour-of-day cell counts and each cell's share of
+    // the type's volume in exact basis points (n*10000 div total; no
+    // doubles). dow is pure integer epoch math shared with the
+    // oracle: epoch-day 0 (1970-01-01) was a Thursday, so
+    // (days+4) mod 7 yields 0=Sunday. Map-side partial aggregation
+    // collapses the scan to ≤ |types|*168 cells; the per-type totals
+    // frame broadcasts back. This is the capacity-planning /
+    // traffic-shaping report an operator derives before picking
+    // stream shard counts (SURVEY §2.A shardId sizing).
+    ("ev_seasonality", (s: SparkSession, d: String) => {
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      val raw = ev(s, d)
+      val esCol = raw.schema("ts").dataType match {
+        case LongType => expr("ts div 1000000000")
+        case TimestampNTZType => unix_timestamp(col("ts").cast("timestamp"))
+        case _ => unix_timestamp(col("ts"))
+      }
+      val cells = raw.select(col("event_type").as("etype"), esCol.as("es"))
+        .select(col("etype"),
+          ((call_function("div", col("es"), lit(86400L)) + 4L) % 7L).as("dow"),
+          call_function("div", col("es") % 86400L, lit(3600L)).as("hour"))
+        .groupBy("etype", "dow", "hour").agg(count(lit(1)).as("n"))
+      val totals = cells.groupBy("etype").agg(sum("n").as("tot"))
+      cells.join(broadcast(totals), "etype")
+        .select(col("etype"), col("dow"), col("hour"), col("n"),
+          call_function("div", col("n") * 10000L, col("tot")).as("share_bp"))
+        .orderBy("etype", "dow", "hour")
+    }, Some("""
+      WITH base AS (
+        SELECT event_type AS etype,
+               ((CAST(floor(epoch(ts)) AS BIGINT) // 86400) + 4) % 7 AS dow,
+               (CAST(floor(epoch(ts)) AS BIGINT) % 86400) // 3600 AS hour
+        FROM events),
+      cells AS (SELECT etype, dow, hour, count(*) AS n
+                FROM base GROUP BY 1, 2, 3),
+      t AS (SELECT etype, CAST(sum(n) AS BIGINT) AS tot FROM cells GROUP BY etype)
+      SELECT cells.etype, dow, hour, CAST(n AS BIGINT) AS n,
+             CAST((n * 10000) // tot AS BIGINT) AS share_bp
+      FROM cells JOIN t ON t.etype = cells.etype
+      ORDER BY cells.etype, dow, hour"""))
   )
 }

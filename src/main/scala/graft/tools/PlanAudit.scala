@@ -33,7 +33,8 @@ object PlanAudit {
       "ann_hard_negatives", "mm_dedup_bytes", "ev_ttl_expire",
       "ev_watermark_report", "q_encoding_audit", "q_zorder_files",
       "ev_cohort_matrix", "ev_anomaly_days", "ann_knn_classifier",
-      "dd_cluster_sizes", "tx_lang_confusion", "q_analyze_stats").foreach { q =>
+      "dd_cluster_sizes", "tx_lang_confusion", "q_analyze_stats",
+      "ev_funnel_paths", "ev_seasonality", "q_fk_audit", "ann_silhouette").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sfDir)
       df.collect() // materialize THIS frame so AQE reports the FINAL plan (a count() would plan separately)
       val plan = df.queryExecution.executedPlan.toString

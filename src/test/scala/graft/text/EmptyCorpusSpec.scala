@@ -60,7 +60,9 @@ class EmptyCorpusSpec extends AnyFunSuite {
       "ev_trending", "ev_backfill_plan",
       // round-10: lifecycle, watermark tuning, cohorts, anomalies
       "ev_ttl_expire", "ev_watermark_report", "ev_cohort_matrix",
-      "ev_anomaly_days").foreach { q =>
+      "ev_anomaly_days",
+      // round-10b: sequence mining, seasonality profile
+      "ev_funnel_paths", "ev_seasonality").foreach { q =>
       val n = graft.SparkEntry.queries(q)(spark, dir).count()
       assert(n == 0L, s"$q returned $n rows on an empty log")
     }
@@ -81,7 +83,8 @@ class EmptyCorpusSpec extends AnyFunSuite {
       .toDF("vec_id", "embedding", "label")
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     Seq("ann_opq_permute", "ann_recall_report", "ann_mrl_report",
-      "ann_drift_report", "ann_hard_negatives", "ann_knn_classifier").foreach { q =>
+      "ann_drift_report", "ann_hard_negatives", "ann_knn_classifier",
+      "ann_silhouette").foreach { q =>
       val n = graft.SparkEntry.queries(q)(spark, dir).count()
       assert(n == 0L, s"$q returned $n rows on an empty table")
     }
