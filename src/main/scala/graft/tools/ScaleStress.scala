@@ -50,6 +50,13 @@ object ScaleStress {
       .drop("rep")
       .write.parquet(s"$out/orders.parquet")
 
+    // dims pass through unreplicated (q_fk_audit's parent-key sets;
+    // replicated orders/custkeys going orphan vs the 1x dims is fine
+    // for a WALL-ratio stress — every row still scans and joins)
+    Seq("region", "nation", "customer", "supplier", "part").foreach { t =>
+      spark.read.parquet(s"$base/$t.parquet").write.parquet(s"$out/$t.parquet")
+    }
+
     val defaultList = Seq(
       "dd_exact", "dd_minhash_lsh", "dd_simhash", "dd_ngram_jaccard",
       "dd_semantic", "ann_lsh", "ann_ivf", "ann_bruteforce",
