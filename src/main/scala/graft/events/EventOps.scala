@@ -1626,6 +1626,107 @@ object EventOps {
       SELECT cells.etype, dow, hour, CAST(n AS BIGINT) AS n,
              CAST((n * 10000) // tot AS BIGINT) AS share_bp
       FROM cells JOIN t ON t.etype = cells.etype
-      ORDER BY cells.etype, dow, hour"""))
+      ORDER BY cells.etype, dow, hour""")),
+
+    // A79: event-type affinity — for every unordered type pair, how
+    // many users did both, and the Jaccard overlap in exact basis
+    // points. The feature-correlation signal behind funnel design and
+    // event-taxonomy cleanup (two types that always co-occur are one
+    // type). Shapes: the corpus collapses to the DISTINCT
+    // (type, user) frame first; the self-join is on user_id, where a
+    // user contributes at most |types| rows — so the join blowup is
+    // bounded by |types|² per user and the pair frame by |types|²
+    // total, regardless of corpus size. Per-type user counts are a
+    // |types|-row broadcast.
+    ("ev_type_affinity", (s: SparkSession, d: String) => {
+      val tu = ev(s, d).select(col("event_type"), col("user_id")).distinct()
+      val per = tu.groupBy("event_type").agg(count(lit(1)).as("nu"))
+      val pairs = tu.select(col("event_type").as("t1"), col("user_id"))
+        .join(tu.select(col("event_type").as("t2"), col("user_id")), "user_id")
+        .filter(col("t1") < col("t2"))
+        .groupBy("t1", "t2").agg(count(lit(1)).as("n_both"))
+      pairs
+        .join(broadcast(per.select(col("event_type").as("t1"), col("nu").as("n1"))), "t1")
+        .join(broadcast(per.select(col("event_type").as("t2"), col("nu").as("n2"))), "t2")
+        .select(col("t1"), col("t2"), col("n_both"),
+          call_function("div", col("n_both") * 10000L,
+            col("n1") + col("n2") - col("n_both")).as("jaccard_bp"))
+        .orderBy("t1", "t2")
+    }, Some("""
+      WITH tu AS (SELECT DISTINCT event_type, user_id FROM events),
+      per AS (SELECT event_type, count(*) AS nu FROM tu GROUP BY event_type),
+      pairs AS (
+        SELECT a.event_type AS t1, b.event_type AS t2, count(*) AS n_both
+        FROM tu a JOIN tu b ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2)
+      SELECT t1, t2, CAST(n_both AS BIGINT) AS n_both,
+             CAST((n_both * 10000) // (p1.nu + p2.nu - n_both) AS BIGINT) AS jaccard_bp
+      FROM pairs
+      JOIN per p1 ON p1.event_type = t1
+      JOIN per p2 ON p2.event_type = t2
+      ORDER BY t1, t2""")),
+
+    // A80: activity concentration report — n_users, total events, the
+    // share of events from the top 1% / top 10% most-active users in
+    // exact basis points, and the exact-integer Gini coefficient
+    // (e4). NO global sort over users: per-user counts collapse onto
+    // the count-VALUE domain (the q_equidepth move — the histogram
+    // (c, k) is bounded by the max per-user activity, independent of
+    // user count), prefix sums over that tiny frame place every
+    // block's rank range, and top-K prefix takes and the Gini rank
+    // sum Σ i·c_i become per-block closed forms: a block of k users
+    // at count c spanning ranks (B, B+k] contributes c·(k(2B+k+1)/2)
+    // to the asc rank sum and c·clamp(K−B_desc, 0, k) to a top-K
+    // take. All int64: gini_e4 = (2·S_asc − (n+1)·T)·10000 div (n·T)
+    // (overflow bound: needs n·T < 2^63/10⁴ — beyond that the same
+    // formula runs in decimal). The single-partition window exchanges
+    // only the histogram frame, deliberately.
+    ("ev_power_users", (s: SparkSession, d: String) => {
+      val hist = ev(s, d).groupBy("user_id").agg(count(lit(1)).as("c"))
+        .groupBy("c").agg(count(lit(1)).as("k"))
+      val wAsc = Window.orderBy("c")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wDesc = Window.orderBy(col("c").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val blocks = hist
+        .withColumn("b_asc", sum(col("k")).over(wAsc) - col("k"))
+        .withColumn("b_desc", sum(col("k")).over(wDesc) - col("k"))
+        .withColumn("n_all", sum(col("k")).over(Window.partitionBy(lit(1))))
+      def take(kTop: org.apache.spark.sql.Column): org.apache.spark.sql.Column = sum(col("c") *
+        greatest(lit(0L), least(kTop - col("b_desc"), col("k"))))
+      val agg = blocks.agg(
+        sum(col("k")).as("n_users"),
+        sum(col("c") * col("k")).as("total_events"),
+        sum(col("c") * (col("k") * (lit(2L) * col("b_asc") + col("k") + 1L))).as("s2"),
+        take(call_function("div", col("n_all") + 99L, lit(100L))).as("top1"),
+        take(call_function("div", col("n_all") + 9L, lit(10L))).as("top10"))
+      agg.select(col("n_users"), col("total_events"),
+        call_function("div", col("top1") * 10000L, col("total_events")).as("top1_bp"),
+        call_function("div", col("top10") * 10000L, col("total_events")).as("top10_bp"),
+        call_function("div",
+          (col("s2") - (col("n_users") + 1L) * col("total_events")) * 10000L,
+          col("n_users") * col("total_events")).as("gini_e4"))
+    }, Some("""
+      WITH cu AS (SELECT user_id, count(*) AS c FROM events GROUP BY user_id),
+      hist AS (SELECT c, count(*) AS k FROM cu GROUP BY c),
+      blocks AS (
+        SELECT c, k,
+               CAST(coalesce(sum(k) OVER (ORDER BY c
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS b_asc,
+               CAST(coalesce(sum(k) OVER (ORDER BY c DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS b_desc
+        FROM hist),
+      t AS (
+        SELECT CAST(sum(k) AS BIGINT) AS n_users,
+               CAST(sum(c * k) AS BIGINT) AS total_events,
+               CAST(sum(c * (k * (2 * b_asc + k + 1))) AS BIGINT) AS s2,
+               CAST(sum(c * greatest(0, least((SELECT (sum(k) + 99) // 100 FROM hist) - b_desc, k))) AS BIGINT) AS top1,
+               CAST(sum(c * greatest(0, least((SELECT (sum(k) + 9) // 10 FROM hist) - b_desc, k))) AS BIGINT) AS top10
+        FROM blocks)
+      SELECT n_users, total_events,
+             CAST((top1 * 10000) // total_events AS BIGINT) AS top1_bp,
+             CAST((top10 * 10000) // total_events AS BIGINT) AS top10_bp,
+             CAST(((s2 - (n_users + 1) * total_events) * 10000) // (n_users * total_events) AS BIGINT) AS gini_e4
+      FROM t"""))
   )
 }

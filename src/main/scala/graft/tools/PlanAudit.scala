@@ -34,7 +34,8 @@ object PlanAudit {
       "ev_watermark_report", "q_encoding_audit", "q_zorder_files",
       "ev_cohort_matrix", "ev_anomaly_days", "ann_knn_classifier",
       "dd_cluster_sizes", "tx_lang_confusion", "q_analyze_stats",
-      "ev_funnel_paths", "ev_seasonality", "q_fk_audit", "ann_silhouette").foreach { q =>
+      "ev_funnel_paths", "ev_seasonality", "q_fk_audit", "ann_silhouette",
+      "ev_type_affinity", "ev_power_users").foreach { q =>
       val df = graft.SparkEntry.queries(q)(spark, sfDir)
       df.collect() // materialize THIS frame so AQE reports the FINAL plan (a count() would plan separately)
       val plan = df.queryExecution.executedPlan.toString

@@ -88,6 +88,51 @@ class Round10bOpsSpec extends AnyFunSuite {
       ("login", 0L, 23L, 1L, 2500L))) // Sunday 23:00
   }
 
+  test("ev_type_affinity computes exact pairwise Jaccard in basis points") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-aff").toString
+    // users of a = {1,2,3}, b = {2,3}, c = {3}
+    val rows = Seq((1L, "a"), (2L, "a"), (3L, "a"), (2L, "b"), (3L, "b"), (3L, "c"))
+      .zipWithIndex.map { case ((u, t), i) =>
+        (i.toLong, new java.sql.Timestamp(1700000000000L + i * 1000L), u, t, 1.0, "{}")
+      }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val got = graft.SparkEntry.queries("ev_type_affinity")(s, dir)
+      .collect().map(r => ((r.getString(0), r.getString(1)), (r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      ("a", "b") -> (2L, 6666L),  // 2/(3+2-2)
+      ("a", "c") -> (1L, 3333L),  // 1/(3+1-1)
+      ("b", "c") -> (1L, 5000L))) // 1/(2+1-1)
+  }
+
+  test("ev_power_users matches the brute-force sorted definition") {
+    val s = spark
+    import s.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-power").toString
+    val rnd = new scala.util.Random(11)
+    // 120 users with skewed activity (1..~200 events each)
+    val perUser = (1 to 120).map(u => u.toLong -> (1 + rnd.nextInt(u + 3)))
+    val rows = perUser.flatMap { case (u, n) => (0 until n).map(i => (u, i)) }
+      .zipWithIndex.map { case ((u, _), i) =>
+        (i.toLong, new java.sql.Timestamp(1700000000000L + i * 1000L), u, "e", 1.0, "{}")
+      }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.parquet(s"$dir/events.parquet")
+    val r = graft.SparkEntry.queries("ev_power_users")(s, dir).collect().head
+    // brute force from the planted counts
+    val cs = perUser.map(_._2.toLong).sorted
+    val n = cs.size.toLong; val t = cs.sum
+    val sAsc = cs.zipWithIndex.map { case (c, i) => c * (i + 1L) }.sum
+    val desc = cs.reverse
+    def topShare(k: Int): Long = desc.take(k).sum * 10000L / t
+    assert(r.getLong(0) == n && r.getLong(1) == t)
+    assert(r.getLong(2) == topShare(((n + 99) / 100).toInt))
+    assert(r.getLong(3) == topShare(((n + 9) / 10).toInt))
+    assert(r.getLong(4) == (2 * sAsc - (n + 1) * t) * 10000L / (n * t))
+  }
+
   test("ann_silhouette separates orthogonal clusters and flags collapsed ones") {
     val s = spark
     import s.implicits._

@@ -61,8 +61,8 @@ class EmptyCorpusSpec extends AnyFunSuite {
       // round-10: lifecycle, watermark tuning, cohorts, anomalies
       "ev_ttl_expire", "ev_watermark_report", "ev_cohort_matrix",
       "ev_anomaly_days",
-      // round-10b: sequence mining, seasonality profile
-      "ev_funnel_paths", "ev_seasonality").foreach { q =>
+      // round-10b: sequence mining, seasonality profile, affinity
+      "ev_funnel_paths", "ev_seasonality", "ev_type_affinity").foreach { q =>
       val n = graft.SparkEntry.queries(q)(spark, dir).count()
       assert(n == 0L, s"$q returned $n rows on an empty log")
     }
