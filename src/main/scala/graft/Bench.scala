@@ -78,6 +78,9 @@ object Bench {
     if (runsPerQuery > 1)
       names.foreach { n => runsByName(n) = runsByName(n) :+ once(selected(n)) }
     val timings = runsByName.toMap
+    // True per-query sample count: the block runs plus the final
+    // round-robin sweep sample when it ran (min is over N+1 samples).
+    val effectiveRuns = if (runsPerQuery > 1) runsPerQuery + 1 else runsPerQuery
     val results = timings.map { case (name, runs) => name -> runs.min }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
@@ -172,7 +175,7 @@ object Bench {
     // a loadavg-7.11 run; the same code measures 0.68 s quiet).
     val degraded = loadStart > 1.5
     val envInfo = s""","env":{"cpus":${Runtime.getRuntime.availableProcessors},"load_avg_start":${r3(loadStart)},"load_avg_end":${r3(loadEnd)},"pass_loads":${passLoads.result().mkString("[", ",", "]")},"degraded":$degraded}"""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$runsPerQuery,"queries":$qs,"sf":"$sfDir"$envInfo$joinCompare$annExtra$duckCompare}"""
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$effectiveRuns,"sweep":${runsPerQuery > 1},"queries":$qs,"sf":"$sfDir"$envInfo$joinCompare$annExtra$duckCompare}"""
     // stdout gets tail-truncated by harnesses — always keep the full
     // per-query JSON in a file too (path overridable via env), plus an
     // immutable timestamped copy: BENCH_LOCAL.json is overwritten on
@@ -198,7 +201,7 @@ object Bench {
     // per-query map is the line above and BENCH_LOCAL.json.
     val slowest = results.toSeq.sortBy(-_._2).take(10)
       .map { case (k, v) => s"\"$k\":[${r3(v)},${r3(spreads(k))}]" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"runs_per_query":$runsPerQuery,"sf":"${new java.io.File(sfDir).getName}"$envInfo$vsDuck$annExtra$joinCompare,"slowest_min_spread":$slowest,"full":"$out"}""")
+    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"runs_per_query":$effectiveRuns,"sweep":${runsPerQuery > 1},"sf":"${new java.io.File(sfDir).getName}"$envInfo$vsDuck$annExtra$joinCompare,"slowest_min_spread":$slowest,"full":"$out"}""")
     spark.stop()
   }
 

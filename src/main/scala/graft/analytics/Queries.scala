@@ -1167,7 +1167,13 @@ object Queries {
       val base = q
         .withColumn("zb", call_function("div", Layout.morton2(col("x"), col("y")), lit(1024L)))
         .withColumn("lb", call_function("div", col("x"), lit(4L)))
-      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-zorder-files-${new java.io.File(d).getName}"
+      // Per-process temp path (PID + session hash): a fixed sf-keyed
+      // path raced when a bench and a correctness run hit the same sf
+      // concurrently — one process's footer scan could read files
+      // mid-overwrite from the other. Cleaned up after the zone rows
+      // are collected (they are collected eagerly below).
+      val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-zorder-files-" +
+        s"${new java.io.File(d).getName}-${java.lang.ProcessHandle.current().pid()}"
       base.select("x", "y", "zb").repartition(8, col("zb"))
         .write.mode("overwrite").partitionBy("zb").parquet(s"$tmp/z")
       base.select("x", "y", "lb").repartition(8, col("lb"))
@@ -1178,8 +1184,10 @@ object Queries {
             (z("x")._1, z("x")._2, z("y")._1, z("y")._2, n)
         }
       import s.implicits._
+      val zonesBySub = Seq("l" -> zoneRows("l"), "z" -> zoneRows("z")).toMap
+      graft.util.AtomicDir.deleteRec(tmp)
       def report(layout: String, sub: String): DataFrame =
-        zoneRows(sub).toDF("min_x", "max_x", "min_y", "max_y", "n")
+        zonesBySub(sub).toDF("min_x", "max_x", "min_y", "max_y", "n")
           .withColumn("layout", lit(layout))
           .groupBy("layout")
           .agg(count(lit(1)).as("n_files"),

@@ -1370,8 +1370,12 @@ object EventOps {
         case TimestampNTZType => unix_timestamp(col("ts").cast("timestamp"))
         case _ => unix_timestamp(col("ts"))
       }
+      // octet_length of the UTF-8 encoding, matching the oracle's
+      // octet_length(encode(props)) — length() counts CHARACTERS and
+      // would diverge (and mislabel the 'bytes' column) on any
+      // non-ASCII props payload.
       val e = raw.select(col("event_type").as("etype"), esCol.as("es"),
-        length(col("props")).cast("long").as("pbytes"))
+        octet_length(col("props").cast("binary")).cast("long").as("pbytes"))
       val head = e.agg(max("es").as("head_es"))
       val ttlDays = when(length(col("etype")) % 3 === 0, 30L)
         .when(length(col("etype")) % 3 === 1, 90L).otherwise(365L)

@@ -171,6 +171,14 @@ final class EventsTable(spark: SparkSession, dir: String,
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(conf)
     if (!fs.exists(root)) return 0
+    // Stage OUTSIDE the table root (sibling <root>.compacting/date=X):
+    // a staging dir inside the root would be picked up by Spark
+    // partition discovery as just another partition, so a concurrent
+    // reader during the write→swap window — or any reader after a
+    // crash that leaves it behind — would see the partition's rows
+    // twice. Leftovers from a crashed run are swept up front.
+    val stagingRoot = new org.apache.hadoop.fs.Path(root.toString + ".compacting")
+    graft.util.AtomicDir.deleteRec(stagingRoot.toUri.getPath)
     val parts: Seq[org.apache.hadoop.fs.Path] =
       if (partitionByDate)
         fs.listStatus(root).filter(st => st.isDirectory &&
@@ -184,7 +192,9 @@ final class EventsTable(spark: SparkSession, dir: String,
       val want = math.max(1L, (bytes + targetBytes - 1) / targetBytes).toInt
       if (files.length > want) {
         val idCol = col(physical("id"))
-        val staging = new org.apache.hadoop.fs.Path(p.toString + ".compacting")
+        val staging =
+          if (partitionByDate) new org.apache.hadoop.fs.Path(stagingRoot, p.getName)
+          else stagingRoot
         graft.util.AtomicDir.deleteRec(staging.toUri.getPath)
         spark.read.parquet(p.toString)
           .repartitionByRange(want, idCol)
@@ -197,6 +207,7 @@ final class EventsTable(spark: SparkSession, dir: String,
         rewritten += 1
       }
     }
+    graft.util.AtomicDir.deleteRec(stagingRoot.toUri.getPath)
     rewritten
   }
 

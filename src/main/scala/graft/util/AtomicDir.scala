@@ -23,7 +23,12 @@ object AtomicDir {
     * failure, restoring the old directory first when possible.
     */
   def replace(src: Path, dst: Path): Unit = {
-    val old = dst.resolveSibling(dst.getFileName.toString + ".old")
+    // Dot-prefixed so that when dst is a partition dir inside a table
+    // root (EventsTable.compact swaps date=X), the transient parked
+    // copy is invisible to Spark partition discovery (InMemoryFileIndex
+    // skips '.'/'_'-prefixed paths) — a concurrent reader never sees
+    // the partition twice.
+    val old = dst.resolveSibling("." + dst.getFileName.toString + ".old")
     deleteRec(old)
     val hadOld = Files.exists(dst)
     if (hadOld) Files.move(dst, old, StandardCopyOption.ATOMIC_MOVE)
@@ -44,7 +49,7 @@ object AtomicDir {
     */
   def remove(dir: Path): Unit = {
     if (Files.exists(dir)) {
-      val old = dir.resolveSibling(dir.getFileName.toString + ".old")
+      val old = dir.resolveSibling("." + dir.getFileName.toString + ".old")
       deleteRec(old)
       Files.move(dir, old, StandardCopyOption.ATOMIC_MOVE)
       deleteRec(old)

@@ -82,4 +82,34 @@ class CompactionSpec extends AnyFunSuite {
     val pruned = table.raw.filter(col("date") === "2024-01-02")
     assert(pruned.count() === before.size / 3)
   }
+
+  test("compact stages OUTSIDE the table root; crash leftovers never duplicate a reader's rows") {
+    val dir = Files.createTempDirectory("graft-compact-s").resolve("log").toString
+    val table = new EventsTable(spark, dir, partitionByDate = true)
+    for (b <- 1 to 3) table.insert(mkBatch("2024-02-01 12:00:00", 4, s"b$b"))
+    val before = table.log.df.collect().toSet
+
+    // Simulate a compaction that crashed after writing its staging
+    // copy: a full duplicate of the partition parked where compact()
+    // stages it. A reader of the root must NOT see those rows (the
+    // old in-root <root>/date=X.compacting staging made every row
+    // appear twice and corrupted the date column).
+    val stagingRoot = new java.io.File(dir + ".compacting")
+    val stagedPart = new java.io.File(stagingRoot, "date=2024-02-01")
+    spark.read.parquet(s"$dir/date=2024-02-01")
+      .write.parquet(stagedPart.toString)
+    assert(table.log.df.collect().toSet === before,
+      "crash leftover staging dir leaked into partition discovery")
+    assert(table.log.df.count() === before.size)
+
+    // compact() sweeps the leftover up front and completes cleanly
+    val n = table.compact(targetBytes = 1L << 30)
+    assert(n === 1)
+    assert(!stagingRoot.exists(), "staging root not swept after compact")
+    assert(table.log.df.collect().toSet === before)
+    // nothing named *.compacting (or any non-partition dir) inside the root
+    val strays = new java.io.File(dir).listFiles()
+      .filter(f => f.isDirectory && !f.getName.startsWith("date="))
+    assert(strays.isEmpty, s"stray dirs inside table root: ${strays.mkString(",")}")
+  }
 }
