@@ -140,7 +140,10 @@ object Queries {
       val ord = Tables.orders(s, d)
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
                 col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      // shuffle-hash, not SMJ: neither side's sort order is reused
+      // downstream (the groupBy keys are nation/region names), so the
+      // two sorts are pure waste; the date-filtered orders side builds.
+      li.join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.supplier(s, d)),
           col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
@@ -472,12 +475,22 @@ object Queries {
 
     // B27: customer order-count distribution (TPC-H Q13 flavor) —
     // left join keeps zero-order customers, then a second grouping.
+    // Orders are pre-aggregated to (o_custkey, n) BEFORE the customer
+    // join (same discipline as the q21 replan): the join's probe side
+    // shrinks from |orders| rows to |distinct custkeys| (~10×), and
+    // the per-customer count needs no post-join groupBy at all —
+    // coalesce(n, 0) IS c_count, so the plan is agg → join → agg
+    // instead of wide-join → agg → agg. At 100 TB the orders→custkey
+    // partial agg is map-side-combined, so the only full-width shuffle
+    // of the fact table disappears.
     ("q13_cust_distribution", (s: SparkSession, d: String) => {
-      val counts = Tables.customer(s, d)
-        .join(Tables.orders(s, d), col("c_custkey") === col("o_custkey"), "left")
-        .groupBy("c_custkey")
-        .agg(count(col("o_orderkey")).as("c_count"))
-      counts.groupBy("c_count")
+      val ordCnt = Tables.orders(s, d)
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n"))
+      Tables.customer(s, d).select(col("c_custkey"))
+        .join(ordCnt, col("c_custkey") === col("o_custkey"), "left")
+        .select(coalesce(col("n"), lit(0L)).as("c_count"))
+        .groupBy("c_count")
         .agg(count(lit(1)).as("custdist"))
         .orderBy(col("custdist").desc, col("c_count").desc)
     }, Some("""
@@ -776,9 +789,13 @@ object Queries {
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
                 col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
       val vol = cents(col("l_extendedprice")) * cents(lit(1) - col("l_discount"))
-      li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.part(s, d)).filter(col("p_type") === "ECONOMY"),
+      // Part BHJ FIRST: p_type='ECONOMY' keeps ~1/6 of lineitem, and a
+      // broadcast join is map-side — placing it before the orderkey
+      // shuffle join cuts the fact exchange 6×. (Catalyst does not
+      // cost-reorder joins here; the declared order IS the plan order.)
+      li.join(broadcast(Tables.part(s, d)).filter(col("p_type") === "ECONOMY"),
           col("l_partkey") === col("p_partkey"))
+        .join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, d)
             .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))),
@@ -926,7 +943,8 @@ object Queries {
           col("l_partkey") === col("p_partkey"))
         .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
-        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+        .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate")
+            .hint("shuffle_hash"),
           col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
         .agg(money2(sum(profit)).as("sum_profit"))
