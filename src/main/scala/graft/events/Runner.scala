@@ -195,16 +195,27 @@ object Runner {
       idleMs: Long = 100L,
       maxBackoffMs: Long = 5000L,
       onError: (Throwable, Long) => Unit = (e, b) =>
-        System.err.println(s"[run-forever] backing off ${b}ms after: $e")): ForeverHandle = {
+        System.err.println(s"[run-forever] backing off ${b}ms after: $e"),
+      /** wake-on-insert seam (reference rsql/eventstable.go:556): pass
+        * the log's `EventsTable.watcher` and an idle round parks on it
+        * instead of sleeping — an insert wakes the loop immediately.
+        * The epoch is captured before runToHead, so an insert landing
+        * mid-round re-enters without waiting at all.
+        */
+      watcher: Option[StreamWatcher] = None): ForeverHandle = {
     val stopped = new java.util.concurrent.atomic.AtomicBoolean(false)
     val name = freshSpec().consumer.name
     val t = new Thread(() => {
       var backoff = idleMs
       while (!stopped.get()) {
         try {
+          val preEpoch = watcher.fold(0L)(_.epoch)
           runToHead(freshSpec())
           backoff = idleMs // clean round: reset the backoff ladder
-          Thread.sleep(idleMs)
+          watcher match {
+            case Some(w) => w.awaitNotify(preEpoch, idleMs)
+            case None => Thread.sleep(idleMs)
+          }
         } catch {
           case _: InterruptedException => () // stop(): loop condition exits
           case NonFatal(e) if !stopped.get() =>

@@ -40,10 +40,32 @@ class EventStreamServer(
       * layer is the real thing, including StreamOptions fromHead /
       * toHead / lag.
       */
-    binary: Boolean = false) extends AutoCloseable {
+    binary: Boolean = false,
+    /** wake-on-insert seam (reference rsql/eventstable.go:556): pass
+      * the served table's `EventsTable.watcher` and a head-parked
+      * connection wakes the instant an event is inserted instead of
+      * sleeping out `pollMs`.
+      */
+    watcher: Option[graft.events.StreamWatcher] = None) extends AutoCloseable {
 
   private val server = new ServerSocket(port, 16, InetAddress.getLoopbackAddress)
   @volatile private var running = true
+
+  /** Park an idle serving loop: wake-on-insert when a watcher exists,
+    * plain long-poll sleep otherwise. `pre` is the epoch captured
+    * before the head check, so an insert during the check returns
+    * immediately (no lost wakeups).
+    */
+  private def park(pre: Long): Unit = watcher match {
+    case Some(w) => w.awaitNotify(pre, pollMs)
+    case None => Thread.sleep(pollMs)
+  }
+
+  /** Epoch to capture before a head check (0 when unwatched). Class
+    * level because the handlers shadow `watcher` with their peer-watch
+    * thread local.
+    */
+  private def watchEpoch: Long = watcher.fold(0L)(_.epoch)
 
   /** Bound port (for port=0 ephemeral binds). */
   def boundPort: Int = server.getLocalPort
@@ -94,6 +116,7 @@ class EventStreamServer(
       val lagMs = req.get.lagMs
       var done = cursor >= head
       while (running && !done && !sock.isClosed) {
+        val preEpoch = watchEpoch
         val frame = log()
         val hasTrace = frame.columns.contains("trace")
         val visible = frame.filter(col("id") > cursor && col("id") <= head)
@@ -109,7 +132,7 @@ class EventStreamServer(
           .collect()
         if (rows.isEmpty) {
           if (req.get.toHead) done = true
-          else Thread.sleep(pollMs)
+          else park(preEpoch)
         } else {
           rows.foreach { r =>
             graft.events.ReflexPb.writeEventTo(out, graft.events.ReflexPb.encodeEvent(
@@ -158,6 +181,7 @@ class EventStreamServer(
       val head = if (toHead) headId() else Long.MaxValue
       var done = cursor >= head
       while (running && !done && !sock.isClosed) {
+        val preEpoch = watchEpoch
         val rows = log()
           .filter(col("id") > cursor && col("id") <= head)
           .orderBy("id").limit(chunk)
@@ -166,7 +190,7 @@ class EventStreamServer(
           .collect()
         if (rows.isEmpty) {
           if (toHead) done = true
-          else Thread.sleep(pollMs)
+          else park(preEpoch)
         } else {
           rows.foreach { r => out.println(SocketEventSource.toWire(r)) }
           out.flush()

@@ -43,7 +43,23 @@ final class EventsTable(spark: SparkSession, dir: String,
       * biggest avoidable CPU sink in the log path). The JSON-parse
       * read path stays available for logs written without this.
       */
-    metaColumns: Seq[MetaColumn] = Nil) {
+    metaColumns: Seq[MetaColumn] = Nil,
+    /** wake-on-insert hook (reference: rsql/eventstable.go:122
+      * WithEventsNotifier / :134 WithEventsInMemNotifier): when set,
+      * every committed insert calls `notifyInsert()`, and co-located
+      * poll loops (Poller / Runner.runForever / the serving watcher
+      * threads) park on `watcher` instead of sleeping out their
+      * backoff — an idle consumer wakes the instant an event lands.
+      */
+    notifier: Option[graft.events.EventsNotifier] = None) {
+
+  /** The table's watcher for consumer loops (the reference passes the
+    * notifier as the default StreamWatcher of every stream() client —
+    * rsql/eventstable.go:556). Sleeper fallback when no notifier is
+    * configured, preserving plain long-poll behavior.
+    */
+  def watcher: graft.events.StreamWatcher =
+    notifier.getOrElse(graft.events.StreamWatcher.sleeper)
 
   private val canonicalNames =
     Seq("id", "eventType", "foreignId", "ts", "value", "metadata", "trace")
@@ -240,7 +256,12 @@ final class EventsTable(spark: SparkSession, dir: String,
     writer.mode(SaveMode.Append).parquet(dir)
     // new head = base + batch size; O(batch), not a re-scan of the
     // whole log (which made every single-row append O(log size)).
-    base + rdd.count()
+    val newHead = base + rdd.count()
+    // post-commit notify (the reference returns a NotifyFunc to call
+    // after tx commit — rsql/eventstable.go:245; here the parquet
+    // append above IS the commit, so this is the same point in time)
+    notifier.foreach(_.notifyInsert())
+    newHead
   }
 }
 

@@ -41,7 +41,22 @@ class GrpcEventServer(
       * context from a keystore via [[GrpcTls]]. None = cleartext h2c
       * prior knowledge.
       */
-    sslContext: Option[javax.net.ssl.SSLContext] = None) extends AutoCloseable {
+    sslContext: Option[javax.net.ssl.SSLContext] = None,
+    /** wake-on-insert seam (reference rsql/eventstable.go:556): pass
+      * the served table's `EventsTable.watcher` and a head-parked
+      * stream wakes the instant an event is inserted instead of
+      * sleeping out `pollMs`.
+      */
+    watcher: Option[graft.events.StreamWatcher] = None) extends AutoCloseable {
+
+  /** Park an idle serving loop: wake-on-insert when watched, plain
+    * long-poll sleep otherwise; `pre` is captured before the head
+    * check so a concurrent insert returns immediately.
+    */
+  private def park(pre: Long): Unit = watcher match {
+    case Some(w) => w.awaitNotify(pre, pollMs)
+    case None => Thread.sleep(pollMs)
+  }
 
   private val server: ServerSocket = sslContext match {
     case None => new ServerSocket(port, 16, InetAddress.getLoopbackAddress)
@@ -300,6 +315,7 @@ class GrpcEventServer(
           var done = cursor >= head
           var ok = true
           while (running && ok && !done && !conn.closed && !st.cancelled) {
+            val preEpoch = watcher.fold(0L)(_.epoch)
             val frame = log()
             val hasTrace = frame.columns.contains("trace")
             val visible = frame.filter(col("id") > cursor && col("id") <= head)
@@ -315,7 +331,7 @@ class GrpcEventServer(
               .collect()
             if (rows.isEmpty) {
               if (req.toHead) done = true
-              else Thread.sleep(pollMs)
+              else park(preEpoch)
             } else {
               val batch = new java.io.ByteArrayOutputStream(rows.length * 64)
               rows.foreach { r =>

@@ -30,4 +30,54 @@ class PollerSpec extends AnyFunSuite {
     assert(calls === 1)
     assert(stats.consumed === 5L)
   }
+
+  test("watcher wakes an idle poller on insert without waiting out the backoff") {
+    // reference rsql/eventstable.go:524 inmemNotifier: a consumer parked
+    // at the head wakes the moment Notify() fires — not maxBackoffMs
+    // later. The poller would park for 60 s here; the test passes in
+    // milliseconds only if the notify actually wakes it.
+    val n = new InMemNotifier
+    @volatile var available = 0L
+    val t0 = System.nanoTime()
+    val notifyAt = new java.util.concurrent.CountDownLatch(1)
+    val inserter = new Thread(() => {
+      notifyAt.await()
+      available = 3L
+      n.notifyInsert()
+    })
+    inserter.start()
+    val stats = Poller.run(
+      initialBackoffMs = 60000L, maxBackoffMs = 60000L,
+      stop = s => s.consumed >= 3,
+      sleep = _ => fail("watcher present: must never fall back to sleep"),
+      watcher = Some(n))(() => {
+      val got = available; available = 0L
+      if (got == 0L) notifyAt.countDown() // first idle poll: release the insert
+      got
+    })
+    inserter.join()
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(stats.consumed === 3L)
+    // one idle poll (which triggered the insert), one productive wake —
+    // zero wasted polls and nowhere near the 60 s backoff
+    assert(stats.polls === 2L)
+    assert(stats.idlePolls === 1L)
+    assert(elapsedMs < 10000L, s"wake took ${elapsedMs}ms — notify did not short-circuit the park")
+  }
+
+  test("no lost wakeup: an insert DURING the poll body makes the park return at once") {
+    val n = new InMemNotifier
+    var polls = 0
+    val stats = Poller.run(
+      initialBackoffMs = 60000L, maxBackoffMs = 60000L,
+      stop = s => s.polls >= 2,
+      watcher = Some(n))(() => {
+      polls += 1
+      // insert lands while the body is running (after the epoch was
+      // captured): the subsequent park must return immediately
+      if (polls == 1) { n.notifyInsert(); 0L } else 1L
+    })
+    assert(stats.polls === 2L)
+    assert(stats.consumed === 1L)
+  }
 }

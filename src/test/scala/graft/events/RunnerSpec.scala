@@ -317,6 +317,43 @@ class RunnerSpec extends AnyFunSuite {
     handle.stop()
   }
 
+  test("runForever with a notifier wakes on insert without waiting out the idle park") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-notify")
+      .resolve("log").toString
+    val notifier = new InMemNotifier
+    val table = new graft.sources.EventsTable(spark, dir, notifier = Some(notifier))
+    def insert(n: Int, fidBase: Long): Unit =
+      table.insert((0 until n).map { i =>
+        ("click", fidBase + i, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0, "{}")
+      }.toDF("eventType", "foreignId", "ts", "value", "metadata"))
+    insert(2, 0L)
+    val store = new MemCursorStore()
+    val seen = new AtomicLong()
+    val consumer = Consumer("c-notify", b => { seen.addAndGet(b.count()); () })
+    // idleMs = 60 s: without the wake-on-insert seam the second batch
+    // would not be seen for a minute; with it, within a poll round.
+    val handle = Runner.runForever(
+      () => Spec(table.log, store, consumer, batchSize = 100),
+      idleMs = 60000L, maxBackoffMs = 60000L,
+      watcher = Some(table.watcher))
+    def waitFor(cond: => Boolean): Unit = {
+      val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
+      while (!cond && System.nanoTime() < deadline) Thread.sleep(50)
+      assert(cond)
+    }
+    try {
+      waitFor(seen.get() === 2L)
+      val t0 = System.nanoTime()
+      insert(3, 100L) // post-commit notify must wake the parked loop
+      waitFor(seen.get() === 5L)
+      val wakeMs = (System.nanoTime() - t0) / 1000000L
+      assert(wakeMs < 30000L,
+        s"consumer took ${wakeMs}ms to see the insert — notify did not wake the 60s park")
+    } finally handle.stop()
+    assert(!handle.isRunning)
+  }
+
   test("lagPartitioned detects a backdated event (id/date overlap) and falls back to exact lag") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-lagback")

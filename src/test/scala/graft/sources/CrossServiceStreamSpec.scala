@@ -74,6 +74,38 @@ class CrossServiceStreamSpec extends AnyFunSuite {
     } finally server.close()
   }
 
+  test("watched server wakes a head-parked connection on insert, not pollMs later") {
+    // reference rsql/eventstable.go:556 — the notifier is the server's
+    // StreamWatcher: with pollMs=60s, a connected client at head only
+    // receives a fresh insert promptly if notifyInsert() wakes the park.
+    val dir = Files.createTempDirectory("graft-xsvc-notify").resolve("log").toString
+    val notifier = new graft.events.InMemNotifier
+    val table = new EventsTable(spark, dir, notifier = Some(notifier))
+    import spark.implicits._
+    table.insert(Seq(("click", 1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0, "{}"))
+      .toDF("eventType", "foreignId", "ts", "value", "metadata"))
+    val server = new EventStreamServer(() => table.log.df,
+      pollMs = 60000L, watcher = Some(table.watcher))
+    try {
+      val sock = new java.net.Socket("localhost", server.boundPort)
+      sock.setSoTimeout(45000)
+      val out = new java.io.PrintWriter(sock.getOutputStream, true)
+      out.println("""{"after":0,"toHead":false}""") // at head (id 0) → server parks
+      val in = new java.io.BufferedReader(
+        new java.io.InputStreamReader(sock.getInputStream, "UTF-8"))
+      Thread.sleep(500) // let the handler reach the park
+      val t0 = System.nanoTime()
+      table.insert(Seq(("tail", 2L, java.sql.Timestamp.valueOf("2024-01-01 00:01:00"), 2.0, "{}"))
+        .toDF("eventType", "foreignId", "ts", "value", "metadata"))
+      val line = in.readLine() // blocks until the server ships the event
+      val wakeMs = (System.nanoTime() - t0) / 1000000L
+      sock.close()
+      assert(line != null && line.contains("\"id\":1") && line.contains("tail"))
+      assert(wakeMs < 30000L,
+        s"event took ${wakeMs}ms to arrive — insert did not wake the 60s poll park")
+    } finally server.close()
+  }
+
   test("server detects client disconnect during a long poll and frees the handler") {
     val table = mkTable(3)
     val server = new EventStreamServer(() => table.log.df, pollMs = 50L)
