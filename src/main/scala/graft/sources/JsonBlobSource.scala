@@ -22,6 +22,16 @@ import org.apache.spark.sql.types.StructType
   * For live tailing the same directory is a file-stream source — new
   * blobs are discovered exactly like the reference's polling, with
   * `maxFilesPerTrigger` as the backoff analog.
+  *
+  * Storage seam (reference rblob/blob.go:69 takes any go-cloud
+  * `*blob.Bucket` — file/s3/gcs/mem): every read here goes through
+  * Spark's Hadoop `FileSystem` resolver, so `dir` is any FS URI —
+  * a bare path, `file://`, `hdfs://`, or `s3a://` with the connector
+  * on the cluster classpath. No `java.io.File` anywhere in this
+  * source. SourcesSpec proves the seam by running the gzip +
+  * concatenated-JSON + mid-blob-resume suite through both a `file://`
+  * URI and a custom-scheme FileSystem registered via `fs.*.impl` —
+  * the same registration shape the S3 connector uses.
   */
 object JsonBlobSource {
 

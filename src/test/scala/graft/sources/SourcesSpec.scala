@@ -142,6 +142,50 @@ class SourcesSpec extends AnyFunSuite {
     assert(store.get("rblob") === Some((1L << JsonBlobSource.OffsetBits) | 2L))
   }
 
+  test("storage seam: gzip + concat + mid-blob resume through file:// and a registered non-default FS") {
+    // the reference's rblob takes any go-cloud bucket (file/s3/gcs/mem,
+    // rblob/blob.go:69 + s3_test.go); the Spark seam is Hadoop's
+    // FileSystem resolver. Run the reference-format suite (gzipped
+    // concatenated-JSON blobs under date prefixes, mid-blob cursor)
+    // through (a) a file:// URI and (b) graftfs://, a RawLocalFileSystem
+    // subclass registered under its own scheme — the exact registration
+    // shape an s3a:// connector uses on a cluster.
+    val dir = Files.createTempDirectory("graft-rblob-fs")
+    val d1 = Files.createDirectories(dir.resolve("2019").resolve("12").resolve("31"))
+    val d2 = Files.createDirectories(dir.resolve("2020").resolve("01").resolve("01"))
+    def rec(i: Int) = s"""{"etype":"e$i","uid":$i,"at":"2024-01-01T00:00:0${i % 10}Z"}"""
+    val out = new java.util.zip.GZIPOutputStream(
+      Files.newOutputStream(d1.resolve("Test-2019.json.gz")))
+    out.write((rec(1) + rec(2) + rec(3)).getBytes("UTF-8")); out.close()
+    Files.write(d2.resolve("Test-2020.json"), (rec(4) + rec(5)).getBytes("UTF-8"))
+
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("etype", StringType),
+      StructField("uid", LongType), StructField("at", StringType)))
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.graftfs.impl", classOf[GraftTestFs].getName)
+    val midCursor = 1L << JsonBlobSource.OffsetBits // (blob 2, off 0) consumed → e4 seen
+    def run(uri: String): (Seq[String], Seq[String]) = {
+      val log = JsonBlobSource.asEventLogConcat(spark, uri, schema, "etype", "uid", "at")
+      val all = log.orderBy("id").collect().map(_.getAs[String]("eventType")).toSeq
+      val resumed = new graft.events.EventLog(log).after(midCursor)
+        .collect().map(_.getAs[String]("eventType")).toSeq
+      (all, resumed)
+    }
+    val fileUri = dir.toUri.toString
+    assert(fileUri.startsWith("file://"))
+    val graftUri = "graftfs://" + dir.toString
+    for (uri <- Seq(fileUri, graftUri)) {
+      val (all, resumed) = run(uri)
+      assert(all === (1 to 5).map(i => s"e$i"), s"full read via $uri")
+      assert(resumed === Seq("e5"), s"mid-blob resume via $uri")
+    }
+    // and the blob keys really came through the non-default scheme
+    val keys = JsonBlobSource.readConcat(spark, graftUri)
+      .select("blob_key").distinct().collect().map(_.getString(0))
+    assert(keys.nonEmpty && keys.forall(_.startsWith("graftfs://")), keys.mkString(","))
+  }
+
   test("splitConcatJson handles nesting, strings with braces, and escapes") {
     val vals = JsonBlobSource.splitConcatJson(
       """{"a":"x{y}z","n":{"b":[1,2]}}[1,{"c":"\"}"}]{"d":"\\"}""")
