@@ -8,13 +8,16 @@ import graft.TestSpark
 class ConcurrentSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
 
+  // built through the public test harness (graft.testkit.TestStreamer,
+  // the reference's testmock/stream.go surface) — the documented way
+  // downstream code fabricates an event stream in tests
   private def smallLog(n: Int): EventLog = {
-    import spark.implicits._
-    val df = (0 until n).map { i =>
-      (i.toLong, "click", (i % 3).toLong,
+    val ts = graft.testkit.TestStreamer(spark)
+    (0 until n).foreach { i =>
+      ts.insertEvent(i.toLong, "click", (i % 3).toLong,
         java.sql.Timestamp.valueOf(f"2024-01-01 00:${i % 60}%02d:00"), 1.0, "{}")
-    }.toDF("id", "eventType", "foreignId", "ts", "value", "metadata")
-    new EventLog(df)
+    }
+    ts.log
   }
 
   test("GapSequence: cursor is the max contiguous completed id (random completion order)") {

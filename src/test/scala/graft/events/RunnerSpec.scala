@@ -131,17 +131,16 @@ class RunnerSpec extends AnyFunSuite {
   }
 
   test("noop-range cursor override skips gap-filled ranges without scanning them") {
-    import spark.implicits._
+    // log fabricated through the public test harness (graft.testkit)
     // ids 0-9 real, 10-99 noops (a filled gap), 100-109 real
-    val rows =
-      (0L until 10L).map(i => (i, "click", i % 3, ts(i), 1.0, "{}")) ++
-      (10L until 100L).map(i => (i, "noop", -1L, ts(i), 0.0, "{}")) ++
-      (100L until 110L).map(i => (i, "click", i % 3, ts(i), 1.0, "{}"))
-    val df = rows.toDF("id", "eventType", "foreignId", "ts", "value", "metadata")
-    val noopLog = new EventLog(df)
+    val streamer = graft.testkit.TestStreamer(spark)
+    (0L until 10L).foreach(i => streamer.insertEvent(i, "click", i % 3, ts(i), 1.0, "{}"))
+    (10L until 100L).foreach(i => streamer.insertEvent(i, "noop", -1L, ts(i), 0.0, "{}"))
+    (100L until 110L).foreach(i => streamer.insertEvent(i, "click", i % 3, ts(i), 1.0, "{}"))
+    val noopLog = streamer.log
 
     // the loader derives the ranges from the log itself
-    val ranges = Patterns.noopRanges(df)
+    val ranges = Patterns.noopRanges(noopLog.df)
     assert(ranges === Seq((10L, 99L)))
 
     val store = new MemCursorStore()

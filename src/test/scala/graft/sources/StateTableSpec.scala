@@ -10,10 +10,16 @@ class StateTableSpec extends AnyFunSuite {
   private lazy val spark = TestSpark.spark
   import spark.implicits._
 
-  private def eventsDf(rows: Seq[(Long, Long)]) = // (id, foreignId)
-    rows.map { case (id, fid) =>
-      (id, "click", fid, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0, "{}")
-    }.toDF("id", "eventType", "foreignId", "ts", "value", "metadata")
+  // event frames fabricated through the public test harness
+  // (graft.testkit.TestStreamer — the reference's testmock surface)
+  private def eventsDf(rows: Seq[(Long, Long)]) = { // (id, foreignId)
+    val ts = graft.testkit.TestStreamer(spark)
+    rows.foreach { case (id, fid) =>
+      ts.insertEvent(id, "click", fid,
+        java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1.0, "{}")
+    }
+    ts.log.df.drop("trace")
+  }
 
   /** file fingerprint per bucket dir: name → (fileName, size) set */
   private def bucketFiles(dir: String): Map[String, Set[(String, Long)]] = {
