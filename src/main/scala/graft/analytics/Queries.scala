@@ -743,18 +743,35 @@ object Queries {
              count(*) AS n_rows
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
-    // B20: sketch aggregates — HLL distinct + approximate quantiles.
-    // rows-only oracle: sketch estimates are engine-specific by nature;
-    // OpsSpec asserts the estimates against exact values instead.
+    // B20: sketch aggregates — HLL distinct + approximate quantiles,
+    // graded with a BOUNDED-ERROR oracle (raw sketch estimates are
+    // engine-specific, so the hash-checked output is (a) the exact
+    // distinct counts and (b) booleans asserting each estimate sits
+    // inside its published error bound — DuckDB emits literal TRUE for
+    // those, so any out-of-bound sketch flips the hash red):
+    //  - HLL++ at rsd=0.02 must land within ±5% of the exact count
+    //    (2.5 standard errors);
+    //  - approx_percentile at accuracy=1000 guarantees rank error
+    //    ≤ 1/1000, so the returned element must lie between the exact
+    //    interpolated quantiles at q∓0.02 (20× the guarantee).
     ("q_sketch_aggs", (s: SparkSession, d: String) => {
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(approx_count_distinct("l_partkey", 0.02).as("approx_parts"),
-             expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("approx_p"))
-        .select(col("l_returnflag"), col("approx_parts"),
-          col("approx_p")(0).as("approx_p50"), col("approx_p")(1).as("approx_p95"))
+             countDistinct(col("l_partkey")).as("exact_parts"),
+             expr("approx_percentile(l_extendedprice, array(0.5, 0.95), 1000)").as("ap"),
+             expr("percentile(l_extendedprice, array(0.48, 0.52, 0.93, 0.97))").as("ep"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) <=
+            col("exact_parts") * 0.05).as("parts_ok"),
+          (col("ap")(0) >= col("ep")(0) && col("ap")(0) <= col("ep")(1)).as("p50_ok"),
+          (col("ap")(1) >= col("ep")(2) && col("ap")(1) <= col("ep")(3)).as("p95_ok"))
         .orderBy("l_returnflag")
-    }, None),
+    }, Some("""
+      SELECT l_returnflag,
+             CAST(count(DISTINCT l_partkey) AS BIGINT) AS exact_parts,
+             TRUE AS parts_ok, TRUE AS p50_ok, TRUE AS p95_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
     // B16: UNION + dedup across sources.
     ("q_union_keys", (s: SparkSession, d: String) => {

@@ -147,8 +147,14 @@ class OpsSpec extends AnyFunSuite {
     val exact = SparkEntry.queries("q_distinct_parts")(spark, sf).collect()
       .map(r => r.getAs[String]("l_returnflag") -> r.getAs[Long]("n_parts")).toMap
     exact.foreach { case (flag, n) =>
-      val est = sk(flag).getAs[Long]("approx_parts")
-      assert(math.abs(est - n).toDouble / n < 0.1, s"$flag: est=$est exact=$n")
+      val row = sk(flag)
+      // the exact column must agree with the independently computed
+      // count, and every bounded-error flag must hold (the same
+      // booleans the SQL oracle pins to TRUE)
+      assert(row.getAs[Long]("exact_parts") === n)
+      assert(row.getAs[Boolean]("parts_ok"), s"$flag: HLL outside 5% of $n")
+      assert(row.getAs[Boolean]("p50_ok"), s"$flag: p50 outside rank bound")
+      assert(row.getAs[Boolean]("p95_ok"), s"$flag: p95 outside rank bound")
     }
   }
 
