@@ -821,30 +821,44 @@ object EventOps {
     // prefix sums over the tiny (type, v4) histogram, and the outlier
     // count is summed from the SAME histogram — events scan once, all
     // downstream frames are histogram-sized at any corpus scale.
+    // r10→r11 replan (verdict item #8): the first form ran median and
+    // MAD as FOUR histogram-sized window/join stages — each trivially
+    // small but each a full Spark stage of pure scheduling floor. Now
+    // one plan: events scan → (type, v4) partial-agg histogram (the
+    // only event-sized exchange) → per-type sorted (v4, c) array → all
+    // of median / deviation-median / outlier count as O(k) array
+    // kernels (`aggregate`/`transform`, codegen'd) in the SAME task.
+    // Scale bound unchanged: the window form already required a type's
+    // histogram in one task (Window.partitionBy(event_type)); the
+    // array form needs exactly the same — k ≈ |value domain| rows,
+    // corpus-size-independent. Semantics identical to the oracle: the
+    // cumulative scans cross the 2·cc ≥ n threshold at the same v4/d4
+    // whether duplicates are pre-grouped (the SQL's dhist) or met
+    // mid-run in sorted order.
     ("ev_mad_outliers", (s: SparkSession, d: String) => {
       val q = Event.project(ev(s, d)).filter(col("value").isNotNull)
         .select(col("eventType").as("event_type"),
           floor(col("value") * 10000d + 0.5d).cast("long").as("v4"))
-      val hist = q.groupBy("event_type", "v4").agg(count(lit(1)).as("c"))
-      val tot = hist.groupBy("event_type").agg(sum("c").as("n"))
-      val wCum = Window.partitionBy("event_type").orderBy("v4")
-      val med = hist.join(tot, "event_type")
-        .withColumn("cc", sum("c").over(wCum))
-        .filter(col("cc") * 2 >= col("n"))
-        .groupBy("event_type").agg(min("v4").as("med4"))
-      val dhist = hist.join(med, "event_type")
-        .groupBy(col("event_type"), abs(col("v4") - col("med4")).as("d4"))
-        .agg(sum("c").as("c"))
-      val wDev = Window.partitionBy("event_type").orderBy("d4")
-      val mad = dhist.join(tot, "event_type")
-        .withColumn("cc", sum("c").over(wDev))
-        .filter(col("cc") * 2 >= col("n"))
-        .groupBy("event_type").agg(min("d4").as("mad4"))
-      hist.join(tot, "event_type").join(med, "event_type").join(mad, "event_type")
-        .groupBy(col("event_type"), col("n").cast("long").as("n"),
-          col("med4"), col("mad4"))
-        .agg(sum(when(abs(col("v4") - col("med4")) > col("mad4") * 3, col("c"))
-          .otherwise(lit(0L))).cast("long").as("n_outliers"))
+      q.groupBy("event_type", "v4").agg(count(lit(1)).as("c"))
+        .groupBy("event_type")
+        .agg(sort_array(collect_list(struct(col("v4"), col("c")))).as("h"),
+          sum("c").cast("long").as("n"))
+        .withColumn("med4", expr(
+          """aggregate(h, named_struct('cc', 0L, 'med', CAST(NULL AS BIGINT)),
+             (acc, x) -> named_struct('cc', acc.cc + x.c,
+               'med', CASE WHEN acc.med IS NOT NULL THEN acc.med
+                           WHEN 2 * (acc.cc + x.c) >= n THEN x.v4 END),
+             acc -> acc.med)"""))
+        .withColumn("dh", expr(
+          "array_sort(transform(h, x -> named_struct('d4', abs(x.v4 - med4), 'c', x.c)))"))
+        .withColumn("mad4", expr(
+          """aggregate(dh, named_struct('cc', 0L, 'mad', CAST(NULL AS BIGINT)),
+             (acc, x) -> named_struct('cc', acc.cc + x.c,
+               'mad', CASE WHEN acc.mad IS NOT NULL THEN acc.mad
+                           WHEN 2 * (acc.cc + x.c) >= n THEN x.d4 END),
+             acc -> acc.mad)"""))
+        .withColumn("n_outliers", expr(
+          "aggregate(dh, 0L, (acc, x) -> acc + IF(x.d4 > 3 * mad4, x.c, 0L))"))
         .select("event_type", "n", "med4", "mad4", "n_outliers")
         .orderBy("event_type")
     }, Some("""
