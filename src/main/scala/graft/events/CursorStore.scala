@@ -16,33 +16,51 @@ trait CursorStore {
   def set(consumerName: String, cursor: Long): Unit
   /** rpatterns/ack.go Flush is a no-op for synchronous stores. */
   def flush(): Unit = ()
+
+  /** OPAQUE string cursors (reference rsql/cursorstable.go:126
+    * WithCursorStrings — reflex cursors are strings in the API;
+    * integers are the optimization). Every store persists strings
+    * natively; the Long form is the numeric view. Reading a
+    * non-numeric cursor through `get` throws (exactly the reference's
+    * int-cursor parse failure) — a consumer picks ONE form, and
+    * rblob-style `key\|NN\|offset` cursors (JsonBlobSource.cursorString)
+    * no longer need to pack into longs.
+    */
+  def getStr(consumerName: String): Option[String] = get(consumerName).map(_.toString)
+  def setStr(consumerName: String, cursor: String): Unit = set(consumerName, cursor.toLong)
 }
 
 /** rpatterns/cursor.go MemCursorStore: in-memory cursors, optionally
-  * pre-seeded (WithMemCursor).
+  * pre-seeded (WithMemCursor). Storage is the string form; the Long
+  * API parses (WithCursorStrings duality).
   */
 final class MemCursorStore(seed: Map[String, Long] = Map.empty) extends CursorStore {
-  private val m = TrieMap.empty[String, Long] ++ seed
-  def get(name: String): Option[Long] = m.get(name)
-  def set(name: String, cursor: Long): Unit = m.put(name, cursor)
+  private val m = TrieMap.empty[String, String] ++ seed.map { case (k, v) => (k, v.toString) }
+  def get(name: String): Option[Long] = m.get(name).map(_.toLong)
+  def set(name: String, cursor: Long): Unit = m.put(name, cursor.toString)
+  override def getStr(name: String): Option[String] = m.get(name)
+  override def setStr(name: String, cursor: String): Unit = m.put(name, cursor)
 }
 
 /** File-backed cursors (one file per consumer, atomic rename commit) —
   * the rsql.CursorsTable equivalent when the metastore is a shared
   * filesystem/object store. On a real cluster this directory lives on
-  * the checkpoint volume.
+  * the checkpoint volume. Files hold the raw cursor string, so the
+  * string and Long forms share one representation on disk.
   */
 final class FileCursorStore(dir: String) extends CursorStore {
   Files.createDirectories(Paths.get(dir))
   private def path(name: String) = Paths.get(dir, s"$name.cursor")
-  def get(name: String): Option[Long] = {
+  def get(name: String): Option[Long] = getStr(name).map(_.toLong)
+  def set(name: String, cursor: Long): Unit = setStr(name, cursor.toString)
+  override def getStr(name: String): Option[String] = {
     val p = path(name)
-    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim.toLong)
+    if (Files.exists(p)) Some(new String(Files.readAllBytes(p), StandardCharsets.UTF_8).trim)
     else None
   }
-  def set(name: String, cursor: Long): Unit = {
+  override def setStr(name: String, cursor: String): Unit = {
     val tmp = Paths.get(dir, s".$name.cursor.tmp")
-    Files.write(tmp, cursor.toString.getBytes(StandardCharsets.UTF_8))
+    Files.write(tmp, cursor.getBytes(StandardCharsets.UTF_8))
     Files.move(tmp, path(name), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
@@ -60,7 +78,7 @@ final class FileCursorStore(dir: String) extends CursorStore {
   */
 final class AsyncCursorStore(backing: CursorStore, periodMs: Long = 1000L)
     extends CursorStore with AutoCloseable {
-  private val pending = TrieMap.empty[String, Long]
+  private val pending = TrieMap.empty[String, String]
   @volatile private var running = true
   private val flusher = new Thread(() => {
     while (running) {
@@ -74,8 +92,11 @@ final class AsyncCursorStore(backing: CursorStore, periodMs: Long = 1000L)
   flusher.setDaemon(true)
   flusher.start()
 
-  def get(name: String): Option[Long] = pending.get(name).orElse(backing.get(name))
-  def set(name: String, cursor: Long): Unit = pending.put(name, cursor)
+  def get(name: String): Option[Long] = getStr(name).map(_.toLong)
+  def set(name: String, cursor: Long): Unit = setStr(name, cursor.toString)
+  override def getStr(name: String): Option[String] =
+    pending.get(name).orElse(backing.getStr(name))
+  override def setStr(name: String, cursor: String): Unit = pending.put(name, cursor)
   /** Synchronized so a daemon flush and a close() flush cannot
     * interleave and write an older cursor after a newer one. Writes
     * backing BEFORE removing from pending (conditionally — a newer
@@ -85,7 +106,7 @@ final class AsyncCursorStore(backing: CursorStore, periodMs: Long = 1000L)
   override def flush(): Unit = synchronized {
     var firstErr: Throwable = null
     pending.snapshot().foreach { case (k, v) =>
-      try { backing.set(k, v); pending.remove(k, v) }
+      try { backing.setStr(k, v); pending.remove(k, v) }
       catch { case scala.util.control.NonFatal(e) => if (firstErr == null) firstErr = e }
     }
     if (firstErr != null) throw firstErr
@@ -99,14 +120,16 @@ object CursorStore {
     */
   def readThrough(primary: CursorStore, fallback: CursorStore): CursorStore =
     new CursorStore {
-      def get(name: String): Option[Long] = primary.get(name) match {
+      def get(name: String): Option[Long] = getStr(name).map(_.toLong)
+      def set(name: String, cursor: Long): Unit = primary.set(name, cursor)
+      override def getStr(name: String): Option[String] = primary.getStr(name) match {
         case some @ Some(_) => some
         case None =>
-          val fb = fallback.get(name)
-          fb.foreach(primary.set(name, _))
+          val fb = fallback.getStr(name)
+          fb.foreach(primary.setStr(name, _))
           fb
       }
-      def set(name: String, cursor: Long): Unit = primary.set(name, cursor)
+      override def setStr(name: String, cursor: String): Unit = primary.setStr(name, cursor)
     }
 
   /** rpatterns/bootstrap.go: seed an unset cursor so the first run
@@ -121,5 +144,10 @@ object CursorStore {
           Some(c)
         }
       def set(name: String, cursor: Long): Unit = underlying.set(name, cursor)
+      // string form passes through un-seeded (the seed is numeric)
+      override def getStr(name: String): Option[String] =
+        underlying.getStr(name).orElse(get(name).map(_.toString))
+      override def setStr(name: String, cursor: String): Unit =
+        underlying.setStr(name, cursor)
     }
 }

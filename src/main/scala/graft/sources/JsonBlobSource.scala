@@ -38,6 +38,36 @@ object JsonBlobSource {
   /** Offset bits in the packed id: 2^40 records per blob. */
   val OffsetBits = 40
 
+  /** The reference's STRING cursor format (rblob/blob.go:380 —
+    * `key|NN|offset` with NN the 2-digit decimal length of the offset,
+    * making cursors lexicographically orderable; `key|eof` marks a
+    * drained blob). With the r11 string-cursor stores
+    * (CursorStore.getStr/setStr) these persist as-is instead of
+    * packing into longs.
+    */
+  def cursorString(blobKey: String, offset: Long): String = {
+    val o = offset.toString
+    f"$blobKey|${o.length}%02d|$o"
+  }
+
+  /** End-of-blob cursor (rblob/blob.go:376 `eof`). */
+  def cursorEof(blobKey: String): String = s"$blobKey|eof"
+
+  /** Parse a reference-format cursor → (key, offset, eof). Empty
+    * string = genesis (None), matching rblob/blob.go:390 parseCursor.
+    */
+  def parseCursor(cur: String): Option[(String, Long, Boolean)] = {
+    if (cur.isEmpty) return None
+    val i = cur.lastIndexOf('|')
+    require(i > 0, s"invalid cursor: $cur")
+    if (cur.substring(i + 1) == "eof") Some((cur.substring(0, i), 0L, true))
+    else {
+      val j = cur.lastIndexOf('|', i - 1)
+      require(j > 0, s"invalid cursor: $cur")
+      Some((cur.substring(0, j), cur.substring(i + 1).toLong, false))
+    }
+  }
+
   /** Decode the blob ordinal from a packed event id. */
   def blobOrdinal(id: Column): Column = shiftright(id, OffsetBits)
 

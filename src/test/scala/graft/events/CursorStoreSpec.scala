@@ -127,4 +127,43 @@ class CursorStoreSpec extends AnyFunSuite {
     assert(backing.get("p") === Some(7L))
     async.close()
   }
+
+  test("string cursors (WithCursorStrings): non-numeric round-trip through File + Async stores") {
+    // an rblob-style cursor in the reference's lexicographic format
+    val cur = graft.sources.JsonBlobSource.cursorString("2020/01/01/Test-blob", 123L)
+    assert(cur === "2020/01/01/Test-blob|03|123")
+    assert(graft.sources.JsonBlobSource.parseCursor(cur) ===
+      Some(("2020/01/01/Test-blob", 123L, false)))
+    assert(graft.sources.JsonBlobSource.parseCursor("k|eof") === Some(("k", 0L, true)))
+    assert(graft.sources.JsonBlobSource.parseCursor("") === None)
+    // lexicographic ordering across offset magnitudes (the NN pad)
+    assert(graft.sources.JsonBlobSource.cursorString("k", 9L) <
+      graft.sources.JsonBlobSource.cursorString("k", 123L))
+    assert(graft.sources.JsonBlobSource.cursorString("k", 123L) <
+      graft.sources.JsonBlobSource.cursorEof("k"))
+
+    val dir = java.nio.file.Files.createTempDirectory("graft-strcur").toString
+    val file = new FileCursorStore(dir)
+    file.setStr("blob-consumer", cur)
+    assert(file.getStr("blob-consumer") === Some(cur))
+    // persists across instances, raw
+    assert(new FileCursorStore(dir).getStr("blob-consumer") === Some(cur))
+    // the numeric view of a non-numeric cursor fails loudly (the
+    // reference's int-cursor parse error), never silently corrupts
+    intercept[NumberFormatException] { file.get("blob-consumer") }
+
+    val async = new AsyncCursorStore(new FileCursorStore(dir + "-a"), periodMs = 60000L)
+    async.setStr("c", cur)
+    assert(async.getStr("c") === Some(cur)) // read-your-writes, pre-flush
+    async.flush()
+    assert(new FileCursorStore(dir + "-a").getStr("c") === Some(cur))
+    async.close()
+
+    // both forms share ONE representation: numeric set reads back as both
+    val mem = new MemCursorStore()
+    mem.set("n", 42L)
+    assert(mem.getStr("n") === Some("42"))
+    mem.setStr("n", "43")
+    assert(mem.get("n") === Some(43L))
+  }
 }
