@@ -82,16 +82,41 @@ object ScaleStress {
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    val loadStart = java.lang.management.ManagementFactory
+      .getOperatingSystemMXBean.getSystemLoadAverage
     var worst = ("", 0.0)
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double, Double)]
     stressed.foreach { q =>
       val fn = graft.SparkEntry.queries(q)
       val t1 = time(fn(spark, base).count())
       val tN = time(fn(spark, out).count())
       val ratio = tN / t1
+      results(q) = (t1, tN, ratio)
       if (ratio > worst._2) worst = (q, ratio)
       println(f"[stress] $q%-24s 1x=$t1%6.2fs ${factor}x=$tN%7.2fs ratio=$ratio%5.1f")
     }
     println(f"[stress] worst ratio: ${worst._1} at ${worst._2}%.1fx (replication ${factor}x)")
+    // one committed artifact per round (verdict r10 item #10): the
+    // wall-ratio evidence lives in git, not in commit messages
+    sys.env.get("SPARK_GRAFT_STRESS_OUT").foreach { path =>
+      val rows = results.map { case (q, (t1, tN, r)) =>
+        f"""    "$q": {"t1_s": $t1%.3f, "tN_s": $tN%.3f, "wall_ratio": $r%.2f}"""
+      }.mkString(",\n")
+      val json =
+        f"""{
+  "replication": $factor,
+  "base": "$base",
+  "load_avg_start": $loadStart%.2f,
+  "worst": {"query": "${worst._1}", "wall_ratio": ${worst._2}%.2f},
+  "queries": {
+$rows
+  }
+}
+"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(path),
+        json.getBytes("UTF-8"))
+      println(s"[stress] wrote $path")
+    }
     spark.stop()
   }
 }
