@@ -1745,6 +1745,122 @@ object EventOps {
              CAST((top1 * 10000) // total_events AS BIGINT) AS top1_bp,
              CAST((top10 * 10000) // total_events AS BIGINT) AS top10_bp,
              CAST(((s2 - (n_users + 1) * total_events) * 10000) // (n_users * total_events) AS BIGINT) AS gini_e4
-      FROM t"""))
+      FROM t""")),
+
+    // A83 (r11): heartbeat-outage report — the operational twin of the
+    // A55 inter-event histogram: per user, a gap between consecutive
+    // events longer than 1 h is an outage; report per outage-start
+    // date: outages, total/max outage seconds. Window partitioned by
+    // user_id (high cardinality); per-day agg is map-side-combined.
+    ("ev_heartbeat_gaps", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy("foreignId").orderBy("ts", "id")
+      Event.project(ev(s, d))
+        .select(col("foreignId"), col("id"), col("ts"),
+          unix_timestamp(col("ts")).as("es"))
+        .withColumn("gap", lead("es", 1).over(w) - col("es"))
+        .filter(col("gap") > 3600L)
+        .groupBy(to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n_outages"),
+          sum("gap").cast("long").as("total_gap_s"),
+          max("gap").cast("long").as("max_gap_s"))
+        .orderBy("day")
+    }, Some("""
+      WITH g AS (
+        SELECT CAST(ts AS DATE) AS day,
+               lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id)
+               - CAST(floor(epoch(ts)) AS BIGINT) AS gap
+        FROM events)
+      SELECT day, count(*) AS n_outages,
+             CAST(sum(gap) AS BIGINT) AS total_gap_s,
+             CAST(max(gap) AS BIGINT) AS max_gap_s
+      FROM g WHERE gap > 3600 GROUP BY day ORDER BY day""")),
+
+    // A84 (r11): time-weighted average value per event type — the
+    // metering/billing aggregate (a value holds until the user's next
+    // event of that type; the mean weights each value by its dwell
+    // time). EXACT integer arithmetic throughout: values at cents
+    // grain, durations in whole seconds, and the final 4dp mean via
+    // the established exact-rational half-up rounding
+    // floor((2·10²·N + D) / (2·D)) at e2+e2→e4 scale — no double sum
+    // can flip a boundary in either engine. Per-(user, type) windows
+    // partition; per-user products stay far under int64.
+    ("ev_time_weighted", (s: SparkSession, d: String) => {
+      val w = Window.partitionBy("foreignId", "event_type").orderBy("ts", "id")
+      Event.project(ev(s, d))
+        .select(col("foreignId"), col("eventType").as("event_type"),
+          col("id"), col("ts"), unix_timestamp(col("ts")).as("es"),
+          floor(col("value") * 100d + 0.5d).cast("long").as("v2"))
+        .withColumn("dur", lead("es", 1).over(w) - col("es"))
+        .filter(col("dur").isNotNull)
+        .groupBy("event_type")
+        .agg(count(lit(1)).as("n_pairs"),
+          sum("dur").cast("long").as("total_s"),
+          sum(col("v2") * col("dur")).cast("long").as("num"))
+        .filter(col("total_s") > 0L)
+        .select(col("event_type"), col("n_pairs"), col("total_s"),
+          call_function("div",
+            lit(200L) * col("num") + col("total_s"),
+            lit(2L) * col("total_s")).as("twavg_e4"))
+        .orderBy("event_type")
+    }, Some("""
+      WITH p AS (
+        SELECT event_type,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v2,
+               lead(CAST(floor(epoch(ts)) AS BIGINT)) OVER (
+                 PARTITION BY user_id, event_type ORDER BY ts, event_id)
+               - CAST(floor(epoch(ts)) AS BIGINT) AS dur
+        FROM events),
+      a AS (
+        SELECT event_type, count(*) AS n_pairs,
+               CAST(sum(dur) AS BIGINT) AS total_s,
+               CAST(sum(v2 * dur) AS BIGINT) AS num
+        FROM p WHERE dur IS NOT NULL GROUP BY event_type)
+      SELECT event_type, n_pairs, total_s,
+             CAST((200 * num + total_s) // (2 * total_s) AS BIGINT) AS twavg_e4
+      FROM a WHERE total_s > 0 ORDER BY event_type""")),
+
+    // B47 (r11): RANGE JOIN — events against the corpus's 20 busiest
+    // hours widened to [hour−30 min, hour+90 min) "incident windows".
+    // The join itself is graft.analytics.RangeJoin.pointInInterval:
+    // intervals explode onto a 30-min grid, points map to their one
+    // cell, equi-join on cell + exact containment filter — never a
+    // BroadcastNestedLoopJoin, so the plan survives an intervals side
+    // too big to broadcast (RangeJoinSpec asserts the plan shape).
+    // Windows overlap, so one event can serve several windows — the
+    // grid join produces exactly one row per true (event, window) pair.
+    ("ev_range_join", (s: SparkSession, d: String) => {
+      val e = Event.project(ev(s, d))
+        .select(col("foreignId"), unix_timestamp(col("ts")).as("es"),
+          date_trunc("hour", col("ts")).as("hr"))
+      val wins = e.groupBy("hr").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("hr").asc).limit(20)
+        .select(unix_timestamp(col("hr")).as("win_start"),
+          (unix_timestamp(col("hr")) - 1800L).as("s"),
+          (unix_timestamp(col("hr")) + 5400L).as("en"))
+      graft.analytics.RangeJoin.pointInInterval(
+          e.select("foreignId", "es"), wins,
+          col("es"), col("s"), col("en"), grid = 1800L)
+        .groupBy("win_start")
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("foreignId")).as("n_users"))
+        .orderBy("win_start")
+    }, Some("""
+      WITH e AS (
+        SELECT CAST(floor(epoch(ts)) AS BIGINT) AS es, user_id,
+               date_trunc('hour', ts) AS hr
+        FROM events),
+      top AS (
+        SELECT hr FROM e GROUP BY hr
+        ORDER BY count(*) DESC, hr ASC LIMIT 20),
+      win AS (
+        SELECT CAST(floor(epoch(hr)) AS BIGINT) AS win_start,
+               CAST(floor(epoch(hr)) AS BIGINT) - 1800 AS s,
+               CAST(floor(epoch(hr)) AS BIGINT) + 5400 AS en
+        FROM top)
+      SELECT w.win_start, count(*) AS n_events,
+             count(DISTINCT e.user_id) AS n_users
+      FROM e JOIN win w ON e.es >= w.s AND e.es < w.en
+      GROUP BY w.win_start ORDER BY w.win_start"""))
   )
 }

@@ -2575,7 +2575,125 @@ object TextOps {
       SELECT source, l4 / 10000.0 AS loss4,
              ((w0 * 2 + 10000) // 20000) / 10000.0 AS w_start4,
              ((w * 2 + 10000) // 20000) / 10000.0 AS w_doremi4
-      FROM r4w ORDER BY source"""))
+      FROM r4w ORDER BY source""")),
+
+    // C90 (r11): LINE-level corpus dedup — the RefinedWeb/MassiveText
+    // step (Penedo'23 §3.3 "repetition removal" at line granularity;
+    // Rae'21 repetition filters): a line duplicated across ≥3 distinct
+    // docs is boilerplate and is dropped from EVERY doc; docs are
+    // reassembled from their kept lines in order. The corpus has no
+    // newlines, so a "line" is the deterministic analog: consecutive
+    // non-overlapping 8-token groups. Plan shape at 100 TB: line
+    // construction is a pure per-row array kernel (transform over the
+    // split — no shuffle); the cross-doc duplicate count is one
+    // map-side-combined agg keyed by line text; reassembly collects
+    // only a doc's own lines (bounded by doc length) and orders them
+    // with array_sort — no window, no global sort.
+    ("tx_line_dedup", (s: SparkSession, d: String) => {
+      val lined = docs(s, d).select(col("doc_id"),
+        expr("""transform(
+            sequence(0, cast(ceil(size(split(text, ' ')) / 8.0) as int) - 1),
+            i -> array_join(slice(split(text, ' '), i * 8 + 1, 8), ' '))""").as("lines"))
+        .select(col("doc_id"), posexplode(col("lines")).as(Seq("line_idx", "line")))
+      val dup = lined.groupBy("line")
+        .agg(countDistinct(col("doc_id")).as("nd"))
+        .filter(col("nd") >= 3)
+      lined.join(dup, Seq("line"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_lines"),
+          sum(when(col("nd").isNotNull, 1L).otherwise(0L)).cast("long").as("n_dropped"),
+          md5(coalesce(array_join(expr(
+            "transform(array_sort(collect_list(CASE WHEN nd IS NULL THEN struct(line_idx, line) END)), x -> x.line)"),
+            " "), lit(""))).as("kept_md5"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH w AS (
+        SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      tok AS (
+        SELECT doc_id, unnest(ws) AS word, generate_subscripts(ws, 1) AS i FROM w),
+      ln AS (
+        SELECT doc_id, (i - 1) // 8 AS line_idx,
+               string_agg(word, ' ' ORDER BY i) AS line
+        FROM tok GROUP BY doc_id, (i - 1) // 8),
+      dup AS (
+        SELECT line FROM ln GROUP BY line HAVING count(DISTINCT doc_id) >= 3)
+      SELECT l.doc_id, count(*) AS n_lines,
+             CAST(sum(CASE WHEN d.line IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+             md5(coalesce(string_agg(CASE WHEN d.line IS NULL THEN l.line END, ' '
+               ORDER BY l.line_idx), '')) AS kept_md5
+      FROM ln l LEFT JOIN dup d USING (line)
+      GROUP BY l.doc_id ORDER BY l.doc_id""")),
+
+    // C91 (r11): the NAMED Gopher quality rule set (Rae et al. 2021,
+    // appendix A1.1 — the exact filter battery MassiveText shipped and
+    // every later pipeline cites): word count ∈ [50, 100 000]; mean
+    // word length ∈ [3, 10]; symbol-to-word ratio (# and …) ≤ 0.1;
+    // ≥ 80% of words contain an alphabetic character; ≥ 2 of the 8
+    // designated stop words (the, be, to, of, and, that, have, with)
+    // present. All comparisons in EXACT integer cross-multiplied form
+    // (3n ≤ chars ≤ 10n etc.) — no double ratio can round differently
+    // between engines. One pure per-row kernel over one scan, no
+    // shuffle but the final tiny ORDER BY; the per-doc booleans are
+    // the audit a 100 TB filter run logs per shard.
+    ("tx_gopher_rules", (s: SparkSession, d: String) => {
+      docs(s, d)
+        .select(col("doc_id"), split(col("text"), " ").as("ws"), col("text"))
+        .select(col("doc_id"),
+          size(col("ws")).cast("long").as("n_words"),
+          expr("cast(aggregate(ws, 0L, (a, w) -> a + length(w)) as bigint)").as("wchars"),
+          expr("cast(size(filter(ws, w -> w rlike '[a-zA-Z]')) as bigint)").as("alpha_words"),
+          expr("""cast(size(filter(array('the','be','to','of','and','that','have','with'),
+              sw -> array_contains(ws, sw))) as bigint)""").as("stop_hits"),
+          ((length(col("text")) - length(regexp_replace(col("text"), "#", ""))) +
+            call_function("div",
+              length(col("text")) - length(regexp_replace(col("text"), "\\.\\.\\.", "")),
+              lit(3L))).cast("long").as("symbols"))
+        .select(col("doc_id"), col("n_words"), col("wchars"), col("alpha_words"),
+          col("stop_hits"), col("symbols"),
+          (col("n_words") >= 50L && col("n_words") <= 100000L).as("ok_count"),
+          (lit(3L) * col("n_words") <= col("wchars") &&
+            col("wchars") <= lit(10L) * col("n_words")).as("ok_wordlen"),
+          (lit(10L) * col("symbols") <= col("n_words")).as("ok_symbols"),
+          (lit(5L) * col("alpha_words") >= lit(4L) * col("n_words")).as("ok_alpha"),
+          (col("stop_hits") >= 2L).as("ok_stops"))
+        // keep_ex_stops: the verdict under the four structural rules —
+        // reported separately because the synthetic corpus's vocabulary
+        // contains only one of Gopher's eight stop words, so ok_stops
+        // (and therefore keep) is uniformly false here BY THE RULE SET,
+        // not by a bug; real prose passes it trivially.
+        .withColumn("keep_ex_stops", col("ok_count") && col("ok_wordlen") &&
+          col("ok_symbols") && col("ok_alpha"))
+        .withColumn("keep", col("keep_ex_stops") && col("ok_stops"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH g AS (
+        SELECT doc_id, string_split(text, ' ') AS ws, text FROM documents),
+      m AS (
+        SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(ws, w -> length(w))) AS BIGINT) AS wchars,
+               CAST(len(list_filter(ws, w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS alpha_words,
+               CAST(len(list_filter(['the','be','to','of','and','that','have','with'],
+                 sw -> list_contains(ws, sw))) AS BIGINT) AS stop_hits,
+               CAST((length(text) - length(replace(text, '#', '')))
+                 + (length(text) - length(replace(text, '...', ''))) // 3 AS BIGINT) AS symbols
+        FROM g)
+      SELECT doc_id, n_words, wchars, alpha_words, stop_hits, symbols,
+             (n_words >= 50 AND n_words <= 100000) AS ok_count,
+             (3 * n_words <= wchars AND wchars <= 10 * n_words) AS ok_wordlen,
+             (10 * symbols <= n_words) AS ok_symbols,
+             (5 * alpha_words >= 4 * n_words) AS ok_alpha,
+             (stop_hits >= 2) AS ok_stops,
+             (n_words >= 50 AND n_words <= 100000
+              AND 3 * n_words <= wchars AND wchars <= 10 * n_words
+              AND 10 * symbols <= n_words
+              AND 5 * alpha_words >= 4 * n_words) AS keep_ex_stops,
+             (n_words >= 50 AND n_words <= 100000
+              AND 3 * n_words <= wchars AND wchars <= 10 * n_words
+              AND 10 * symbols <= n_words
+              AND 5 * alpha_words >= 4 * n_words
+              AND stop_hits >= 2) AS keep
+      FROM m ORDER BY doc_id"""))
   )
 
   // ---- BPE (C62/C62b) ------------------------------------------------
