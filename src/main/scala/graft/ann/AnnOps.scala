@@ -1490,6 +1490,138 @@ object AnnOps {
         FROM dots GROUP BY 1, 2)
       SELECT label, count(*) AS n, CAST(sum(a4 - b4) AS BIGINT) AS sum_margin_e4,
              CAST(sum(CASE WHEN a4 > b4 THEN 1 ELSE 0 END) AS BIGINT) AS n_separated
-      FROM mm GROUP BY label ORDER BY label"""))
+      FROM mm GROUP BY label ORDER BY label""")),
+
+    // C92 (r11): MMR diversified re-ranking (Carbonell & Goldstein '98,
+    // λ=0.5) — the serving-side step after recall: from each probe's
+    // brute-force top-20, greedily pick 5 maximizing
+    // λ·rel(c) − (1−λ)·max_{s∈S} sim(c,s); at λ=½ the argmax is
+    // rel4 − maxsim4 on e4-quantized cosines (ties → lowest id), so
+    // both engines compare identical int64s. The greedy loop is
+    // inherently sequential per probe, so it runs as a typed
+    // per-probe kernel over the |cands|² pairwise-sim rows —
+    // O(k·n²)=O(2000) ints per probe, probes partition the work, and
+    // only |probes|·n² tiny rows ever shuffle (the recall set bounds
+    // everything; the corpus is touched once by the top-20 pass). The
+    // oracle unrolls the 5 greedy steps as CTE layers (the BPE-oracle
+    // technique).
+    ("ann_mmr_rerank", (s: SparkSession, d: String) => {
+      import s.implicits._
+      GraftFunctions.register(s)
+      val e = corpus(s, d)
+      val w = Window.partitionBy("probe").orderBy(col("cos").desc, col("neighbor").asc)
+      val cand = probeScores(s, d, probeMax = 16)
+        .withColumn("rk", row_number().over(w)).filter(col("rk") <= 20)
+        .select(col("probe"), col("neighbor").as("nid"),
+          floor(col("cos") * 10000d + 0.5d).cast("long").as("rel4"), col("rk"))
+      val ce = cand.join(e, col("nid") === col("vec_id"))
+        .select(col("probe"), col("nid"), col("rel4"), col("rk"), col("v"))
+      val pairs = ce.alias("x").join(broadcast(ce.alias("y")),
+          col("x.probe") === col("y.probe") && col("x.nid") =!= col("y.nid"))
+        .selectExpr("x.probe AS probe", "x.nid AS a", "x.rel4 AS rel4",
+          "x.rk AS rk", "y.nid AS b",
+          "CAST(floor(cosine_sim(x.v, y.v) * 10000 + 0.5) AS BIGINT) AS s4")
+        .as[(Long, Long, Long, Int, Long, Long)]
+      pairs.groupByKey(_._1).flatMapGroups { (probe, it) =>
+        val rows = it.toVector
+        val rel = collection.mutable.Map.empty[Long, Long]
+        val rkOf = collection.mutable.Map.empty[Long, Int]
+        val sim = collection.mutable.Map.empty[(Long, Long), Long]
+        rows.foreach { case (_, a, r4, k, b, s4) =>
+          rel(a) = r4; rkOf(a) = k; sim((a, b)) = s4
+        }
+        val first = rel.keys.minBy(rkOf)
+        var sel = Vector((first, rel(first)))
+        var chosen = Set(first)
+        val kMax = math.min(5, rel.size)
+        while (sel.size < kMax) {
+          val best = rel.keys.filterNot(chosen).map { c =>
+            (c, rel(c) - chosen.iterator.map(sb => sim((c, sb))).max)
+          }.minBy { case (c, m) => (-m, c) }
+          sel = sel :+ best; chosen += best._1
+        }
+        sel.zipWithIndex.map { case ((nid, score4), i) => (probe, i + 1, nid, score4) }
+      }.toDF("probe", "mmr_rank", "neighbor", "score4")
+        .orderBy("probe", "mmr_rank")
+    }, Some("""
+      WITH f AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+      n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY vec_id),
+      dots AS (
+        SELECT a.vec_id AS probe, b.vec_id AS neighbor, sum(a.v * b.v) AS dot
+        FROM f a JOIN f b ON a.i = b.i AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < 16
+        GROUP BY a.vec_id, b.vec_id),
+      sc AS (
+        SELECT probe, neighbor, dot / (na.nrm * nb.nrm) AS cos,
+               row_number() OVER (PARTITION BY probe
+                 ORDER BY dot / (na.nrm * nb.nrm) DESC, neighbor ASC) AS rk
+        FROM dots JOIN n na ON na.vec_id = probe JOIN n nb ON nb.vec_id = neighbor),
+      cand AS (
+        SELECT probe, neighbor AS nid,
+               CAST(floor(cos * 10000 + 0.5) AS BIGINT) AS rel4, rk
+        FROM sc WHERE rk <= 20),
+      cf AS (SELECT c.probe, c.nid, f.i, f.v FROM cand c JOIN f ON f.vec_id = c.nid),
+      psim AS (
+        SELECT x.probe, x.nid AS a, y.nid AS b,
+               CAST(floor(sum(x.v * y.v) / (na.nrm * nb.nrm) * 10000 + 0.5) AS BIGINT) AS s4
+        FROM cf x JOIN cf y ON x.probe = y.probe AND x.i = y.i AND x.nid <> y.nid
+        JOIN n na ON na.vec_id = x.nid JOIN n nb ON nb.vec_id = y.nid
+        GROUP BY x.probe, x.nid, y.nid, na.nrm, nb.nrm),
+      sel1 AS (SELECT probe, nid, rel4 AS score4 FROM cand WHERE rk = 1),
+      acc1 AS (SELECT probe, nid FROM sel1),
+      p2 AS (
+        SELECT c.probe, c.nid, c.rel4 - max(p.s4) AS m
+        FROM cand c
+        JOIN psim p ON p.probe = c.probe AND p.a = c.nid
+        JOIN acc1 s ON s.probe = p.probe AND s.nid = p.b
+        WHERE NOT EXISTS (SELECT 1 FROM acc1 e WHERE e.probe = c.probe AND e.nid = c.nid)
+        GROUP BY c.probe, c.nid, c.rel4),
+      sel2 AS (SELECT probe, nid, m AS score4 FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe ORDER BY m DESC, nid ASC) AS r
+        FROM p2) WHERE r = 1),
+      acc2 AS (SELECT probe, nid FROM acc1 UNION ALL SELECT probe, nid FROM sel2),
+      p3 AS (
+        SELECT c.probe, c.nid, c.rel4 - max(p.s4) AS m
+        FROM cand c
+        JOIN psim p ON p.probe = c.probe AND p.a = c.nid
+        JOIN acc2 s ON s.probe = p.probe AND s.nid = p.b
+        WHERE NOT EXISTS (SELECT 1 FROM acc2 e WHERE e.probe = c.probe AND e.nid = c.nid)
+        GROUP BY c.probe, c.nid, c.rel4),
+      sel3 AS (SELECT probe, nid, m AS score4 FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe ORDER BY m DESC, nid ASC) AS r
+        FROM p3) WHERE r = 1),
+      acc3 AS (SELECT probe, nid FROM acc2 UNION ALL SELECT probe, nid FROM sel3),
+      p4 AS (
+        SELECT c.probe, c.nid, c.rel4 - max(p.s4) AS m
+        FROM cand c
+        JOIN psim p ON p.probe = c.probe AND p.a = c.nid
+        JOIN acc3 s ON s.probe = p.probe AND s.nid = p.b
+        WHERE NOT EXISTS (SELECT 1 FROM acc3 e WHERE e.probe = c.probe AND e.nid = c.nid)
+        GROUP BY c.probe, c.nid, c.rel4),
+      sel4 AS (SELECT probe, nid, m AS score4 FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe ORDER BY m DESC, nid ASC) AS r
+        FROM p4) WHERE r = 1),
+      acc4 AS (SELECT probe, nid FROM acc3 UNION ALL SELECT probe, nid FROM sel4),
+      p5 AS (
+        SELECT c.probe, c.nid, c.rel4 - max(p.s4) AS m
+        FROM cand c
+        JOIN psim p ON p.probe = c.probe AND p.a = c.nid
+        JOIN acc4 s ON s.probe = p.probe AND s.nid = p.b
+        WHERE NOT EXISTS (SELECT 1 FROM acc4 e WHERE e.probe = c.probe AND e.nid = c.nid)
+        GROUP BY c.probe, c.nid, c.rel4),
+      sel5 AS (SELECT probe, nid, m AS score4 FROM (
+        SELECT *, row_number() OVER (PARTITION BY probe ORDER BY m DESC, nid ASC) AS r
+        FROM p5) WHERE r = 1),
+      allsel AS (
+        SELECT probe, 1 AS mmr_rank, nid, score4 FROM sel1
+        UNION ALL SELECT probe, 2, nid, score4 FROM sel2
+        UNION ALL SELECT probe, 3, nid, score4 FROM sel3
+        UNION ALL SELECT probe, 4, nid, score4 FROM sel4
+        UNION ALL SELECT probe, 5, nid, score4 FROM sel5)
+      SELECT probe, CAST(mmr_rank AS INTEGER) AS mmr_rank, nid AS neighbor, score4
+      FROM allsel ORDER BY probe, mmr_rank"""))
   )
 }

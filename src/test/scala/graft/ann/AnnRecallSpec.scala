@@ -107,4 +107,27 @@ class AnnRecallSpec extends AnyFunSuite {
         s"probe $i should match its original ${id + 100L}, got ${top1(i.toLong)}")
     }
   }
+
+  test("MMR re-ranking: rank-1 is the top-1 by relevance; diversification departs from plain top-5") {
+    val sf = TestSpark.sf
+    val mmr = graft.SparkEntry.queries("ann_mmr_rerank")(spark, sf).collect()
+      .groupBy(_.getAs[Long]("probe"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("mmr_rank")).map(_.getAs[Long]("neighbor")).toSeq)
+      .toMap
+    val bf = graft.SparkEntry.queries("ann_bruteforce")(spark, sf).collect()
+      .filter(_.getAs[Int]("rk") <= 5)
+      .groupBy(_.getAs[Long]("probe"))
+      .view.mapValues(_.sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("neighbor")).toSeq)
+      .toMap
+    assert(mmr.keySet === bf.keySet)
+    mmr.foreach { case (p, picks) =>
+      assert(picks.size === 5 && picks.distinct.size === 5, s"probe $p picks: $picks")
+      // λ·rel with an empty selected set: first pick IS the most relevant
+      assert(picks.head === bf(p).head, s"probe $p rank-1 must equal top-1")
+    }
+    // the diversity term must actually change SOME ranking — otherwise
+    // the penalty is dead code
+    val departed = mmr.count { case (p, picks) => picks != bf(p) }
+    assert(departed > 0, "MMR selected plain top-5 for every probe — no diversification happened")
+  }
 }
