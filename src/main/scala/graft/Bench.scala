@@ -22,12 +22,24 @@ object Bench {
     // anything (shipping runs should set this; the default is 0 so a
     // driver-invoked bench never blocks).
     val quietWait = sys.env.get("SPARK_GRAFT_BENCH_QUIET_WAIT").map(_.toInt).getOrElse(0)
+    // 5-min loadavg alongside the 1-min one: the JVM's own sbt/startup
+    // burst inflates the 1-min figure right as we sample it, while a
+    // machine that is genuinely busy with OTHER work shows it on both
+    // horizons. Quiet = EITHER horizon under 1.5 (a 1-min spike with a
+    // calm 5-min average is our own startup; a calm 1-min with an
+    // elevated 5-min is past work that has already stopped).
+    def load5: Double = try {
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get("/proc/loadavg"))).split("\\s+")(1).toDouble
+    } catch { case _: Throwable => osBean.getSystemLoadAverage }
+    def quietLoad: Double = math.min(osBean.getSystemLoadAverage, load5)
     val waitDeadline = System.nanoTime() + quietWait * 1000000000L
-    while (osBean.getSystemLoadAverage > 1.5 && System.nanoTime() < waitDeadline) {
-      System.err.println(f"[bench] load ${osBean.getSystemLoadAverage}%.2f > 1.5, waiting for quiet machine")
+    while (quietLoad > 1.5 && System.nanoTime() < waitDeadline) {
+      System.err.println(f"[bench] load ${quietLoad}%.2f > 1.5 on both horizons, waiting for quiet machine")
       Thread.sleep(15000)
     }
     val loadStart = osBean.getSystemLoadAverage
+    val loadStart5 = load5
     // untimed warmup: JVM/codegen and file-listing costs land here,
     // not on whichever query happens to run first
     Seq("lineitem", "events", "documents", "embeddings").foreach { t =>
@@ -173,8 +185,8 @@ object Bench {
     // a machine-readable field so downstream tooling can't silently
     // consume inflated numbers (r9 shipped tx_source_mix at 1.84 s from
     // a loadavg-7.11 run; the same code measures 0.68 s quiet).
-    val degraded = loadStart > 1.5
-    val envInfo = s""","env":{"cpus":${Runtime.getRuntime.availableProcessors},"load_avg_start":${r3(loadStart)},"load_avg_end":${r3(loadEnd)},"pass_loads":${passLoads.result().mkString("[", ",", "]")},"degraded":$degraded}"""
+    val degraded = math.min(loadStart, loadStart5) > 1.5
+    val envInfo = s""","env":{"cpus":${Runtime.getRuntime.availableProcessors},"load_avg_start":${r3(loadStart)},"load_avg_start5":${r3(loadStart5)},"load_avg_end":${r3(loadEnd)},"pass_loads":${passLoads.result().mkString("[", ",", "]")},"degraded":$degraded}"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$effectiveRuns,"sweep":${runsPerQuery > 1},"queries":$qs,"sf":"$sfDir"$envInfo$joinCompare$annExtra$duckCompare}"""
     // stdout gets tail-truncated by harnesses — always keep the full
     // per-query JSON in a file too (path overridable via env), plus an

@@ -1820,6 +1820,46 @@ object EventOps {
              CAST((200 * num + total_s) // (2 * total_s) AS BIGINT) AS twavg_e4
       FROM a WHERE total_s > 0 ORDER BY event_type""")),
 
+    // B49 (r11): SCD Type-2 dimension build from the event stream —
+    // the warehouse pattern a latest-state view (A22) can't serve:
+    // per user, the VERSION HISTORY of the purchase value with
+    // validity intervals. Change detection via lag (a row opens a
+    // version only when its value differs from the previous one),
+    // then lead over the surviving change rows closes each interval;
+    // is_current marks the open version. Values compared at cents
+    // grain (exact both engines). Both windows partition by user_id —
+    // the same high-cardinality shuffle key every event window here
+    // uses; nothing global.
+    ("ev_scd2_dimension", (s: SparkSession, d: String) => {
+      val wAll = Window.partitionBy("foreignId").orderBy("ts", "id")
+      val changes = Event.project(ev(s, d))
+        .filter(col("eventType") === "purchase")
+        .select(col("foreignId").as("user_id"), col("id"), col("ts"),
+          unix_timestamp(col("ts")).as("es"),
+          floor(col("value") * 100d + 0.5d).cast("long").as("v2"))
+        .withColumn("prev_v2", lag("v2", 1).over(
+          Window.partitionBy("user_id").orderBy("ts", "id")))
+        .filter(col("prev_v2").isNull || col("v2") =!= col("prev_v2"))
+      changes
+        .withColumn("valid_to_s", lead("es", 1).over(
+          Window.partitionBy("user_id").orderBy("ts", "id")))
+        .select(col("user_id"), col("v2"), col("es").as("valid_from_s"),
+          col("valid_to_s"), col("valid_to_s").isNull.as("is_current"))
+        .orderBy("user_id", "valid_from_s", "v2")
+    }, Some("""
+      WITH p AS (
+        SELECT user_id, event_id,
+               CAST(floor(epoch(ts)) AS BIGINT) AS es, ts,
+               CAST(floor(value * 100 + 0.5) AS BIGINT) AS v2,
+               lag(CAST(floor(value * 100 + 0.5) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id) AS prev_v2
+        FROM events WHERE event_type = 'purchase'),
+      c AS (SELECT * FROM p WHERE prev_v2 IS NULL OR v2 <> prev_v2)
+      SELECT user_id, v2, es AS valid_from_s,
+             lead(es) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to_s,
+             (lead(es) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL) AS is_current
+      FROM c ORDER BY user_id, valid_from_s, v2""")),
+
     // B47 (r11): RANGE JOIN — events against the corpus's 20 busiest
     // hours widened to [hour−30 min, hour+90 min) "incident windows".
     // The join itself is graft.analytics.RangeJoin.pointInInterval:

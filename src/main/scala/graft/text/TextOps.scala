@@ -2624,6 +2624,65 @@ object TextOps {
       FROM ln l LEFT JOIN dup d USING (line)
       GROUP BY l.doc_id ORDER BY l.doc_id""")),
 
+    // C93 (r11): cross-source n-gram overlap matrix — the train/val
+    // leakage audit BETWEEN sources (the corpus-level complement of
+    // per-doc decontamination): for every source pair, the exact
+    // Jaccard of their distinct 5-token shingle sets. 100 TB shape:
+    // shingling is a per-row transform kernel; `distinct(source,
+    // shingle)` is one map-side-combined agg; the pairwise
+    // intersection NEVER self-joins the gram table — each gram's
+    // source set (bounded by |sources|, here ≤ a handful) collapses
+    // via collect_set and explodes into i<j pairs map-side, so the
+    // only big exchange is the gram distinct. Zero-overlap pairs are
+    // kept via the broadcast source-pair frame. Jaccard in exact e4
+    // ints (half-up rational).
+    ("tx_source_overlap", (s: SparkSession, d: String) => {
+      val g = docs(s, d)
+        .select(col("source"), explode(expr(
+          """transform(sequence(0, greatest(size(split(text, ' ')) - 5, -1)),
+             j -> array_join(slice(split(text, ' '), j + 1, 5), ' '))""")).as("sh"))
+        .distinct()
+      val perSrc = g.groupBy("source").agg(count(lit(1)).as("n"))
+      val inter = g.groupBy("sh").agg(collect_set(col("source")).as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(array_sort(ss), (a, i) ->
+               transform(slice(array_sort(ss), i + 2, size(ss)), b -> struct(a, b))))"""))
+          .as("p"))
+        .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
+        .agg(count(lit(1)).as("n_common"))
+      val srcs = perSrc.select(col("source").as("src_a"), col("n").as("n_a"))
+      val pairs = srcs.crossJoin(
+          perSrc.select(col("source").as("src_b"), col("n").as("n_b")))
+        .filter(col("src_a") < col("src_b"))
+      pairs.join(inter, Seq("src_a", "src_b"), "left")
+        .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+        .withColumn("uni", col("n_a") + col("n_b") - col("n_common"))
+        .select(col("src_a"), col("src_b"), col("n_common"), col("n_a"), col("n_b"),
+          call_function("div",
+            lit(20000L) * col("n_common") + col("uni"),
+            lit(2L) * col("uni")).as("jaccard_e4"))
+        .orderBy("src_a", "src_b")
+    }, Some("""
+      WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+      g AS (
+        SELECT DISTINCT source, array_to_string(ws[j:j+4], ' ') AS sh
+        FROM w, unnest(generate_series(1, len(ws) - 4)) AS t(j)
+        WHERE len(ws) >= 5),
+      ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY source),
+      inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_common
+        FROM g a JOIN g b ON a.sh = b.sh AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT pa.source AS src_a, pb.source AS src_b,
+             coalesce(i.n_common, 0) AS n_common,
+             pa.n AS n_a, pb.n AS n_b,
+             CAST((20000 * coalesce(i.n_common, 0) + (pa.n + pb.n - coalesce(i.n_common, 0)))
+               // (2 * (pa.n + pb.n - coalesce(i.n_common, 0))) AS BIGINT) AS jaccard_e4
+      FROM ps pa JOIN ps pb ON pa.source < pb.source
+      LEFT JOIN inter i ON i.src_a = pa.source AND i.src_b = pb.source
+      ORDER BY src_a, src_b""")),
+
     // C91 (r11): the NAMED Gopher quality rule set (Rae et al. 2021,
     // appendix A1.1 — the exact filter battery MassiveText shipped and
     // every later pipeline cites): word count ∈ [50, 100 000]; mean
