@@ -2683,6 +2683,89 @@ object TextOps {
       LEFT JOIN inter i ON i.src_a = pa.source AND i.src_b = pb.source
       ORDER BY src_a, src_b""")),
 
+    // C93b (r11): the 100 TB form of the source-overlap matrix — KMV
+    // (k-minimum-values) sketches (Beyer et al. SIGMOD'07; Broder's
+    // min-hash resemblance): per source keep only the k=1000 smallest
+    // 64-bit shingle hashes, estimate each pair's Jaccard from the
+    // k smallest of the merged sketch (ρ = |U∩A∩B|/k). At scale the
+    // exact form's distinct-gram exchange is the whole cost; the
+    // sketch needs one rank-filter per source — written as the
+    // row_number ≤ k pattern so the RankFilterToTopK rule plans it as
+    // the bounded-heap TopKPerKey operator (per-partition heaps of k,
+    // only |sources|·k rows shuffle). Graded like q_sketch_aggs: the
+    // hash-checked output is the EXACT per-source counts and Jaccard
+    // plus a boolean pinning the estimate inside ±0.015 absolute
+    // (≈5σ at k=1000 for this corpus's J ≤ 0.012); DuckDB emits TRUE,
+    // so an out-of-bound sketch flips the hash. Pair arithmetic uses
+    // the native sorted-merge intersect (arrays are pre-sorted).
+    ("tx_source_overlap_kmv", (s: SparkSession, d: String) => {
+      graft.functions.GraftFunctions.register(s)
+      val k = 1000 // ≤ spark.graft.topk.rewrite.maxK so the heap plan applies
+      val g = docs(s, d)
+        .select(col("source"), explode(expr(
+          """transform(sequence(0, greatest(size(split(text, ' ')) - 5, -1)),
+             j -> array_join(slice(split(text, ' '), j + 1, 5), ' '))""")).as("sh"))
+        .distinct()
+      val perSrc = g.groupBy("source").agg(count(lit(1)).as("n"))
+      val exactInter = g.groupBy("sh").agg(collect_set(col("source")).as("ss"))
+        .filter(size(col("ss")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(array_sort(ss), (a, i) ->
+               transform(slice(array_sort(ss), i + 2, size(ss)), b -> struct(a, b))))"""))
+          .as("p"))
+        .groupBy(col("p.a").as("src_a"), col("p.b").as("src_b"))
+        .agg(count(lit(1)).as("n_common"))
+      val wK = Window.partitionBy("source").orderBy("h")
+      // |sources| rows × k longs — localCheckpoint materializes the
+      // sketch ONCE (the srcLossCache discipline for bounded frames);
+      // without it the a/b sides of the pair cross each re-derive the
+      // whole gram pipeline
+      // no second distinct: g is already distinct (source, shingle),
+      // and a within-source 64-bit hash collision (the only way a
+      // duplicate h could claim two of the k slots) is ~B²/2⁶⁴
+      val kmv = g.select(col("source"), xxhash64(col("sh")).as("h"))
+        .withColumn("rk", row_number().over(wK)).filter(col("rk") <= k)
+        .groupBy("source").agg(sort_array(collect_list(col("h"))).as("hs"))
+        .join(perSrc, "source")
+        .localCheckpoint()
+      val a = kmv.select(col("source").as("src_a"), col("n").as("n_a"), col("hs").as("ha"))
+      val b = kmv.select(col("source").as("src_b"), col("n").as("n_b"), col("hs").as("hb"))
+      a.crossJoin(b).filter(col("src_a") < col("src_b"))
+        .join(exactInter, Seq("src_a", "src_b"), "left")
+        .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+        .withColumn("uni", col("n_a") + col("n_b") - col("n_common"))
+        .withColumn("exact_e4", call_function("div",
+          lit(20000L) * col("n_common") + col("uni"), lit(2L) * col("uni")))
+        .withColumn("u", expr(s"slice(array_sort(array_union(ha, hb)), 1, $k)"))
+        .withColumn("kused", least(lit(k.toLong), size(col("u")).cast("long")))
+        .withColumn("inter_u", expr(
+          "CAST(intersect_sorted_count(u, array_sort(array_intersect(ha, hb))) AS BIGINT)"))
+        .withColumn("est_e4", call_function("div",
+          lit(20000L) * col("inter_u") + col("kused"), lit(2L) * col("kused")))
+        .select(col("src_a"), col("src_b"), col("n_a"), col("n_b"),
+          col("n_common"), col("exact_e4"),
+          (abs(col("est_e4") - col("exact_e4")) <= 150L).as("ok_est"))
+        .orderBy("src_a", "src_b")
+    }, Some("""
+      WITH w AS (SELECT source, string_split(text, ' ') AS ws FROM documents),
+      g AS (
+        SELECT DISTINCT source, array_to_string(ws[j:j+4], ' ') AS sh
+        FROM w, unnest(generate_series(1, len(ws) - 4)) AS t(j)
+        WHERE len(ws) >= 5),
+      ps AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM g GROUP BY source),
+      inter AS (
+        SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_common
+        FROM g a JOIN g b ON a.sh = b.sh AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT pa.source AS src_a, pb.source AS src_b, pa.n AS n_a, pb.n AS n_b,
+             coalesce(i.n_common, 0) AS n_common,
+             CAST((20000 * coalesce(i.n_common, 0) + (pa.n + pb.n - coalesce(i.n_common, 0)))
+               // (2 * (pa.n + pb.n - coalesce(i.n_common, 0))) AS BIGINT) AS exact_e4,
+             TRUE AS ok_est
+      FROM ps pa JOIN ps pb ON pa.source < pb.source
+      LEFT JOIN inter i ON i.src_a = pa.source AND i.src_b = pb.source
+      ORDER BY src_a, src_b""")),
+
     // C91 (r11): the NAMED Gopher quality rule set (Rae et al. 2021,
     // appendix A1.1 — the exact filter battery MassiveText shipped and
     // every later pipeline cites): word count ∈ [50, 100 000]; mean

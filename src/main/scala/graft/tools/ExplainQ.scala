@@ -7,7 +7,7 @@ object ExplainQ {
       println(s"==== $n")
       val df = graft.SparkEntry.queries(n)(spark, sfDir)
       df.count() // let AQE finalize
-      println(df.queryExecution.executedPlan.toString.take(4000))
+      println(df.queryExecution.executedPlan.toString.take(40000))
     }
     spark.stop()
   }
