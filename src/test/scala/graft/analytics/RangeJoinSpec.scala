@@ -34,6 +34,27 @@ class RangeJoinSpec extends AnyFunSuite {
     assert(!want.exists(_._2 == 5L))
   }
 
+  test("seeded fuzz: grid join equals brute-force containment for random intervals and grids") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(1137)
+    for (round <- 1 to 5) {
+      val grid = Seq(1L, 3L, 7L, 16L, 100L)(round - 1)
+      val pts = (0 until 300).map(i => (i.toLong, rnd.nextLong(500L) - 50L))
+      val ivs = (0 until 40).map { i =>
+        val s = rnd.nextLong(500L) - 60L
+        (i.toLong, s, s + rnd.nextLong(80L)) // zero-width allowed
+      }
+      val got = RangeJoin.pointInInterval(
+          pts.toDF("pid", "p"), ivs.toDF("iid", "s", "e"),
+          col("p"), col("s"), col("e"), grid)
+        .select("pid", "iid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = (for {
+        (pid, p) <- pts; (iid, s, e) <- ivs if p >= s && p < e
+      } yield (pid, iid)).toSet
+      assert(got === want, s"round $round grid=$grid")
+    }
+  }
+
   test("plans as an equi-join even when the intervals side cannot broadcast") {
     import spark.implicits._
     val points = spark.range(1000).select(col("id").as("p"))
