@@ -636,6 +636,53 @@ object Queries {
     // ntile size rule in closed form — first N%4 buckets get
     // ceil(N/4) rows — so the result is bit-identical to ntile(4)
     // while every big window is partitioned.
+    // B50 (r11): percent_rank / cume_dist — the remaining rank-family
+    // windows (B8 rank, B9 running total, B21 ntile already graded) —
+    // in EXACT integer form: pr = (rk−1)/(n−1), cd = (rk−1+peers)/n,
+    // both as half-up e4 rationals (no engine's float window output is
+    // trusted). Windows partition by nationkey (the per-group ranking
+    // every real report wants anyway — nothing global); ties share a
+    // rank() and a peer count, so the outputs are total-order-stable.
+    // Zero-order customers stay in at spend 0 (left join + coalesce).
+    ("q_pctrank_custspend", (s: SparkSession, d: String) => {
+      val spend = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+        .join(Tables.orders(s, d).groupBy("o_custkey")
+            .agg(sum(cents(col("o_totalprice"))).as("sp")),
+          col("c_custkey") === col("o_custkey"), "left")
+        .select(col("c_custkey"), col("c_nationkey"),
+          coalesce(col("sp"), lit(0L)).as("spend_c"))
+      val byNation = Window.partitionBy("c_nationkey")
+      val rkW = byNation.orderBy(col("spend_c").desc)
+      val d4 = (x: Column, y: Column) => call_function("div", x, y)
+      spend
+        .withColumn("rk", rank().over(rkW).cast("long"))
+        .withColumn("n", count(lit(1)).over(byNation))
+        .withColumn("peers", count(lit(1)).over(Window.partitionBy("c_nationkey", "spend_c")))
+        .withColumn("pr_e4",
+          d4((col("rk") - 1L) * 20000L + (col("n") - 1L), (col("n") - 1L) * 2L))
+        .withColumn("cd_e4",
+          d4((col("rk") - 1L + col("peers")) * 20000L + col("n"), col("n") * 2L))
+        .filter(col("c_custkey") < 200)
+        .select("c_custkey", "c_nationkey", "spend_c", "pr_e4", "cd_e4")
+        .orderBy("c_custkey")
+    }, Some("""
+      WITH s AS (
+        SELECT c.c_custkey, c.c_nationkey,
+               coalesce(o.sp, 0) AS spend_c
+        FROM customer c LEFT JOIN (
+          SELECT o_custkey, CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sp
+          FROM orders GROUP BY o_custkey) o ON o.o_custkey = c.c_custkey),
+      r AS (
+        SELECT c_custkey, c_nationkey, spend_c,
+               CAST(rank() OVER (PARTITION BY c_nationkey ORDER BY spend_c DESC) AS BIGINT) AS rk,
+               CAST(count(*) OVER (PARTITION BY c_nationkey) AS BIGINT) AS n,
+               CAST(count(*) OVER (PARTITION BY c_nationkey, spend_c) AS BIGINT) AS peers
+        FROM s)
+      SELECT c_custkey, c_nationkey, spend_c,
+             CAST(((rk - 1) * 20000 + (n - 1)) // ((n - 1) * 2) AS BIGINT) AS pr_e4,
+             CAST(((rk - 1 + peers) * 20000 + n) // (n * 2) AS BIGINT) AS cd_e4
+      FROM r WHERE c_custkey < 200 ORDER BY c_custkey""")),
+
     ("q_ntile_custspend", (s: SparkSession, d: String) => {
       val spend = Tables.orders(s, d)
         .groupBy("o_custkey")
