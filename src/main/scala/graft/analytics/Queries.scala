@@ -659,7 +659,11 @@ object Queries {
         .withColumn("n", count(lit(1)).over(byNation))
         .withColumn("peers", count(lit(1)).over(Window.partitionBy("c_nationkey", "spend_c")))
         .withColumn("pr_e4",
-          d4((col("rk") - 1L) * 20000L + (col("n") - 1L), (col("n") - 1L) * 2L))
+          // n=1 partition: percent_rank() is 0 by definition; the
+          // rational form's divisor (n-1)*2 would be 0 there (Spark
+          // div → NULL, DuckDB // → error), so special-case it.
+          when(col("n") === 1L, lit(0L)).otherwise(
+            d4((col("rk") - 1L) * 20000L + (col("n") - 1L), (col("n") - 1L) * 2L)))
         .withColumn("cd_e4",
           d4((col("rk") - 1L + col("peers")) * 20000L + col("n"), col("n") * 2L))
         .filter(col("c_custkey") < 200)
@@ -679,7 +683,8 @@ object Queries {
                CAST(count(*) OVER (PARTITION BY c_nationkey, spend_c) AS BIGINT) AS peers
         FROM s)
       SELECT c_custkey, c_nationkey, spend_c,
-             CAST(((rk - 1) * 20000 + (n - 1)) // ((n - 1) * 2) AS BIGINT) AS pr_e4,
+             CAST(CASE WHEN n = 1 THEN 0
+                  ELSE ((rk - 1) * 20000 + (n - 1)) // ((n - 1) * 2) END AS BIGINT) AS pr_e4,
              CAST(((rk - 1 + peers) * 20000 + n) // (n * 2) AS BIGINT) AS cd_e4
       FROM r WHERE c_custkey < 200 ORDER BY c_custkey""")),
 

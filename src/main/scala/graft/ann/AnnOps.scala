@@ -1516,11 +1516,20 @@ object AnnOps {
           floor(col("cos") * 10000d + 0.5d).cast("long").as("rel4"), col("rk"))
       val ce = cand.join(e, col("nid") === col("vec_id"))
         .select(col("probe"), col("nid"), col("rel4"), col("rk"), col("v"))
-      val pairs = ce.alias("x").join(broadcast(ce.alias("y")),
+      val pairRows = ce.alias("x").join(broadcast(ce.alias("y")),
           col("x.probe") === col("y.probe") && col("x.nid") =!= col("y.nid"))
         .selectExpr("x.probe AS probe", "x.nid AS a", "x.rel4 AS rel4",
           "x.rk AS rk", "y.nid AS b",
           "CAST(floor(cosine_sim(x.v, y.v) * 10000 + 0.5) AS BIGINT) AS s4")
+      // A probe whose recall set has exactly ONE member produces zero
+      // pairwise rows, so building the kernel input from pairs alone
+      // would drop the probe entirely (the oracle still emits its
+      // rank-1 selection). Union a sentinel self-row (b = -1) per
+      // candidate so every probe reaches the kernel; the kernel
+      // ignores sentinels when recording pairwise sims.
+      val pairs = pairRows.unionByName(
+          ce.selectExpr("probe", "nid AS a", "rel4", "rk",
+            "CAST(-1 AS BIGINT) AS b", "CAST(0 AS BIGINT) AS s4"))
         .as[(Long, Long, Long, Int, Long, Long)]
       pairs.groupByKey(_._1).flatMapGroups { (probe, it) =>
         val rows = it.toVector
@@ -1528,7 +1537,8 @@ object AnnOps {
         val rkOf = collection.mutable.Map.empty[Long, Int]
         val sim = collection.mutable.Map.empty[(Long, Long), Long]
         rows.foreach { case (_, a, r4, k, b, s4) =>
-          rel(a) = r4; rkOf(a) = k; sim((a, b)) = s4
+          rel(a) = r4; rkOf(a) = k
+          if (b >= 0L) sim((a, b)) = s4
         }
         val first = rel.keys.minBy(rkOf)
         var sel = Vector((first, rel(first)))

@@ -2639,8 +2639,10 @@ object TextOps {
     ("tx_source_overlap", (s: SparkSession, d: String) => {
       val g = docs(s, d)
         .select(col("source"), explode(expr(
-          """transform(sequence(0, greatest(size(split(text, ' ')) - 5, -1)),
-             j -> array_join(slice(split(text, ' '), j + 1, 5), ' '))""")).as("sh"))
+          """CASE WHEN size(split(text, ' ')) >= 5
+             THEN transform(sequence(0, size(split(text, ' ')) - 5),
+               j -> array_join(slice(split(text, ' '), j + 1, 5), ' '))
+             ELSE array() END""")).as("sh"))
         .distinct()
       val perSrc = g.groupBy("source").agg(count(lit(1)).as("n"))
       val inter = g.groupBy("sh").agg(collect_set(col("source")).as("ss"))
@@ -2703,8 +2705,10 @@ object TextOps {
       val k = 1000 // ≤ spark.graft.topk.rewrite.maxK so the heap plan applies
       val g = docs(s, d)
         .select(col("source"), explode(expr(
-          """transform(sequence(0, greatest(size(split(text, ' ')) - 5, -1)),
-             j -> array_join(slice(split(text, ' '), j + 1, 5), ' '))""")).as("sh"))
+          """CASE WHEN size(split(text, ' ')) >= 5
+             THEN transform(sequence(0, size(split(text, ' ')) - 5),
+               j -> array_join(slice(split(text, ' '), j + 1, 5), ' '))
+             ELSE array() END""")).as("sh"))
         .distinct()
       val perSrc = g.groupBy("source").agg(count(lit(1)).as("n"))
       val exactInter = g.groupBy("sh").agg(collect_set(col("source")).as("ss"))

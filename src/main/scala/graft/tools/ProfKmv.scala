@@ -18,8 +18,10 @@ object ProfKmv {
     }
     val g = graft.Tables.documents(spark, sfDir)
       .select(col("source"), explode(expr(
-        """transform(sequence(0, greatest(size(split(text, ' ')) - 5, -1)),
-           j -> array_join(slice(split(text, ' '), j + 1, 5), ' '))""")).as("sh"))
+        """CASE WHEN size(split(text, ' ')) >= 5
+           THEN transform(sequence(0, size(split(text, ' ')) - 5),
+             j -> array_join(slice(split(text, ' '), j + 1, 5), ' '))
+           ELSE array() END""")).as("sh"))
       .distinct()
     time("gram distinct")(g.count())
     import org.apache.spark.sql.expressions.Window
