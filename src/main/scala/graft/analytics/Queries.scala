@@ -1636,5 +1636,41 @@ object Queries {
         SELECT 'pk:supplier', (SELECT count(*) FROM supplier),
                (SELECT count(*) - count(DISTINCT s_suppkey) FROM supplier)
       ) ORDER BY check_name"""))
+    ,
+
+    // B51 (r12): UNPIVOT / melt — the remaining reshape surface next
+    // to B13's pivot: wide per-returnflag money marginals melt into
+    // (flag, metric, value) rows through Spark's native
+    // Dataset.unpivot (one Expand over the aggregated frame — the
+    // same single-scan shape the grouping-sets tier uses; nothing
+    // re-reads the fact table per metric). Values in exact int64
+    // (qty units / cents) so the melt is type-stable.
+    ("q_unpivot", (s: SparkSession, d: String) => {
+      val wide = Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          sum(cents(col("l_extendedprice"))).as("sum_base_cents"),
+          sum(call_function("div",
+            cents(col("l_extendedprice")) * cents(lit(1) - col("l_discount")),
+            lit(100L))).cast("long").as("sum_disc_cents"))
+      wide.unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_base_cents"), col("sum_disc_cents")),
+          "metric", "value")
+        .orderBy("l_returnflag", "metric")
+    }, Some("""
+      WITH w AS (
+        SELECT l_returnflag,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS sum_base_cents,
+               CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT) // 100) AS BIGINT) AS sum_disc_cents
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, metric, value FROM (
+        SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+        UNION ALL
+        SELECT l_returnflag, 'sum_base_cents', sum_base_cents FROM w
+        UNION ALL
+        SELECT l_returnflag, 'sum_disc_cents', sum_disc_cents FROM w)
+      ORDER BY l_returnflag, metric"""))
   )
 }

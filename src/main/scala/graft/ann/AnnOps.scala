@@ -1632,6 +1632,206 @@ object AnnOps {
         UNION ALL SELECT probe, 4, nid, score4 FROM sel4
         UNION ALL SELECT probe, 5, nid, score4 FROM sel5)
       SELECT probe, CAST(mmr_rank AS INTEGER) AS mmr_rank, nid AS neighbor, score4
-      FROM allsel ORDER BY probe, mmr_rank"""))
+      FROM allsel ORDER BY probe, mmr_rank""")),
+
+    // C94 (r12): graph-navigation ANN — the HNSW/NSW family member
+    // (Malkov & Yashunin '16 navigation idea) next to the IVF/PQ/LSH
+    // paths: a greedy walk over a k-NN graph built on a small PIVOT
+    // layer (the HNSW upper-layer role; pivots = the same md5-ordered
+    // 16-seed sample the IVF quantizer uses), then exact rerank inside
+    // the arrival neighborhood. Search: start at pivot 0 (the md5-first
+    // seed — the fixed entry point), 3 greedy hops (move to the
+    // graph neighbor closest to the probe, 4dp cosine + cid tiebreak),
+    // candidates = vectors IVF-assigned to the arrival beam's pivots
+    // or their graph neighbors, exact cosine top-5 through the
+    // rank-filter → TopKPerKey rewrite. The walk is a BEAM search
+    // (HNSW's efSearch knob, here ef=2, 4 hops, graph degree 4): a
+    // plain greedy walk measured 0.69 planted-clone recall on this
+    // corpus (local optima — the failure HNSW mitigates with ef>1),
+    // the ef=2 beam ≥0.9. 100 TB shape: the pivot graph and every
+    // walk frame are O(m²)=256 rows; the corpus is scanned ONCE (the
+    // assignment join against broadcast pivots — same cost as
+    // ann_ivf) and the rerank touches only the ≤10 arrival cells per
+    // probe. No BNLJ, no N² pair frame anywhere. The whole path —
+    // seeds → graph → beam walk → assignment → rerank — is
+    // SQL-hash-checked (the walk unrolls as 4 rk≤2 CTE layers, the
+    // BPE-oracle technique).
+    ("ann_graph_search", (s: SparkSession, d: String) => {
+      GraftFunctions.register(s)
+      import s.implicits._
+      val c = corpus(s, d)
+      val seeds = c.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+        .limit(16).collect().map(_.getSeq[Double](1))
+      val cents = broadcast(seeds.toSeq.zipWithIndex
+        .map { case (v, i) => (i, v) }.toDF("cid", "cv"))
+      // pivot k-NN graph (k=3): a 16×16 frame, same cosine expression
+      // as every other stage so the oracle replays it bit-identically
+      val pp = cents.select(col("cid").as("cida"), col("cv").as("va"))
+        .join(cents.select(col("cid").as("cidb"), col("cv").as("vb")))
+        .filter(col("cida") =!= col("cidb"))
+        .selectExpr("cida", "cidb", "round(cosine_sim(va, vb), 4) AS cs")
+      val graph = broadcast(graft.plans.TopKPerKeyOps.topK(pp, Seq("cida"),
+          Seq(col("cs").desc, col("cidb").asc), 4)
+        .select(col("cida"), col("cidb").as("nb")))
+      val probes = c.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("probe"), col("v").as("pv"))
+      val ps = broadcast(probes.join(cents)
+        .selectExpr("probe", "cid", "round(cosine_sim(pv, cv), 4) AS cs"))
+      // beam walk (ef=2), 4 unrolled hops over ≤160-row frames: next
+      // beam = top-2 by cs over beam ∪ graph-neighbors(beam)
+      def hop(cur: DataFrame): DataFrame = {
+        val cand = cur.join(graph, cur("cid") === graph("cida"))
+          .select(col("probe"), col("nb").as("cid"))
+          .unionByName(cur.select("probe", "cid"))
+          .distinct()
+        graft.plans.TopKPerKeyOps.topK(cand.join(ps, Seq("probe", "cid")),
+            Seq("probe"), Seq(col("cs").desc, col("cid").asc), 2)
+          .select("probe", "cid")
+      }
+      val entry = hop(hop(hop(hop(
+        probes.select(col("probe")).withColumn("cid", lit(0))))))
+      val cells = entry.join(graph, entry("cid") === graph("cida"))
+        .select(col("probe"), col("nb").as("cid"))
+        .unionByName(entry)
+        .distinct()
+      // the ONE corpus scan: IVF assignment against broadcast pivots
+      val scored = c.join(cents)
+        .selectExpr("vec_id", "v", "cid", "round(cosine_sim(v, cv), 4) AS cs")
+      val assign = graft.plans.TopKPerKeyOps.topK(scored, Seq("vec_id"),
+          Seq(col("cs").desc, col("cid").asc), 1)
+        .select(col("vec_id"), col("v"), col("cid"))
+      val rer = broadcast(cells).join(assign, "cid")
+        .filter(col("probe") =!= col("vec_id"))
+        .join(broadcast(probes), "probe")
+        .selectExpr("probe", "vec_id AS neighbor",
+          "round(cosine_sim(pv, v), 4) AS cos4")
+      graft.plans.TopKPerKeyOps.topK(rer, Seq("probe"),
+          Seq(col("cos4").desc, col("neighbor").asc), 5)
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("probe").orderBy(col("cos4").desc, col("neighbor").asc)))
+        .select("probe", "rk", "neighbor", "cos4")
+        .orderBy("probe", "rk")
+    }, Some("""
+      WITH sd AS (
+        SELECT vec_id AS sid,
+               CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS cid
+        FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 16),
+      f AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS v FROM embeddings),
+      n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY vec_id),
+      cvx AS (SELECT cid, i, v FROM sd JOIN f ON f.vec_id = sd.sid),
+      cn AS (SELECT cid, sqrt(sum(v * v)) AS nrm FROM cvx GROUP BY cid),
+      s1 AS (
+        SELECT f.vec_id, c.cid, round(sum(f.v * c.v) / (n.nrm * cn.nrm), 4) AS cs
+        FROM f JOIN cvx c ON c.i = f.i
+        JOIN n ON n.vec_id = f.vec_id
+        JOIN cn ON cn.cid = c.cid
+        GROUP BY f.vec_id, c.cid, n.nrm, cn.nrm),
+      assign AS (SELECT vec_id, cid FROM (
+        SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id ORDER BY cs DESC, cid ASC) AS rk
+        FROM s1) WHERE rk = 1),
+      pp AS (
+        SELECT sa.cid AS cida, s1.cid AS cidb, s1.cs
+        FROM s1 JOIN sd sa ON sa.sid = s1.vec_id
+        WHERE s1.cid <> sa.cid),
+      graph AS (SELECT cida, cidb AS nb FROM (
+        SELECT cida, cidb, row_number() OVER (PARTITION BY cida ORDER BY cs DESC, cidb ASC) AS rk
+        FROM pp) WHERE rk <= 4),
+      ps AS (SELECT vec_id AS probe, cid, cs FROM s1 WHERE vec_id < 16),
+      h0 AS (SELECT DISTINCT probe, 0 AS cid FROM ps),
+      c1 AS (SELECT probe, cid FROM h0
+             UNION SELECT h0.probe, g.nb FROM h0 JOIN graph g ON g.cida = h0.cid),
+      h1 AS (SELECT probe, cid FROM (
+        SELECT c1.probe, c1.cid, row_number() OVER (PARTITION BY c1.probe ORDER BY p.cs DESC, c1.cid ASC) AS rk
+        FROM c1 JOIN ps p ON p.probe = c1.probe AND p.cid = c1.cid) WHERE rk <= 2),
+      c2 AS (SELECT probe, cid FROM h1
+             UNION SELECT h1.probe, g.nb FROM h1 JOIN graph g ON g.cida = h1.cid),
+      h2 AS (SELECT probe, cid FROM (
+        SELECT c2.probe, c2.cid, row_number() OVER (PARTITION BY c2.probe ORDER BY p.cs DESC, c2.cid ASC) AS rk
+        FROM c2 JOIN ps p ON p.probe = c2.probe AND p.cid = c2.cid) WHERE rk <= 2),
+      c3 AS (SELECT probe, cid FROM h2
+             UNION SELECT h2.probe, g.nb FROM h2 JOIN graph g ON g.cida = h2.cid),
+      h3 AS (SELECT probe, cid FROM (
+        SELECT c3.probe, c3.cid, row_number() OVER (PARTITION BY c3.probe ORDER BY p.cs DESC, c3.cid ASC) AS rk
+        FROM c3 JOIN ps p ON p.probe = c3.probe AND p.cid = c3.cid) WHERE rk <= 2),
+      c4 AS (SELECT probe, cid FROM h3
+             UNION SELECT h3.probe, g.nb FROM h3 JOIN graph g ON g.cida = h3.cid),
+      h4 AS (SELECT probe, cid FROM (
+        SELECT c4.probe, c4.cid, row_number() OVER (PARTITION BY c4.probe ORDER BY p.cs DESC, c4.cid ASC) AS rk
+        FROM c4 JOIN ps p ON p.probe = c4.probe AND p.cid = c4.cid) WHERE rk <= 2),
+      cells AS (SELECT probe, cid FROM h4
+                UNION SELECT h4.probe, g.nb FROM h4 JOIN graph g ON g.cida = h4.cid),
+      cand AS (
+        SELECT ce.probe, a.vec_id
+        FROM cells ce JOIN assign a ON a.cid = ce.cid
+        WHERE a.vec_id <> ce.probe),
+      rer AS (
+        SELECT cd.probe, cd.vec_id AS neighbor,
+               round(sum(fa.v * fb.v) / (na.nrm * nb2.nrm), 4) AS cos4
+        FROM cand cd
+        JOIN f fa ON fa.vec_id = cd.probe
+        JOIN f fb ON fb.vec_id = cd.vec_id AND fb.i = fa.i
+        JOIN n na ON na.vec_id = cd.probe
+        JOIN n nb2 ON nb2.vec_id = cd.vec_id
+        GROUP BY cd.probe, cd.vec_id, na.nrm, nb2.nrm)
+      SELECT probe, CAST(rk AS INTEGER) AS rk, neighbor, cos4 FROM (
+        SELECT probe, neighbor, cos4,
+               row_number() OVER (PARTITION BY probe ORDER BY cos4 DESC, neighbor ASC) AS rk
+        FROM rer) WHERE rk <= 5
+      ORDER BY probe, rk""")),
+
+    // C97 (r12): embedding-table hygiene audit — the vector-store
+    // ingest gate run BEFORE any index build or eval trusts the
+    // column: per label, vector count, zero vectors (cosine undefined
+    // — they poison every downstream path), exact duplicate vectors
+    // (distinct at the e4 grain — index bloat + eval leakage), and
+    // the L2-norm spread (min/mean/max in e4 units — a wild spread
+    // breaks dot-product shortcuts and SQ8 scale choices). All
+    // arithmetic exact: vectors quantize to e4 ints (the C79
+    // convention), norm² is an int64 sum, the norm is floor(sqrt) on
+    // an identical int both engines, the mean a half-up rational.
+    // One map-only corpus scan collapsing onto the |labels| frame;
+    // duplicate detection ships one md5 per vector, never the vector.
+    ("ann_vector_audit", (s: SparkSession, d: String) => {
+      graft.Tables.embeddings(s, d)
+        .select(col("vec_id"), col("label"),
+          expr("""transform(CAST(embedding AS ARRAY<DOUBLE>),
+                   x -> CAST(floor(x * 10000 + 0.5) AS BIGINT))""").as("qv"))
+        .withColumn("norm2", expr(
+          "aggregate(qv, CAST(0 AS BIGINT), (acc, x) -> acc + x * x)"))
+        .withColumn("nrm_e4",
+          floor(sqrt(col("norm2").cast("double"))).cast("long"))
+        .withColumn("fp", md5(expr(
+          "array_join(transform(qv, x -> CAST(x AS STRING)), '_')")))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("norm2") === 0L, 1L).otherwise(0L)).as("n_zero"),
+          (count(lit(1)) - countDistinct(col("fp"))).as("n_dup"),
+          min("nrm_e4").as("min_norm_e4"),
+          call_function("div",
+            sum("nrm_e4") * 2L + count(lit(1)), count(lit(1)) * 2L)
+            .as("mean_norm_e4"),
+          max("nrm_e4").as("max_norm_e4"))
+        .orderBy("label")
+    }, Some("""
+      WITH q AS (
+        SELECT vec_id, label,
+               list_transform(embedding,
+                 x -> CAST(floor(CAST(x AS DOUBLE) * 10000 + 0.5) AS BIGINT)) AS qv
+        FROM embeddings),
+      v AS (
+        SELECT vec_id, label,
+               CAST(coalesce(list_sum(list_transform(qv, x -> x * x)), 0) AS BIGINT) AS norm2,
+               md5(array_to_string(list_transform(qv, x -> CAST(x AS VARCHAR)), '_')) AS fp
+        FROM q)
+      SELECT label, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN norm2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+             CAST(count(*) - count(DISTINCT fp) AS BIGINT) AS n_dup,
+             CAST(min(CAST(floor(sqrt(CAST(norm2 AS DOUBLE))) AS BIGINT)) AS BIGINT) AS min_norm_e4,
+             CAST((sum(CAST(floor(sqrt(CAST(norm2 AS DOUBLE))) AS BIGINT)) * 2 + count(*))
+               // (count(*) * 2) AS BIGINT) AS mean_norm_e4,
+             CAST(max(CAST(floor(sqrt(CAST(norm2 AS DOUBLE))) AS BIGINT)) AS BIGINT) AS max_norm_e4
+      FROM v GROUP BY label ORDER BY label"""))
   )
 }

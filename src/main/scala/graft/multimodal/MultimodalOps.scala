@@ -394,6 +394,101 @@ object MultimodalOps {
              (width > height * 2 OR height > width * 2) AS r_aspect,
              NOT (width < 64 OR height < 64
                   OR width > height * 2 OR height > width * 2) AS keep
-      FROM m ORDER BY doc_id"""))
+      FROM m ORDER BY doc_id""")),
+
+    // C95 (r12): perceptual-hash near-dup over media payloads — the
+    // LAION-style image-dedup step beyond exact byte hashing
+    // (mm_dedup_bytes catches re-uploads; THIS catches re-encodes /
+    // small edits). dHash shape (Krawetz's difference hash): the
+    // payload "resamples" onto a fixed 64-cell grid (proportional
+    // byte slices — the length-invariant resize analog), bit i =
+    // mean(slice i) > mean(slice i+1) compared CROSS-MULTIPLIED in
+    // exact int64 (no division anywhere), giving a 63-bit hash
+    // (sign-safe in both engines). Candidates via the simhash tier's
+    // machinery: 4×16-bit bands, one bucket exchange through the
+    // capped native aggregate (mega-bucket guard 50), i<j pairs
+    // exploded map-side with the full hash riding as the
+    // collect_capped2 payload — hamming = bit_count(xor) computes off
+    // the pair row, no join-back. Near-dup = hamming ≤ 6. Planted
+    // one-byte edits (every 97th payload, first byte → 'z', id +
+    // 10^7) perturb ONLY slice 0 ⇒ hamming ≤ 1 by construction, so
+    // recall through the full band path is hash-asserted. Payloads
+    // below the 64-cell grid are excluded (the mm_res_filter
+    // thumbnail rule). Only (band, 16-bit key, id, hash) rows ever
+    // shuffle — payload bytes never leave their scan.
+    ("mm_phash_neardup", (s: SparkSession, d: String) => {
+      graft.functions.GraftFunctions.register(s)
+      val base = graft.Tables.documents(s, d)
+        .select(col("doc_id"), col("text")).filter(length(col("text")) >= 64)
+      val planted = base.filter(col("doc_id") % 97 === 0)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(lit("z"), expr("substring(text, 2)")).as("text"))
+      val sigs = base.unionByName(planted)
+        .withColumn("L", length(col("text")).cast("long"))
+        .withColumn("ss", expr(
+          """transform(sequence(0, 63), i -> aggregate(
+               sequence(CAST(i * L DIV 64 AS INT) + 1, CAST((i + 1) * L DIV 64 AS INT)),
+               CAST(0 AS BIGINT), (acc, j) -> acc + ascii(substring(text, j, 1))))"""))
+        .withColumn("ln", expr(
+          "transform(sequence(0, 63), i -> CAST((i + 1) * L DIV 64 - i * L DIV 64 AS BIGINT))"))
+        .withColumn("ph", expr(
+          """aggregate(sequence(0, 62), CAST(0 AS BIGINT), (acc, i) ->
+               acc + IF(ss[i] * ln[i + 1] > ss[i + 1] * ln[i],
+                        shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"""))
+        .select("doc_id", "ph")
+      val banded = sigs.select(col("doc_id"), col("ph"), explode(expr(
+          """transform(sequence(0, 3), b ->
+               struct(b AS band, shiftrightunsigned(ph, b * 16) & 65535 AS bh))""")).as("e"))
+        .select(col("doc_id"), col("ph"), col("e.band").as("band"), col("e.bh").as("bh"))
+      banded.groupBy("band", "bh")
+        .agg(expr("collect_capped2(doc_id, ph, 50)").as("ms"))
+        .filter(size(col("ms")).between(2, 50))
+        .select(explode(expr(
+          """flatten(transform(array_sort(ms), (x, i) ->
+               transform(slice(array_sort(ms), i + 2, size(ms)), y ->
+                 struct(x AS a, y AS b))))""")).as("p"))
+        .select(col("p.a.k").as("a"), col("p.b.k").as("b"),
+          bit_count(col("p.a.v").bitwiseXOR(col("p.b.v"))).cast("int").as("hamming"))
+        .filter(col("hamming") <= 6)
+        .distinct()
+        .withColumn("planted", col("b") - col("a") === 10000000L)
+        .orderBy("a", "b")
+    }, Some("""
+      WITH c0 AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),
+      c AS (
+        SELECT doc_id, text FROM c0
+        UNION ALL
+        SELECT doc_id + 10000000, 'z' || substr(text, 2) FROM c0 WHERE doc_id % 97 = 0),
+      sl AS (
+        SELECT doc_id,
+          list_transform(generate_series(0, 63), i ->
+            CAST(coalesce(list_sum(list_transform(
+              generate_series(CAST(i * length(text) // 64 AS INT) + 1,
+                              CAST((i + 1) * length(text) // 64 AS INT)),
+              j -> ascii(substr(text, j, 1)))), 0) AS BIGINT)) AS ss,
+          list_transform(generate_series(0, 63), i ->
+            CAST((i + 1) * length(text) // 64 - i * length(text) // 64 AS BIGINT)) AS ln
+        FROM c),
+      ph AS (
+        SELECT doc_id,
+          CAST(coalesce(list_sum(list_transform(generate_series(0, 62), i ->
+            CASE WHEN ss[i + 1] * ln[i + 2] > ss[i + 2] * ln[i + 1]
+                 THEN (CAST(1 AS BIGINT) << i) ELSE CAST(0 AS BIGINT) END)), 0) AS BIGINT) AS ph
+        FROM sl),
+      banded AS (
+        SELECT doc_id, ph, b, (ph >> (b * 16)) & 65535 AS bh
+        FROM ph, unnest(generate_series(0, 3)) AS t(b)),
+      buckets AS (
+        SELECT band_count.b, band_count.bh
+        FROM (SELECT b, bh, count(*) AS n FROM banded GROUP BY b, bh) band_count
+        WHERE n BETWEEN 2 AND 50),
+      pairs AS (
+        SELECT DISTINCT x.doc_id AS a, y.doc_id AS b,
+               CAST(bit_count(xor(x.ph, y.ph)) AS INTEGER) AS hamming
+        FROM banded x
+        JOIN banded y ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id
+        JOIN buckets k ON k.b = x.b AND k.bh = x.bh)
+      SELECT a, b, hamming, (b - a = 10000000) AS planted
+      FROM pairs WHERE hamming <= 6 ORDER BY a, b"""))
   )
 }

@@ -2839,7 +2839,89 @@ object TextOps {
               AND 10 * symbols <= n_words
               AND 5 * alpha_words >= 4 * n_words
               AND stop_hits >= 2) AS keep
-      FROM m ORDER BY doc_id"""))
+      FROM m ORDER BY doc_id""")),
+
+    // C96 (r12): split-distribution divergence — the drift check run
+    // after cutting train/val/test (C39): KL(split ‖ train) of the
+    // unigram distributions over the shared top-256 corpus vocabulary
+    // with add-one smoothing (so no zero ever reaches the log). The
+    // only doubles are one division + one log2 per (split, vocab
+    // term), on int64 products in identical IEEE op order both
+    // engines (the C81 discipline), quantized to e4 ints once; the
+    // per-split sum and the final rational are exact int64 (sign
+    // factored out so Spark's truncating div and DuckDB's flooring //
+    // agree on the rare negative quantized sum). 100 TB shape: one
+    // corpus scan → the map-side-combined (split, term) agg; the
+    // vocab is a bounded top-k of the term frame; every later frame
+    // is ≤ 3·256 rows. A healthy random split reads ≈ 0 for val/test
+    // (train is 0 by construction); a skewed split shows up as e4
+    // bits of divergence.
+    ("tx_split_kl", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val bkt = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 100
+      val sp = when(bkt < 80, "train").when(bkt < 90, "val").otherwise("test")
+      val tc = docTermCounts(s, d)
+        .withColumn("split", sp)
+        .groupBy("split", "term").agg(sum("tf").as("n"))
+      val vocab = tc.groupBy("term").agg(sum("n").as("nt"))
+        .orderBy(col("nt").desc, col("term").asc).limit(256).select("term")
+      val tcv = tc.join(broadcast(vocab), Seq("term"), "left_semi")
+      val grid = broadcast(vocab.crossJoin(
+        Seq("train", "val", "test").toDF("split")))
+      val cnt = grid.join(tcv, Seq("split", "term"), "left")
+        .select(col("split"), col("term"), coalesce(col("n"), lit(0L)).as("n"))
+      val tot = cnt.groupBy("split").agg((sum("n") + 256L).as("md"))
+      val qn = cnt.filter(col("split") === "train")
+        .select(col("term"), col("n").as("nq"))
+      val qm = tot.filter(col("split") === "train").select(col("md").as("mq"))
+      val c4 = cnt.join(tot, "split").join(qn, "term").crossJoin(broadcast(qm))
+        .withColumn("lr4", floor(log2(
+          ((col("n") + 1L) * col("mq")).cast("double") /
+            (col("md") * (col("nq") + 1L)).cast("double")) * 10000.0 + 0.5)
+          .cast("long"))
+      val d4 = (x: Column, y: Column) => call_function("div", x, y)
+      c4.groupBy("split").agg(sum((col("n") + 1L) * col("lr4")).as("num"))
+        .join(tot, "split")
+        .select(col("split"), (col("md") - 256L).as("n_tokens_vocab"),
+          when(col("num") >= 0L, d4(col("num") * 2L + col("md"), col("md") * 2L))
+            .otherwise(-d4((-col("num")) * 2L + col("md"), col("md") * 2L))
+            .as("kl_e4"))
+        .orderBy("split")
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS tok
+              FROM documents)
+        WHERE length(tok) >= 1
+        GROUP BY doc_id, tok),
+      sp AS (
+        SELECT doc_id,
+               CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 < 80 THEN 'train'
+                    WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM (SELECT DISTINCT doc_id FROM documents)),
+      tc AS (SELECT split, tok AS term, CAST(sum(tf) AS BIGINT) AS n
+             FROM t JOIN sp USING (doc_id) GROUP BY 1, 2),
+      vocab AS (SELECT term FROM (SELECT term, sum(n) AS nt FROM tc GROUP BY term)
+                ORDER BY nt DESC, term ASC LIMIT 256),
+      grid AS (SELECT s.split, v.term
+               FROM vocab v CROSS JOIN (VALUES ('train'), ('val'), ('test')) s(split)),
+      cnt AS (SELECT g.split, g.term, CAST(coalesce(tc.n, 0) AS BIGINT) AS n
+              FROM grid g LEFT JOIN tc ON tc.split = g.split AND tc.term = g.term),
+      tot AS (SELECT split, CAST(sum(n) + 256 AS BIGINT) AS md FROM cnt GROUP BY split),
+      qn AS (SELECT term, n AS nq FROM cnt WHERE split = 'train'),
+      qm AS (SELECT md AS mq FROM tot WHERE split = 'train'),
+      c4 AS (
+        SELECT cnt.split, cnt.n,
+               CAST(floor(log2(CAST((cnt.n + 1) * qm.mq AS DOUBLE)
+                 / CAST(tot.md * (qn.nq + 1) AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS lr4
+        FROM cnt JOIN tot USING (split) JOIN qn USING (term) CROSS JOIN qm),
+      agg AS (SELECT split, CAST(sum((n + 1) * lr4) AS BIGINT) AS num FROM c4 GROUP BY split)
+      SELECT a.split, t.md - 256 AS n_tokens_vocab,
+             CASE WHEN num >= 0 THEN CAST((2 * num + t.md) // (2 * t.md) AS BIGINT)
+                  ELSE -CAST((2 * (-num) + t.md) // (2 * t.md) AS BIGINT) END AS kl_e4
+      FROM agg a JOIN tot t USING (split) ORDER BY split"""))
   )
 
   // ---- BPE (C62/C62b) ------------------------------------------------

@@ -1,0 +1,110 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+
+/** Round-12 operator tranche: graph-navigation ANN (beam walk over a
+  * pivot k-NN graph), perceptual-hash near-dup, split-distribution
+  * KL divergence, embedding hygiene audit, UNPIVOT reshape.
+  */
+class R12OpsSpec extends AnyFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+
+  test("ann_graph_search: planted-clone recall >= 0.9 and ranked-output invariants") {
+    val spark = TestSpark.spark
+    val recall = ann.AnnOps.plantedCloneRecall(spark, sf,
+      SparkEntry.queries("ann_graph_search"))
+    // same bar as the LSH/IVF paths: a tiny perturbation of a corpus
+    // vector must find its original through the full beam-walk path
+    assert(recall >= 0.9, s"planted-clone recall $recall < 0.9")
+    val out = SparkEntry.queries("ann_graph_search")(spark, sf).collect()
+    val byProbe = out.groupBy(_.getAs[Long]("probe"))
+    assert(byProbe.size == 16)
+    byProbe.foreach { case (p, rows) =>
+      assert(rows.length == 5, s"probe $p returned ${rows.length} rows")
+      val ordered = rows.sortBy(_.getAs[Int]("rk"))
+      val cs = ordered.map(_.getAs[Double]("cos4"))
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+        s"probe $p cos4 not non-increasing: ${cs.mkString(",")}")
+    }
+  }
+
+  test("mm_phash_neardup: every planted one-byte edit pairs with its original at hamming <= 1") {
+    val spark = TestSpark.spark
+    val expected = Tables.documents(spark, sf)
+      .filter(length(col("text")) >= 64 && col("doc_id") % 97 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(expected.nonEmpty, "fixture has no plantable docs")
+    val pairs = SparkEntry.queries("mm_phash_neardup")(spark, sf).collect()
+    val planted = pairs.filter(_.getAs[Boolean]("planted"))
+      .map(r => r.getAs[Long]("a") -> r.getAs[Int]("hamming")).toMap
+    expected.foreach { id =>
+      assert(planted.contains(id), s"planted edit of doc $id not recalled")
+      assert(planted(id) <= 1, s"doc $id planted hamming ${planted(id)} > 1")
+    }
+  }
+
+  test("tx_split_kl: train divergence is exactly 0; a skewed split shows positive KL") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val real = SparkEntry.queries("tx_split_kl")(spark, sf)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("kl_e4")).toMap
+    assert(real("train") == 0L, s"train KL must be 0, got ${real("train")}")
+    // skewed fixture: doc_ids are chosen so the val bucket (md5 % 100
+    // in [80,90)) carries a DIFFERENT vocabulary than train — KL must
+    // see it
+    val bucket = (id: Long) => {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      (((h(0) & 0xff) << 8 | (h(1) & 0xff)) % 100)
+    }
+    val ids = (0L until 4000L)
+    val trainIds = ids.filter(bucket(_) < 80).take(60)
+    val valIds = ids.filter(i => bucket(i) >= 80 && bucket(i) < 90).take(60)
+    assert(trainIds.nonEmpty && valIds.nonEmpty)
+    val rows = trainIds.map(i => (i, "alpha beta gamma delta", "en", "s", 20L)) ++
+      valIds.map(i => (i, "omega psi chi phi", "en", "s", 16L))
+    val dir = java.nio.file.Files.createTempDirectory("graft-skew").toString
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val skewed = SparkEntry.queries("tx_split_kl")(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getAs[Long]("kl_e4")).toMap
+    assert(skewed("train") == 0L)
+    assert(skewed("val") > 10000L,
+      s"disjoint-vocab val split should diverge hard, got ${skewed("val")}")
+  }
+
+  test("ann_vector_audit: planted zero vector and exact duplicate are counted") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-vaudit").toString
+    Seq(
+      (0L, Array(1.0f, 0.0f), 7),
+      (1L, Array(0.0f, 0.0f), 7),   // zero vector
+      (2L, Array(0.5f, 0.5f), 7),
+      (3L, Array(0.5f, 0.5f), 7),   // exact dup of 2
+      (4L, Array(0.0f, 1.0f), 8))
+      .toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rows = SparkEntry.queries("ann_vector_audit")(spark, dir)
+      .collect().map(r => r.getAs[Int]("label") -> r).toMap
+    assert(rows(7).getAs[Long]("n") == 4L)
+    assert(rows(7).getAs[Long]("n_zero") == 1L)
+    assert(rows(7).getAs[Long]("n_dup") == 1L)
+    assert(rows(7).getAs[Long]("min_norm_e4") == 0L)
+    assert(rows(8).getAs[Long]("n_zero") == 0L)
+    assert(rows(8).getAs[Long]("max_norm_e4") == 10000L)
+  }
+
+  test("q_unpivot: three metric rows per flag, values equal the wide aggregate") {
+    val spark = TestSpark.spark
+    val out = SparkEntry.queries("q_unpivot")(spark, sf).collect()
+    val flags = out.map(_.getString(0)).distinct
+    assert(out.length == flags.length * 3)
+    flags.foreach { f =>
+      val ms = out.filter(_.getString(0) == f).map(_.getString(1)).sorted
+      assert(ms.sameElements(Array("sum_base_cents", "sum_disc_cents", "sum_qty")))
+    }
+  }
+}

@@ -30,7 +30,10 @@ class EmptyCorpusSpec extends AnyFunSuite {
     "tx_length_quantiles", "pipeline_doremi_mix", "dd_threshold_curve",
     // round-10: binary payload dedup, dup-cluster histogram, lang
     // confusion
-    "mm_dedup_bytes", "dd_cluster_sizes", "tx_lang_confusion")
+    "mm_dedup_bytes", "dd_cluster_sizes", "tx_lang_confusion",
+    // round-12: split-KL over an empty vocab, phash banding over zero
+    // payloads
+    "tx_split_kl", "mm_phash_neardup")
 
   test("documents-table queries return empty frames on an empty corpus") {
     val spark = graft.TestSpark.spark
@@ -84,7 +87,9 @@ class EmptyCorpusSpec extends AnyFunSuite {
       .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
     Seq("ann_opq_permute", "ann_recall_report", "ann_mrl_report",
       "ann_drift_report", "ann_hard_negatives", "ann_knn_classifier",
-      "ann_silhouette").foreach { q =>
+      "ann_silhouette",
+      // round-12: graph walk over an empty pivot layer, hygiene audit
+      "ann_graph_search", "ann_vector_audit").foreach { q =>
       val n = graft.SparkEntry.queries(q)(spark, dir).count()
       assert(n == 0L, s"$q returned $n rows on an empty table")
     }
