@@ -1162,7 +1162,90 @@ object DedupOps {
              CAST(sum(tok) AS BIGINT) AS raw_tokens,
              sum(eff_e4) / 10000.0 AS eff_tokens4,
              ((20000 * sum(eff_e4) + sum(tok) * 10000) // (2 * sum(tok) * 10000)) / 10000.0 AS retention4
-      FROM e GROUP BY source ORDER BY source"""))
+      FROM e GROUP BY source ORDER BY source""")),
+
+    // C99 (r12): the dedup LADDER as one composed plan — the
+    // production cascade every corpus actually runs, each tier
+    // catching what the cheaper one missed, with per-stage removal
+    // accounting (the numbers that justify each tier's cost):
+    //   1. exact bytes        (md5 of the raw text),
+    //   2. canonical text     (md5 of the normalized text — case/
+    //                          punctuation/whitespace re-encodes),
+    //   3. bag-of-words       (md5 of the sorted distinct token set —
+    //                          reorderings, Jaccard-1.0 rewrites).
+    // Every tier is EXACT (deterministic fingerprints, min-doc_id
+    // survivor), so the whole cascade is SQL-hash-checkable — unlike
+    // the probabilistic minhash tier (C2) it composes with in
+    // production. Stage k dedups only among stage k−1 SURVIVORS via
+    // conditional-min windows (flags, not filters: one corpus scan,
+    // three md5-keyed exchanges, no text ever shuffles — each window
+    // key is a 16-byte hash). The one-row aggregate explodes into the
+    // 3-stage report (the q_fk_audit shape).
+    ("pipeline_dedup_cascade", (s: SparkSession, d: String) => {
+      val b = docs(s, d).select(col("doc_id"),
+        size(TextOps.tokens(col("text"))).cast("long").as("tok"),
+        md5(col("text")).as("fp1"),
+        TextOps.fingerprint(col("text")).as("fp2"),
+        md5(expr(
+          "array_join(array_sort(array_distinct(split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\\\\s]', ' '), '\\\\s+', ' ')), ' '))), ' ')"))
+          .as("fp3"))
+      val k1 = col("doc_id") === min("doc_id").over(Window.partitionBy("fp1"))
+      val st1 = b.withColumn("k1", k1)
+      val st2 = st1.withColumn("k2", col("k1") &&
+        col("doc_id") === min(when(col("k1"), col("doc_id")))
+          .over(Window.partitionBy("fp2")))
+      val st3 = st2.withColumn("k3", col("k2") &&
+        col("doc_id") === min(when(col("k2"), col("doc_id")))
+          .over(Window.partitionBy("fp3")))
+      val agg = st3.agg(
+        count(lit(1)).as("n0"), sum("tok").as("t0"),
+        sum(when(col("k1"), 1L).otherwise(0L)).as("n1"),
+        sum(when(col("k1"), col("tok")).otherwise(0L)).as("t1"),
+        sum(when(col("k2"), 1L).otherwise(0L)).as("n2"),
+        sum(when(col("k2"), col("tok")).otherwise(0L)).as("t2"),
+        sum(when(col("k3"), 1L).otherwise(0L)).as("n3"),
+        sum(when(col("k3"), col("tok")).otherwise(0L)).as("t3"))
+      agg.select(explode(array(
+          struct(lit(1).as("stage"), lit("exact").as("tier"),
+            col("n0").as("docs_in"), (col("n0") - col("n1")).as("docs_removed"),
+            col("n1").as("survivors"), (col("t0") - col("t1")).as("tokens_removed")),
+          struct(lit(2).as("stage"), lit("normalized").as("tier"),
+            col("n1").as("docs_in"), (col("n1") - col("n2")).as("docs_removed"),
+            col("n2").as("survivors"), (col("t1") - col("t2")).as("tokens_removed")),
+          struct(lit(3).as("stage"), lit("token_set").as("tier"),
+            col("n2").as("docs_in"), (col("n2") - col("n3")).as("docs_removed"),
+            col("n3").as("survivors"), (col("t2") - col("t3")).as("tokens_removed"))))
+          .as("r"))
+        .select("r.stage", "r.tier", "r.docs_in", "r.docs_removed",
+          "r.survivors", "r.tokens_removed")
+        .orderBy("stage")
+    }, Some("""
+      WITH b AS (
+        SELECT doc_id,
+               CAST(len(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS tok,
+               md5(text) AS fp1,
+               md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp2,
+               md5(array_to_string(list_sort(list_distinct(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '))), ' ')) AS fp3
+        FROM documents),
+      s1 AS (SELECT *, doc_id = min(doc_id) OVER (PARTITION BY fp1) AS k1 FROM b),
+      s2 AS (SELECT *, k1 AND doc_id = min(CASE WHEN k1 THEN doc_id END) OVER (PARTITION BY fp2) AS k2 FROM s1),
+      s3 AS (SELECT *, k2 AND doc_id = min(CASE WHEN k2 THEN doc_id END) OVER (PARTITION BY fp3) AS k3 FROM s2),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS n0, CAST(sum(tok) AS BIGINT) AS t0,
+                   CAST(sum(CASE WHEN k1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+                   CAST(sum(CASE WHEN k1 THEN tok ELSE 0 END) AS BIGINT) AS t1,
+                   CAST(sum(CASE WHEN k2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+                   CAST(sum(CASE WHEN k2 THEN tok ELSE 0 END) AS BIGINT) AS t2,
+                   CAST(sum(CASE WHEN k3 THEN 1 ELSE 0 END) AS BIGINT) AS n3,
+                   CAST(sum(CASE WHEN k3 THEN tok ELSE 0 END) AS BIGINT) AS t3
+            FROM s3)
+      SELECT stage, tier, docs_in, docs_removed, survivors, tokens_removed FROM (
+        SELECT 1 AS stage, 'exact' AS tier, n0 AS docs_in, n0 - n1 AS docs_removed,
+               n1 AS survivors, t0 - t1 AS tokens_removed FROM a
+        UNION ALL
+        SELECT 2, 'normalized', n1, n1 - n2, n2, t1 - t2 FROM a
+        UNION ALL
+        SELECT 3, 'token_set', n2, n2 - n3, n3, t2 - t3 FROM a)
+      ORDER BY stage"""))
     // C5 (dd_embed_neardup) lives in AnnOps — it shares the
     // broadcast-probe cosine kernel with ann_bruteforce.
   )

@@ -129,6 +129,9 @@ object StreamOps {
   final case class TrendState(lastDay: Long, score: Long)
   final case class TrendScore(etype: String, lastDay: Long, score: Long)
 
+  final case class MgState(keys: Array[String], counts: Array[Long])
+  final case class MgEntry(shard: Int, term: String, est: Long)
+
   /** Streaming time-decayed trending — ev_trending (A70) as keyed
     * state: per event type, ONE (frontier day, score) pair; events at
     * the frontier add 2^30, advancing the frontier by k days shifts
@@ -160,6 +163,49 @@ object StreamOps {
           }
           state.update(st)
           TrendScore(etype, st.lastDay, st.score)
+      }
+  }
+
+  /** STREAMING heavy hitters (C28's Misra-Gries sketch as keyed
+    * state, SURVEY §2.C28b): terms hash-shard into `shards` groups
+    * and each group's state is ONE bounded MG sketch (≤ k counters —
+    * scalars, unbounded-stream-safe). A term always lands in the same
+    * shard, so each shard runs textbook MG over its substream: after
+    * any prefix, every term with shard-count > n_shard/(k+1) is
+    * guaranteed present, and a surviving counter underestimates its
+    * true count by at most n_shard/(k+1) — the same candidate-
+    * superset contract the batch freq_sketch aggregate gives, held
+    * ACROSS micro-batches. Update-mode output re-emits a shard's
+    * current candidates each batch; downstream exact-recounts the
+    * union (the C28 pass-2 discipline).
+    */
+  def streamingHeavyHitters(terms: Dataset[String], k: Int = 40,
+      shards: Int = 8): Dataset[MgEntry] = {
+    import terms.sparkSession.implicits._
+    terms.map(t => (math.floorMod(t.hashCode, shards), t))
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[MgState, MgEntry](
+        OutputMode.Update, GroupStateTimeout.NoTimeout()) {
+        (shard: Int, it: Iterator[(Int, String)], state: GroupState[MgState]) =>
+          val m = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+          state.getOption.foreach(s =>
+            s.keys.zip(s.counts).foreach { case (key, c) => m(key) = c })
+          it.foreach { case (_, t) =>
+            if (m.contains(t)) m(t) += 1L
+            else if (m.size < k) m(t) = 1L
+            else {
+              // the MG decrement step: every counter drops by one,
+              // zeroed counters evict (the arriving term is absorbed
+              // by the same decrement)
+              val keys = m.keys.toArray
+              keys.foreach { key =>
+                val c = m(key) - 1L
+                if (c <= 0L) m.remove(key) else m(key) = c
+              }
+            }
+          }
+          state.update(MgState(m.keys.toArray, m.values.toArray))
+          m.iterator.map { case (t, c) => MgEntry(shard, t, c) }
       }
   }
 

@@ -2921,7 +2921,84 @@ object TextOps {
       SELECT a.split, t.md - 256 AS n_tokens_vocab,
              CASE WHEN num >= 0 THEN CAST((2 * num + t.md) // (2 * t.md) AS BIGINT)
                   ELSE -CAST((2 * (-num) + t.md) // (2 * t.md) AS BIGINT) END AS kl_e4
-      FROM agg a JOIN tot t USING (split) ORDER BY split"""))
+      FROM agg a JOIN tot t USING (split) ORDER BY split""")),
+
+    // C98 (r12): BM25 ranked retrieval (Robertson & Walker '94,
+    // k1=1.2 b=0.75, the Lucene log(1 + (N−df+½)/(df+½)) idf) — the
+    // lexical-search serving path next to the ANN family: 8 query
+    // docs (doc_id < 8) retrieve their top-10 corpus matches.
+    // Cross-engine determinism by the tx_kn_surprisal discipline:
+    // idf's argument is the exact-int rational (2N−2df+1)/(2df+1),
+    // the length norm's is dl·N/Σdl — each ONE double division on
+    // identical int64 operands, the per-(term, doc) contribution
+    // quantizes to e4 int64 immediately, and scores are int SUMS (no
+    // float accumulation order anywhere). 100 TB shape: the corpus
+    // term frame (the typed kernel's pre-aggregated (doc, term, tf)
+    // rows) is scanned once; query terms and their df rows are
+    // probe-bounded broadcasts; the (probe, doc) agg carries only
+    // docs sharing a query term; top-10 through the rank-filter →
+    // TopKPerKey rewrite. The corpus-wide df/Σdl stats are one
+    // map-side-combined agg each.
+    ("tx_bm25_search", (s: SparkSession, d: String) => {
+      val tf = docTermCounts(s, d).select("doc_id", "term", "tf")
+      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+      val stats = dl.agg(count(lit(1)).as("nn"), sum("dl").as("sumdl"))
+      val qterms = broadcast(tf.filter(col("doc_id") < 8)
+        .select(col("doc_id").as("probe"), col("term")))
+      val df = tf.join(qterms.select("term").distinct(), Seq("term"), "left_semi")
+        .groupBy("term").agg(count(lit(1)).as("df"))
+      val c4 = tf.join(qterms, "term")
+        .filter(col("probe") =!= col("doc_id"))
+        .join(broadcast(df), "term")
+        .join(dl, "doc_id")
+        .crossJoin(broadcast(stats))
+        .withColumn("idf", log2(lit(1.0) +
+          (lit(2L) * col("nn") - lit(2L) * col("df") + lit(1L)).cast("double") /
+            (lit(2L) * col("df") + lit(1L)).cast("double")))
+        .withColumn("tfc",
+          (col("tf").cast("double") * lit(2.2)) /
+            (col("tf").cast("double") + lit(1.2) *
+              (lit(0.25) + lit(0.75) *
+                ((col("dl") * col("nn")).cast("double") / col("sumdl").cast("double")))))
+        .withColumn("c4",
+          floor(col("idf") * col("tfc") * lit(10000.0) + lit(0.5)).cast("long"))
+      val scores = c4.groupBy("probe", "doc_id")
+        .agg(sum("c4").as("score4"))
+      val w = Window.partitionBy("probe").orderBy(col("score4").desc, col("doc_id").asc)
+      scores.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
+        .select(col("probe"), col("rk"), col("doc_id").as("match_id"), col("score4"))
+        .orderBy("probe", "rk")
+    }, Some("""
+      WITH w0 AS (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS term
+        FROM documents),
+      t AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM w0 WHERE length(term) >= 1 GROUP BY 1, 2),
+      dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM t GROUP BY 1),
+      st AS (SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(dl) AS BIGINT) AS sumdl FROM dl),
+      q AS (SELECT doc_id AS probe, term FROM t WHERE doc_id < 8),
+      df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM t
+             WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1),
+      c4 AS (
+        SELECT q.probe, t.doc_id,
+               CAST(floor(
+                 log2(1.0 + CAST(2 * st.nn - 2 * df.df + 1 AS DOUBLE) / CAST(2 * df.df + 1 AS DOUBLE))
+                 * ((CAST(t.tf AS DOUBLE) * 2.2) /
+                    (CAST(t.tf AS DOUBLE) + 1.2 *
+                     (0.25 + 0.75 * (CAST(dl.dl * st.nn AS DOUBLE) / CAST(st.sumdl AS DOUBLE)))))
+                 * 10000.0 + 0.5) AS BIGINT) AS c4
+        FROM t JOIN q ON q.term = t.term AND q.probe <> t.doc_id
+        JOIN df ON df.term = t.term
+        JOIN dl ON dl.doc_id = t.doc_id
+        CROSS JOIN st),
+      sc AS (SELECT probe, doc_id, CAST(sum(c4) AS BIGINT) AS score4
+             FROM c4 GROUP BY 1, 2)
+      SELECT probe, CAST(rk AS INTEGER) AS rk, doc_id AS match_id, score4 FROM (
+        SELECT probe, doc_id, score4,
+               row_number() OVER (PARTITION BY probe ORDER BY score4 DESC, doc_id ASC) AS rk
+        FROM sc) WHERE rk <= 10
+      ORDER BY probe, rk"""))
   )
 
   // ---- BPE (C62/C62b) ------------------------------------------------

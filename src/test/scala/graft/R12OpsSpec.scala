@@ -97,6 +97,43 @@ class R12OpsSpec extends AnyFunSuite {
     assert(rows(8).getAs[Long]("max_norm_e4") == 10000L)
   }
 
+  test("pipeline_dedup_cascade: each tier catches exactly its class of duplicate") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cascade").toString
+    Seq(
+      (1L, "alpha beta gamma", "en", "s", 16L),
+      (2L, "alpha beta gamma", "en", "s", 16L),      // exact dup → tier 1
+      (3L, "Alpha, beta GAMMA!", "en", "s", 18L),    // re-encode → tier 2
+      (4L, "gamma beta alpha alpha", "en", "s", 22L), // reorder/bag → tier 3
+      (5L, "totally different words here", "en", "s", 28L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("pipeline_dedup_cascade")(spark, dir)
+      .collect().map(r => r.getAs[Int]("stage") ->
+        (r.getAs[Long]("docs_in"), r.getAs[Long]("docs_removed"), r.getAs[Long]("survivors"))).toMap
+    assert(rows(1) == (5L, 1L, 4L), s"exact tier: ${rows(1)}")
+    assert(rows(2) == (4L, 1L, 3L), s"normalized tier: ${rows(2)}")
+    assert(rows(3) == (3L, 1L, 2L), s"token-set tier: ${rows(3)}")
+  }
+
+  test("tx_bm25_search: shared rare terms rank above partial overlap; self and no-overlap excluded") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-bm25").toString
+    Seq(
+      (1L, "zeta eta theta", "en", "s", 14L),            // the probe
+      (10L, "zeta eta theta misc", "en", "s", 19L),      // 3 shared terms
+      (11L, "common words only here", "en", "s", 22L),   // no overlap
+      (12L, "zeta misc2 misc3 misc4", "en", "s", 22L))   // 1 shared term
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("tx_bm25_search")(spark, dir)
+      .filter(col("probe") === 1L).collect()
+      .sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("match_id"))
+    assert(out.toSeq == Seq(10L, 12L), s"got ${out.toSeq}")
+  }
+
   test("q_unpivot: three metric rows per flag, values equal the wide aggregate") {
     val spark = TestSpark.spark
     val out = SparkEntry.queries("q_unpivot")(spark, sf).collect()

@@ -177,4 +177,42 @@ class StreamOpsSpec extends AnyFunSuite {
       assert(later(8L) === 3L) // next doc cannot share it
     } finally q.stop()
   }
+
+  test("streamingHeavyHitters keeps the MG guarantees across micro-batches") {
+    val mem = MemoryStream[String]
+    val k = 5
+    val out = StreamOps.streamingHeavyHitters(mem.toDS(), k = k, shards = 1)
+    val q = out.writeStream.format("memory").queryName("mghh")
+      .outputMode("update").start()
+    val batch1 = Seq.fill(100)("hot") ++ Seq.fill(30)("warm") ++
+      (1 to 60).map(i => s"cold$i")
+    val batch2 = Seq.fill(50)("hot") ++ (61 to 100).map(i => s"cold$i")
+    try {
+      mem.addData(batch1: _*)
+      q.processAllAvailable()
+      mem.addData(batch2: _*)
+      q.processAllAvailable()
+      // Update mode re-emits the shard's candidates each batch — the
+      // LAST batch's rows are the final sketch (batch 2 re-emits
+      // everything still in state)
+      val est = spark.table("mghh").collect()
+        .groupBy(_.getAs[String]("term"))
+        .map { case (t, rs) => t -> rs.map(_.getAs[Long]("est")).max }
+      val all = batch1 ++ batch2
+      val n = all.size.toLong
+      val truth = all.groupBy(identity).map { case (t, xs) => t -> xs.size.toLong }
+      val err = n / (k + 1)
+      // candidate-superset guarantee: every term above n/(k+1) survives
+      truth.filter(_._2 > err).foreach { case (t, c) =>
+        assert(est.contains(t), s"heavy term $t (count $c > $err) missing")
+      }
+      // underestimate bound: est <= true <= est + n/(k+1), state
+      // carried ACROSS batches (hot's final estimate must see both)
+      est.foreach { case (t, e) =>
+        assert(e <= truth(t) && truth(t) <= e + err,
+          s"$t est $e outside [${truth(t) - err}, ${truth(t)}]")
+      }
+      assert(est("hot") >= 150L - err)
+    } finally q.stop()
+  }
 }

@@ -33,7 +33,7 @@ class EmptyCorpusSpec extends AnyFunSuite {
     "mm_dedup_bytes", "dd_cluster_sizes", "tx_lang_confusion",
     // round-12: split-KL over an empty vocab, phash banding over zero
     // payloads
-    "tx_split_kl", "mm_phash_neardup")
+    "tx_split_kl", "mm_phash_neardup", "tx_bm25_search")
 
   test("documents-table queries return empty frames on an empty corpus") {
     val spark = graft.TestSpark.spark
@@ -47,6 +47,10 @@ class EmptyCorpusSpec extends AnyFunSuite {
       val n = graft.SparkEntry.queries(q)(spark, dir).count()
       assert(n == 0L, s"$q returned $n rows on an empty corpus")
     }
+    // global-aggregate report: the cascade emits its 3 stage rows
+    // (all-zero counts) on an empty corpus, same as its SQL oracle
+    val cascade = graft.SparkEntry.queries("pipeline_dedup_cascade")(spark, dir).collect()
+    assert(cascade.length == 3 && cascade.forall(_.getAs[Long]("docs_in") == 0L))
   }
 
   test("event queries return empty frames on an empty log") {
