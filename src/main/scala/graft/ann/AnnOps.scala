@@ -1675,30 +1675,46 @@ object AnnOps {
         .select(col("cida"), col("cidb").as("nb")))
       val probes = c.filter(col("vec_id") < 16)
         .select(col("vec_id").as("probe"), col("v").as("pv"))
-      val ps = broadcast(probes.join(cents)
-        .selectExpr("probe", "cid", "round(cosine_sim(pv, cv), 4) AS cs"))
-      // beam walk (ef=2), 4 unrolled hops over ≤160-row frames: next
-      // beam = top-2 by cs over beam ∪ graph-neighbors(beam)
-      def hop(cur: DataFrame): DataFrame = {
-        val cand = cur.join(graph, cur("cid") === graph("cida"))
-          .select(col("probe"), col("nb").as("cid"))
-          .unionByName(cur.select("probe", "cid"))
-          .distinct()
-        graft.plans.TopKPerKeyOps.topK(cand.join(ps, Seq("probe", "cid")),
-            Seq("probe"), Seq(col("cs").desc, col("cid").asc), 2)
-          .select("probe", "cid")
+      val ps = probes.join(cents)
+        .selectExpr("probe", "cid", "round(cosine_sim(pv, cv), 4) AS cs")
+      // beam walk (ef=2), 4 hops. Both inputs are bounded frames
+      // (probe-pivot scores ≤ 16·16 rows, the graph ≤ 16·4 edges), so
+      // the walk runs DRIVER-SIDE over the collected rows — the
+      // ann_kmeans/BPE/doremi discipline; the unrolled-dataframe form
+      // was measured at ~1 s of pure tiny-stage scheduling. No new
+      // arithmetic happens here: every cs was already 4dp-rounded by
+      // the same expression the oracle replays, the walk only
+      // COMPARES them ((cs desc, cid asc), first-max = lowest cid).
+      val gAdj = graph.collect()
+        .groupBy(_.getAs[Int]("cida"))
+        .view.mapValues(_.map(_.getAs[Int]("nb")).toSet).toMap
+      val psm = ps.collect()
+        .map(r => (r.getAs[Long]("probe"), r.getAs[Int]("cid")) -> r.getAs[Double]("cs"))
+        .toMap
+      val cellRows: Seq[(Long, Int)] = psm.keys.map(_._1).toSeq.distinct.sorted.flatMap { p =>
+        var beam = Seq(0)
+        (1 to 4).foreach { _ =>
+          val cand = (beam ++ beam.flatMap(cid => gAdj.getOrElse(cid, Set.empty))).distinct
+          beam = cand.sortBy(cid => (-psm((p, cid)), cid)).take(2)
+        }
+        (beam ++ beam.flatMap(cid => gAdj.getOrElse(cid, Set.empty)))
+          .distinct.map(cid => (p, cid))
       }
-      val entry = hop(hop(hop(hop(
-        probes.select(col("probe")).withColumn("cid", lit(0))))))
-      val cells = entry.join(graph, entry("cid") === graph("cida"))
-        .select(col("probe"), col("nb").as("cid"))
-        .unionByName(entry)
-        .distinct()
-      // the ONE corpus scan: IVF assignment against broadcast pivots
-      val scored = c.join(cents)
-        .selectExpr("vec_id", "v", "cid", "round(cosine_sim(v, cv), 4) AS cs")
-      val assign = graft.plans.TopKPerKeyOps.topK(scored, Seq("vec_id"),
-          Seq(col("cs").desc, col("cid").asc), 1)
+      val cells = cellRows.toDF("probe", "cid")
+      // the ONE corpus scan: IVF assignment as an IN-ROW fold over the
+      // broadcast pivot matrix (the ann_silhouette discipline) — the
+      // explode-and-heap form was measured shuffling a 16×|corpus|
+      // vector-carrying frame; this is map-only. sort_array puts the
+      // struct array in cid order, so keeping the FIRST max implements
+      // the (cs desc, cid asc) tie-break exactly.
+      val centRow = cents.agg(
+        sort_array(collect_list(struct(col("cid"), col("cv")))).as("cm"))
+      val assign = c.crossJoin(broadcast(centRow))
+        .withColumn("sc", expr(
+          "transform(cm, x -> struct(round(cosine_sim(v, x.cv), 4) AS s, x.cid AS cid))"))
+        .withColumn("cid", expr(
+          """aggregate(sc, struct(CAST(-2.0 AS DOUBLE) AS s, -1 AS cid),
+               (acc, x) -> IF(x.s > acc.s, x, acc)).cid"""))
         .select(col("vec_id"), col("v"), col("cid"))
       val rer = broadcast(cells).join(assign, "cid")
         .filter(col("probe") =!= col("vec_id"))

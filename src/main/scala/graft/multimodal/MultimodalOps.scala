@@ -421,7 +421,7 @@ object MultimodalOps {
       val base = graft.Tables.documents(s, d)
         .select(col("doc_id"), col("text")).filter(length(col("text")) >= 64)
       val planted = base.filter(col("doc_id") % 97 === 0)
-        .select((col("doc_id") + 10000000L).as("doc_id"),
+        .select((-col("doc_id") - 1L).as("doc_id"),
           concat(lit("z"), expr("substring(text, 2)")).as("text"))
       val sigs = base.unionByName(planted)
         .withColumn("L", length(col("text")).cast("long"))
@@ -451,14 +451,14 @@ object MultimodalOps {
           bit_count(col("p.a.v").bitwiseXOR(col("p.b.v"))).cast("int").as("hamming"))
         .filter(col("hamming") <= 6)
         .distinct()
-        .withColumn("planted", col("b") - col("a") === 10000000L)
+        .withColumn("planted", col("a") + col("b") === -1L)
         .orderBy("a", "b")
     }, Some("""
       WITH c0 AS (SELECT doc_id, text FROM documents WHERE length(text) >= 64),
       c AS (
         SELECT doc_id, text FROM c0
         UNION ALL
-        SELECT doc_id + 10000000, 'z' || substr(text, 2) FROM c0 WHERE doc_id % 97 = 0),
+        SELECT -doc_id - 1, 'z' || substr(text, 2) FROM c0 WHERE doc_id % 97 = 0),
       sl AS (
         SELECT doc_id,
           list_transform(generate_series(0, 63), i ->
@@ -488,7 +488,7 @@ object MultimodalOps {
         FROM banded x
         JOIN banded y ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id
         JOIN buckets k ON k.b = x.b AND k.bh = x.bh)
-      SELECT a, b, hamming, (b - a = 10000000) AS planted
+      SELECT a, b, hamming, (a + b = -1) AS planted
       FROM pairs WHERE hamming <= 6 ORDER BY a, b"""))
   )
 }

@@ -37,8 +37,11 @@ class R12OpsSpec extends AnyFunSuite {
       .select("doc_id").collect().map(_.getLong(0)).toSet
     assert(expected.nonEmpty, "fixture has no plantable docs")
     val pairs = SparkEntry.queries("mm_phash_neardup")(spark, sf).collect()
+    // planted variants live at -doc_id - 1 (collision-free with any
+    // positive id space), so a planted pair is exactly a + b == -1
+    // with b = the original doc
     val planted = pairs.filter(_.getAs[Boolean]("planted"))
-      .map(r => r.getAs[Long]("a") -> r.getAs[Int]("hamming")).toMap
+      .map(r => r.getAs[Long]("b") -> r.getAs[Int]("hamming")).toMap
     expected.foreach { id =>
       assert(planted.contains(id), s"planted edit of doc $id not recalled")
       assert(planted(id) <= 1, s"doc $id planted hamming ${planted(id)} > 1")
