@@ -261,6 +261,46 @@ object TextOps {
     * semantics identical to adjacent pairs of `tokens(text)`; docs
     * with <2 tokens (incl. empty/null text) emit nothing.
     */
+  /** Per-doc bigram TERM counts (the docBigramCounts shape but keyed
+    * by the token strings — for operators whose OUTPUT names the
+    * bigram, so hashes can't carry the identity). Rows are per-doc
+    * pre-aggregated; the raw occurrence stream never exists.
+    */
+  def docBigramTermCounts(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docs(s, d).select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.flatMap { case (id, text) =>
+          if (text == null) Iterator.empty
+          else {
+            val toks = tokenize(text)
+            if (toks.length < 2) Iterator.empty
+            else {
+              val cnt = new java.util.HashMap[(String, String), java.lang.Long]()
+              var i = 0
+              while (i < toks.length - 1) {
+                val key = (toks(i), toks(i + 1))
+                val c = cnt.get(key)
+                cnt.put(key, if (c == null) 1L else c + 1L)
+                i += 1
+              }
+              val out = new Array[(Long, String, String, Long)](cnt.size)
+              val eit = cnt.entrySet().iterator()
+              var j = 0
+              while (eit.hasNext) {
+                val e = eit.next()
+                out(j) = (id, e.getKey._1, e.getKey._2, e.getValue)
+                j += 1
+              }
+              out.iterator
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "a", "b", "k")
+  }
+
   def docBigramCounts(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     docs(s, d).select(col("doc_id"), col("text"))
@@ -2998,7 +3038,60 @@ object TextOps {
         SELECT probe, doc_id, score4,
                row_number() OVER (PARTITION BY probe ORDER BY score4 DESC, doc_id ASC) AS rk
         FROM sc) WHERE rk <= 10
-      ORDER BY probe, rk"""))
+      ORDER BY probe, rk""")),
+
+    // C100 (r12): PMI collocation mining (Church & Hanks '90) — the
+    // classic phrase-discovery pass (multi-word expressions for
+    // tokenizer/vocab decisions): top-20 bigrams by pointwise mutual
+    // information over bigram-position marginals, min count 5.
+    // pmi = log2(c(a,b)·B / (n_a·n_b)) where B = total bigram
+    // positions and n_a/n_b are the left/right marginals of the SAME
+    // bigram frame — both int64 products stay below 2^53, so the
+    // doubles entering the single division + log2 are EXACT in both
+    // engines. 100 TB shape: the typed per-doc kernel pre-aggregates
+    // bigram term counts (no occurrence stream), ONE map-side-
+    // combined exchange onto the vocab²-bounded type frame, marginals
+    // re-aggregate that same frame, and the global top-20 is a
+    // TakeOrdered on (pmi4 desc, bigram asc) — the key frame is never
+    // globally sorted.
+    ("tx_pmi_collocations", (s: SparkSession, d: String) => {
+      val c2 = docBigramTermCounts(s, d)
+        .groupBy("a", "b").agg(sum("k").as("n_ab"))
+      val bTot = c2.agg(sum("n_ab").as("bb"))
+      val la = c2.groupBy("a").agg(sum("n_ab").as("n_a"))
+      val rb = c2.groupBy("b").agg(sum("n_ab").as("n_b"))
+      c2.filter(col("n_ab") >= 5L)
+        .join(la, "a").join(rb, "b")
+        .crossJoin(broadcast(bTot))
+        .withColumn("pmi4", floor(log2(
+          (col("n_ab") * col("bb")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double")) * 10000.0 + 0.5)
+          .cast("long"))
+        .select("a", "b", "n_ab", "n_a", "n_b", "pmi4")
+        .orderBy(col("pmi4").desc, col("a").asc, col("b").asc)
+        .limit(20)
+    }, Some("""
+      WITH c AS (
+        SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nrm
+        FROM documents),
+      tk AS (
+        SELECT doc_id,
+               generate_subscripts(string_split(nrm, ' '), 1) AS ord,
+               unnest(string_split(nrm, ' ')) AS tok
+        FROM c WHERE length(nrm) >= 1),
+      bi AS (
+        SELECT x.tok AS a, y.tok AS b
+        FROM tk x JOIN tk y ON y.doc_id = x.doc_id AND y.ord = x.ord + 1),
+      c2 AS (SELECT a, b, CAST(count(*) AS BIGINT) AS n_ab FROM bi GROUP BY a, b),
+      bt AS (SELECT CAST(sum(n_ab) AS BIGINT) AS bb FROM c2),
+      la AS (SELECT a, CAST(sum(n_ab) AS BIGINT) AS n_a FROM c2 GROUP BY a),
+      rb AS (SELECT b, CAST(sum(n_ab) AS BIGINT) AS n_b FROM c2 GROUP BY b)
+      SELECT c2.a, c2.b, c2.n_ab, la.n_a, rb.n_b,
+             CAST(floor(log2(CAST(c2.n_ab * bt.bb AS DOUBLE)
+               / CAST(la.n_a * rb.n_b AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS pmi4
+      FROM c2 JOIN la USING (a) JOIN rb USING (b) CROSS JOIN bt
+      WHERE c2.n_ab >= 5
+      ORDER BY pmi4 DESC, a ASC, b ASC LIMIT 20"""))
   )
 
   // ---- BPE (C62/C62b) ------------------------------------------------

@@ -137,6 +137,26 @@ class R12OpsSpec extends AnyFunSuite {
     assert(out.toSeq == Seq(10L, 12L), s"got ${out.toSeq}")
   }
 
+  test("tx_pmi_collocations: a repeated fixed phrase wins over independent co-occurrence") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pmi").toString
+    // "new york" always occurs as the phrase; "the" co-occurs with
+    // everything — PMI must rank the phrase first and punish "the"
+    val rows = (0L until 20L).map { i =>
+      (i, s"the w$i visited new york with the w${i + 100} crowd", "en", "s", 40L)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = SparkEntry.queries("tx_pmi_collocations")(spark, dir).collect()
+    assert(out.nonEmpty)
+    val top = out.head
+    assert((top.getString(0), top.getString(1)) == ("new", "york"),
+      s"top collocation was (${top.getString(0)}, ${top.getString(1)})")
+    // every surviving pair respects the min-count floor
+    assert(out.forall(_.getAs[Long]("n_ab") >= 5L))
+  }
+
   test("q_unpivot: three metric rows per flag, values equal the wide aggregate") {
     val spark = TestSpark.spark
     val out = SparkEntry.queries("q_unpivot")(spark, sf).collect()

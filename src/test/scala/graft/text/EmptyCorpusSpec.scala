@@ -33,7 +33,8 @@ class EmptyCorpusSpec extends AnyFunSuite {
     "mm_dedup_bytes", "dd_cluster_sizes", "tx_lang_confusion",
     // round-12: split-KL over an empty vocab, phash banding over zero
     // payloads
-    "tx_split_kl", "mm_phash_neardup", "tx_bm25_search")
+    "tx_split_kl", "mm_phash_neardup", "tx_bm25_search",
+    "tx_pmi_collocations")
 
   test("documents-table queries return empty frames on an empty corpus") {
     val spark = graft.TestSpark.spark
