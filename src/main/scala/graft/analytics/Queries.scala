@@ -1671,6 +1671,67 @@ object Queries {
         SELECT l_returnflag, 'sum_base_cents', sum_base_cents FROM w
         UNION ALL
         SELECT l_returnflag, 'sum_disc_cents', sum_disc_cents FROM w)
-      ORDER BY l_returnflag, metric"""))
+      ORDER BY l_returnflag, metric""")),
+
+    // B52 (r12): percentile_cont — INTERPOLATED percentiles (the SQL
+    // standard surface next to B12's exact/discrete form) with no
+    // global row sort: rows collapse onto the cents value histogram
+    // (price-domain-bounded, corpus-independent — the q_equidepth
+    // observation), an exclusive prefix sum ranks the values, and
+    // each requested q resolves its bracketing ranks lo=⌊(n−1)q⌋ and
+    // lo+1 by conditional-min against the cum ranges. The interpolated
+    // value is EXACT integer arithmetic end to end: rank positions in
+    // 1/100 units, result in dollars·10⁴ = v_lo·100 + (v_hi−v_lo)·rem
+    // — no float ever decides a boundary (DuckDB's own quantile_cont
+    // returns the same construction as a double).
+    ("q_percentile_cont", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val h = Tables.lineitem(s, d)
+        .select(cents(col("l_extendedprice")).as("v"))
+        .groupBy("v").agg(count(lit(1)).as("cnt"))
+      val tot = h.agg(sum("cnt").as("n"))
+      val cumH = h.crossJoin(broadcast(tot))
+        .withColumn("cum_excl", coalesce(sum("cnt").over(Window.orderBy("v")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      val pcts = Seq(25L, 50L, 75L, 90L, 99L).toDF("pct")
+      cumH.crossJoin(broadcast(pcts))
+        .withColumn("target", (col("n") - 1L) * col("pct"))
+        .withColumn("lo", call_function("div", col("target"), lit(100L)))
+        .withColumn("rem", col("target") % 100L)
+        .groupBy("pct", "rem")
+        .agg(
+          min(when(col("cum_excl") <= col("lo")
+            && col("lo") < col("cum_excl") + col("cnt"), col("v"))).as("v_lo"),
+          min(when(col("cum_excl") <= col("lo") + 1L
+            && col("lo") + 1L < col("cum_excl") + col("cnt"), col("v"))).as("v_hi0"))
+        .select(col("pct"),
+          (col("v_lo") * 100L +
+            (coalesce(col("v_hi0"), col("v_lo")) - col("v_lo")) * col("rem"))
+            .as("value_e4"))
+        .orderBy("pct")
+    }, Some("""
+      WITH h AS (
+        SELECT CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+               CAST(count(*) AS BIGINT) AS cnt
+        FROM lineitem GROUP BY 1),
+      t AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM h),
+      c AS (SELECT v, cnt, COALESCE(sum(cnt) OVER (ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_excl
+            FROM h),
+      p AS (SELECT unnest([25, 50, 75, 90, 99]) AS pct),
+      j AS (
+        SELECT p.pct, (t.n - 1) * p.pct AS target,
+               ((t.n - 1) * p.pct) // 100 AS lo,
+               ((t.n - 1) * p.pct) % 100 AS rem,
+               c.v, c.cnt, c.cum_excl
+        FROM c CROSS JOIN t CROSS JOIN p),
+      g AS (
+        SELECT pct, rem,
+               min(CASE WHEN cum_excl <= lo AND lo < cum_excl + cnt THEN v END) AS v_lo,
+               min(CASE WHEN cum_excl <= lo + 1 AND lo + 1 < cum_excl + cnt THEN v END) AS v_hi0
+        FROM j GROUP BY pct, rem)
+      SELECT CAST(pct AS BIGINT) AS pct,
+             CAST(v_lo * 100 + (coalesce(v_hi0, v_lo) - v_lo) * rem AS BIGINT) AS value_e4
+      FROM g ORDER BY pct"""))
   )
 }

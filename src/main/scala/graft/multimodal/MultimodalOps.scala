@@ -489,6 +489,77 @@ object MultimodalOps {
         JOIN banded y ON x.b = y.b AND x.bh = y.bh AND x.doc_id < y.doc_id
         JOIN buckets k ON k.b = x.b AND k.bh = x.bh)
       SELECT a, b, hamming, (a + b = -1) AS planted
-      FROM pairs WHERE hamming <= 6 ORDER BY a, b"""))
+      FROM pairs WHERE hamming <= 6 ORDER BY a, b""")),
+
+    // C101 (r12): voice-activity segmentation over audio payloads —
+    // the silence-trim / speech-extract pass of an audio ingest
+    // pipeline (what WebRTC-VAD does per 10 ms frame, here per
+    // 16-byte frame of the stub payload): a frame is ACTIVE when its
+    // energy beats the doc's mean frame energy, compared
+    // CROSS-MULTIPLIED in exact int64 (fr_i·nf > total — no division);
+    // consecutive active frames merge into segments via an in-row
+    // struct fold (segment count, current run, longest run in one
+    // pass). Entirely map-only: one corpus scan, per-row HOFs, no
+    // shuffle at any corpus size — the island-trick window the oracle
+    // uses exists only in the SQL replay. Frames are the payload's
+    // FULL 16-byte windows (the trailing partial frame is out of
+    // scope, like the phash grid rule); docs below one frame drop.
+    ("mm_vad_segments", (s: SparkSession, d: String) => {
+      graft.Tables.documents(s, d)
+        .filter(col("doc_id") % 3 === 1 && length(col("text")) >= 16)
+        .select(col("doc_id"), col("text"))
+        .withColumn("nf", (length(col("text")).cast("long") / 16L).cast("long"))
+        .withColumn("fr", expr(
+          """transform(sequence(0, CAST(nf AS INT) - 1), i -> aggregate(
+               sequence(i * 16 + 1, i * 16 + 16),
+               CAST(0 AS BIGINT), (acc, j) -> acc + ascii(substring(text, j, 1))))"""))
+        .withColumn("total", expr(
+          "aggregate(fr, CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
+        .withColumn("act", expr("transform(fr, x -> x * nf > total)"))
+        .withColumn("st", expr(
+          """aggregate(act,
+               struct(CAST(0 AS BIGINT) AS nseg, CAST(0 AS BIGINT) AS cur, CAST(0 AS BIGINT) AS best),
+               (acc, x) -> IF(x,
+                 struct(CAST(acc.nseg + IF(acc.cur = 0, 1, 0) AS BIGINT) AS nseg,
+                        CAST(acc.cur + 1 AS BIGINT) AS cur,
+                        CAST(greatest(acc.best, acc.cur + 1) AS BIGINT) AS best),
+                 struct(acc.nseg AS nseg, CAST(0 AS BIGINT) AS cur, acc.best AS best)))"""))
+        .select(col("doc_id"), col("nf").as("n_frames"),
+          expr("CAST(size(filter(act, x -> x)) AS BIGINT)").as("n_active"),
+          col("st.nseg").as("n_segments"),
+          col("st.best").as("longest_run"),
+          call_function("div",
+            expr("CAST(size(filter(act, x -> x)) AS BIGINT)") * 20000L + col("nf"),
+            col("nf") * 2L).as("active_ratio4"))
+        .orderBy("doc_id")
+    }, Some("""
+      WITH a0 AS (
+        SELECT doc_id, text, CAST(length(text) // 16 AS BIGINT) AS nf
+        FROM documents WHERE doc_id % 3 = 1 AND length(text) >= 16),
+      fr AS (
+        SELECT doc_id, nf, i,
+               CAST(list_sum(list_transform(generate_series(i * 16 + 1, i * 16 + 16),
+                 j -> ascii(substr(text, j, 1)))) AS BIGINT) AS e
+        FROM a0, unnest(generate_series(0, CAST(nf AS INT) - 1)) AS t(i)),
+      tt AS (SELECT doc_id, CAST(sum(e) AS BIGINT) AS total FROM fr GROUP BY doc_id),
+      act AS (
+        SELECT fr.doc_id, fr.nf, fr.i, (fr.e * fr.nf > tt.total) AS a
+        FROM fr JOIN tt USING (doc_id)),
+      isl AS (
+        SELECT doc_id, i, i - row_number() OVER (PARTITION BY doc_id ORDER BY i) AS island
+        FROM act WHERE a),
+      seg AS (
+        SELECT doc_id, CAST(count(DISTINCT island) AS BIGINT) AS n_segments,
+               CAST(max(run) AS BIGINT) AS longest_run,
+               CAST(sum(run) AS BIGINT) AS n_active
+        FROM (SELECT doc_id, island, count(*) AS run FROM isl GROUP BY doc_id, island)
+        GROUP BY doc_id)
+      SELECT a0.doc_id, a0.nf AS n_frames,
+             coalesce(seg.n_active, 0) AS n_active,
+             coalesce(seg.n_segments, 0) AS n_segments,
+             coalesce(seg.longest_run, 0) AS longest_run,
+             CAST((coalesce(seg.n_active, 0) * 20000 + a0.nf) // (a0.nf * 2) AS BIGINT) AS active_ratio4
+      FROM a0 LEFT JOIN seg USING (doc_id)
+      ORDER BY a0.doc_id"""))
   )
 }

@@ -157,6 +157,42 @@ class R12OpsSpec extends AnyFunSuite {
     assert(out.forall(_.getAs[Long]("n_ab") >= 5L))
   }
 
+  test("q_percentile_cont interpolates exactly between bracketing ranks") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pcont").toString
+    // 4 rows, prices 1.00/2.00/3.00/10.00 → p25 sits at rank 0.75:
+    // 100 + 0.75·(200−100) = 175 cents = 1750000 e4-dollars·… (cents·100)
+    Seq(1.0, 2.0, 3.0, 10.0).map(p => (1L, p))
+      .toDF("l_orderkey", "l_extendedprice")
+      .write.mode("overwrite").parquet(s"$dir/lineitem.parquet")
+    val rows = SparkEntry.queries("q_percentile_cont")(spark, dir)
+      .collect().map(r => r.getAs[Long]("pct") -> r.getAs[Long]("value_e4")).toMap
+    assert(rows(25L) == 100L * 100 + 100L * 75)  // 1.75 dollars = 17500 e4
+    assert(rows(50L) == 250L * 100)              // midpoint of 2.00/3.00
+    assert(rows(75L) == 300L * 100 + 700L * 25)  // 3 + 0.25·7 = 4.75
+    assert(rows(99L) == 300L * 100 + 700L * 97)  // rank 2.97 → 9.79
+  }
+
+  test("mm_vad_segments: islands of above-mean frames count and measure correctly") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-vad").toString
+    // doc_id 1 (audio kind): 4 full 16-byte frames — loud, quiet,
+    // loud, loud → 2 segments, longest run 2
+    val loud = "z" * 16; val quiet = "a" * 16
+    Seq((1L, loud + quiet + loud + loud, "en", "s", 64L),
+        (4L, quiet * 2, "en", "s", 32L)) // uniform → no frame beats the mean
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = SparkEntry.queries("mm_vad_segments")(spark, dir)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(rows(1L).getAs[Long]("n_segments") == 2L)
+    assert(rows(1L).getAs[Long]("longest_run") == 2L)
+    assert(rows(1L).getAs[Long]("n_active") == 3L)
+    assert(rows(4L).getAs[Long]("n_active") == 0L && rows(4L).getAs[Long]("n_segments") == 0L)
+  }
+
   test("q_unpivot: three metric rows per flag, values equal the wide aggregate") {
     val spark = TestSpark.spark
     val out = SparkEntry.queries("q_unpivot")(spark, sf).collect()
