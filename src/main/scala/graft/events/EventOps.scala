@@ -1901,6 +1901,103 @@ object EventOps {
       SELECT w.win_start, count(*) AS n_events,
              count(DISTINCT e.user_id) AS n_users
       FROM e JOIN win w ON e.es >= w.s AND e.es < w.en
-      GROUP BY w.win_start ORDER BY w.win_start"""))
+      GROUP BY w.win_start ORDER BY w.win_start""")),
+
+    // A84 (r12): PageRank over the event-type transition graph
+    // (Brin & Page '98, d = 0.85, K = 4 power iterations, uniform
+    // teleport + uniform dangling redistribution) — "which state of
+    // the user journey is structurally central", the graph-analytics
+    // view on the A42 Markov matrix. The corpus-scale work is exactly
+    // ev_type_transitions' one partial-agged exchange; the graph is a
+    // ≤|types|² frame, so the iterations run DRIVER-SIDE in exact
+    // int64 at the 1e8 grain (the ann_kmeans/BPE/doremi discipline):
+    // every division is the half-up rational (2x+y)//(2y), so the
+    // oracle replays K unrolled CTE layers with bit-identical
+    // arithmetic. Ranks order by (pr desc, type asc).
+    ("ev_pagerank_types", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val w = Window.partitionBy("foreignId").orderBy("id")
+      val edges = Event.project(ev(s, d))
+        .withColumn("prev_type", lag("eventType", 1).over(w))
+        .filter(col("prev_type").isNotNull)
+        .groupBy(col("prev_type").as("a"), col("eventType").as("b"))
+        .agg(count(lit(1)).as("n"))
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      val types = Event.project(ev(s, d))
+        .select(col("eventType")).distinct()
+        .collect().map(_.getString(0)).sorted
+      val nT = types.length.toLong
+      def divHalfUp(x: Long, y: Long): Long = (2L * x + y) / (2L * y)
+      val out = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      var pr: Map[String, Long] =
+        if (nT == 0) Map.empty
+        else types.map(_ -> divHalfUp(100000000L, nT)).toMap
+      (1 to 4).foreach { _ =>
+        val contrib = edges.groupBy(_._2).view.mapValues(_.map { case (a, _, n) =>
+          divHalfUp(pr(a) * n, out(a))
+        }.sum).toMap
+        val dang = types.filterNot(out.contains).map(pr).sum
+        val dShare = if (nT == 0) 0L else divHalfUp(dang, nT)
+        pr = types.map { t =>
+          t -> (divHalfUp(15L * 100000000L, 100L * nT) +
+            divHalfUp(85L * (contrib.getOrElse(t, 0L) + dShare), 100L))
+        }.toMap
+      }
+      types.map(t => (t, pr(t))).sortBy { case (t, p) => (-p, t) }
+        .zipWithIndex.map { case ((t, p), i) => (i + 1, t, p) }
+        .toSeq.toDF("rank", "event_type", "pr_e8")
+        .orderBy("rank")
+    }, Some("""
+      WITH e AS (
+        SELECT prev_type AS a, next_type AS b, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT lag(event_type) OVER (PARTITION BY user_id ORDER BY event_id) AS prev_type,
+                     event_type AS next_type
+              FROM events) t
+        WHERE prev_type IS NOT NULL
+        GROUP BY 1, 2),
+      ty AS (SELECT DISTINCT event_type AS t FROM events),
+      nt AS (SELECT CAST(count(*) AS BIGINT) AS n FROM ty),
+      og AS (SELECT a, CAST(sum(n) AS BIGINT) AS o FROM e GROUP BY a),
+      p0 AS (SELECT t, CAST((CAST(2 AS BIGINT) * 100000000 + nt.n) // (2 * nt.n) AS BIGINT) AS pr
+             FROM ty, nt),
+      c1 AS (SELECT e.b AS t, CAST(sum((2 * p.pr * e.n + og.o) // (2 * og.o)) AS BIGINT) AS c
+             FROM e JOIN p0 p ON p.t = e.a JOIN og ON og.a = e.a GROUP BY e.b),
+      d1 AS (SELECT CAST(coalesce(sum(pr), 0) AS BIGINT) AS dg
+             FROM p0 WHERE t NOT IN (SELECT a FROM og)),
+      p1 AS (SELECT ty.t,
+               CAST((CAST(2 AS BIGINT) * 15 * 100000000 + 100 * nt.n) // (2 * 100 * nt.n)
+                 + (2 * 85 * (coalesce(c1.c, 0) + (2 * d1.dg + nt.n) // (2 * nt.n)) + 100)
+                   // (2 * 100) AS BIGINT) AS pr
+             FROM ty CROSS JOIN nt CROSS JOIN d1 LEFT JOIN c1 ON c1.t = ty.t),
+      c2 AS (SELECT e.b AS t, CAST(sum((2 * p.pr * e.n + og.o) // (2 * og.o)) AS BIGINT) AS c
+             FROM e JOIN p1 p ON p.t = e.a JOIN og ON og.a = e.a GROUP BY e.b),
+      d2 AS (SELECT CAST(coalesce(sum(pr), 0) AS BIGINT) AS dg
+             FROM p1 WHERE t NOT IN (SELECT a FROM og)),
+      p2 AS (SELECT ty.t,
+               CAST((CAST(2 AS BIGINT) * 15 * 100000000 + 100 * nt.n) // (2 * 100 * nt.n)
+                 + (2 * 85 * (coalesce(c2.c, 0) + (2 * d2.dg + nt.n) // (2 * nt.n)) + 100)
+                   // (2 * 100) AS BIGINT) AS pr
+             FROM ty CROSS JOIN nt CROSS JOIN d2 LEFT JOIN c2 ON c2.t = ty.t),
+      c3 AS (SELECT e.b AS t, CAST(sum((2 * p.pr * e.n + og.o) // (2 * og.o)) AS BIGINT) AS c
+             FROM e JOIN p2 p ON p.t = e.a JOIN og ON og.a = e.a GROUP BY e.b),
+      d3 AS (SELECT CAST(coalesce(sum(pr), 0) AS BIGINT) AS dg
+             FROM p2 WHERE t NOT IN (SELECT a FROM og)),
+      p3 AS (SELECT ty.t,
+               CAST((CAST(2 AS BIGINT) * 15 * 100000000 + 100 * nt.n) // (2 * 100 * nt.n)
+                 + (2 * 85 * (coalesce(c3.c, 0) + (2 * d3.dg + nt.n) // (2 * nt.n)) + 100)
+                   // (2 * 100) AS BIGINT) AS pr
+             FROM ty CROSS JOIN nt CROSS JOIN d3 LEFT JOIN c3 ON c3.t = ty.t),
+      c4 AS (SELECT e.b AS t, CAST(sum((2 * p.pr * e.n + og.o) // (2 * og.o)) AS BIGINT) AS c
+             FROM e JOIN p3 p ON p.t = e.a JOIN og ON og.a = e.a GROUP BY e.b),
+      d4 AS (SELECT CAST(coalesce(sum(pr), 0) AS BIGINT) AS dg
+             FROM p3 WHERE t NOT IN (SELECT a FROM og)),
+      p4 AS (SELECT ty.t,
+               CAST((CAST(2 AS BIGINT) * 15 * 100000000 + 100 * nt.n) // (2 * 100 * nt.n)
+                 + (2 * 85 * (coalesce(c4.c, 0) + (2 * d4.dg + nt.n) // (2 * nt.n)) + 100)
+                   // (2 * 100) AS BIGINT) AS pr
+             FROM ty CROSS JOIN nt CROSS JOIN d4 LEFT JOIN c4 ON c4.t = ty.t)
+      SELECT CAST(row_number() OVER (ORDER BY pr DESC, t ASC) AS INTEGER) AS rank,
+             t AS event_type, pr AS pr_e8
+      FROM p4 ORDER BY rank"""))
   )
 }

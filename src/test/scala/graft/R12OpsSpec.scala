@@ -193,6 +193,28 @@ class R12OpsSpec extends AnyFunSuite {
     assert(rows(4L).getAs[Long]("n_active") == 0L && rows(4L).getAs[Long]("n_segments") == 0L)
   }
 
+  test("ev_pagerank_types: a sink state every journey funnels into ranks first, mass conserves") {
+    val spark = TestSpark.spark
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-pagerank").toString
+    // every user: view -> click -> purchase, purchase self-loops —
+    // purchase must dominate
+    val rows = (0L until 30L).flatMap { u =>
+      Seq((u * 4, "view", u), (u * 4 + 1, "click", u),
+        (u * 4 + 2, "purchase", u), (u * 4 + 3, "purchase", u))
+    }.zipWithIndex.map { case ((id, t, u), i) =>
+      (id, new java.sql.Timestamp(1700000000000L + i * 1000L), u, t, 1.0, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val out = SparkEntry.queries("ev_pagerank_types")(spark, dir)
+      .collect().sortBy(_.getAs[Int]("rank"))
+    assert(out.head.getAs[String]("event_type") == "purchase")
+    val total = out.map(_.getAs[Long]("pr_e8")).sum
+    // PageRank mass stays ~1 (1e8 grain, rounding slack per round)
+    assert(math.abs(total - 100000000L) < 1000L, s"mass drifted to $total")
+  }
+
   test("q_unpivot: three metric rows per flag, values equal the wide aggregate") {
     val spark = TestSpark.spark
     val out = SparkEntry.queries("q_unpivot")(spark, sf).collect()

@@ -70,7 +70,9 @@ class EmptyCorpusSpec extends AnyFunSuite {
       "ev_ttl_expire", "ev_watermark_report", "ev_cohort_matrix",
       "ev_anomaly_days",
       // round-10b: sequence mining, seasonality profile, affinity
-      "ev_funnel_paths", "ev_seasonality", "ev_type_affinity").foreach { q =>
+      "ev_funnel_paths", "ev_seasonality", "ev_type_affinity",
+      // round-12: pagerank over an empty type graph
+      "ev_pagerank_types").foreach { q =>
       val n = graft.SparkEntry.queries(q)(spark, dir).count()
       assert(n == 0L, s"$q returned $n rows on an empty log")
     }
