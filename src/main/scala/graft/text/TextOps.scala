@@ -261,6 +261,36 @@ object TextOps {
     * semantics identical to adjacent pairs of `tokens(text)`; docs
     * with <2 tokens (incl. empty/null text) emit nothing.
     */
+  /** BM25 (probe, doc, score4) frame shared by tx_bm25_search and the
+    * NDCG eval — see the tx_bm25_search entry for the determinism and
+    * scale notes.
+    */
+  def bm25Scores(s: SparkSession, d: String): DataFrame = {
+    val tf = docTermCounts(s, d).select("doc_id", "term", "tf")
+    val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
+    val stats = dl.agg(count(lit(1)).as("nn"), sum("dl").as("sumdl"))
+    val qterms = broadcast(tf.filter(col("doc_id") < 8)
+      .select(col("doc_id").as("probe"), col("term")))
+    val df = tf.join(qterms.select("term").distinct(), Seq("term"), "left_semi")
+      .groupBy("term").agg(count(lit(1)).as("df"))
+    val c4 = tf.join(qterms, "term")
+      .filter(col("probe") =!= col("doc_id"))
+      .join(broadcast(df), "term")
+      .join(dl, "doc_id")
+      .crossJoin(broadcast(stats))
+      .withColumn("idf", log2(lit(1.0) +
+        (lit(2L) * col("nn") - lit(2L) * col("df") + lit(1L)).cast("double") /
+          (lit(2L) * col("df") + lit(1L)).cast("double")))
+      .withColumn("tfc",
+        (col("tf").cast("double") * lit(2.2)) /
+          (col("tf").cast("double") + lit(1.2) *
+            (lit(0.25) + lit(0.75) *
+              ((col("dl") * col("nn")).cast("double") / col("sumdl").cast("double")))))
+      .withColumn("c4",
+        floor(col("idf") * col("tfc") * lit(10000.0) + lit(0.5)).cast("long"))
+    c4.groupBy("probe", "doc_id").agg(sum("c4").as("score4"))
+  }
+
   /** Per-doc bigram TERM counts (the docBigramCounts shape but keyed
     * by the token strings — for operators whose OUTPUT names the
     * bigram, so hashes can't carry the identity). Rows are per-doc
@@ -2980,30 +3010,7 @@ object TextOps {
     // TopKPerKey rewrite. The corpus-wide df/Σdl stats are one
     // map-side-combined agg each.
     ("tx_bm25_search", (s: SparkSession, d: String) => {
-      val tf = docTermCounts(s, d).select("doc_id", "term", "tf")
-      val dl = tf.groupBy("doc_id").agg(sum("tf").as("dl"))
-      val stats = dl.agg(count(lit(1)).as("nn"), sum("dl").as("sumdl"))
-      val qterms = broadcast(tf.filter(col("doc_id") < 8)
-        .select(col("doc_id").as("probe"), col("term")))
-      val df = tf.join(qterms.select("term").distinct(), Seq("term"), "left_semi")
-        .groupBy("term").agg(count(lit(1)).as("df"))
-      val c4 = tf.join(qterms, "term")
-        .filter(col("probe") =!= col("doc_id"))
-        .join(broadcast(df), "term")
-        .join(dl, "doc_id")
-        .crossJoin(broadcast(stats))
-        .withColumn("idf", log2(lit(1.0) +
-          (lit(2L) * col("nn") - lit(2L) * col("df") + lit(1L)).cast("double") /
-            (lit(2L) * col("df") + lit(1L)).cast("double")))
-        .withColumn("tfc",
-          (col("tf").cast("double") * lit(2.2)) /
-            (col("tf").cast("double") + lit(1.2) *
-              (lit(0.25) + lit(0.75) *
-                ((col("dl") * col("nn")).cast("double") / col("sumdl").cast("double")))))
-        .withColumn("c4",
-          floor(col("idf") * col("tfc") * lit(10000.0) + lit(0.5)).cast("long"))
-      val scores = c4.groupBy("probe", "doc_id")
-        .agg(sum("c4").as("score4"))
+      val scores = bm25Scores(s, d)
       val w = Window.partitionBy("probe").orderBy(col("score4").desc, col("doc_id").asc)
       scores.withColumn("rk", row_number().over(w)).filter(col("rk") <= 10)
         .select(col("probe"), col("rk"), col("doc_id").as("match_id"), col("score4"))
@@ -3091,7 +3098,93 @@ object TextOps {
                / CAST(la.n_a * rb.n_b AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS pmi4
       FROM c2 JOIN la USING (a) JOIN rb USING (b) CROSS JOIN bt
       WHERE c2.n_ab >= 5
-      ORDER BY pmi4 DESC, a ASC, b ASC LIMIT 20"""))
+      ORDER BY pmi4 DESC, a ASC, b ASC LIMIT 20""")),
+
+    // C102 (r12): NDCG@10 retrieval eval — the offline quality loop
+    // for the lexical path (what ann_recall_report is to the ANN
+    // family): the BM25 system ranking scored against graded
+    // relevance = the probe↔doc DISTINCT-TERM overlap count (a
+    // deterministic proxy qrel both engines compute exactly). Linear-
+    // gain DCG with rank weights w(r) = round(10⁴/log2(r+1)) — log2
+    // of a small int then one division, identical IEEE both engines,
+    // quantized once — so DCG/IDCG are int64 SUMS and NDCG the exact
+    // half-up rational. IDCG's ideal ranking is a per-probe top-10 on
+    // (rel desc, doc asc) through the rank-filter rewrite; relevance
+    // rows exist only for docs sharing a query term. One extra
+    // corpus term-frame pass beyond the shared bm25Scores frame.
+    ("tx_ndcg_eval", (s: SparkSession, d: String) => {
+      val scores = bm25Scores(s, d)
+      val wS = Window.partitionBy("probe").orderBy(col("score4").desc, col("doc_id").asc)
+      val sys = scores.withColumn("rk", row_number().over(wS)).filter(col("rk") <= 10)
+        .select("probe", "doc_id", "rk")
+      val dt = docTermCounts(s, d).select("doc_id", "term")
+      val q = broadcast(dt.filter(col("doc_id") < 8)
+        .select(col("doc_id").as("probe"), col("term")))
+      val rel = dt.join(q, "term").filter(col("probe") =!= col("doc_id"))
+        .groupBy("probe", "doc_id").agg(count(lit(1)).as("rel"))
+      def wgt(rk: Column): Column =
+        floor(lit(10000.0) / log2(rk + 1) + 0.5).cast("long")
+      val dcg = sys.join(rel, Seq("probe", "doc_id"))
+        .groupBy("probe").agg(sum(col("rel") * wgt(col("rk"))).as("dcg_e4"))
+      val wI = Window.partitionBy("probe").orderBy(col("rel").desc, col("doc_id").asc)
+      val idcg = rel.withColumn("rk", row_number().over(wI)).filter(col("rk") <= 10)
+        .groupBy("probe").agg(sum(col("rel") * wgt(col("rk"))).as("idcg_e4"))
+      dcg.join(idcg, "probe")
+        .select(col("probe"), col("dcg_e4"), col("idcg_e4"),
+          call_function("div",
+            col("dcg_e4") * 20000L + col("idcg_e4"),
+            col("idcg_e4") * 2L).as("ndcg_e4"))
+        .orderBy("probe")
+    }, Some("""
+      WITH w0 AS (
+        SELECT doc_id,
+               unnest(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS term
+        FROM documents),
+      t AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+            FROM w0 WHERE length(term) >= 1 GROUP BY 1, 2),
+      dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM t GROUP BY 1),
+      st AS (SELECT CAST(count(*) AS BIGINT) AS nn, CAST(sum(dl) AS BIGINT) AS sumdl FROM dl),
+      q AS (SELECT doc_id AS probe, term FROM t WHERE doc_id < 8),
+      df AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM t
+             WHERE term IN (SELECT DISTINCT term FROM q) GROUP BY 1),
+      c4 AS (
+        SELECT q.probe, t.doc_id,
+               CAST(floor(
+                 log2(1.0 + CAST(2 * st.nn - 2 * df.df + 1 AS DOUBLE) / CAST(2 * df.df + 1 AS DOUBLE))
+                 * ((CAST(t.tf AS DOUBLE) * 2.2) /
+                    (CAST(t.tf AS DOUBLE) + 1.2 *
+                     (0.25 + 0.75 * (CAST(dl.dl * st.nn AS DOUBLE) / CAST(st.sumdl AS DOUBLE)))))
+                 * 10000.0 + 0.5) AS BIGINT) AS c4
+        FROM t JOIN q ON q.term = t.term AND q.probe <> t.doc_id
+        JOIN df ON df.term = t.term
+        JOIN dl ON dl.doc_id = t.doc_id
+        CROSS JOIN st),
+      sc AS (SELECT probe, doc_id, CAST(sum(c4) AS BIGINT) AS score4
+             FROM c4 GROUP BY 1, 2),
+      sys AS (SELECT probe, doc_id, rk FROM (
+        SELECT probe, doc_id,
+               row_number() OVER (PARTITION BY probe ORDER BY score4 DESC, doc_id ASC) AS rk
+        FROM sc) WHERE rk <= 10),
+      rel AS (
+        SELECT q.probe, t.doc_id, CAST(count(*) AS BIGINT) AS rel
+        FROM t JOIN q ON q.term = t.term AND q.probe <> t.doc_id
+        GROUP BY 1, 2),
+      dcg AS (
+        SELECT s.probe,
+               CAST(sum(r.rel * CAST(floor(10000.0 / log2(s.rk + 1) + 0.5) AS BIGINT)) AS BIGINT) AS dcg_e4
+        FROM sys s JOIN rel r ON r.probe = s.probe AND r.doc_id = s.doc_id
+        GROUP BY s.probe),
+      ideal AS (
+        SELECT probe, rel,
+               row_number() OVER (PARTITION BY probe ORDER BY rel DESC, doc_id ASC) AS rk
+        FROM rel),
+      idcg AS (
+        SELECT probe,
+               CAST(sum(rel * CAST(floor(10000.0 / log2(rk + 1) + 0.5) AS BIGINT)) AS BIGINT) AS idcg_e4
+        FROM ideal WHERE rk <= 10 GROUP BY probe)
+      SELECT d.probe, d.dcg_e4, i.idcg_e4,
+             CAST((2 * d.dcg_e4 * 10000 + i.idcg_e4) // (2 * i.idcg_e4) AS BIGINT) AS ndcg_e4
+      FROM dcg d JOIN idcg i USING (probe) ORDER BY d.probe"""))
   )
 
   // ---- BPE (C62/C62b) ------------------------------------------------

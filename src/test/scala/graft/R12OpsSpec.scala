@@ -135,6 +135,12 @@ class R12OpsSpec extends AnyFunSuite {
       .filter(col("probe") === 1L).collect()
       .sortBy(_.getAs[Int]("rk")).map(_.getAs[Long]("match_id"))
     assert(out.toSeq == Seq(10L, 12L), s"got ${out.toSeq}")
+    // NDCG eval on the same fixture: the system ranking (10 then 12)
+    // IS the ideal relevance order (3 shared terms > 1) → NDCG = 1.0
+    val ndcg = SparkEntry.queries("tx_ndcg_eval")(spark, dir)
+      .filter(col("probe") === 1L).collect()
+    assert(ndcg.length == 1 && ndcg(0).getAs[Long]("ndcg_e4") == 10000L,
+      s"perfect ranking should score 10000, got ${ndcg.toSeq}")
   }
 
   test("tx_pmi_collocations: a repeated fixed phrase wins over independent co-occurrence") {
