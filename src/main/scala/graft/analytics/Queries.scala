@@ -1732,6 +1732,45 @@ object Queries {
         FROM j GROUP BY pct, rem)
       SELECT CAST(pct AS BIGINT) AS pct,
              CAST(v_lo * 100 + (coalesce(v_hi0, v_lo) - v_lo) * rem AS BIGINT) AS value_e4
-      FROM g ORDER BY pct"""))
+      FROM g ORDER BY pct""")),
+
+    // B53 (r12): time-based RANGE window frame — the trailing-window
+    // aggregate every ops dashboard wants ("customer's 90-day spend
+    // at order time"), expressed as RANGE BETWEEN 90 PRECEDING AND
+    // CURRENT ROW over epoch DAYS (the A54 convention: a numeric
+    // range key makes calendar gaps count correctly, where a ROWS
+    // frame would silently span them). Windows partition by customer
+    // — the natural shuffle key — money in exact int64 cents; the
+    // window runs over the FULL history and only the output is
+    // trimmed to a stable probe set.
+    ("q_trailing_spend", (s: SparkSession, d: String) => {
+      val base = Tables.orders(s, d).select(
+        col("o_orderkey"), col("o_custkey"),
+        (unix_timestamp(col("o_orderdate")) / 86400L).cast("long").as("day"),
+        cents(col("o_totalprice")).as("sp"))
+      val w = Window.partitionBy("o_custkey").orderBy("day")
+        .rangeBetween(-90L, 0L)
+      base
+        .withColumn("trailing_90d_cents", sum("sp").over(w))
+        .withColumn("n_orders_90d", count(lit(1)).over(w))
+        .filter(col("o_orderkey") < 2000L)
+        .select("o_orderkey", "o_custkey", "day", "sp",
+          "trailing_90d_cents", "n_orders_90d")
+        .orderBy("o_orderkey")
+    }, Some("""
+      WITH b AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(epoch(o_orderdate) // 86400 AS BIGINT) AS day,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS sp
+        FROM orders),
+      wdw AS (
+        SELECT o_orderkey, o_custkey, day, sp,
+               CAST(sum(sp) OVER (PARTITION BY o_custkey ORDER BY day
+                 RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS BIGINT) AS trailing_90d_cents,
+               CAST(count(*) OVER (PARTITION BY o_custkey ORDER BY day
+                 RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_orders_90d
+        FROM b)
+      SELECT o_orderkey, o_custkey, day, sp, trailing_90d_cents, n_orders_90d
+      FROM wdw WHERE o_orderkey < 2000 ORDER BY o_orderkey"""))
   )
 }
