@@ -202,13 +202,15 @@ object Bench {
     // a machine-readable field so downstream tooling can't silently
     // consume inflated numbers (r9 shipped tx_source_mix at 1.84 s from
     // a loadavg-7.11 run; the same code measures 0.68 s quiet).
-    // degraded (r11 advisor refinement): a sustained-load machine
-    // (5-min > 1.5) is always degraded; a 1-min-only spike is degraded
-    // unless the instantaneous runnable count proved the machine idle
-    // at start (our own startup burst shows in the decayed average but
-    // not in runnable; an external job started <1 min ago shows in
-    // both load1 AND runnable).
-    val degraded = loadStart5 > 1.5 || (loadStart > 1.5 && runnableStart > 2)
+    // degraded (r11 advisor refinement): the INSTANTANEOUS runnable
+    // count is the primary signal — an external job competing for
+    // CPUs is on a runqueue NOW regardless of how decayed either
+    // load average is, while our own startup burst and just-finished
+    // prior work (gate runs, test suites) inflate the averages with
+    // nothing left running. Both-horizons-high is kept as the
+    // backstop for an intermittently-runnable external job the
+    // 5-sample max might miss between bursts.
+    val degraded = runnableStart > 2 || (loadStart > 1.5 && loadStart5 > 1.5)
     val envInfo = s""","env":{"cpus":${Runtime.getRuntime.availableProcessors},"load_avg_start":${r3(loadStart)},"load_avg_start5":${r3(loadStart5)},"runnable_start":$runnableStart,"load_avg_end":${r3(loadEnd)},"pass_loads":${passLoads.result().mkString("[", ",", "]")},"degraded":$degraded}"""
     val json = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$effectiveRuns,"sweep":${runsPerQuery > 1},"queries":$qs,"sf":"$sfDir"$envInfo$joinCompare$annExtra$duckCompare}"""
     // stdout gets tail-truncated by harnesses — always keep the full
