@@ -2169,6 +2169,39 @@ object TextOps {
         .orderBy("doc_id")
     }, Some(bpeTokensOracle)),
 
+    // C62c (r12): tokenizer fertility per language — BPE tokens per
+    // whitespace word (the multilingual data-card stat that decides
+    // whether a vocabulary UNDER-SERVES a language: high fertility =
+    // more subword splits = fewer effective context tokens; the mT5/
+    // NLLB reporting convention). Rides the SAME learned merge table
+    // and per-partition memoized kernel as tx_bpe_tokens (Zipf
+    // locality — no vocab join), one extra broadcast-sized lang join
+    // on the per-doc aggregate; exact-int64 ratio4.
+    ("tx_bpe_fertility", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val merges = bpeLearn(bpeVocab(s, d), BpeK).map(m => (m._2, m._3))
+      val perDoc = docTermCounts(s, d).filter(length(col("term")) >= 1)
+        .select(col("doc_id"), col("term"), col("tf"))
+        .as[(Long, String, Long)]
+        .mapPartitions { it =>
+          val memo = new java.util.HashMap[String, Integer]()
+          it.map { case (id, term, tf) =>
+            var n = memo.get(term)
+            if (n == null) { n = bpeTokenCount(term, merges); memo.put(term, n) }
+            (id, tf, tf * n.toLong)
+          }
+        }
+        .toDF("doc_id", "tf", "bpe")
+        .groupBy("doc_id")
+        .agg(sum("tf").as("w"), sum("bpe").as("b"))
+      perDoc.join(docs(s, d).select("doc_id", "lang"), "doc_id")
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum("w").as("n_words"), sum("b").as("n_bpe"))
+        .withColumn("fertility4", ratio4(col("n_bpe"), col("n_words")))
+        .orderBy("lang")
+    }, Some(bpeFertilityOracle)),
+
     // C63: readability scoring (Flesch–Kincaid grade, Kincaid 1975) —
     // the classic curriculum/quality feature a pretraining mix keys
     // on. Counts are regex-run counts (words = [a-z0-9]+ runs,
@@ -3329,4 +3362,23 @@ object TextOps {
               // (CAST(sum(dt.tf) AS BIGINT) * 2)) / 10000.0 AS ratio4
       FROM dt JOIN nt ON nt.term = dt.term
       GROUP BY dt.doc_id ORDER BY dt.doc_id"""
+
+  private def bpeFertilityOracle: String =
+    bpeLearnSqlPrefix + s""",
+      a0 AS (SELECT term, array_to_string(string_split(term, ''), '.') AS seg
+             FROM (SELECT DISTINCT term FROM dt)),""" +
+      (1 to BpeK).map(bpeApplyLayerSql).mkString(",") + s""",
+      nt AS (SELECT term, CAST(len(string_split(seg, '.')) AS BIGINT) AS ntok FROM a$BpeK),
+      pd AS (
+        SELECT dt.doc_id, CAST(sum(dt.tf) AS BIGINT) AS w,
+               CAST(sum(dt.tf * nt.ntok) AS BIGINT) AS b
+        FROM dt JOIN nt ON nt.term = dt.term
+        GROUP BY dt.doc_id)
+      SELECT d.lang, CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(pd.w) AS BIGINT) AS n_words,
+             CAST(sum(pd.b) AS BIGINT) AS n_bpe,
+             ((CAST(sum(pd.b) AS BIGINT) * 20000 + CAST(sum(pd.w) AS BIGINT))
+              // (CAST(sum(pd.w) AS BIGINT) * 2)) / 10000.0 AS fertility4
+      FROM pd JOIN documents d USING (doc_id)
+      GROUP BY d.lang ORDER BY d.lang"""
 }
