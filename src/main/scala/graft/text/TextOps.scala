@@ -1852,6 +1852,65 @@ object TextOps {
              (pw * 1000000) // sp AS epoch_tokens
       FROM p, sp ORDER BY source""")),
 
+    // C55b (r12): the epoch sampling PLAN the temperature mix implies
+    // (UniMax's question, Chung et al. 2023: temperature upsampling
+    // REPEATS small sources — after how many epochs does each source
+    // exhaust its unique tokens?): per source, the per-epoch token
+    // draw at a fixed budget (20% of corpus tokens per epoch), loader
+    // shard counts at a 50k-token shard size (half-up in exact ints),
+    // and the exhaustion horizon epochs_to_exhaust = n_tokens /
+    // per-epoch-draw as a half-up e4 rational — the number that says
+    // "this source repeats from epoch 2". Same one-scan → sources-
+    // sized frame shape as C55; pow() quantized once at 1e8 (the only
+    // double), every downstream number exact int64.
+    ("tx_epoch_plan", (s: SparkSession, d: String) => {
+      val perSrc = docs(s, d)
+        .select(col("source"), size(tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy("source")
+        .agg(sum("n_tok").cast("long").as("n_tokens"))
+      val tot = perSrc.agg(sum("n_tokens").cast("long").as("tn"))
+      val powed = perSrc.crossJoin(broadcast(tot))
+        .withColumn("pw",
+          round(pow(col("n_tokens").cast("double") / col("tn").cast("double"), 0.3) *
+            1e8).cast("long"))
+      val sp = powed.agg(sum("pw").cast("long").as("sp"))
+      val d4 = (x: Column, y: Column) => call_function("div", x, y)
+      powed.crossJoin(broadcast(sp))
+        // per-epoch budget = tn/5 tokens, split ∝ pw
+        .withColumn("epoch_tokens",
+          d4(d4(col("tn") * 2L + lit(10L), lit(10L)) * col("pw") * 2L + col("sp"),
+            col("sp") * 2L))
+        .select(col("source"), col("n_tokens"), col("pw").as("w_e8"),
+          col("epoch_tokens"),
+          d4(col("epoch_tokens") * 2L + lit(50000L), lit(100000L)).as("shards_per_epoch"),
+          // a source whose draw rounds to 0 tokens never exhausts —
+          // report 0 rather than divide by zero (Spark NULL vs DuckDB
+          // error would diverge, the q_pctrank lesson)
+          when(col("epoch_tokens") === 0L, lit(0L)).otherwise(
+            d4(col("n_tokens") * 20000L + col("epoch_tokens"),
+              col("epoch_tokens") * 2L)).as("epochs_to_exhaust_e4"))
+        .orderBy("source")
+    }, Some("""
+      WITH per AS (
+        SELECT source,
+               CAST(sum(length(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tn FROM per),
+      p AS (
+        SELECT per.*, tn,
+               CAST(round(pow(CAST(n_tokens AS DOUBLE) / CAST(tn AS DOUBLE), 0.3) * 100000000) AS BIGINT) AS pw
+        FROM per, tot),
+      sp AS (SELECT CAST(sum(pw) AS BIGINT) AS sp FROM p),
+      e AS (
+        SELECT source, n_tokens, pw AS w_e8,
+               CAST((((2 * tn + 10) // 10) * pw * 2 + sp) // (2 * sp) AS BIGINT) AS epoch_tokens
+        FROM p, sp)
+      SELECT source, n_tokens, w_e8, epoch_tokens,
+             CAST((epoch_tokens * 2 + 50000) // 100000 AS BIGINT) AS shards_per_epoch,
+             CAST(CASE WHEN epoch_tokens = 0 THEN 0
+                  ELSE (n_tokens * 20000 + epoch_tokens) // (epoch_tokens * 2) END AS BIGINT) AS epochs_to_exhaust_e4
+      FROM e ORDER BY source""")),
+
     // C22b: benchmark leakage score — the reverse direction of
     // tx_decontaminate: per HELD-OUT benchmark doc (ids 0-9), the
     // share of its distinct char-30-grams that appear anywhere in the
