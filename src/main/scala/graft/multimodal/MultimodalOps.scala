@@ -2,6 +2,7 @@ package graft.multimodal
 
 import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types._
 
 /** Multimodal-column plumbing (SURVEY.md §2.C12-C14): media payloads
@@ -560,6 +561,81 @@ object MultimodalOps {
              coalesce(seg.longest_run, 0) AS longest_run,
              CAST((coalesce(seg.n_active, 0) * 20000 + a0.nf) // (a0.nf * 2) AS BIGINT) AS active_ratio4
       FROM a0 LEFT JOIN seg USING (doc_id)
-      ORDER BY a0.doc_id"""))
+      ORDER BY a0.doc_id""")),
+
+    // C103 (r12): composed media-ingest gate report — the pre-decode
+    // admission funnel in ONE plan (what C46 is for text): per
+    // claimed kind, file/byte volume, exact duplicate files (md5
+    // first-seer — the mm_dedup_bytes tier), magic-byte rejections
+    // (the mm_mime_sniff tier: claimed kind is untrusted, bytes
+    // aren't), and the files that actually proceed to the decode
+    // fleet = first-occurrence AND known-magic. Composition adds no
+    // shuffles beyond its parts: one scan, one 16-byte-fingerprint
+    // window, one |kinds|-row groupBy — payloads never move.
+    ("pipeline_media_ingest", (s: SparkSession, d: String) => {
+      val media = asMedia(graft.Tables.documents(s, d))
+      val jpeg = lit(Array(0xFF, 0xD8, 0xFF, 0xE0).map(_.toByte))
+      val wav = lit(("RIFF" + "\u0000" * 4 + "WAVE").getBytes("ISO-8859-1"))
+      val mp4 = lit((new String(Array[Char](0, 0, 0, 0x18)) + "ftypisom").getBytes("ISO-8859-1"))
+      val framed = media.select(col("doc_id"), col("kind"),
+        when(col("doc_id") % 7 === 0, col("payload"))
+          .when(col("kind") === "image", concat(jpeg, col("payload")))
+          .when(col("kind") === "audio", concat(wav, col("payload")))
+          .otherwise(concat(mp4, col("payload"))).as("payload"))
+      val h = hex(col("payload"))
+      val known = substring(h, 1, 6) === "FFD8FF" ||
+        substring(h, 1, 8) === "89504E47" ||
+        substring(h, 1, 8) === "47494638" ||
+        (substring(h, 1, 8) === "52494646" && substring(h, 17, 8) === "57415645") ||
+        substring(h, 9, 8) === "66747970"
+      framed
+        .withColumn("nb", length(col("payload")).cast("long"))
+        .withColumn("fp", md5(hex(col("payload"))))
+        .withColumn("first", col("doc_id") ===
+          min("doc_id").over(Window.partitionBy("fp")))
+        .withColumn("known", known)
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n_files"),
+          sum("nb").as("n_bytes"),
+          sum(when(!col("first"), 1L).otherwise(0L)).as("n_dup_files"),
+          sum(when(!col("first"), col("nb")).otherwise(0L)).as("dup_bytes"),
+          sum(when(!col("known"), 1L).otherwise(0L)).as("n_bad_magic"),
+          sum(when(col("first") && col("known"), 1L).otherwise(0L)).as("n_decode"))
+        .orderBy("kind")
+    }, Some("""
+      WITH media AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+               encode(text) AS payload
+        FROM documents),
+      framed AS (
+        SELECT doc_id, kind,
+               CASE WHEN doc_id % 7 = 0 THEN payload
+                    WHEN kind = 'image' THEN '\xFF\xD8\xFF\xE0'::BLOB || payload
+                    WHEN kind = 'audio' THEN 'RIFF'::BLOB || '\x00\x00\x00\x00'::BLOB || 'WAVE'::BLOB || payload
+                    ELSE '\x00\x00\x00\x18'::BLOB || 'ftypisom'::BLOB || payload
+               END AS payload
+        FROM media),
+      x AS (
+        SELECT doc_id, kind, payload, hex(payload) AS h,
+               CAST(octet_length(payload) AS BIGINT) AS nb,
+               md5(hex(payload)) AS fp
+        FROM framed),
+      y AS (
+        SELECT kind, nb,
+               doc_id = min(doc_id) OVER (PARTITION BY fp) AS fst,
+               (substr(h, 1, 6) = 'FFD8FF'
+                OR substr(h, 1, 8) = '89504E47'
+                OR substr(h, 1, 8) = '47494638'
+                OR (substr(h, 1, 8) = '52494646' AND substr(h, 17, 8) = '57415645')
+                OR substr(h, 9, 8) = '66747970') AS known
+        FROM x)
+      SELECT kind, CAST(count(*) AS BIGINT) AS n_files,
+             CAST(sum(nb) AS BIGINT) AS n_bytes,
+             CAST(sum(CASE WHEN NOT fst THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_files,
+             CAST(sum(CASE WHEN NOT fst THEN nb ELSE 0 END) AS BIGINT) AS dup_bytes,
+             CAST(sum(CASE WHEN NOT known THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_magic,
+             CAST(sum(CASE WHEN fst AND known THEN 1 ELSE 0 END) AS BIGINT) AS n_decode
+      FROM y GROUP BY kind ORDER BY kind"""))
   )
 }

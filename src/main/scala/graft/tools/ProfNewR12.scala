@@ -11,7 +11,7 @@ object ProfNewR12 {
     Seq("ann_graph_search", "mm_phash_neardup", "tx_split_kl",
       "q_unpivot", "ann_vector_audit", "tx_bm25_search",
       "pipeline_dedup_cascade", "tx_pmi_collocations",
-      "q_percentile_cont", "mm_vad_segments", "ev_pagerank_types", "tx_ndcg_eval", "q_trailing_spend", "tx_bpe_fertility", "tx_epoch_plan").foreach { q =>
+      "q_percentile_cont", "mm_vad_segments", "ev_pagerank_types", "tx_ndcg_eval", "q_trailing_spend", "tx_bpe_fertility", "tx_epoch_plan", "pipeline_media_ingest").foreach { q =>
       val runs = (1 to 3).map { _ =>
         val t0 = System.nanoTime()
         graft.SparkEntry.queries(q)(spark, sfDir).count()
