@@ -293,6 +293,29 @@ class SourcesSpec extends AnyFunSuite {
     assert(table.raw.filter(col("date") === "2024-01-02").count() === 24L)
   }
 
+  test("dynamic partition pruning: a dim-side filter prunes log partitions at runtime") {
+    val base = Files.createTempDirectory("graft-dpp")
+    val dir = base.resolve("log").toString
+    val table = new EventsTable(spark, dir, partitionByDate = true)
+    import spark.implicits._
+    val batch = (0 until 48).map { h =>
+      ("click", (h % 5).toLong,
+        java.sql.Timestamp.valueOf(f"2024-01-${h / 24 + 1}%02d ${h % 24}%02d:00:00"), 1.0, "{}")
+    }.toDF("eventType", "foreignId", "ts", "value", "metadata")
+    table.insert(batch)
+    // dim side must be a real scan (not a LocalRelation) for the
+    // optimizer to plant a DPP subquery on the partitioned fact scan
+    val dimPath = base.resolve("dim").toString
+    Seq(("2024-01-01", "stale"), ("2024-01-02", "active"))
+      .toDF("date", "status").write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("status") === "active")
+    val joined = table.raw.join(dim, Seq("date"))
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.toLowerCase.contains("dynamicpruning"),
+      s"expected a dynamicpruning expression on the fact scan:\n$plan")
+    assert(joined.count() === 24L)
+  }
+
   test("live tail: a running stream consumes EventsTable appends as they land") {
     val dir = Files.createTempDirectory("graft-live").resolve("log").toString
     val ckpt = Files.createTempDirectory("graft-live-ckpt").toString
