@@ -150,8 +150,11 @@ object Bench {
       // PQ is lossy by design — the recorded recall is the
       // compression-accuracy trade, not expected to be 1.0
       val pqRecall = ann.AnnOps.plantedCloneRecall(spark, sfDir, SparkEntry.queries("ann_pq_adc"))
+      // r12: the graph-navigation path's quality rides the same
+      // planted-clone metric as the other approximate paths
+      val graphRecall = ann.AnnOps.plantedCloneRecall(spark, sfDir, SparkEntry.queries("ann_graph_search"))
       val tables = GraftConf.get(spark, GraftConf.AnnLshTables)
-      s""","ann":{"lsh_recall":$lshRecall,"lsh_tables":$tables,"ivf_recall":$ivfRecall,"pq_adc_recall":$pqRecall}"""
+      s""","ann":{"lsh_recall":$lshRecall,"lsh_tables":$tables,"ivf_recall":$ivfRecall,"pq_adc_recall":$pqRecall,"graph_recall":$graphRecall}"""
     } catch { case e: Throwable =>
       System.err.println(s"[bench] ann recall failed: ${e.getMessage}"); ""
     }
