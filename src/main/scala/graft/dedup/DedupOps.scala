@@ -1245,7 +1245,52 @@ object DedupOps {
         SELECT 2, 'normalized', n1, n1 - n2, n2, t1 - t2 FROM a
         UNION ALL
         SELECT 3, 'token_set', n2, n2 - n3, n3, t2 - t3 FROM a)
-      ORDER BY stage"""))
+      ORDER BY stage""")),
+
+    // C104 (r12): LSH banding plan — the (bands, rows) selection
+    // table behind every minhash deployment (MMDS §3.4.3): for each
+    // factorization b·r = 128, the S-curve threshold (1/b)^(1/r)
+    // where candidate probability crosses ½, and the candidate
+    // probability 1−(1−J^r)^b at operating points J ∈ {.5,.7,.8,.9}.
+    // `best` marks the banding whose threshold lands closest to the
+    // target J = 0.8 (|thr−0.8| min, ties → fewer rows per band =
+    // higher recall). Pure math over an 8-row frame — pow() on
+    // identical doubles both engines, quantized e4 once — but it's
+    // the artifact that DECIDES the C2 tier's shape before any
+    // corpus-scale job runs.
+    ("dd_lsh_plan", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val combos = Seq(1, 2, 4, 8, 16, 32, 64, 128)
+        .map(r => (128 / r, r)).toDF("b", "r")
+      def p4(j: Double): Column = floor(
+        (lit(1.0) - pow(lit(1.0) - pow(lit(j), col("r").cast("double")),
+          col("b").cast("double"))) * 10000.0 + 0.5).cast("long")
+      val withThr = combos
+        .withColumn("thr4", floor(
+          pow(lit(1.0) / col("b").cast("double"),
+            lit(1.0) / col("r").cast("double")) * 10000.0 + 0.5).cast("long"))
+        .withColumn("p50", p4(0.5)).withColumn("p70", p4(0.7))
+        .withColumn("p80", p4(0.8)).withColumn("p90", p4(0.9))
+      val wBest = Window.orderBy(abs(col("thr4") - 8000L).asc, col("r").asc)
+      withThr
+        .withColumn("best", row_number().over(wBest) === 1)
+        .select("b", "r", "thr4", "p50", "p70", "p80", "p90", "best")
+        .orderBy("r")
+    }, Some("""
+      WITH c AS (
+        SELECT CAST(128 // r AS INTEGER) AS b, CAST(r AS INTEGER) AS r
+        FROM unnest([1, 2, 4, 8, 16, 32, 64, 128]) AS t(r)),
+      m AS (
+        SELECT b, r,
+               CAST(floor(pow(1.0 / CAST(b AS DOUBLE), 1.0 / CAST(r AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS thr4,
+               CAST(floor((1.0 - pow(1.0 - pow(0.5, CAST(r AS DOUBLE)), CAST(b AS DOUBLE))) * 10000.0 + 0.5) AS BIGINT) AS p50,
+               CAST(floor((1.0 - pow(1.0 - pow(0.7, CAST(r AS DOUBLE)), CAST(b AS DOUBLE))) * 10000.0 + 0.5) AS BIGINT) AS p70,
+               CAST(floor((1.0 - pow(1.0 - pow(0.8, CAST(r AS DOUBLE)), CAST(b AS DOUBLE))) * 10000.0 + 0.5) AS BIGINT) AS p80,
+               CAST(floor((1.0 - pow(1.0 - pow(0.9, CAST(r AS DOUBLE)), CAST(b AS DOUBLE))) * 10000.0 + 0.5) AS BIGINT) AS p90
+        FROM c)
+      SELECT b, r, thr4, p50, p70, p80, p90,
+             row_number() OVER (ORDER BY abs(thr4 - 8000) ASC, r ASC) = 1 AS best
+      FROM m ORDER BY r"""))
     // C5 (dd_embed_neardup) lives in AnnOps — it shares the
     // broadcast-probe cosine kernel with ann_bruteforce.
   )
