@@ -34,7 +34,8 @@ class EmptyCorpusSpec extends AnyFunSuite {
     // round-12: split-KL over an empty vocab, phash banding over zero
     // payloads
     "tx_split_kl", "mm_phash_neardup", "tx_bm25_search",
-    "tx_pmi_collocations", "mm_vad_segments", "tx_ndcg_eval")
+    "tx_pmi_collocations", "mm_vad_segments", "tx_ndcg_eval",
+    "tx_epoch_plan", "pipeline_media_ingest", "tx_bpe_fertility")
 
   test("documents-table queries return empty frames on an empty corpus") {
     val spark = graft.TestSpark.spark
