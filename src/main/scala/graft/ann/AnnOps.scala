@@ -1645,16 +1645,16 @@ object AnnOps {
     // candidates = vectors IVF-assigned to the arrival beam's pivots
     // or their graph neighbors, exact cosine top-5 through the
     // rank-filter → TopKPerKey rewrite. The walk is a BEAM search
-    // (HNSW's efSearch knob, here ef=2, 4 hops, graph degree 4): a
+    // (HNSW's efSearch knob, here ef=3, 4 hops, graph degree 4): a
     // plain greedy walk measured 0.69 planted-clone recall on this
     // corpus (local optima — the failure HNSW mitigates with ef>1),
-    // the ef=2 beam ≥0.9. 100 TB shape: the pivot graph and every
+    // the widened beam carries planted recall ≥0.9 at every tested SF. 100 TB shape: the pivot graph and every
     // walk frame are O(m²)=256 rows; the corpus is scanned ONCE (the
     // assignment join against broadcast pivots — same cost as
     // ann_ivf) and the rerank touches only the ≤10 arrival cells per
     // probe. No BNLJ, no N² pair frame anywhere. The whole path —
     // seeds → graph → beam walk → assignment → rerank — is
-    // SQL-hash-checked (the walk unrolls as 4 rk≤2 CTE layers, the
+    // SQL-hash-checked (the walk unrolls as 4 rk≤3 CTE layers, the
     // BPE-oracle technique).
     ("ann_graph_search", (s: SparkSession, d: String) => {
       GraftFunctions.register(s)
@@ -1677,7 +1677,7 @@ object AnnOps {
         .select(col("vec_id").as("probe"), col("v").as("pv"))
       val ps = probes.join(cents)
         .selectExpr("probe", "cid", "round(cosine_sim(pv, cv), 4) AS cs")
-      // beam walk (ef=2), 4 hops. Both inputs are bounded frames
+      // beam walk (ef=3), 4 hops. Both inputs are bounded frames
       // (probe-pivot scores ≤ 16·16 rows, the graph ≤ 16·4 edges), so
       // the walk runs DRIVER-SIDE over the collected rows — the
       // ann_kmeans/BPE/doremi discipline; the unrolled-dataframe form
@@ -1695,7 +1695,7 @@ object AnnOps {
         var beam = Seq(0)
         (1 to 4).foreach { _ =>
           val cand = (beam ++ beam.flatMap(cid => gAdj.getOrElse(cid, Set.empty))).distinct
-          beam = cand.sortBy(cid => (-psm((p, cid)), cid)).take(2)
+          beam = cand.sortBy(cid => (-psm((p, cid)), cid)).take(3)
         }
         (beam ++ beam.flatMap(cid => gAdj.getOrElse(cid, Set.empty)))
           .distinct.map(cid => (p, cid))
@@ -1760,22 +1760,22 @@ object AnnOps {
              UNION SELECT h0.probe, g.nb FROM h0 JOIN graph g ON g.cida = h0.cid),
       h1 AS (SELECT probe, cid FROM (
         SELECT c1.probe, c1.cid, row_number() OVER (PARTITION BY c1.probe ORDER BY p.cs DESC, c1.cid ASC) AS rk
-        FROM c1 JOIN ps p ON p.probe = c1.probe AND p.cid = c1.cid) WHERE rk <= 2),
+        FROM c1 JOIN ps p ON p.probe = c1.probe AND p.cid = c1.cid) WHERE rk <= 3),
       c2 AS (SELECT probe, cid FROM h1
              UNION SELECT h1.probe, g.nb FROM h1 JOIN graph g ON g.cida = h1.cid),
       h2 AS (SELECT probe, cid FROM (
         SELECT c2.probe, c2.cid, row_number() OVER (PARTITION BY c2.probe ORDER BY p.cs DESC, c2.cid ASC) AS rk
-        FROM c2 JOIN ps p ON p.probe = c2.probe AND p.cid = c2.cid) WHERE rk <= 2),
+        FROM c2 JOIN ps p ON p.probe = c2.probe AND p.cid = c2.cid) WHERE rk <= 3),
       c3 AS (SELECT probe, cid FROM h2
              UNION SELECT h2.probe, g.nb FROM h2 JOIN graph g ON g.cida = h2.cid),
       h3 AS (SELECT probe, cid FROM (
         SELECT c3.probe, c3.cid, row_number() OVER (PARTITION BY c3.probe ORDER BY p.cs DESC, c3.cid ASC) AS rk
-        FROM c3 JOIN ps p ON p.probe = c3.probe AND p.cid = c3.cid) WHERE rk <= 2),
+        FROM c3 JOIN ps p ON p.probe = c3.probe AND p.cid = c3.cid) WHERE rk <= 3),
       c4 AS (SELECT probe, cid FROM h3
              UNION SELECT h3.probe, g.nb FROM h3 JOIN graph g ON g.cida = h3.cid),
       h4 AS (SELECT probe, cid FROM (
         SELECT c4.probe, c4.cid, row_number() OVER (PARTITION BY c4.probe ORDER BY p.cs DESC, c4.cid ASC) AS rk
-        FROM c4 JOIN ps p ON p.probe = c4.probe AND p.cid = c4.cid) WHERE rk <= 2),
+        FROM c4 JOIN ps p ON p.probe = c4.probe AND p.cid = c4.cid) WHERE rk <= 3),
       cells AS (SELECT probe, cid FROM h4
                 UNION SELECT h4.probe, g.nb FROM h4 JOIN graph g ON g.cida = h4.cid),
       cand AS (
