@@ -1771,6 +1771,44 @@ object Queries {
                  RANGE BETWEEN 90 PRECEDING AND CURRENT ROW) AS BIGINT) AS n_orders_90d
         FROM b)
       SELECT o_orderkey, o_custkey, day, sp, trailing_90d_cents, n_orders_90d
-      FROM wdw WHERE o_orderkey < 2000 ORDER BY o_orderkey"""))
+      FROM wdw WHERE o_orderkey < 2000 ORDER BY o_orderkey""")),
+
+    // B54 (r12): MODE / most-frequent-value per group (the SQL:2023
+    // MODE() aggregate surface): per (returnflag, linestatus), the
+    // most frequent order quantity with its count and exact share —
+    // argmax over the tiny (group, value) count frame through the
+    // rank-filter → TopKPerKey rewrite (deterministic tie-break:
+    // count desc, value asc — engines must agree when two modes tie).
+    // One partial-agged exchange onto the |groups|·|values| frame;
+    // nothing row-scale is ever ranked.
+    ("q_mode_quantity", (s: SparkSession, d: String) => {
+      val counts = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("l_quantity").cast("long").as("qty"))
+        .groupBy("l_returnflag", "l_linestatus", "qty")
+        .agg(count(lit(1)).as("n"))
+      val tot = counts.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum("n").as("tn"))
+      val w = Window.partitionBy("l_returnflag", "l_linestatus")
+        .orderBy(col("n").desc, col("qty").asc)
+      counts.withColumn("rk", row_number().over(w)).filter(col("rk") === 1)
+        .join(tot, Seq("l_returnflag", "l_linestatus"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("qty").as("mode_qty"), col("n"),
+          graft.text.TextOps.ratio4(col("n"), col("tn")).as("share4"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }, Some("""
+      WITH c AS (
+        SELECT l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT) AS qty,
+               CAST(count(*) AS BIGINT) AS n
+        FROM lineitem GROUP BY 1, 2, 3),
+      t AS (SELECT l_returnflag, l_linestatus, CAST(sum(n) AS BIGINT) AS tn
+            FROM c GROUP BY 1, 2),
+      r AS (SELECT *, row_number() OVER (PARTITION BY l_returnflag, l_linestatus
+              ORDER BY n DESC, qty ASC) AS rk FROM c)
+      SELECT r.l_returnflag, r.l_linestatus, r.qty AS mode_qty, r.n,
+             ((20000 * r.n + t.tn) // (2 * t.tn)) / 10000.0 AS share4
+      FROM r JOIN t USING (l_returnflag, l_linestatus)
+      WHERE rk = 1 ORDER BY l_returnflag, l_linestatus"""))
   )
 }
