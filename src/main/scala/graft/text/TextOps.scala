@@ -261,9 +261,14 @@ object TextOps {
     * semantics identical to adjacent pairs of `tokens(text)`; docs
     * with <2 tokens (incl. empty/null text) emit nothing.
     */
-  /** BM25 (probe, doc, score4) frame shared by tx_bm25_search and the
-    * NDCG eval — see the tx_bm25_search entry for the determinism and
-    * scale notes.
+  /** BM25 (probe, doc, score4, rel) frame shared by tx_bm25_search and
+    * the NDCG eval — see the tx_bm25_search entry for the determinism
+    * and scale notes. `rel` (the count of shared distinct terms, the
+    * NDCG eval's proxy qrel) is the ROW COUNT of the same joined
+    * (probe, term, doc) frame whose c4 contributions sum to score4,
+    * so both aggregates ride one exchange; tx_bm25_search just drops
+    * the column (r13: this removed the eval's second corpus
+    * term-frame pass, the r12 verdict's top perf item).
     */
   def bm25Scores(s: SparkSession, d: String): DataFrame = {
     val tf = docTermCounts(s, d).select("doc_id", "term", "tf")
@@ -288,7 +293,8 @@ object TextOps {
               ((col("dl") * col("nn")).cast("double") / col("sumdl").cast("double")))))
       .withColumn("c4",
         floor(col("idf") * col("tfc") * lit(10000.0) + lit(0.5)).cast("long"))
-    c4.groupBy("probe", "doc_id").agg(sum("c4").as("score4"))
+    c4.groupBy("probe", "doc_id")
+      .agg(sum("c4").as("score4"), count(lit(1)).as("rel"))
   }
 
   /** Per-doc bigram TERM counts (the docBigramCounts shape but keyed
@@ -3202,24 +3208,32 @@ object TextOps {
     // quantized once — so DCG/IDCG are int64 SUMS and NDCG the exact
     // half-up rational. IDCG's ideal ranking is a per-probe top-10 on
     // (rel desc, doc asc) through the rank-filter rewrite; relevance
-    // rows exist only for docs sharing a query term. One extra
-    // corpus term-frame pass beyond the shared bm25Scores frame.
+    // rows exist only for docs sharing a query term. r13 replan: rel
+    // IS the row count of bm25Scores' own joined frame, so the shared
+    // (probe, doc, score4, rel) frame feeds both rankings — ZERO
+    // extra corpus passes (was one) — and the probe-bounded frame is
+    // eagerly localCheckpoint'ed so both window branches read
+    // materialized blocks: the corpus pass runs ONCE per execution.
+    // localCheckpoint over .persist() is deliberate twice: (a) a
+    // CacheManager entry is plan-keyed, so a min-of-N bench loop
+    // would silently reuse run 1's cache and the recorded wall would
+    // stop being a full-execution number, and (b) ReuseExchange can't
+    // dedupe the branches itself — column pruning strips score4 from
+    // the idcg subtree, so the two exchange subplans are not
+    // structurally identical (verified on the executed plan). An
+    // explicit pre-repartition on probe measured SLOWER (ProfNdcg:
+    // 2.0 s vs 1.4 s sf0.1) — the extra shuffle job outweighs the
+    // per-branch exchange of a 40 k-row frame. Lineage truncation is
+    // safe: the frame is ≤|probes|×|docs-sharing-a-term| rows.
     ("tx_ndcg_eval", (s: SparkSession, d: String) => {
-      val scores = bm25Scores(s, d)
-      val wS = Window.partitionBy("probe").orderBy(col("score4").desc, col("doc_id").asc)
-      val sys = scores.withColumn("rk", row_number().over(wS)).filter(col("rk") <= 10)
-        .select("probe", "doc_id", "rk")
-      val dt = docTermCounts(s, d).select("doc_id", "term")
-      val q = broadcast(dt.filter(col("doc_id") < 8)
-        .select(col("doc_id").as("probe"), col("term")))
-      val rel = dt.join(q, "term").filter(col("probe") =!= col("doc_id"))
-        .groupBy("probe", "doc_id").agg(count(lit(1)).as("rel"))
+      val scores = bm25Scores(s, d).localCheckpoint()
       def wgt(rk: Column): Column =
         floor(lit(10000.0) / log2(rk + 1) + 0.5).cast("long")
-      val dcg = sys.join(rel, Seq("probe", "doc_id"))
+      val wS = Window.partitionBy("probe").orderBy(col("score4").desc, col("doc_id").asc)
+      val dcg = scores.withColumn("rk", row_number().over(wS)).filter(col("rk") <= 10)
         .groupBy("probe").agg(sum(col("rel") * wgt(col("rk"))).as("dcg_e4"))
       val wI = Window.partitionBy("probe").orderBy(col("rel").desc, col("doc_id").asc)
-      val idcg = rel.withColumn("rk", row_number().over(wI)).filter(col("rk") <= 10)
+      val idcg = scores.withColumn("rk", row_number().over(wI)).filter(col("rk") <= 10)
         .groupBy("probe").agg(sum(col("rel") * wgt(col("rk"))).as("idcg_e4"))
       dcg.join(idcg, "probe")
         .select(col("probe"), col("dcg_e4"), col("idcg_e4"),
