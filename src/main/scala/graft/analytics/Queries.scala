@@ -45,6 +45,52 @@ object Queries {
   def money2(amount1e4: Column): Column =
     floor((amount1e4 * 2 + 100) / 200).cast("long") / 100.0
 
+  /** Shared exclusive-prefix-summed cents histogram for B41/B52
+    * (q_equidepth, q_percentile_cont): (v, cnt, cum_excl, total) over
+    * the DISTINCT l_extendedprice cents domain (bounded by the price
+    * grid — qty 1-50 × part price values — 583 k rows at sf1,
+    * corpus-independent). r13 replan of the r11 SinglePartition
+    * window: RANGE-partition the domain on v, per-partition running
+    * sums, and a 32-long per-partition-total frame collected +
+    * broadcast as offsets — the classic distributed prefix sum.
+    * Measured (ProfPrefixSum, full q_equidepth downstream): sf1
+    * 1.15 s vs 1.54 s single-window, 10× data 2.09 s vs 3.24 s —
+    * wins at both decades and the gap WIDENS with scale (the r11
+    * two-level block attempt lost because it kept everything in
+    * exchanges; the collect here is 32 longs, driver-bounded).
+    * localCheckpoint (not persist) so the frame materializes once per
+    * execution without a plan-keyed CacheManager entry; eager, so the
+    * offsets collect below reads checkpointed blocks, not a recompute.
+    */
+  def centsCumHist(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // checkpoint the agg BEFORE the range exchange: RangePartitioning
+    // samples its child and then shuffles it, so an un-materialized
+    // child would run the corpus aggregation twice; the second
+    // checkpoint materializes the sorted ranges so the offsets pass
+    // and the final prefix pass both read blocks, not a re-shuffle.
+    val ds = Tables.lineitem(s, d)
+      .select(cents(col("l_extendedprice")).as("v"))
+      .groupBy("v").agg(count(lit(1)).as("cnt"))
+      .select(col("v").cast("long"), col("cnt").cast("long"))
+      .as[(Long, Long)]
+      .localCheckpoint()
+      .repartitionByRange(32, col("v"))
+      .sortWithinPartitions("v")
+      .localCheckpoint()
+    val partTotals = ds.mapPartitions { it =>
+      var acc = 0L; it.foreach(acc += _._2)
+      Iterator((org.apache.spark.TaskContext.getPartitionId(), acc))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partTotals.scanLeft(0L)(_ + _)
+    val total = offsets.last
+    val bc = s.sparkContext.broadcast(offsets)
+    ds.mapPartitions { it =>
+      var run = bc.value(org.apache.spark.TaskContext.getPartitionId())
+      it.map { case (v, c) => val e = run; run += c; (v, c, e) }
+    }.toDF("v", "cnt", "cum_excl").withColumn("total", lit(total))
+  }
+
   /** (name, dataframe impl, oracle SQL). */
   val entries: Seq[(String, QFn, Option[String])] = Seq(
 
@@ -1135,19 +1181,10 @@ object Queries {
     ("q_equidepth", (s: SparkSession, d: String) => {
       // the prefix sum runs over the DISTINCT-VALUE frame, whose size
       // is bounded by the price grid (583k values at sf1) and does
-      // not grow with corpus rows — so one deliberate SinglePartition
-      // window over it is the right shape at any corpus size. The
-      // two-level block decomposition was measured (ProfEquidepth,
-      // sf1): it costs 0.85 s where the single window costs 0.50 s
-      // against a 0.49 s scan+groupBy floor — the extra exchanges
-      // outweigh the parallelism on a domain-bounded frame.
-      val h = Tables.lineitem(s, d)
-        .select(cents(col("l_extendedprice")).as("v"))
-        .groupBy("v").agg(count(lit(1)).as("cnt"))
-      val tot = h.agg(sum("cnt").as("total"))
-      h.crossJoin(broadcast(tot))
-        .withColumn("cum_excl", coalesce(sum("cnt").over(Window.orderBy("v")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // not grow with corpus rows. r13: the shared range-partitioned
+      // prefix sum (centsCumHist) replaced the r11 SinglePartition
+      // window — measured faster at sf1 AND 10× (see the helper doc).
+      centsCumHist(s, d)
         .withColumn("bucket",
           call_function("div", col("cum_excl") * 8L, col("total")).cast("int"))
         .groupBy("bucket")
@@ -1686,13 +1723,9 @@ object Queries {
     // returns the same construction as a double).
     ("q_percentile_cont", (s: SparkSession, d: String) => {
       import s.implicits._
-      val h = Tables.lineitem(s, d)
-        .select(cents(col("l_extendedprice")).as("v"))
-        .groupBy("v").agg(count(lit(1)).as("cnt"))
-      val tot = h.agg(sum("cnt").as("n"))
-      val cumH = h.crossJoin(broadcast(tot))
-        .withColumn("cum_excl", coalesce(sum("cnt").over(Window.orderBy("v")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // r13: shared range-partitioned prefix sum (centsCumHist) —
+      // same replan note as q_equidepth.
+      val cumH = centsCumHist(s, d).withColumnRenamed("total", "n")
       val pcts = Seq(25L, 50L, 75L, 90L, 99L).toDF("pct")
       cumH.crossJoin(broadcast(pcts))
         .withColumn("target", (col("n") - 1L) * col("pct"))
