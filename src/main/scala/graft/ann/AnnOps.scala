@@ -84,13 +84,42 @@ object AnnOps {
   private def plantClones(c: DataFrame): DataFrame =
     c.unionByName(c.select((col("vec_id") + 1000000L).as("vec_id"), col("v")))
 
-  /** Oracle for the planted-clone ANN variants: top-1 of probe p is
-    * its clone p+10^6 at cosine 1.0, by construction.
+  /** Oracle for the planted-clone ANN variants: the TRUE top-1 over
+    * corpus ∪ clones, computed by full brute-force cosine in DuckDB —
+    * which by construction is the clone p+10^6 at cosine 1.0 (no
+    * duplicate vectors exist at any SF, so nothing ties it). r13
+    * (verdict item 5): the previous oracle predicted the answer from
+    * the construction in ~2 ms, producing meaningless 500× ratio rows
+    * in the bench listing; this form makes DuckDB execute the full
+    * exact-search equivalent of the candidate-generation + scoring
+    * work the Spark path does, so the recorded ratio is a real
+    * comparison (and the result set is provably identical).
     */
   private val plantedAnnOracle = """
-      SELECT vec_id AS probe, CAST(1 AS INTEGER) AS rk,
-             vec_id + 1000000 AS neighbor, CAST(1.0 AS DOUBLE) AS cos_sim
-      FROM embeddings WHERE vec_id < 16 ORDER BY probe"""
+      WITH c AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + 1000000, embedding FROM embeddings),
+      f AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM c),
+      n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY vec_id),
+      p AS (SELECT vec_id, i, v FROM f WHERE vec_id < 16),
+      dots AS (
+        SELECT p.vec_id AS probe, f.vec_id AS neighbor, sum(p.v * f.v) AS dot
+        FROM p JOIN f ON p.i = f.i AND p.vec_id <> f.vec_id
+        GROUP BY 1, 2),
+      sc AS (
+        SELECT probe, neighbor, dot / (np.nrm * nn.nrm) AS cos
+        FROM dots JOIN n np ON np.vec_id = probe
+                  JOIN n nn ON nn.vec_id = neighbor),
+      r AS (SELECT probe, neighbor, cos,
+                   row_number() OVER (PARTITION BY probe
+                     ORDER BY cos DESC, neighbor ASC) AS rk
+            FROM sc)
+      SELECT probe, CAST(rk AS INTEGER) AS rk, neighbor,
+             round(cos, 4) AS cos_sim
+      FROM r WHERE rk = 1 ORDER BY probe"""
 
   /** Multi-table hyperplane-LSH top-5 over an explicit corpus frame —
     * the ann_lsh body, parameterized so the planted-clone oracle
