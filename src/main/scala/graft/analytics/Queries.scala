@@ -1298,10 +1298,14 @@ object Queries {
       // are collected (they are collected eagerly below).
       val tmp = s"${System.getProperty("java.io.tmpdir")}/graft-zorder-files-" +
         s"${new java.io.File(d).getName}-${java.lang.ProcessHandle.current().pid()}"
+      val tW0 = System.nanoTime()
       base.select("x", "y", "zb").repartition(8, col("zb"))
         .write.mode("overwrite").partitionBy("zb").parquet(s"$tmp/z")
       base.select("x", "y", "lb").repartition(8, col("lb"))
         .write.mode("overwrite").partitionBy("lb").parquet(s"$tmp/l")
+      // report the file-write share of the wall so the bench artifact
+      // can split plan-vs-write time (Layout.noteZorderWrite doc)
+      Layout.noteZorderWrite((System.nanoTime() - tW0) / 1e9)
       def zoneRows(sub: String): Seq[(Long, Long, Long, Long, Long)] =
         Layout.partitionZones(s, s"$tmp/$sub", Seq("x", "y")).map {
           case (_, z, n) =>
