@@ -871,6 +871,39 @@ object Queries {
              TRUE AS parts_ok, TRUE AS p50_ok, TRUE AS p95_ok
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // B20b (r13): mergeable KLL quantile sketch — percentiles for
+    // UNBOUNDED value domains where the B41/B52 domain-histogram
+    // trick doesn't apply at 100 TB (functions/KllSketch.scala, a
+    // native TypedImperativeAggregate with partial/merge like
+    // freq_sketch). Graded the B20 way: exact group counts are
+    // hash-checked, and each sketch estimate must land inside the
+    // exact interpolated quantile bracket at q∓0.02 (a 2%-rank
+    // envelope — ~4× the measured deterministic-KLL error at k=400);
+    // DuckDB emits literal TRUE for those booleans, so any
+    // out-of-envelope estimate flips the hash red at every SF.
+    ("q_sketch_quantiles", (s: SparkSession, d: String) => {
+      graft.functions.GraftFunctions.register(s)
+      val v = cents(col("l_extendedprice"))
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag")
+        .agg(
+          call_function("kll_quantiles", v, lit(400),
+            array(lit(0.25), lit(0.5), lit(0.75), lit(0.95))).as("kq"),
+          call_function("percentile", v,
+            array(lit(0.23), lit(0.27), lit(0.48), lit(0.52),
+              lit(0.73), lit(0.77), lit(0.93), lit(0.97))).as("ep"),
+          count(lit(1)).as("n_rows"))
+        .select(col("l_returnflag"), col("n_rows"),
+          (col("kq")(0) >= col("ep")(0) && col("kq")(0) <= col("ep")(1)).as("p25_ok"),
+          (col("kq")(1) >= col("ep")(2) && col("kq")(1) <= col("ep")(3)).as("p50_ok"),
+          (col("kq")(2) >= col("ep")(4) && col("kq")(2) <= col("ep")(5)).as("p75_ok"),
+          (col("kq")(3) >= col("ep")(6) && col("kq")(3) <= col("ep")(7)).as("p95_ok"))
+        .orderBy("l_returnflag")
+    }, Some("""
+      SELECT l_returnflag, CAST(count(*) AS BIGINT) AS n_rows,
+             TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok, TRUE AS p95_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
+
     // B16: UNION + dedup across sources.
     ("q_union_keys", (s: SparkSession, d: String) => {
       val a = Tables.orders(s, d).select(col("o_custkey").as("custkey")).withColumn("src", lit("orders"))

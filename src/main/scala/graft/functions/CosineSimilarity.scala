@@ -135,6 +135,8 @@ object GraftFunctions {
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "intersect_sorted_count", IntersectSortedCount.builder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "kll_quantiles", KllQuantiles.builder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "bloom_filter_agg", bloomAggBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "might_contain", mightContainBuilder, "built-in")
@@ -170,6 +172,10 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
       FunctionIdentifier("intersect_sorted_count"),
       new ExpressionInfo(classOf[IntersectSortedCount].getName, "intersect_sorted_count"),
       IntersectSortedCount.builder))
+    ext.injectFunction((
+      FunctionIdentifier("kll_quantiles"),
+      new ExpressionInfo(classOf[KllQuantiles].getName, "kll_quantiles"),
+      KllQuantiles.builder))
     ext.injectFunction((
       FunctionIdentifier("bloom_filter_agg"),
       new ExpressionInfo(
