@@ -111,8 +111,17 @@ final class EventsTable(spark: SparkSession, dir: String,
   def exists: Boolean = new java.io.File(dir).exists()
 
   def log: EventLog = {
+    // explicit schema on BOTH paths (r13 schema evolution): a typed
+    // metadata projection added mid-log means old files lack the
+    // column — schema inference would surface whichever file's footer
+    // Spark samples, while an explicit schema reads every file with
+    // the merged shape (absent columns come back null until
+    // `evolve()` backfills them). The date partition column is named
+    // in the schema so partitioned reads stay prunable.
     val df =
-      if (partitionByDate) spark.read.parquet(dir).drop("date")
+      if (partitionByDate)
+        spark.read.schema(StructType(fullSchema.fields :+
+            StructField("date", DateType))).parquet(dir).drop("date")
       else spark.read.schema(fullSchema).parquet(dir)
     new EventLog(canonicalize(df))
   }
@@ -218,6 +227,62 @@ final class EventsTable(spark: SparkSession, dir: String,
           .write.parquet(staging.toString)
         // drop the _SUCCESS marker so the swapped dir holds data files
         // only, like the append-written partitions it replaces
+        fs.delete(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"), false)
+        graft.util.AtomicDir.replace(staging.toUri.getPath, p.toUri.getPath)
+        rewritten += 1
+      }
+    }
+    graft.util.AtomicDir.deleteRec(stagingRoot.toUri.getPath)
+    rewritten
+  }
+
+  /** Schema evolution (reference intent: rsql/eventstable.go:67–120
+    * custom field mapping — the schema is the table's, not the
+    * file's): backfill typed metadata projections (`metaColumns`)
+    * that were added AFTER part of the log was written. Old files
+    * lack the physical column and read as null through the explicit
+    * merged schema; evolve rewrites exactly the partitions containing
+    * such files — recomputing every projection from the metadata JSON
+    * with the same expression `insert` uses, so backfilled values are
+    * bit-identical to write-time ones — and atomically swaps each
+    * partition under the same old-or-new discipline as
+    * `compact`/`forget`. After evolve, every file carries the typed
+    * column with real parquet min/max stats, so filters on it prune
+    * files instead of re-parsing JSON. Untouched partitions are never
+    * read or written. Returns the number of partitions rewritten.
+    */
+  def evolve(): Int = {
+    if (!exists || metaColumns.isEmpty) return 0
+    val conf = spark.sparkContext.hadoopConfiguration
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(conf)
+    val stagingRoot = new org.apache.hadoop.fs.Path(root.toString + ".evolving")
+    graft.util.AtomicDir.deleteRec(stagingRoot.toUri.getPath)
+    val parts: Seq[org.apache.hadoop.fs.Path] =
+      if (partitionByDate)
+        fs.listStatus(root).filter(st => st.isDirectory &&
+          st.getPath.getName.startsWith("date=")).map(_.getPath).toSeq
+      else Seq(root)
+    var rewritten = 0
+    parts.foreach { p =>
+      val files = fs.listStatus(p).filter(st => st.isFile &&
+        st.getPath.getName.endsWith(".parquet")).map(_.getPath)
+      // footer check per file: does any file miss a projection column?
+      val needs = files.exists { f =>
+        val have = spark.read.parquet(f.toString).schema.fieldNames.toSet
+        metaColumns.exists(m => !have.contains(m.name))
+      }
+      if (needs) {
+        val base = spark.read.schema(fullSchema).parquet(p.toString)
+        val df = metaColumns.foldLeft(base) { (acc, m) =>
+          acc.withColumn(m.name,
+            get_json_object(col(physical("metadata")), m.jsonPath).cast(m.dataType))
+        }
+        val staging =
+          if (partitionByDate) new org.apache.hadoop.fs.Path(stagingRoot, p.getName)
+          else stagingRoot
+        graft.util.AtomicDir.deleteRec(staging.toUri.getPath)
+        df.write.parquet(staging.toString)
         fs.delete(new org.apache.hadoop.fs.Path(staging, "_SUCCESS"), false)
         graft.util.AtomicDir.replace(staging.toUri.getPath, p.toUri.getPath)
         rewritten += 1
