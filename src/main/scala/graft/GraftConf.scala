@@ -43,10 +43,21 @@ object GraftConf {
       "sequential within a shard; size as corpus_tokens / (budget * 1e5) " +
       "so each shard's doc list stays executor-memory-resident.")
 
+  val DedupMinhashTargetJ = ConfKey("spark.graft.dedup.minhash.targetJ", "0.8",
+    "Jaccard target for the MinHash-LSH banding of the near-dup tier " +
+      "(C2 batch + C37b streaming). The (bands, rowsPerBand) split of the " +
+      "32-permutation signature is chosen as the dd_lsh_plan table's " +
+      "`best` row for this target: S-curve threshold (1/b)^(1/r) closest " +
+      "to targetJ, ties to fewer rows per band. Default 0.8 yields 4x8 " +
+      "(threshold ~0.84); 0.5 yields 8x4 (~0.59), admitting more " +
+      "candidates at more verify cost.")
+
   /** Every key, in the order CONFIG.md documents them. */
   val all: Seq[ConfKey] = Seq(
     TopKRewrite, TopKRewriteMaxK, AnnLshTables, AnnLshMaxBucket,
-    SeqpackShards)
+    SeqpackShards, DedupMinhashTargetJ)
+
+  def getDouble(s: SparkSession, k: ConfKey): Double = get(s, k).toDouble
 
   def get(s: SparkSession, k: ConfKey): String = s.conf.get(k.key, k.default)
   def getInt(s: SparkSession, k: ConfKey): Int = get(s, k).toInt

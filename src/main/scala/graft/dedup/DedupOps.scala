@@ -165,10 +165,47 @@ object DedupOps {
     * memory (~4 longs/doc). Candidate generation runs off the hot
     * bands frame.
     */
+  /** The signature length every minhash tier permutes to. */
+  final val MinhashSigLen = 32
+
+  /** The (bands, rowsPerBand) split of a sigLen-permutation signature
+    * for a Jaccard target — EXACTLY the `best` row of the dd_lsh_plan
+    * banding table (r13, verdict item 9: one config path from the
+    * planning artifact to the operator): among power-of-two divisors
+    * r of sigLen, pick the banding whose S-curve threshold
+    * (1/b)^(1/r) is closest to the target, ties to fewer rows per
+    * band (higher recall). Same e4 quantization as the query so the
+    * two selections can never disagree (BandingPlanSpec pins this).
+    */
+  def chooseBanding(sigLen: Int, targetJ: Double): (Int, Int) = {
+    val target4 = math.round(targetJ * 10000.0)
+    val candidates = (0 to 30).map(1 << _)
+      .filter(r => r <= sigLen && sigLen % r == 0)
+      .map { r =>
+        val b = sigLen / r
+        val thr4 = math.floor(math.pow(1.0 / b, 1.0 / r) * 10000.0 + 0.5).toLong
+        (math.abs(thr4 - target4), r, b)
+      }
+    val (_, r, b) = candidates.minBy(t => (t._1, t._2))
+    (b, r)
+  }
+
+  /** Banding of the shipped near-dup tier: sigLen 32, target from
+    * spark.graft.dedup.minhash.targetJ (default 0.8 → 4 bands × 8
+    * rows, the measured-sparse operating point).
+    */
+  def configuredBanding(s: SparkSession): (Int, Int) =
+    chooseBanding(MinhashSigLen,
+      graft.GraftConf.getDouble(s, graft.GraftConf.DedupMinhashTargetJ))
+
   def minhashSignatures(documents: DataFrame): (DataFrame, DataFrame) = {
     val s = documents.sparkSession
     import s.implicits._
-    val frames = memo(s, "minhash:" + documents.queryExecution.analyzed.semanticHash()) {
+    val (_, rowsPerBand) = configuredBanding(s)
+    // the banding is part of the memo key: a target change must
+    // re-derive the cached band frames, not reuse a stale split
+    val frames = memo(s, s"minhash:r$rowsPerBand:" +
+        documents.queryExecution.analyzed.semanticHash()) {
       // shingles are packed-char 64-bit hashes (charShingleHashes:
       // distinct 4-grams map injectively — zero collisions — and the
       // pass allocates no substring/Set per position; measured ~3x
@@ -180,7 +217,8 @@ object DedupOps {
         .as[(Long, String)]
         .map { case (id, norm) =>
           val shh = graft.util.Hashing.charShingleHashes(norm, 4)
-          val bands = graft.util.Hashing.bands(graft.util.Hashing.minhashSigL(shh, 32), 8)
+          val bands = graft.util.Hashing.bands(
+            graft.util.Hashing.minhashSigL(shh, MinhashSigLen), rowsPerBand)
           val (f1, f2) = graft.util.Hashing.setFingerprint(shh)
           (id, shh.toSeq, bands.toSeq, f1, f2)
         }
@@ -1247,21 +1285,26 @@ object DedupOps {
         SELECT 3, 'token_set', n2, n2 - n3, n3, t2 - t3 FROM a)
       ORDER BY stage""")),
 
-    // C104 (r12): LSH banding plan — the (bands, rows) selection
-    // table behind every minhash deployment (MMDS §3.4.3): for each
-    // factorization b·r = 128, the S-curve threshold (1/b)^(1/r)
-    // where candidate probability crosses ½, and the candidate
-    // probability 1−(1−J^r)^b at operating points J ∈ {.5,.7,.8,.9}.
-    // `best` marks the banding whose threshold lands closest to the
-    // target J = 0.8 (|thr−0.8| min, ties → fewer rows per band =
-    // higher recall). Pure math over an 8-row frame — pow() on
-    // identical doubles both engines, quantized e4 once — but it's
-    // the artifact that DECIDES the C2 tier's shape before any
-    // corpus-scale job runs.
+    // C104 (r12, retargeted r13): LSH banding plan — the (bands,
+    // rows) selection table behind the SHIPPED minhash tier (MMDS
+    // §3.4.3): for each power-of-two factorization b·r = 32 (the C2
+    // signature length), the S-curve threshold (1/b)^(1/r) where
+    // candidate probability crosses ½, and the candidate probability
+    // 1−(1−J^r)^b at operating points J ∈ {.5,.7,.8,.9}. `best` marks
+    // the banding whose threshold lands closest to the configured
+    // target (spark.graft.dedup.minhash.targetJ; |thr−J*| min, ties →
+    // fewer rows per band = higher recall) — and since r13 the C2/
+    // C37b operators CONSUME this same selection (chooseBanding —
+    // BandingPlanSpec pins query-vs-operator agreement and the
+    // S-curve shift of the admitted set when the target moves). The
+    // oracle pins the default target; pure e4-quantized math over a
+    // 6-row frame.
     ("dd_lsh_plan", (s: SparkSession, d: String) => {
       import s.implicits._
-      val combos = Seq(1, 2, 4, 8, 16, 32, 64, 128)
-        .map(r => (128 / r, r)).toDF("b", "r")
+      val target4 = math.round(graft.GraftConf.getDouble(
+        s, graft.GraftConf.DedupMinhashTargetJ) * 10000.0)
+      val combos = Seq(1, 2, 4, 8, 16, 32)
+        .map(r => (MinhashSigLen / r, r)).toDF("b", "r")
       def p4(j: Double): Column = floor(
         (lit(1.0) - pow(lit(1.0) - pow(lit(j), col("r").cast("double")),
           col("b").cast("double"))) * 10000.0 + 0.5).cast("long")
@@ -1271,15 +1314,15 @@ object DedupOps {
             lit(1.0) / col("r").cast("double")) * 10000.0 + 0.5).cast("long"))
         .withColumn("p50", p4(0.5)).withColumn("p70", p4(0.7))
         .withColumn("p80", p4(0.8)).withColumn("p90", p4(0.9))
-      val wBest = Window.orderBy(abs(col("thr4") - 8000L).asc, col("r").asc)
+      val wBest = Window.orderBy(abs(col("thr4") - target4).asc, col("r").asc)
       withThr
         .withColumn("best", row_number().over(wBest) === 1)
         .select("b", "r", "thr4", "p50", "p70", "p80", "p90", "best")
         .orderBy("r")
     }, Some("""
       WITH c AS (
-        SELECT CAST(128 // r AS INTEGER) AS b, CAST(r AS INTEGER) AS r
-        FROM unnest([1, 2, 4, 8, 16, 32, 64, 128]) AS t(r)),
+        SELECT CAST(32 // r AS INTEGER) AS b, CAST(r AS INTEGER) AS r
+        FROM unnest([1, 2, 4, 8, 16, 32]) AS t(r)),
       m AS (
         SELECT b, r,
                CAST(floor(pow(1.0 / CAST(b AS DOUBLE), 1.0 / CAST(r AS DOUBLE)) * 10000.0 + 0.5) AS BIGINT) AS thr4,

@@ -68,6 +68,10 @@ object StreamingNearDup {
     // one typed pass: band keys + set fingerprint per doc (the
     // memoized batch-tier signature cache is wrong here — every
     // micro-batch is a new plan, entries would pile up)
+    // banding from the same dd_lsh_plan `best` selection as the batch
+    // tier (spark.graft.dedup.minhash.targetJ) — C2 and C37b admit
+    // along the same S-curve by construction
+    val (_, rowsPerBand) = DedupOps.configuredBanding(spark)
     val sigs = batch
       .select(col("doc_id"), graft.text.TextOps.normalize(col("text")).as("norm"))
       .as[(Long, String)]
@@ -76,7 +80,7 @@ object StreamingNearDup {
         val shh = graft.util.Hashing.charShingleHashes(n, 4)
         val (f1, f2) = graft.util.Hashing.setFingerprint(shh)
         val bds = graft.util.Hashing.bands(
-          graft.util.Hashing.minhashSigL(shh, 32), 8)
+          graft.util.Hashing.minhashSigL(shh, DedupOps.MinhashSigLen), rowsPerBand)
         (id, bds.toSeq, f1, f2)
       }
       .toDF("doc_id", "bands", "fp1", "fp2")

@@ -14,7 +14,8 @@ class GraftConfSpec extends AnyFunSuite {
       "spark.graft.topk.rewrite.maxK" -> "1000",
       "spark.graft.ann.lsh.tables" -> "4",
       "spark.graft.ann.lsh.maxBucket" -> "10000",
-      "spark.graft.seqpack.shards" -> "8")
+      "spark.graft.seqpack.shards" -> "8",
+      "spark.graft.dedup.minhash.targetJ" -> "0.8")
     assert(GraftConf.all.map(k => k.key -> k.default).toMap === expected)
     assert(GraftConf.all.map(_.key).distinct.size === GraftConf.all.size)
   }
