@@ -166,22 +166,42 @@ object AnnOps {
     topK(top, 5)
   }
 
+  /** The IVF coarse-quantizer layer: 16 hash-ordered pivot vectors,
+    * broadcastable KB-scale at any corpus size. Factored out (r13) so
+    * the STREAMING list maintainer (StreamOps.streamingIvfAssign)
+    * quantizes against the identical layer.
+    */
+  def ivfCentroids(c: DataFrame, nCentroids: Int = 16): DataFrame =
+    broadcast(
+      c.orderBy(pmod(xxhash64(col("vec_id")), lit(997L)), col("vec_id"))
+        .limit(nCentroids)
+        .select(col("vec_id").as("cid"), col("v").as("cv")))
+
+  /** Per-vector list assignment against a centroid layer: argmax
+    * cosine, ties to the lower cid — ONE rule, shared verbatim by the
+    * batch path (here, through the codegen cosine + TopKPerKey rank-1)
+    * and replicated float-for-float by the streaming maintainer
+    * (IvfStreamingParitySpec proves batch parity across micro-batches).
+    */
+  def ivfAssignments(s: SparkSession, c: DataFrame, cents: DataFrame): DataFrame = {
+    GraftFunctions.register(s)
+    val scored = c.join(cents)
+      .selectExpr("vec_id", "v", "cid", "cosine_sim(v, cv) AS cs")
+    graft.plans.TopKPerKeyOps.topK(scored, Seq("vec_id"),
+        Seq(col("cs").desc, col("cid").asc), 1)
+      .select(col("cid"), col("vec_id"), col("v"))
+  }
+
   /** IVF top-5 over an explicit corpus frame — the ann_ivf body,
     * parameterized for the planted-clone oracle variant.
     */
   private def ivfTopK(s: SparkSession, c: DataFrame): DataFrame = {
     GraftFunctions.register(s)
-    val nCentroids = 16
     val nProbe = 4
-    val cents = broadcast(
-      c.orderBy(pmod(xxhash64(col("vec_id")), lit(997L)), col("vec_id"))
-        .limit(nCentroids)
-        .select(col("vec_id").as("cid"), col("v").as("cv")))
+    val cents = ivfCentroids(c)
     val scored = c.join(cents)
       .selectExpr("vec_id", "v", "cid", "cosine_sim(v, cv) AS cs")
-    val assign = graft.plans.TopKPerKeyOps.topK(scored, Seq("vec_id"),
-        Seq(col("cs").desc, col("cid").asc), 1)
-      .select(col("cid"), col("vec_id"), col("v"))
+    val assign = ivfAssignments(s, c, cents)
     val probeLists = graft.plans.TopKPerKeyOps.topK(
         scored.filter(col("vec_id") < 16), Seq("vec_id"),
         Seq(col("cs").desc, col("cid").asc), nProbe)

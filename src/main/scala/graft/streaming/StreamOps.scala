@@ -209,6 +209,63 @@ object StreamOps {
       }
   }
 
+  final case class IvfAssign(vecId: Long, cid: Long, listSize: Long)
+
+  /** Streaming IVF list maintenance (r13 — C23's streaming twin the
+    * way C28b twins C28): vectors arrive continuously, each is
+    * quantized against the FIXED coarse layer (the offline-trained
+    * pivots, KB-scale, broadcast once) and its inverted list's
+    * membership count lives as keyed state — the running signal an
+    * index maintainer watches to trigger quantizer re-training when
+    * lists skew. Assignment replicates the batch rule float-for-float
+    * (argmax of dot/(√·√) accumulated in index order — the codegen
+    * cosine's loop — ties to the lower cid; NaN ranks greatest, as
+    * Spark's double ordering does), so a vector lands in the SAME
+    * list whether it arrived in a batch build or on the stream
+    * (IvfStreamingParitySpec). Within a micro-batch, per-list output
+    * is emitted in vecId order so replays are deterministic. State is
+    * one long per non-empty list — O(K), unbounded-stream safe.
+    */
+  def streamingIvfAssign(vecs: Dataset[(Long, Seq[Double])],
+      pivots: Seq[(Long, Seq[Double])]): Dataset[IvfAssign] = {
+    import vecs.sparkSession.implicits._
+    val piv = pivots.map { case (cid, v) => (cid, v.toArray) }.toArray
+    val bc = vecs.sparkSession.sparkContext.broadcast(piv)
+    def nearest(v: Seq[Double]): Long = {
+      val arr = v.toArray
+      var bestCid = Long.MaxValue
+      var best = 0.0
+      var first = true
+      bc.value.foreach { case (cid, cv) =>
+        var dot = 0.0; var nx = 0.0; var ny = 0.0
+        var i = 0
+        val n = math.min(arr.length, cv.length)
+        while (i < n) {
+          dot += arr(i) * cv(i); nx += arr(i) * arr(i); ny += cv(i) * cv(i)
+          i += 1
+        }
+        val cs = dot / (math.sqrt(nx) * math.sqrt(ny))
+        val cmp = java.lang.Double.compare(cs, best)
+        if (first || cmp > 0 || (cmp == 0 && cid < bestCid)) {
+          best = cs; bestCid = cid; first = false
+        }
+      }
+      bestCid
+    }
+    vecs.map { case (id, v) => (nearest(v), id) }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Long, IvfAssign](
+        OutputMode.Update, GroupStateTimeout.NoTimeout()) {
+        (cid: Long, it: Iterator[(Long, Long)], state: GroupState[Long]) =>
+          var n = state.getOption.getOrElse(0L)
+          val out = it.map(_._2).toArray.sorted.map { id =>
+            n += 1; IvfAssign(id, cid, n)
+          }
+          state.update(n)
+          out.iterator
+      }
+  }
+
   /** Exactly-once parquet sink for foreachBatch: each micro-batch
     * lands in its own `batch_id=N` partition with overwrite, so a
     * replayed batch (at-least-once delivery) overwrites itself instead
