@@ -1689,8 +1689,8 @@ object AnnOps {
     // layer (the HNSW upper-layer role; pivots = the same md5-ordered
     // 16-seed sample the IVF quantizer uses), then exact rerank inside
     // the arrival neighborhood. Search: start at pivot 0 (the md5-first
-    // seed — the fixed entry point), 3 greedy hops (move to the
-    // graph neighbor closest to the probe, 4dp cosine + cid tiebreak),
+    // seed — the fixed entry point), 4 beam hops at ef=3 (move to the
+    // graph neighbors closest to the probe, 4dp cosine + cid tiebreak),
     // candidates = vectors IVF-assigned to the arrival beam's pivots
     // or their graph neighbors, exact cosine top-5 through the
     // rank-filter → TopKPerKey rewrite. The walk is a BEAM search

@@ -69,8 +69,14 @@ object CsvBlobSource {
   }
 
   /** Batch view: every data record of every blob as
-    * (blob_key, off, fields map) — off counts records after the
-    * per-blob header, exactly what a `key|offset` cursor resumes by.
+    * (blob_key, off, fields map, ragged) — off counts records after
+    * the per-blob header, exactly what a `key|offset` cursor resumes
+    * by. r13 ADVICE fix: a record whose field count differs from its
+    * header is FLAGGED (`ragged = true`) instead of silently
+    * truncated — missing trailing fields resolve to no map entry
+    * (null downstream), extra fields are preserved under `_extra_N`
+    * keys — so malformed blobs are routable to a dead-letter side
+    * (the A15 discipline) rather than shifting record meaning.
     */
   def readRecords(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
@@ -86,11 +92,16 @@ object CsvBlobSource {
         else {
           val header = recs.head
           recs.tail.iterator.zipWithIndex.map { case (r, off) =>
-            (k, off.toLong, header.zip(r).toMap)
+            val extras =
+              if (r.length <= header.length) Map.empty[String, String]
+              else (header.length until r.length)
+                .map(j => s"_extra_${j - header.length + 1}" -> r(j)).toMap
+            (k, off.toLong, header.zip(r).toMap ++ extras,
+              r.length != header.length)
           }
         }
       }
-      .toDF("blob_key", "off", "fields")
+      .toDF("blob_key", "off", "fields", "ragged")
   }
 
   /** Ordered event view with the packed (blob ordinal, record offset)
@@ -100,14 +111,10 @@ object CsvBlobSource {
     */
   def asEventLog(spark: SparkSession, dir: String,
       eventTypeCol: String, foreignIdCol: String, tsCol: String): DataFrame = {
-    import spark.implicits._
     val recs = readRecords(spark, dir)
-    val keys = recs.select("blob_key").distinct()
-      .collect().map(_.getString(0)).sorted
-    val ordinals = keys.zipWithIndex
-      .map { case (k, i) => (k, i.toLong) }.toSeq
-      .toDF("blob_key", "blob_ord")
-    recs.join(broadcast(ordinals), "blob_key")
+    // ordinals from the shared metadata-only key listing (r13: the
+    // previous distinct-on-recs ran splitCsv a second time)
+    recs.join(broadcast(JsonBlobSource.blobOrdinals(spark, dir)), "blob_key")
       .withColumn("id",
         shiftleft(col("blob_ord"), JsonBlobSource.OffsetBits) + col("off"))
       .select(
@@ -116,6 +123,7 @@ object CsvBlobSource {
         element_at(col("fields"), foreignIdCol).cast("long").as("foreignId"),
         element_at(col("fields"), tsCol).cast("timestamp").as("ts"),
         lit(0.0).as("value"),
-        to_json(struct(col("blob_key"), col("off"))).as("metadata"))
+        to_json(struct(col("blob_key"), col("off"), col("ragged"))).as("metadata"),
+        col("ragged"))
   }
 }

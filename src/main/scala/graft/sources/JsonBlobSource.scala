@@ -74,6 +74,30 @@ object JsonBlobSource {
   /** Decode the in-blob offset from a packed event id. */
   def blobOffset(id: Column): Column = id.bitwiseAND(lit((1L << OffsetBits) - 1))
 
+  /** Sorted blob keys for ordinal assignment (r13 ADVICE fix: the
+    * ordinal collect previously ran the full record decode a second
+    * time; this projects input_file_name off a wholetext read of the
+    * same directory — files are listed and opened but NO record is
+    * parsed, and the key strings are guaranteed identical to the
+    * decode frames' because they come from the same reader + options).
+    * Driver-side state is the |blobs| key list the reference's bucket
+    * iterator holds anyway.
+    */
+  def blobKeys(spark: SparkSession, dir: String): Seq[String] = {
+    import spark.implicits._
+    spark.read.option("wholetext", "true").option("recursiveFileLookup", "true")
+      .text(dir).select(input_file_name()).distinct()
+      .as[String].collect().toSeq.sorted
+  }
+
+  /** The broadcastable (blob_key, blob_ord) frame over blobKeys. */
+  def blobOrdinals(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    blobKeys(spark, dir).zipWithIndex
+      .map { case (k, i) => (k, i.toLong) }
+      .toDF("blob_key", "blob_ord")
+  }
+
   /** Batch view: every record of every blob, with its blob key.
     * `recursiveFileLookup` descends bucket-style key prefixes
     * (`2019/12/31/blob`, the reference's date-layout testdata);
@@ -149,14 +173,8 @@ object JsonBlobSource {
     */
   def asEventLogConcat(spark: SparkSession, dir: String, schema: StructType,
       eventTypeCol: String, foreignIdCol: String, tsCol: String): DataFrame = {
-    import spark.implicits._
     val recs = readConcat(spark, dir)
-    val keys = recs.select("blob_key").distinct()
-      .collect().map(_.getString(0)).sorted
-    val ordinals = keys.zipWithIndex
-      .map { case (k, i) => (k, i.toLong) }.toSeq
-      .toDF("blob_key", "blob_ord")
-    recs.join(broadcast(ordinals), "blob_key")
+    recs.join(broadcast(blobOrdinals(spark, dir)), "blob_key")
       .withColumn("id", shiftleft(col("blob_ord"), OffsetBits) + col("off"))
       .withColumn("e", from_json(col("json"), schema))
       .select(
@@ -177,14 +195,8 @@ object JsonBlobSource {
     import org.apache.spark.sql.expressions.Window
     val df = read(spark, dir)
     // lexicographic key → ordinal; |blobs| rows, broadcast back
-    val keys = df.select("blob_key").distinct()
-      .collect().map(_.getString(0)).sorted
-    import spark.implicits._
-    val ordinals = keys.zipWithIndex
-      .map { case (k, i) => (k, i.toLong) }.toSeq
-      .toDF("blob_key", "blob_ord")
     val perBlob = Window.partitionBy("blob_key").orderBy(col(tsCol))
-    df.join(broadcast(ordinals), "blob_key")
+    df.join(broadcast(blobOrdinals(spark, dir)), "blob_key")
       .withColumn("off", row_number().over(perBlob).cast("long") - 1L)
       .withColumn("id", shiftleft(col("blob_ord"), OffsetBits) + col("off"))
       .select(

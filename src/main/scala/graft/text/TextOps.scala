@@ -1862,7 +1862,9 @@ object TextOps {
     // (UniMax's question, Chung et al. 2023: temperature upsampling
     // REPEATS small sources — after how many epochs does each source
     // exhaust its unique tokens?): per source, the per-epoch token
-    // draw at a fixed budget (20% of corpus tokens per epoch), loader
+    // draw at a fixed budget (20% of corpus tokens per epoch, half-up
+    // (2·tn+5)//10 — r13 ADVICE fix: the r12 form (2·tn+10)//10 was
+    // floor(tn/5)+1, one token over the documented budget), loader
     // shard counts at a 50k-token shard size (half-up in exact ints),
     // and the exhaustion horizon epochs_to_exhaust = n_tokens /
     // per-epoch-draw as a half-up e4 rational — the number that says
@@ -1884,7 +1886,7 @@ object TextOps {
       powed.crossJoin(broadcast(sp))
         // per-epoch budget = tn/5 tokens, split ∝ pw
         .withColumn("epoch_tokens",
-          d4(d4(col("tn") * 2L + lit(10L), lit(10L)) * col("pw") * 2L + col("sp"),
+          d4(d4(col("tn") * 2L + lit(5L), lit(10L)) * col("pw") * 2L + col("sp"),
             col("sp") * 2L))
         .select(col("source"), col("n_tokens"), col("pw").as("w_e8"),
           col("epoch_tokens"),
@@ -1909,7 +1911,7 @@ object TextOps {
       sp AS (SELECT CAST(sum(pw) AS BIGINT) AS sp FROM p),
       e AS (
         SELECT source, n_tokens, pw AS w_e8,
-               CAST((((2 * tn + 10) // 10) * pw * 2 + sp) // (2 * sp) AS BIGINT) AS epoch_tokens
+               CAST((((2 * tn + 5) // 10) * pw * 2 + sp) // (2 * sp) AS BIGINT) AS epoch_tokens
         FROM p, sp)
       SELECT source, n_tokens, w_e8, epoch_tokens,
              CAST((epoch_tokens * 2 + 50000) // 100000 AS BIGINT) AS shards_per_epoch,

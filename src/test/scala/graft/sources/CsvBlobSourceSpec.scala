@@ -50,6 +50,33 @@ class CsvBlobSourceSpec extends AnyFunSuite {
       Seq(0L, 1L, 1L << JsonBlobSource.OffsetBits))
   }
 
+  test("ragged records are flagged and preserved, not silently truncated") {
+    val dir = Files.createTempDirectory("graft-csvrag")
+    Files.writeString(dir.resolve("blob-a.csv"),
+      "etype,uid,at\n" +
+        "click,1,2024-01-01T00:00:00Z\n" + // well-formed
+        "view,2\n" +                        // missing trailing field
+        "buy,3,2024-01-01T00:02:00Z,EXTRA\n") // extra field
+    val recs = CsvBlobSource.readRecords(spark, dir.toString)
+      .orderBy("off").collect()
+    assert(recs.map(_.getAs[Boolean]("ragged")).toSeq ==
+      Seq(false, true, true))
+    val shortRow = recs(1).getAs[Map[String, String]]("fields")
+    assert(!shortRow.contains("at")) // absent, NOT shifted
+    assert(shortRow("uid") == "2")
+    val longRow = recs(2).getAs[Map[String, String]]("fields")
+    assert(longRow("_extra_1") == "EXTRA") // preserved, NOT dropped
+    assert(longRow("at") == "2024-01-01T00:02:00Z")
+    // dead-letter routing: the event view carries the flag
+    val log = CsvBlobSource.asEventLog(spark, dir.toString, "etype", "uid", "at")
+    assert(log.filter(!col("ragged")).count() == 1)
+    assert(log.filter(col("ragged")).count() == 2)
+    // the short row's missing ts resolves to null, its present fields survive
+    val shortEv = log.filter(col("foreignId") === 2L).collect().head
+    assert(shortEv.getAs[java.sql.Timestamp]("ts") == null)
+    assert(shortEv.getAs[String]("eventType") == "view")
+  }
+
   test("gzip blobs + mid-blob cursor resume") {
     val dir = Files.createTempDirectory("graft-csvgz")
     val gz = new java.util.zip.GZIPOutputStream(
