@@ -904,6 +904,56 @@ object Queries {
              TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok, TRUE AS p95_ok
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
+    // B55 (r13): CDC MERGE / upsert report — the Delta/Iceberg
+    // `MERGE INTO` surface expressed Spark-first (one outer join +
+    // CASE, the exact plan a table format's merge compiles to): a
+    // deterministic change batch (per ordering customer: total spend
+    // as the new balance; keys ≡0 mod 97 are deletes; keys ≡0 mod 50
+    // also arrive as fresh inserts at key+10⁷) merges into the
+    // customer snapshot. The report is the per-action audit every
+    // upsert pipeline logs — row counts and the exact-cents balance
+    // mass each action carries (update: new balances; delete: REMOVED
+    // old balances; insert: inserted; unchanged: kept) — which
+    // together checksum the post-merge table. One shuffle join on the
+    // merge key; money in exact int64 cents end to end.
+    ("q_merge_upsert", (s: SparkSession, d: String) => {
+      val cust = Tables.customer(s, d).select(col("c_custkey"),
+        cents(col("c_acctbal")).as("bal"))
+      val chg = Tables.orders(s, d)
+        .groupBy(col("o_custkey").as("k"))
+        .agg(sum(cents(col("o_totalprice"))).as("spend"))
+        .withColumn("op", when(col("k") % 97L === 0L, lit("D")).otherwise(lit("U")))
+      val actions = cust.join(chg, col("c_custkey") === col("k"), "left")
+        .select(
+          when(col("op") === "D", lit("delete"))
+            .when(col("op") === "U", lit("update"))
+            .otherwise(lit("unchanged")).as("action"),
+          when(col("op") === "U", col("spend")).otherwise(col("bal")).as("bal_cents"))
+      val ins = chg.filter(col("op") === "U" && col("k") % 50L === 0L)
+        .select(lit("insert").as("action"), col("spend").as("bal_cents"))
+      actions.unionByName(ins)
+        .groupBy("action")
+        .agg(count(lit(1)).as("n_rows"), sum("bal_cents").as("sum_bal_cents"))
+        .orderBy("action")
+    }, Some("""
+      WITH chg AS (
+        SELECT o_custkey AS k,
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend,
+               CASE WHEN o_custkey % 97 = 0 THEN 'D' ELSE 'U' END AS op
+        FROM orders GROUP BY o_custkey),
+      act AS (
+        SELECT CASE WHEN op = 'D' THEN 'delete'
+                    WHEN op = 'U' THEN 'update'
+                    ELSE 'unchanged' END AS action,
+               CASE WHEN op = 'U' THEN spend
+                    ELSE CAST(round(c_acctbal * 100) AS BIGINT) END AS bal_cents
+        FROM customer LEFT JOIN chg ON c_custkey = k
+        UNION ALL
+        SELECT 'insert', spend FROM chg WHERE op = 'U' AND k % 50 = 0)
+      SELECT action, count(*) AS n_rows,
+             CAST(sum(bal_cents) AS BIGINT) AS sum_bal_cents
+      FROM act GROUP BY action ORDER BY action""")),
+
     // B16: UNION + dedup across sources.
     ("q_union_keys", (s: SparkSession, d: String) => {
       val a = Tables.orders(s, d).select(col("o_custkey").as("custkey")).withColumn("src", lit("orders"))

