@@ -1152,7 +1152,7 @@ object AnnOps {
       // exchange BEFORE the broadcast nested-loop join: fused into the
       // join stage, the 64-term word projection re-evaluates once per
       // (probe, row) PAIR — 16× the work; measured 5.4 s → 0.6 s at
-      // sf1 (ProfHam). At 100 TB the exchange is also the compression
+      // sf1 (r13 scratch profile). At 100 TB the exchange is also the compression
       // step: 512-byte vectors never enter the candidate join.
       val ham = probeWords
         .join(words.repartition(32)
