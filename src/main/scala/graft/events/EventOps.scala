@@ -1,6 +1,6 @@
 package graft.events
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -771,6 +771,149 @@ object EventOps {
              (CASE WHEN cv < 0 THEN -1 ELSE 1 END *
               ((2 * abs(cv) + 10000) // 20000)) / 100.0 AS carried_sum
       FROM c ORDER BY day, etype""")),
+
+    // A86 (r13): LINEAR-interpolation densification — the estimating
+    // companion to A60b's forward-fill (metering/monitoring backfill:
+    // "what was the likely daily volume on the days the pipeline was
+    // down"): for each MISSING (etype, day) interior to the series,
+    // the linearly interpolated daily value between the nearest
+    // present days on both sides, in EXACT integer arithmetic —
+    // num = v_prev·(d_next−d) + v_next·(d−d_prev) over (d_next−d_prev)
+    // days, half-up e6 rational, no float ever deciding a boundary.
+    // Edge days (no neighbor on one side) are excluded by definition.
+    // The test log is gap-free daily, so outages are SIMULATED by
+    // blanking epoch-days ≡ 3 (mod 5) on both engines (the
+    // ev_dedup_ids simulated-redelivery discipline) — the
+    // interpolation then reconstructs real blanked values and the
+    // hash proves the machinery, not an empty frame. Same grid shape
+    // as A60b: one daily agg, a broadcast calendar × type grid, two
+    // ignore-nulls windows per type.
+    ("ev_gapfill_interp", (s: SparkSession, d: String) => {
+      val d4 = (x: Column, y: Column) => call_function("div", x, y)
+      val dayNum = (c: Column) =>
+        datediff(c, lit("1970-01-01").cast("date")).cast("long")
+      val dailyAll = Event.project(ev(s, d))
+        .groupBy(to_date(col("ts")).as("day"), col("eventType").as("etype"))
+        .agg(sum(round(col("value") * 1e6).cast("long")).as("v6"))
+      val daily = dailyAll.filter(dayNum(col("day")) % 5L =!= 3L)
+      val cal = dailyAll.agg(min("day").as("lo"), max("day").as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"),
+          expr("interval 1 day"))).as("day"))
+      val grid = cal.crossJoin(broadcast(dailyAll.select("etype").distinct()))
+      val dnum = datediff(col("day"), lit("1970-01-01").cast("date")).cast("long")
+      val wPrev = Window.partitionBy("etype").orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val wNext = Window.partitionBy("etype").orderBy("day")
+        .rowsBetween(1, Window.unboundedFollowing)
+      val j = grid.join(daily, Seq("day", "etype"), "left")
+        .withColumn("dn", dnum)
+        .withColumn("pv", last(col("v6"), ignoreNulls = true).over(wPrev))
+        .withColumn("pd", last(when(col("v6").isNotNull, col("dn")), ignoreNulls = true).over(wPrev))
+        .withColumn("nv", first(col("v6"), ignoreNulls = true).over(wNext))
+        .withColumn("nd", first(when(col("v6").isNotNull, col("dn")), ignoreNulls = true).over(wNext))
+      j.filter(col("v6").isNull && col("pv").isNotNull && col("nv").isNotNull)
+        .withColumn("num",
+          col("pv") * (col("nd") - col("dn")) + col("nv") * (col("dn") - col("pd")))
+        .withColumn("den", col("nd") - col("pd"))
+        .select(col("day"), col("etype"),
+          (col("dn") - col("pd")).as("days_since_prev"),
+          (col("nd") - col("dn")).as("days_to_next"),
+          (signum(col("num")).cast("long") *
+            d4(abs(col("num")) * 2L + col("den"), col("den") * 2L)).as("interp_e6"))
+        .orderBy("day", "etype")
+    }, Some("""
+      WITH daily_all AS (
+        SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type AS etype,
+               CAST(sum(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT) AS v6
+        FROM events GROUP BY 1, 2),
+      daily AS (
+        SELECT * FROM daily_all
+        WHERE datediff('day', DATE '1970-01-01', day) % 5 <> 3),
+      cal AS (
+        SELECT CAST(unnest(generate_series(
+          CAST((SELECT min(day) FROM daily_all) AS TIMESTAMP),
+          CAST((SELECT max(day) FROM daily_all) AS TIMESTAMP),
+          INTERVAL 1 DAY)) AS DATE) AS day),
+      grid AS (SELECT day, etype FROM cal, (SELECT DISTINCT etype FROM daily_all) t),
+      j AS (SELECT g.day, g.etype, d.v6,
+                   CAST(datediff('day', DATE '1970-01-01', g.day) AS BIGINT) AS dn
+            FROM grid g LEFT JOIN daily d ON d.day = g.day AND d.etype = g.etype),
+      c AS (SELECT day, etype, v6, dn,
+                   last_value(v6 IGNORE NULLS) OVER (PARTITION BY etype ORDER BY day
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pv,
+                   last_value(CASE WHEN v6 IS NOT NULL THEN dn END IGNORE NULLS)
+                     OVER (PARTITION BY etype ORDER BY day
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pd,
+                   first_value(v6 IGNORE NULLS) OVER (PARTITION BY etype ORDER BY day
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nv,
+                   first_value(CASE WHEN v6 IS NOT NULL THEN dn END IGNORE NULLS)
+                     OVER (PARTITION BY etype ORDER BY day
+                       ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS nd
+            FROM j),
+      m AS (SELECT day, etype, dn - pd AS days_since_prev, nd - dn AS days_to_next,
+                   pv * (nd - dn) + nv * (dn - pd) AS num, nd - pd AS den
+            FROM c WHERE v6 IS NULL AND pv IS NOT NULL AND nv IS NOT NULL)
+      SELECT day, etype, days_since_prev, days_to_next,
+             CAST(CASE WHEN num < 0 THEN -1 ELSE 1 END *
+                  ((2 * abs(num) + den) // (2 * den)) AS BIGINT) AS interp_e6
+      FROM m ORDER BY day, etype""")),
+
+    // A87 (r13): shard REBALANCE audit — the "why consistent hashing"
+    // number before scaling a consumer group (A13's m-of-n sharding
+    // is mod-hash; this measures what 4→5 shards costs each scheme):
+    // per user, the 16-bit md5 shard hash (identical to
+    // EventFilter.shardMofN's) lands in a shard under (a) mod-N and
+    // (b) a 64-slot ring split into contiguous shard ranges
+    // (slot·N//64, the range form of consistent hashing). The audit
+    // reports, per scheme, how many users MOVE when N: 4→5 — mod
+    // reshuffles ~4/5 of the keyspace (every cursor re-seeds), the
+    // ring moves ~1/5 (only boundary slots) — as exact counts + e4
+    // fraction. Pure int math on one distinct-user frame.
+    ("ev_shard_rebalance", (s: SparkSession, d: String) => {
+      val d4 = (x: Column, y: Column) => call_function("div", x, y)
+      val h = conv(substring(md5(col("fid").cast("string")), 1, 4), 16, 10)
+        .cast("long")
+      val users = Event.project(ev(s, d))
+        .select(col("foreignId").as("fid")).distinct()
+        .withColumn("h", h)
+        .withColumn("slot", col("h") % 64L)
+      val moved = users.select(
+        (col("h") % 4L =!= col("h") % 5L).cast("long").as("m_mod"),
+        (d4(col("slot") * 4L, lit(64L)) =!= d4(col("slot") * 5L, lit(64L)))
+          .cast("long").as("m_ring"))
+      val agg = moved.agg(count(lit(1)).as("n_users"),
+        sum("m_mod").as("mv_mod"), sum("m_ring").as("mv_ring"))
+      agg.select(explode(array(
+          struct(lit("mod").as("scheme"), col("n_users"),
+            col("mv_mod").as("n_moved"),
+            d4(col("mv_mod") * 20000L + col("n_users"), col("n_users") * 2L)
+              .as("frac_moved_e4")),
+          struct(lit("ring64").as("scheme"), col("n_users"),
+            col("mv_ring").as("n_moved"),
+            d4(col("mv_ring") * 20000L + col("n_users"), col("n_users") * 2L)
+              .as("frac_moved_e4")))).as("r"))
+        .select("r.scheme", "r.n_users", "r.n_moved", "r.frac_moved_e4")
+        .orderBy("scheme")
+    }, Some("""
+      WITH u AS (
+        SELECT DISTINCT user_id AS fid FROM events),
+      hh AS (
+        SELECT CAST(CAST('0x' || substr(md5(CAST(fid AS VARCHAR)), 1, 4) AS INTEGER) AS BIGINT) AS h
+        FROM u),
+      m AS (
+        SELECT CASE WHEN h % 4 <> h % 5 THEN 1 ELSE 0 END AS m_mod,
+               CASE WHEN ((h % 64) * 4) // 64 <> ((h % 64) * 5) // 64 THEN 1 ELSE 0 END AS m_ring
+        FROM hh),
+      a AS (SELECT CAST(count(*) AS BIGINT) AS n_users,
+                   CAST(sum(m_mod) AS BIGINT) AS mv_mod,
+                   CAST(sum(m_ring) AS BIGINT) AS mv_ring FROM m)
+      SELECT 'mod' AS scheme, n_users, mv_mod AS n_moved,
+             CAST((mv_mod * 20000 + n_users) // (2 * n_users) AS BIGINT) AS frac_moved_e4
+      FROM a
+      UNION ALL
+      SELECT 'ring64', n_users, mv_ring,
+             CAST((mv_ring * 20000 + n_users) // (2 * n_users) AS BIGINT)
+      FROM a ORDER BY scheme""")),
 
     // A25: at-least-once → exactly-once view via id dedup (doc.go note).
     ("ev_dedup_ids", (s: SparkSession, d: String) => {

@@ -2240,6 +2240,47 @@ object TextOps {
       FROM rk, sz, tot WHERE rnk <= vocab_size
       GROUP BY vocab_size, t_total, v_total ORDER BY vocab_size""")),
 
+    // C108 (r13): lexical-diversity card — type-token ratio + hapax
+    // share per source (the data-card diversity gate next to C54's
+    // Zipf alpha: a template-farm source shows low TTR and a thin
+    // hapax tail long before a human reads it): per source, total
+    // token occurrences, distinct terms (types), TTR = types/tokens
+    // and hapax-legomena share = once-terms/types, both exact half-up
+    // e4 rationals. One docTermCounts pass → per-(source, term)
+    // partial agg → sources-sized frame; the occurrence stream never
+    // shuffles raw.
+    ("tx_ttr", (s: SparkSession, d: String) => {
+      val d4 = (x: Column, y: Column) => call_function("div", x, y)
+      docTermCounts(s, d).filter(length(col("term")) >= 1)
+        .groupBy("source", "term").agg(sum("tf").as("n"))
+        .groupBy("source")
+        .agg(sum("n").as("n_tokens"), count(lit(1)).as("n_types"),
+          sum(when(col("n") === 1L, 1L).otherwise(0L)).as("n_hapax"))
+        .select(col("source"), col("n_tokens"), col("n_types"), col("n_hapax"),
+          d4(col("n_types") * 20000L + col("n_tokens"), col("n_tokens") * 2L)
+            .as("ttr_e4"),
+          d4(col("n_hapax") * 20000L + col("n_types"), col("n_types") * 2L)
+            .as("hapax_e4"))
+        .orderBy("source")
+    }, Some("""
+      WITH c AS (
+        SELECT doc_id, source,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nrm
+        FROM documents),
+      t AS (
+        SELECT source, tok, CAST(count(*) AS BIGINT) AS n
+        FROM (SELECT source, unnest(string_split(nrm, ' ')) AS tok FROM c)
+        WHERE length(tok) >= 1 GROUP BY source, tok),
+      a AS (
+        SELECT source, CAST(sum(n) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS BIGINT) AS n_types,
+               CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+        FROM t GROUP BY source)
+      SELECT source, n_tokens, n_types, n_hapax,
+             CAST((n_types * 20000 + n_tokens) // (2 * n_tokens) AS BIGINT) AS ttr_e4,
+             CAST((n_hapax * 20000 + n_types) // (2 * n_types) AS BIGINT) AS hapax_e4
+      FROM a ORDER BY source""")),
+
     // C107 (r13): classifier calibration report + ECE — the quality
     // loop for C60's serving-shaped scorer (Guo et al. 2017's
     // expected calibration error, the standard "can I trust the
