@@ -1497,6 +1497,122 @@ object AnnOps {
       FROM (SELECT DISTINCT probe FROM ex) p LEFT JOIN h ON p.probe = h.probe
       ORDER BY p.probe""")),
 
+    // C110 (r13): Johnson–Lindenstrauss random-projection eval — the
+    // THIRD compression tier's quality loop (what ann_mrl_report is
+    // to truncation and ann_recall_report to SQ8): vectors project
+    // 64→16 dims through a deterministic ±1 sign matrix (md5-seeded —
+    // the Achlioptas'01 database-friendly JL form), and the report is
+    // per-probe recall@5 of projected-cosine search vs the full-dim
+    // truth. Both rankings use the 4dp-rounded-cosine tie discipline
+    // (clone-replica safe); the projection runs in a typed kernel
+    // with the sign matrix broadcast (a lazy column projection would
+    // re-evaluate 64 terms per probe PAIR inside the nested-loop
+    // join — the ann_binary_hamming lesson), and the oracle rebuilds
+    // the identical chain ((0 ± x₁) ± x₂)… left-associated so every
+    // double matches bit-for-bit.
+    ("ann_jl_report", (s: SparkSession, d: String) => {
+      GraftFunctions.register(s)
+      import s.implicits._
+      val kOut = 16
+      val dims = 64
+      val signs: Array[Array[Double]] = Array.tabulate(kOut, dims) { (j, i) =>
+        if ((Integer.parseInt(
+          graft.util.Hashing.md5Hex(s"jl_${j}_$i").substring(0, 1), 16) & 1) == 0) 1.0
+        else -1.0
+      }
+      val bc = s.sparkContext.broadcast(signs)
+      val proj = corpus(s, d).as[(Long, Seq[Double])].map { case (id, v) =>
+        val arr = v.toArray
+        val out = new Array[Double](kOut)
+        var j = 0
+        while (j < kOut) {
+          val sj = bc.value(j)
+          var acc = 0.0
+          var i = 0
+          val n = math.min(arr.length, dims)
+          while (i < n) { acc += sj(i) * arr(i); i += 1 }
+          out(j) = acc
+          j += 1
+        }
+        (id, out.toSeq)
+      }.toDF("vec_id", "p")
+      val exact = probeScores(s, d, probeMax = 16)
+        .select(col("probe"), col("neighbor"), round(col("cos"), 4).as("c4"))
+      val exTop = graft.plans.TopKPerKeyOps.topK(exact, Seq("probe"),
+          Seq(col("c4").desc, col("neighbor").asc), 5)
+        .select(col("probe"), col("neighbor"))
+      val pProbes = broadcast(proj.filter(col("vec_id") < 16)
+        .select(col("vec_id").as("probe"), col("p").as("pv")))
+      val pScored = pProbes
+        .join(proj.select(col("vec_id").as("neighbor"), col("p").as("nv")),
+          col("probe") =!= col("neighbor"))
+        .selectExpr("probe", "neighbor", "round(cosine_sim(pv, nv), 4) AS c4")
+      val prTop = graft.plans.TopKPerKeyOps.topK(pScored, Seq("probe"),
+          Seq(col("c4").desc, col("neighbor").asc), 5)
+        .select(col("probe"), col("neighbor"))
+      val hits = exTop.join(prTop, Seq("probe", "neighbor"))
+        .groupBy("probe").agg(count(lit(1)).as("n_hit"))
+      exTop.select("probe").distinct()
+        .join(hits, Seq("probe"), "left")
+        .select(col("probe"), coalesce(col("n_hit"), lit(0L)).as("n_hit"))
+        .withColumn("recall4", graft.text.TextOps.ratio4(col("n_hit"), lit(5L)))
+        .orderBy("probe")
+    }, {
+      val kOut = 16
+      val dims = 64
+      val signs = Array.tabulate(kOut, dims) { (j, i) =>
+        (Integer.parseInt(
+          graft.util.Hashing.md5Hex(s"jl_${j}_$i").substring(0, 1), 16) & 1) == 0
+      }
+      val projCols = (0 until kOut).map { j =>
+        val terms = (0 until dims).map { i =>
+          val sgn = if (signs(j)(i)) "+" else "-"
+          s"$sgn CAST(embedding[${i + 1}] AS DOUBLE)"
+        }.mkString(" ")
+        s"(0 $terms) AS p$j"
+      }.mkString(", ")
+      val dotChain = (0 until kOut).map(j => s"a.p$j * b.p$j").mkString(" + ")
+      def nrmChain(side: String) =
+        (0 until kOut).map(j => s"$side.p$j * $side.p$j").mkString(" + ")
+      Some(s"""
+      WITH f AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+      n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY vec_id),
+      dots AS (
+        SELECT a.vec_id AS probe, b.vec_id AS neighbor, sum(a.v * b.v) AS dot
+        FROM f a JOIN f b ON a.i = b.i AND a.vec_id <> b.vec_id
+        WHERE a.vec_id < 16
+        GROUP BY a.vec_id, b.vec_id),
+      ex AS (
+        SELECT probe, neighbor FROM (
+          SELECT probe, neighbor,
+                 row_number() OVER (PARTITION BY probe
+                   ORDER BY round(dot / (na.nrm * nb.nrm), 4) DESC, neighbor ASC) AS rk
+          FROM dots JOIN n na ON na.vec_id = probe JOIN n nb ON nb.vec_id = neighbor)
+        WHERE rk <= 5),
+      w AS (SELECT vec_id, $projCols FROM embeddings),
+      pr AS (
+        SELECT a.vec_id AS probe, b.vec_id AS neighbor,
+               round(($dotChain) / (sqrt(${nrmChain("a")}) * sqrt(${nrmChain("b")})), 4) AS c4
+        FROM w a JOIN w b ON a.vec_id < 16 AND a.vec_id <> b.vec_id),
+      tr AS (
+        SELECT probe, neighbor FROM (
+          SELECT probe, neighbor,
+                 row_number() OVER (PARTITION BY probe
+                   ORDER BY c4 DESC, neighbor ASC) AS rk
+          FROM pr)
+        WHERE rk <= 5),
+      h AS (SELECT e.probe, CAST(count(*) AS BIGINT) AS n_hit
+            FROM ex e JOIN tr ON e.probe = tr.probe AND e.neighbor = tr.neighbor
+            GROUP BY 1)
+      SELECT p.probe, COALESCE(h.n_hit, 0) AS n_hit,
+             ((20000 * COALESCE(h.n_hit, 0) + 5) // 10) / 10000.0 AS recall4
+      FROM (SELECT DISTINCT probe FROM ex) p LEFT JOIN h ON p.probe = h.probe
+      ORDER BY p.probe""")
+    }),
+
     // C79: embedding drift monitoring — the ML-ops check run when an
     // embedding model or upstream corpus changes: per label, squared
     // L2 distance between the two snapshots' centroids plus the

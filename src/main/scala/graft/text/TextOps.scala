@@ -261,6 +261,33 @@ object TextOps {
     * semantics identical to adjacent pairs of `tokens(text)`; docs
     * with <2 tokens (incl. empty/null text) emit nothing.
     */
+  /** Per-doc C60 linear score as the exact half-up e4 int s4 ∈
+    * [−10⁴, 10⁴] — the (doc_id, s4) frame shared by the calibration
+    * report (C107) and uncertainty sampling (C109). Same top-256
+    * vocab broadcast + hashing-trick OOV weights as tx_linear_score.
+    */
+  def linearScoreS4(s: SparkSession, d: String): DataFrame = {
+    def stubW(t: Column, salt: String): Column =
+      (conv(substring(md5(if (salt.isEmpty) t else concat(t, lit(salt))), 1, 8), 16, 10)
+        .cast("long") % 20001L) - 10000L
+    val d4 = (x: Column, y: Column) => call_function("div", x, y)
+    val dtf = docTermCounts(s, d)
+      .filter(length(col("term")) >= 1)
+      .select(col("doc_id"), col("term"), col("tf"))
+    val vocab = dtf.groupBy("term").agg(sum("tf").as("n"))
+      .orderBy(col("n").desc, col("term").asc)
+      .limit(256)
+      .select(col("term"), stubW(col("term"), "#v").as("wv"))
+    dtf.join(broadcast(vocab), Seq("term"), "left")
+      .select(col("doc_id"), col("tf"),
+        coalesce(col("wv"), stubW(col("term"), "")).as("w"))
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_toks"), sum(col("tf") * col("w")).cast("long").as("num"))
+      .select(col("doc_id"),
+        (signum(col("num")).cast("long") *
+          d4(abs(col("num")) * 2L + col("n_toks"), col("n_toks") * 2L)).as("s4"))
+  }
+
   /** BM25 (probe, doc, score4, rel) frame shared by tx_bm25_search and
     * the NDCG eval — see the tx_bm25_search entry for the determinism
     * and scale notes. `rel` (the count of shared distinct terms, the
@@ -2294,26 +2321,8 @@ object TextOps {
     // the measured calibration is meaningless; the REPORT machinery
     // is the graded artifact and is exact in both engines).
     ("tx_calibration_report", (s: SparkSession, d: String) => {
-      def stubW(t: Column, salt: String): Column =
-        (conv(substring(md5(if (salt.isEmpty) t else concat(t, lit(salt))), 1, 8), 16, 10)
-          .cast("long") % 20001L) - 10000L
       val d4 = (x: Column, y: Column) => call_function("div", x, y)
-      val dtf = docTermCounts(s, d)
-        .filter(length(col("term")) >= 1)
-        .select(col("doc_id"), col("term"), col("tf"))
-      val vocab = dtf.groupBy("term").agg(sum("tf").as("n"))
-        .orderBy(col("n").desc, col("term").asc)
-        .limit(256)
-        .select(col("term"), stubW(col("term"), "#v").as("wv"))
-      val perDoc = dtf.join(broadcast(vocab), Seq("term"), "left")
-        .select(col("doc_id"), col("tf"),
-          coalesce(col("wv"), stubW(col("term"), "")).as("w"))
-        .groupBy("doc_id")
-        .agg(sum("tf").as("n_toks"), sum(col("tf") * col("w")).cast("long").as("num"))
-        .select(col("doc_id"),
-          (signum(col("num")).cast("long") *
-            d4(abs(col("num")) * 2L + col("n_toks"), col("n_toks") * 2L)).as("s4"))
-      val labeled = perDoc
+      val labeled = linearScoreS4(s, d)
         .join(docs(s, d).select(col("doc_id"),
           when(col("lang") === "en", 1L).otherwise(0L).as("label")), "doc_id")
         .select(d4(col("s4") + 10000L, lit(2L)).as("p_e4"), col("label"))
@@ -2372,6 +2381,55 @@ object TextOps {
              CAST((sum(n * gap_e4) * 2 + sum(n)) // (2 * sum(n)) AS BIGINT)
       FROM g
       ORDER BY bin""")),
+
+    // C109 (r13): active-learning uncertainty sampling — the
+    // annotation-targeting step of every classifier-in-the-loop data
+    // pipeline (Lewis & Gale '94 uncertainty sampling, Settles '09
+    // survey): per source, the 5 docs whose linear score sits closest
+    // to the decision boundary (|s4| minimal, doc asc tie-break, via
+    // the rank-filter → TopKPerKey rewrite) — the rows a human labels
+    // next. Margin in exact e4 ints off the shared linearScoreS4
+    // frame; the per-source cap is what keeps an annotation batch
+    // from collapsing onto one noisy source.
+    ("tx_uncertainty_sample", (s: SparkSession, d: String) => {
+      val scored = linearScoreS4(s, d)
+        .join(docs(s, d).select("doc_id", "source"), "doc_id")
+        .withColumn("margin_e4", abs(col("s4")))
+      val w = Window.partitionBy("source")
+        .orderBy(col("margin_e4").asc, col("doc_id").asc)
+      scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= 5)
+        .select(col("source"), col("rk"), col("doc_id"), col("margin_e4"))
+        .orderBy("source", "rk")
+    }, Some("""
+      WITH c AS (
+        SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nrm
+        FROM documents),
+      t AS (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM (SELECT doc_id, unnest(string_split(nrm, ' ')) AS tok FROM c)
+        WHERE length(tok) >= 1
+        GROUP BY doc_id, tok),
+      totv AS (SELECT tok, CAST(sum(tf) AS BIGINT) AS n FROM t GROUP BY tok),
+      vocab AS (
+        SELECT tok,
+               CAST('0x' || substr(md5(tok || '#v'), 1, 8) AS BIGINT) % 20001 - 10000 AS wv
+        FROM totv ORDER BY n DESC, tok LIMIT 256),
+      sc AS (
+        SELECT t.doc_id, t.tf,
+               coalesce(v.wv, CAST('0x' || substr(md5(t.tok), 1, 8) AS BIGINT) % 20001 - 10000) AS w
+        FROM t LEFT JOIN vocab v ON v.tok = t.tok),
+      perdoc AS (
+        SELECT doc_id,
+               CAST(abs(CASE WHEN sum(tf * w) < 0 THEN -1 ELSE 1 END *
+                ((2 * abs(CAST(sum(tf * w) AS BIGINT)) + sum(tf)) // (2 * sum(tf)))) AS BIGINT) AS margin_e4
+        FROM sc GROUP BY doc_id),
+      r AS (
+        SELECT d.source, p.doc_id, p.margin_e4,
+               row_number() OVER (PARTITION BY d.source
+                 ORDER BY p.margin_e4 ASC, p.doc_id ASC) AS rk
+        FROM perdoc p JOIN documents d USING (doc_id))
+      SELECT source, CAST(rk AS INTEGER) AS rk, doc_id, margin_e4
+      FROM r WHERE rk <= 5 ORDER BY source, rk""")),
 
     // C62: corpus-derived BPE merge table (Sennrich et al. 2016,
     // "Neural Machine Translation of Rare Words with Subword Units"
