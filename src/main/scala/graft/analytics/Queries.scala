@@ -954,6 +954,38 @@ object Queries {
              CAST(sum(bal_cents) AS BIGINT) AS sum_bal_cents
       FROM act GROUP BY action ORDER BY action""")),
 
+    // B56 (r13): ROLLUP over the CALENDAR hierarchy (year → quarter)
+    // — the time-dimension companion to B10's attribute rollup (every
+    // finance dashboard's quarter-subtotal + annual-total shape):
+    // order revenue in exact cents at (year, quarter), per-year
+    // subtotals, and the grand total in ONE pass (Expand over the
+    // aggregated frame, no re-scan per level). `lvl` disambiguates
+    // rollup NULLs (no null dates exist, but the discipline matters);
+    // NULLS FIRST ordering pinned explicitly — Spark's asc default
+    // and DuckDB's differ.
+    ("q_time_rollup", (s: SparkSession, d: String) => {
+      Tables.orders(s, d)
+        .select(year(col("o_orderdate")).as("y"),
+          quarter(col("o_orderdate")).as("q"),
+          cents(col("o_totalprice")).as("c"))
+        .rollup("y", "q")
+        .agg(sum("c").as("rev_cents"), count(lit(1)).as("n_orders"))
+        .withColumn("lvl",
+          when(col("y").isNull, 2).when(col("q").isNull, 1).otherwise(0))
+        .orderBy(col("y").asc_nulls_first, col("q").asc_nulls_first)
+    }, Some("""
+      SELECT y, q, CAST(sum(c) AS BIGINT) AS rev_cents,
+             count(*) AS n_orders,
+             CAST(CASE WHEN GROUPING(y) = 1 THEN 2
+                  WHEN GROUPING(q) = 1 THEN 1 ELSE 0 END AS INTEGER) AS lvl
+      FROM (
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS y,
+               CAST(quarter(o_orderdate) AS INTEGER) AS q,
+               CAST(round(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders)
+      GROUP BY ROLLUP (y, q)
+      ORDER BY y NULLS FIRST, q NULLS FIRST""")),
+
     // B16: UNION + dedup across sources.
     ("q_union_keys", (s: SparkSession, d: String) => {
       val a = Tables.orders(s, d).select(col("o_custkey").as("custkey")).withColumn("src", lit("orders"))

@@ -1613,6 +1613,68 @@ object AnnOps {
       ORDER BY p.probe""")
     }),
 
+    // C112 (r13): cluster exemplars — the human-eval surface over the
+    // coarse clustering ("show me the 3 most central members of each
+    // cluster so someone can NAME it" — the standard topic-audit step
+    // before trusting cluster-level decisions): per dd_semantic's
+    // fixed md5-seeded 64-centroid layer, each vector's argmax
+    // assignment (4dp-rounded cosine, cid tie-break), then the top-3
+    // members per cluster by centrality. Both ranks ride the
+    // rank-filter → TopKPerKey rewrite; empty clusters simply emit no
+    // rows.
+    ("ann_cluster_exemplars", (s: SparkSession, d: String) => {
+      GraftFunctions.register(s)
+      val kCentroids = 64
+      val c = corpus(s, d)
+      val cents = broadcast(
+        c.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+          .limit(kCentroids)
+          .select(col("vec_id").as("cid"), col("v").as("cv")))
+      val scored = c.join(cents)
+        .selectExpr("vec_id", "cid", "round(cosine_sim(v, cv), 4) AS cs")
+      val assign = graft.plans.TopKPerKeyOps.topK(scored, Seq("vec_id"),
+          Seq(col("cs").desc, col("cid").asc), 1)
+        .select(col("cid"), col("vec_id"), col("cs"))
+      val w = Window.partitionBy("cid").orderBy(col("cs").desc, col("vec_id").asc)
+      assign.withColumn("rk", row_number().over(w)).filter(col("rk") <= 3)
+        .select(col("cid").as("cluster"), col("rk"), col("vec_id"),
+          col("cs").as("centrality"))
+        .orderBy("cluster", "rk")
+    }, Some("""
+      WITH f AS (
+        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+               CAST(unnest(embedding) AS DOUBLE) AS v
+        FROM embeddings),
+      n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY vec_id),
+      cents AS (
+        SELECT vec_id AS cid FROM embeddings
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT 64),
+      dots AS (
+        SELECT a.vec_id AS vec_id, b.vec_id AS cid, sum(a.v * b.v) AS dot
+        FROM f a JOIN f b ON a.i = b.i
+        WHERE b.vec_id IN (SELECT cid FROM cents)
+        GROUP BY a.vec_id, b.vec_id),
+      scored AS (
+        SELECT dots.vec_id, cid,
+               round(dot / (na.nrm * nb.nrm), 4) AS cs
+        FROM dots JOIN n na ON na.vec_id = dots.vec_id
+                  JOIN n nb ON nb.vec_id = cid),
+      assign AS (
+        SELECT cid, vec_id, cs FROM (
+          SELECT cid, vec_id, cs,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cs DESC, cid ASC) AS ark
+          FROM scored) WHERE ark = 1),
+      ex AS (
+        SELECT cid, vec_id, cs,
+               row_number() OVER (PARTITION BY cid
+                 ORDER BY cs DESC, vec_id ASC) AS rk
+        FROM assign)
+      SELECT cid AS cluster, CAST(rk AS INTEGER) AS rk, vec_id,
+             cs AS centrality
+      FROM ex WHERE rk <= 3 ORDER BY cluster, rk""")),
+
     // C79: embedding drift monitoring — the ML-ops check run when an
     // embedding model or upstream corpus changes: per label, squared
     // L2 distance between the two snapshots' centroids plus the

@@ -1271,6 +1271,83 @@ object TextOps {
                   OR (n - nd) * 5 > n) AS keep
       FROM t ORDER BY doc_id""")),
 
+    // C111 (r13): quality-gate ABLATION — the tuning artifact behind
+    // C40's composite gate ("which rule earns its false-positive
+    // budget"): per rule, docs failing it at all, docs failing ONLY
+    // it (the rule's unique kill credit — the number that says
+    // whether dropping the rule changes the corpus), and the token
+    // mass of those unique kills. Same single-pass flags as
+    // tx_quality_gate; four aggregate rows via one explode, nothing
+    // re-scans.
+    ("tx_gate_ablation", (s: SparkSession, d: String) => {
+      val toks = tokens(col("text"))
+      val n = size(toks).cast("long")
+      val nd = size(array_distinct(toks)).cast("long")
+      val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+      val stops = stopwordHits(toks, stopwords).cast("long")
+      val l = length(col("text")).cast("long")
+      val flags = docs(s, d).select(col("doc_id"), n.as("n"),
+          (n < 5L).cast("long").as("ts"),
+          (punct * 10L > l * 3L).cast("long").as("hp"),
+          (stops * 20L < n).cast("long").as("ls"),
+          ((n - nd) * 5L > n).cast("long").as("hr"))
+        .withColumn("nf", col("ts") + col("hp") + col("ls") + col("hr"))
+      def ruleAgg(c: String) = struct(lit(c).as("rule"),
+        sum(col(c)).as("n_failing"),
+        sum(when(col(c) === 1L && col("nf") === 1L, 1L).otherwise(0L)).as("n_unique_kill"),
+        sum(when(col(c) === 1L && col("nf") === 1L, col("n")).otherwise(0L)).as("tokens_unique_kill"))
+      flags.agg(ruleAgg("ts").as("a"), ruleAgg("hp").as("b"),
+          ruleAgg("ls").as("c"), ruleAgg("hr").as("e"))
+        .select(explode(array(col("a"), col("b"), col("c"), col("e"))).as("r"))
+        .select(col("r.rule"),
+          when(col("r.rule") === "ts", "too_short")
+            .when(col("r.rule") === "hp", "high_punct")
+            .when(col("r.rule") === "ls", "low_stopword")
+            .otherwise("high_repetition").as("rule_name"),
+          col("r.n_failing"), col("r.n_unique_kill"), col("r.tokens_unique_kill"))
+        .drop("rule")
+        .orderBy("rule_name")
+    }, Some("""
+      WITH t AS (
+        SELECT doc_id,
+               CAST(length(regexp_split_to_array(nrm, ' ')) AS BIGINT) AS n,
+               CAST(length(list_distinct(regexp_split_to_array(nrm, ' '))) AS BIGINT) AS nd,
+               CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS punct,
+               CAST(length(list_filter(regexp_split_to_array(nrm, ' '), x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) AS stops,
+               CAST(length(text) AS BIGINT) AS len
+        FROM (SELECT doc_id, text, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nrm FROM documents)),
+      f AS (
+        SELECT n,
+               CASE WHEN n < 5 THEN 1 ELSE 0 END AS ts,
+               CASE WHEN punct * 10 > len * 3 THEN 1 ELSE 0 END AS hp,
+               CASE WHEN stops * 20 < n THEN 1 ELSE 0 END AS ls,
+               CASE WHEN (n - nd) * 5 > n THEN 1 ELSE 0 END AS hr
+        FROM t),
+      g AS (SELECT *, ts + hp + ls + hr AS nf FROM f),
+      r AS (
+        SELECT 'too_short' AS rule_name,
+               CAST(sum(ts) AS BIGINT) AS n_failing,
+               CAST(sum(CASE WHEN ts = 1 AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_unique_kill,
+               CAST(sum(CASE WHEN ts = 1 AND nf = 1 THEN n ELSE 0 END) AS BIGINT) AS tokens_unique_kill
+        FROM g
+        UNION ALL
+        SELECT 'high_punct', CAST(sum(hp) AS BIGINT),
+               CAST(sum(CASE WHEN hp = 1 AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN hp = 1 AND nf = 1 THEN n ELSE 0 END) AS BIGINT)
+        FROM g
+        UNION ALL
+        SELECT 'low_stopword', CAST(sum(ls) AS BIGINT),
+               CAST(sum(CASE WHEN ls = 1 AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN ls = 1 AND nf = 1 THEN n ELSE 0 END) AS BIGINT)
+        FROM g
+        UNION ALL
+        SELECT 'high_repetition', CAST(sum(hr) AS BIGINT),
+               CAST(sum(CASE WHEN hr = 1 AND nf = 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(sum(CASE WHEN hr = 1 AND nf = 1 THEN n ELSE 0 END) AS BIGINT)
+        FROM g)
+      SELECT rule_name, n_failing, n_unique_kill, tokens_unique_kill
+      FROM r ORDER BY rule_name""")),
+
     // C18: deterministic stratified sampling — hash-based (NOT rand())
     // so replays/retries keep the same sample at any scale; plus the
     // per-stratum reweighting factor to hit a uniform target mixture.
