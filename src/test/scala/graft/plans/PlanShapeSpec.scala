@@ -38,7 +38,12 @@ class PlanShapeSpec extends AnyFunSuite {
     "q_percentile_cont",
     "dd_span_dedup", "dd_containment", "dd_minhash_planted",
     "tx_ndcg_eval", "tx_bm25_search", "tx_heavy_hitters",
-    "ann_bruteforce", "ann_ivf", "ann_ivf_pq", "ev_concurrency")
+    "ann_bruteforce", "ann_ivf", "ann_ivf_pq", "ev_concurrency",
+    // r13 additions whose shapes were deliberately engineered: the
+    // words-only exchange in the Hamming path, the shared linear-score
+    // broadcast, the JL typed kernel, the single-join MERGE
+    "ann_binary_hamming", "tx_uncertainty_sample", "ann_jl_report",
+    "q_merge_upsert")
 
   private case class Shape(shuffles: Int, singleParts: Int,
     broadcasts: Int, topks: Int) {
