@@ -249,13 +249,23 @@ object Bench {
     val json = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$effectiveRuns,"sweep":${runsPerQuery > 1},"queries":$qs,"sf":"$sfDir"$envInfo$annotations$joinCompare$annExtra$duckCompare}"""
     // stdout gets tail-truncated by harnesses — always keep the full
     // per-query JSON in a file too (path overridable via env), plus an
-    // immutable timestamped copy: BENCH_LOCAL.json is overwritten on
+    // immutable timestamped copy: the mutable file is overwritten on
     // every run, and the round-6/7 advisors both flagged per-round
     // numbers getting lost when the mutable file was refreshed.
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    // r14 (r13 verdict hygiene item): the DEFAULT output lives OUTSIDE
+    // the repo — three rounds ended with a dirty BENCH_LOCAL.json from
+    // driver/off-cycle re-benches. A run that is MEANT to be committed
+    // opts in explicitly with SPARK_GRAFT_BENCH_OUT=BENCH_LOCAL.json;
+    // the timestamped history copy follows the output (in-tree
+    // bench_history/ for committed runs, /tmp otherwise).
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      "/tmp/graft-bench/BENCH_LOCAL.json")
     try {
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(out), json + "\n")
-      val hist = java.nio.file.Paths.get("bench_history")
+      val outPath = java.nio.file.Paths.get(out).toAbsolutePath
+      if (outPath.getParent != null)
+        java.nio.file.Files.createDirectories(outPath.getParent)
+      java.nio.file.Files.writeString(outPath, json + "\n")
+      val hist = outPath.getParent.resolve("bench_history")
       java.nio.file.Files.createDirectories(hist)
       val stamp = java.time.format.DateTimeFormatter.ofPattern("yyyyMMdd-HHmmss")
         .format(java.time.LocalDateTime.now(java.time.ZoneOffset.UTC))

@@ -28,10 +28,20 @@ object GraftConf {
       "filter with k above this keeps the window plan: per-key heaps of " +
       "unbounded k would hold k rows per key per partition in memory.")
 
-  val AnnLshTables = ConfKey("spark.graft.ann.lsh.tables", "4",
+  val AnnLshTables = ConfKey("spark.graft.ann.lsh.tables", "2",
     "Number of independent hyperplane-LSH tables L in ann_lsh. More " +
       "tables raise recall and candidate volume roughly linearly; the " +
-      "bench records planted-clone recall at the shipped default.")
+      "bench records planted-clone recall at the shipped default. " +
+      "r14: default 4 -> 2 — multi-probe probing (ann.lsh.probes) buys " +
+      "the recall the two dropped tables provided, at half the index " +
+      "storage and half the bucket-join input.")
+
+  val AnnLshProbes = ConfKey("spark.graft.ann.lsh.probes", "2",
+    "Extra buckets probed per table in ann_lsh (multi-probe LSH, Lv " +
+      "et al. VLDB 2007): each probe also checks the buckets reached " +
+      "by flipping the hyperplanes it sits closest to. Probe-side " +
+      "only — the corpus still indexes each vector into exactly one " +
+      "bucket per table, so index size is unchanged by this knob.")
 
   val AnnLshMaxBucket = ConfKey("spark.graft.ann.lsh.maxBucket", "10000",
     "Per-(table,bucket) membership cap in ann_lsh. Buckets larger than " +
@@ -54,7 +64,7 @@ object GraftConf {
 
   /** Every key, in the order CONFIG.md documents them. */
   val all: Seq[ConfKey] = Seq(
-    TopKRewrite, TopKRewriteMaxK, AnnLshTables, AnnLshMaxBucket,
+    TopKRewrite, TopKRewriteMaxK, AnnLshTables, AnnLshProbes, AnnLshMaxBucket,
     SeqpackShards, DedupMinhashTargetJ)
 
   def getDouble(s: SparkSession, k: ConfKey): Double = get(s, k).toDouble

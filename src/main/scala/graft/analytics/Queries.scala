@@ -877,8 +877,13 @@ object Queries {
     // native TypedImperativeAggregate with partial/merge like
     // freq_sketch). Graded the B20 way: exact group counts are
     // hash-checked, and each sketch estimate must land inside the
-    // exact interpolated quantile bracket at q∓0.02 (a 2%-rank
-    // envelope — ~4× the measured deterministic-KLL error at k=400);
+    // exact interpolated quantile bracket at q∓0.03 (a 3%-rank
+    // envelope). Envelope vs WORST CASE, not just measured error
+    // (r13 ADVICE): partial-sketch merge order is nondeterministic,
+    // so the envelope must contain the deterministic-KLL worst-case
+    // rank error ≈ log2(n/k)/k for ANY merge order — at k=1024
+    // that is ~1.2% at sf1 (n≈1.5M/group) and still ~2.6% at
+    // n=10¹¹ (100 TB), both inside 3% (measured error is ≲0.2%).
     // DuckDB emits literal TRUE for those booleans, so any
     // out-of-envelope estimate flips the hash red at every SF.
     ("q_sketch_quantiles", (s: SparkSession, d: String) => {
@@ -887,11 +892,11 @@ object Queries {
       Tables.lineitem(s, d)
         .groupBy("l_returnflag")
         .agg(
-          call_function("kll_quantiles", v, lit(400),
+          call_function("kll_quantiles", v, lit(1024),
             array(lit(0.25), lit(0.5), lit(0.75), lit(0.95))).as("kq"),
           call_function("percentile", v,
-            array(lit(0.23), lit(0.27), lit(0.48), lit(0.52),
-              lit(0.73), lit(0.77), lit(0.93), lit(0.97))).as("ep"),
+            array(lit(0.22), lit(0.28), lit(0.47), lit(0.53),
+              lit(0.72), lit(0.78), lit(0.92), lit(0.98))).as("ep"),
           count(lit(1)).as("n_rows"))
         .select(col("l_returnflag"), col("n_rows"),
           (col("kq")(0) >= col("ep")(0) && col("kq")(0) <= col("ep")(1)).as("p25_ok"),
@@ -904,52 +909,76 @@ object Queries {
              TRUE AS p25_ok, TRUE AS p50_ok, TRUE AS p75_ok, TRUE AS p95_ok
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")),
 
-    // B55 (r13): CDC MERGE / upsert report — the Delta/Iceberg
-    // `MERGE INTO` surface expressed Spark-first (one outer join +
-    // CASE, the exact plan a table format's merge compiles to): a
-    // deterministic change batch (per ordering customer: total spend
-    // as the new balance; keys ≡0 mod 97 are deletes; keys ≡0 mod 50
-    // also arrive as fresh inserts at key+10⁷) merges into the
-    // customer snapshot. The report is the per-action audit every
-    // upsert pipeline logs — row counts and the exact-cents balance
-    // mass each action carries (update: new balances; delete: REMOVED
-    // old balances; insert: inserted; unchanged: kept) — which
-    // together checksum the post-merge table. One shuffle join on the
-    // merge key; money in exact int64 cents end to end.
+    // B55 (r13, replanned r14): CDC MERGE / upsert report — the
+    // Delta/Iceberg `MERGE INTO` surface expressed Spark-first (one
+    // FULL OUTER join + CASE, the exact plan a table format's merge
+    // compiles to): a deterministic change batch (per ordering
+    // customer: total spend as the new balance; keys ≡0 mod 97 are
+    // deletes; keys ≡0 mod 50 ALSO arrive as genuinely-new rows at
+    // key + max(c_custkey), i.e. keys absent from the target) merges
+    // into the customer snapshot. Action is decided by MATCH STATUS,
+    // the way a real MERGE does: matched + op=D → delete, matched →
+    // update, not-matched-by-target → insert, not-matched-by-source →
+    // unchanged. r13 verdict: the old shape drew insert keys from
+    // o_custkey, which TPC-H FKs guarantee exist in customer, so the
+    // insert clause was never exercised end-to-end; the max-key offset
+    // makes every insert row a true new-key insert provable by the
+    // oracle. The report is the per-action audit every upsert pipeline
+    // logs — row counts and the exact-cents balance mass each action
+    // carries (update: new balances; delete: REMOVED old balances;
+    // insert: inserted; unchanged: kept) — which together checksum the
+    // post-merge table. One shuffle join on the merge key plus a 1-row
+    // broadcast for max(c_custkey); money in exact int64 cents.
     ("q_merge_upsert", (s: SparkSession, d: String) => {
       val cust = Tables.customer(s, d).select(col("c_custkey"),
         cents(col("c_acctbal")).as("bal"))
-      val chg = Tables.orders(s, d)
+      val maxKey = cust.agg(max("c_custkey").as("mx"))
+      val base = Tables.orders(s, d)
         .groupBy(col("o_custkey").as("k"))
         .agg(sum(cents(col("o_totalprice"))).as("spend"))
-        .withColumn("op", when(col("k") % 97L === 0L, lit("D")).otherwise(lit("U")))
-      val actions = cust.join(chg, col("c_custkey") === col("k"), "left")
+      // both change-batch branches (the in-place row and, for mod-50
+      // keys, the offset new-key row) come off ONE orders aggregation
+      // — a union of two `base` references would re-scan and re-agg
+      // orders twice
+      val chg = base.crossJoin(broadcast(maxKey))
+        .select(explode(array_compact(array(
+          struct(col("k"), col("spend"),
+            when(col("k") % 97L === 0L, lit("D")).otherwise(lit("U")).as("op")),
+          when(col("k") % 50L === 0L,
+            struct((col("k") + col("mx")).as("k"), col("spend"),
+              lit("U").as("op")))))).as("e"))
+        .select(col("e.k").as("k"), col("e.spend").as("spend"), col("e.op").as("op"))
+      cust.join(chg, col("c_custkey") === col("k"), "full_outer")
         .select(
-          when(col("op") === "D", lit("delete"))
-            .when(col("op") === "U", lit("update"))
-            .otherwise(lit("unchanged")).as("action"),
-          when(col("op") === "U", col("spend")).otherwise(col("bal")).as("bal_cents"))
-      val ins = chg.filter(col("op") === "U" && col("k") % 50L === 0L)
-        .select(lit("insert").as("action"), col("spend").as("bal_cents"))
-      actions.unionByName(ins)
+          when(col("c_custkey").isNull, lit("insert"))
+            .when(col("k").isNull, lit("unchanged"))
+            .when(col("op") === "D", lit("delete"))
+            .otherwise(lit("update")).as("action"),
+          when(col("c_custkey").isNull, col("spend"))
+            .when(col("k").isNull || col("op") === "D", col("bal"))
+            .otherwise(col("spend")).as("bal_cents"))
         .groupBy("action")
         .agg(count(lit(1)).as("n_rows"), sum("bal_cents").as("sum_bal_cents"))
         .orderBy("action")
     }, Some("""
-      WITH chg AS (
+      WITH mx AS (SELECT max(c_custkey) AS m FROM customer),
+      base AS (
         SELECT o_custkey AS k,
-               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend,
-               CASE WHEN o_custkey % 97 = 0 THEN 'D' ELSE 'U' END AS op
+               CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS spend
         FROM orders GROUP BY o_custkey),
-      act AS (
-        SELECT CASE WHEN op = 'D' THEN 'delete'
-                    WHEN op = 'U' THEN 'update'
-                    ELSE 'unchanged' END AS action,
-               CASE WHEN op = 'U' THEN spend
-                    ELSE CAST(round(c_acctbal * 100) AS BIGINT) END AS bal_cents
-        FROM customer LEFT JOIN chg ON c_custkey = k
+      chg AS (
+        SELECT k, spend, CASE WHEN k % 97 = 0 THEN 'D' ELSE 'U' END AS op FROM base
         UNION ALL
-        SELECT 'insert', spend FROM chg WHERE op = 'U' AND k % 50 = 0)
+        SELECT k + m, spend, 'U' FROM base, mx WHERE k % 50 = 0),
+      act AS (
+        SELECT CASE WHEN c_custkey IS NULL THEN 'insert'
+                    WHEN k IS NULL THEN 'unchanged'
+                    WHEN op = 'D' THEN 'delete'
+                    ELSE 'update' END AS action,
+               CASE WHEN c_custkey IS NULL THEN spend
+                    WHEN k IS NULL OR op = 'D' THEN CAST(round(c_acctbal * 100) AS BIGINT)
+                    ELSE spend END AS bal_cents
+        FROM customer FULL OUTER JOIN chg ON c_custkey = k)
       SELECT action, count(*) AS n_rows,
              CAST(sum(bal_cents) AS BIGINT) AS sum_bal_cents
       FROM act GROUP BY action ORDER BY action""")),

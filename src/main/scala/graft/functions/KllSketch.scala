@@ -3,6 +3,7 @@ package graft.functions
 import java.io.{ByteArrayOutputStream, DataInputStream, DataOutputStream}
 import scala.collection.mutable
 import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
@@ -30,9 +31,11 @@ import org.apache.spark.sql.types._
   * ~13 levels × k int64 at n = 10⁹ — tens of KB per partial at any
   * corpus size. Rank error is O(log(n/k)/k) worst-case for the
   * deterministic variant; the shipped query (q_sketch_quantiles)
-  * asserts a 2%-rank envelope through the DuckDB-pinned-TRUE oracle
-  * pattern (B20) and KllSketchSpec asserts it under five different
-  * partitionings/orders at k=400, where measured error is ≲0.5%.
+  * asserts a 3%-rank envelope at k=1024 — sized so the WORST-CASE
+  * bound (≈log2(n/k)/k ≈ 1.2% at sf1, ~2.6% at n=10¹¹), not just the
+  * measured ≲0.5% error, fits under any partial-merge order — through
+  * the DuckDB-pinned-TRUE oracle pattern (B20); KllSketchSpec asserts
+  * the envelope under five different partitionings/orders.
   */
 final class KllState(val k: Int) {
   val levels: mutable.ArrayBuffer[mutable.ArrayBuffer[Long]] =
@@ -125,6 +128,16 @@ case class KllQuantiles(
     "kll_quantiles: quantiles must lie in [0, 1]")
 
   override def createAggregationBuffer(): KllState = new KllState(k)
+
+  // the sketch stores exact int64 items and declares array<bigint>;
+  // a double/decimal child would silently truncate toward zero in
+  // Number.longValue — reject it at analysis time instead
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ByteType | ShortType | IntegerType | LongType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"kll_quantiles requires an integral value column (tinyint/smallint/int/bigint); " +
+        s"got ${other.catalogString} — cast explicitly (e.g. to exact cents) first")
+  }
 
   override def update(b: KllState, row: InternalRow): KllState = {
     val v = child.eval(row)

@@ -80,6 +80,9 @@ object CsvBlobSource {
     */
   def readRecords(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // per-bucket read counter (rblob/metrics.go read_total), same
+    // executor-side accumulator discipline as JsonBlobSource.readConcat
+    val readAcc = BlobMetrics.readAcc(spark, dir)
     spark.read
       .option("wholetext", "true")
       .option("recursiveFileLookup", "true")
@@ -87,6 +90,7 @@ object CsvBlobSource {
       .select(input_file_name().as("blob_key"), col("value"))
       .as[(String, String)]
       .flatMap { case (k, content) =>
+        readAcc.add(1L)
         val recs = splitCsv(content)
         if (recs.isEmpty) Iterator.empty
         else {

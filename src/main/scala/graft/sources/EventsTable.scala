@@ -128,8 +128,18 @@ final class EventsTable(spark: SparkSession, dir: String,
 
   /** Raw frame incl. the partition column (canonical event names) —
     * filter on `date` to see PartitionFilters pruning in the plan.
+    * Same explicit merged schema as log() (r13 ADVICE): on a mixed-era
+    * log where a typed metadata column was added mid-stream, schema
+    * inference surfaces the column only if Spark happens to sample a
+    * post-evolve footer; the explicit schema makes every read see the
+    * merged shape. The only difference from log() is the un-dropped
+    * partition column.
     */
-  def raw: DataFrame = canonicalize(spark.read.parquet(dir))
+  def raw: DataFrame = canonicalize(
+    if (partitionByDate)
+      spark.read.schema(StructType(fullSchema.fields :+
+        StructField("date", DateType))).parquet(dir)
+    else spark.read.schema(fullSchema).parquet(dir))
 
   def head: Long = if (!exists) -1L else log.head()
 

@@ -74,20 +74,66 @@ object JsonBlobSource {
   /** Decode the in-blob offset from a packed event id. */
   def blobOffset(id: Column): Column = id.bitwiseAND(lit((1L << OffsetBits) - 1))
 
-  /** Sorted blob keys for ordinal assignment (r13 ADVICE fix: the
-    * ordinal collect previously ran the full record decode a second
-    * time; this projects input_file_name off a wholetext read of the
-    * same directory — files are listed and opened but NO record is
-    * parsed, and the key strings are guaranteed identical to the
-    * decode frames' because they come from the same reader + options).
+  /** Sorted blob keys for ordinal assignment, from a GENUINELY
+    * metadata-only FileSystem listing (r14, closing the r13 ADVICE
+    * both ways: the r13 wholetext read paid full blob I/O to emit one
+    * row per blob, and this replaces it with the recursive listing the
+    * reference's bucket iterator performs — rblob/blob.go getNextKey's
+    * List call). Key strings are `SparkPath.fromFileStatus(_).
+    * urlEncoded`, byte-identical to the `input_file_name()` values the
+    * decode frames carry (ProbePaths measured: Hadoop `Path.toString`
+    * is `file:/…` unencoded, input_file_name is `file:///…`
+    * URL-encoded; SparkPath is the one constructor that matches) —
+    * SourcesSpec pins the equality, spaces and nested prefixes
+    * included. Hidden files (`_`/`.` prefixes) are excluded exactly
+    * like Spark's own FileIndex, so the ordinal basis matches what the
+    * record readers can ever surface.
+    *
+    * ORDINAL BASIS (documented per the r13 ADVICE): ordinals number
+    * every non-hidden file the listing returns — including record-less
+    * blobs (zero-byte files, header-only CSVs), which consume an
+    * ordinal without producing events. That is the reference's id
+    * space too (its bucket iterator walks every listed key and an
+    * empty blob just yields zero decodes), and it makes ids a pure
+    * function of the directory LISTING rather than of decode results.
     * Driver-side state is the |blobs| key list the reference's bucket
     * iterator holds anyway.
     */
   def blobKeys(spark: SparkSession, dir: String): Seq[String] = {
-    import spark.implicits._
-    spark.read.option("wholetext", "true").option("recursiveFileLookup", "true")
-      .text(dir).select(input_file_name()).distinct()
-      .as[String].collect().toSeq.sorted
+    val hPath = new org.apache.hadoop.fs.Path(dir)
+    val fs = hPath.getFileSystem(spark.sessionState.newHadoopConf())
+    // recursive listStatus rather than listFiles: listFiles wraps
+    // results in LocatedFileStatus, whose constructor eagerly loads
+    // permissions — RawLocalFileSystem subclasses registered under a
+    // non-file scheme (the s3a registration shape SourcesSpec pins)
+    // blow up there, while plain FileStatus defers it
+    def walk(p: org.apache.hadoop.fs.Path): Iterator[org.apache.hadoop.fs.FileStatus] =
+      fs.listStatus(p).iterator.flatMap { st =>
+        if (st.isDirectory) walk(st.getPath) else Iterator.single(st)
+      }
+    walk(hPath).collect {
+      case st if !st.getPath.getName.startsWith("_") &&
+          !st.getPath.getName.startsWith(".") =>
+        org.apache.spark.paths.SparkPath.fromFileStatus(st).urlEncoded
+    }.toSeq.sorted
+  }
+
+  /** The reference's getNextKey (rblob/blob.go:330): the first blob
+    * key strictly after `prev` in lexicographic listing order, None
+    * when the bucket is drained. Every listed key ≤ prev ticks the
+    * per-bucket list-skip counter (rblob/metrics.go list_skip_total —
+    * "should be zero, otherwise fix makeStartAfter"): a backend with a
+    * real StartAfter pushdown never yields them, so a nonzero count is
+    * the signal that resume listings are re-scanning the bucket head.
+    * The local FileSystem listing here has no StartAfter, mirroring
+    * gocloud's non-S3 backends — the counter is the observability, the
+    * sorted-key early exit the mitigation.
+    */
+  def nextKeyAfter(spark: SparkSession, dir: String, prev: String): Option[String] = {
+    val keys = blobKeys(spark, dir)
+    val idx = keys.indexWhere(_ > prev)
+    BlobMetrics.recordListSkips(dir, if (idx < 0) keys.size.toLong else idx.toLong)
+    if (idx < 0) None else Some(keys(idx))
   }
 
   /** The broadcastable (blob_key, blob_ord) frame over blobKeys. */
@@ -153,6 +199,9 @@ object JsonBlobSource {
     */
   def readConcat(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
+    // per-bucket read counter (rblob/metrics.go read_total): one tick
+    // per blob decoded, executor-side through the accumulator
+    val readAcc = BlobMetrics.readAcc(spark, dir)
     spark.read
       .option("wholetext", "true")
       .option("recursiveFileLookup", "true")
@@ -160,6 +209,7 @@ object JsonBlobSource {
       .select(input_file_name().as("blob_key"), col("value"))
       .as[(String, String)]
       .flatMap { case (k, content) =>
+        readAcc.add(1L)
         splitConcatJson(content).zipWithIndex.map { case (j, off) => (k, off.toLong, j) }
       }
       .toDF("blob_key", "off", "json")

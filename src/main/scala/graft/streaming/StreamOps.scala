@@ -266,6 +266,54 @@ object StreamOps {
       }
   }
 
+  final case class GraphInsert(vecId: Long, cid2: Int,
+    neighbors: Seq[Long], cellSize: Long)
+
+  /** STREAMING maintenance twin for the C94 two-layer graph tier (r13
+    * verdict item 8 — the way streamingIvfAssign twins C23): new
+    * vectors insert into the index as keyed state. Each arrival is
+    * hierarchically assigned with the EXACT batch rule
+    * (AnnOps.hierCell — nearest L1 parent, then nearest child cell,
+    * cos4 arithmetic shared verbatim), so an arrival lands in the
+    * same cell batch construction picks
+    * (GraphStreamingParitySpec). Per-cell keyed state is the bounded
+    * CANDIDATE NEIGHBOR LIST a graph insert links against — the k
+    * members closest to the cell's pivot by (cos4 desc, vecId asc) —
+    * and each emitted row carries the list AS OF the arrival (the
+    * nodes an NSW insert would wire to) plus the running cell size.
+    * State is O(|L2| · k) — unbounded-stream safe; within a
+    * micro-batch arrivals process in vecId order so replays are
+    * deterministic.
+    */
+  def streamingGraphInsert(vecs: Dataset[(Long, Seq[Double])],
+      seeds: Array[Array[Double]], kidsArr: Array[Array[Int]], nL1: Int,
+      k: Int = 8): Dataset[GraphInsert] = {
+    import vecs.sparkSession.implicits._
+    val bc = vecs.sparkSession.sparkContext.broadcast((seeds, kidsArr))
+    vecs.map { case (id, v) =>
+      val (sds, kids) = bc.value
+      (graft.ann.AnnOps.hierCell(v.toArray, sds, kids, nL1), id, v)
+    }
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, List[(Double, Long)]), GraphInsert](
+        OutputMode.Update, GroupStateTimeout.NoTimeout()) {
+        (cid2: Int, it: Iterator[(Int, Long, Seq[Double])],
+         state: GroupState[(Long, List[(Double, Long)])]) =>
+          val (sds, _) = bc.value
+          var (n, cand) = state.getOption.getOrElse((0L, List.empty[(Double, Long)]))
+          val out = it.toArray.sortBy(_._2).map { case (_, id, v) =>
+            val snapshot = cand.map(_._2)
+            val cs = graft.ann.AnnOps.cos4(v.toArray, sds(cid2))
+            n += 1
+            cand = ((cs, id) :: cand)
+              .sortBy { case (c, i) => (-c, i) }.take(k)
+            GraphInsert(id, cid2, snapshot, n)
+          }
+          state.update((n, cand))
+          out.iterator
+      }
+  }
+
   /** Exactly-once parquet sink for foreachBatch: each micro-batch
     * lands in its own `batch_id=N` partition with overwrite, so a
     * replayed batch (at-least-once delivery) overwrites itself instead

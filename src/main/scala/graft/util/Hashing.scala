@@ -232,4 +232,31 @@ object Hashing {
     }
     bucket
   }
+
+  /** Multi-probe LSH probing sequence (Lv et al., "Multi-Probe LSH",
+    * VLDB 2007, the single-bit-flip simplification): the vector's own
+    * bucket FIRST, then the buckets reached by flipping the sign bit
+    * of the `extra` hyperplanes whose |dot| is smallest — the
+    * boundaries the vector sits closest to, i.e. exactly the
+    * neighboring buckets a near-duplicate most likely fell into.
+    * Probing q extra buckets per table buys the recall that would
+    * otherwise cost q whole extra tables of index storage and
+    * bucket-join input. Deterministic: ties in |dot| break toward the
+    * lower plane index.
+    */
+  def lshProbeBuckets(v: Array[Double], nPlanes: Int, table: Int, extra: Int): Seq[Int] = {
+    val dots = new Array[Double](nPlanes)
+    var bucket = 0
+    var p = 0
+    while (p < nPlanes) {
+      var dot = 0.0
+      var i = 0
+      while (i < v.length) { dot += planeCoef(table * nPlanes + p, i) * v(i); i += 1 }
+      dots(p) = dot
+      if (dot > 0) bucket |= 1 << p
+      p += 1
+    }
+    val flips = (0 until nPlanes).sortBy(p => (math.abs(dots(p)), p)).take(extra)
+    bucket +: flips.map(p => bucket ^ (1 << p))
+  }
 }

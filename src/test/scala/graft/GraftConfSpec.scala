@@ -12,7 +12,8 @@ class GraftConfSpec extends AnyFunSuite {
     val expected = Map(
       "spark.graft.topk.rewrite" -> "true",
       "spark.graft.topk.rewrite.maxK" -> "1000",
-      "spark.graft.ann.lsh.tables" -> "4",
+      "spark.graft.ann.lsh.tables" -> "2",
+      "spark.graft.ann.lsh.probes" -> "2",
       "spark.graft.ann.lsh.maxBucket" -> "10000",
       "spark.graft.seqpack.shards" -> "8",
       "spark.graft.dedup.minhash.targetJ" -> "0.8")
@@ -53,7 +54,7 @@ class GraftConfSpec extends AnyFunSuite {
     val spark = TestSpark.spark
     val prev = spark.conf.getOption(GraftConf.AnnLshTables.key)
     try {
-      assert(GraftConf.getInt(spark, GraftConf.AnnLshTables) === 4)
+      assert(GraftConf.getInt(spark, GraftConf.AnnLshTables) === 2)
       spark.conf.set(GraftConf.AnnLshTables.key, "6")
       assert(GraftConf.getInt(spark, GraftConf.AnnLshTables) === 6)
     } finally {

@@ -33,12 +33,31 @@ class BandingPlanSpec extends AnyFunSuite {
   }
 
   test("dd_lsh_plan's best row equals the operator's chooseBanding, both targets") {
-    for (t <- Seq(None, Some("0.5"))) withTarget(t) {
+    // default target: through the graded query (which requires the
+    // default — its DuckDB oracle is static); non-default: through
+    // the parameterized lshPlanTable the graded query delegates to
+    withTarget(None) {
       val best = graft.SparkEntry.queries("dd_lsh_plan")(spark, graft.TestSpark.sf)
         .filter(col("best")).select("b", "r").collect()
       assert(best.length === 1)
       val (b, r) = DedupOps.configuredBanding(spark)
-      assert((best(0).getInt(0), best(0).getInt(1)) === ((b, r)), s"target=$t")
+      assert((best(0).getInt(0), best(0).getInt(1)) === ((b, r)))
+    }
+    withTarget(Some("0.5")) {
+      val best = DedupOps.lshPlanTable(spark, 0.5)
+        .filter(col("best")).select("b", "r").collect()
+      assert(best.length === 1)
+      val (b, r) = DedupOps.configuredBanding(spark)
+      assert((best(0).getInt(0), best(0).getInt(1)) === ((b, r)))
+    }
+  }
+
+  test("graded dd_lsh_plan fails loudly under a non-default target (r13 ADVICE)") {
+    withTarget(Some("0.5")) {
+      val e = intercept[IllegalArgumentException] {
+        graft.SparkEntry.queries("dd_lsh_plan")(spark, graft.TestSpark.sf).collect()
+      }
+      assert(e.getMessage.contains("lshPlanTable"))
     }
   }
 

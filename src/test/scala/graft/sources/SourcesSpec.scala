@@ -115,18 +115,23 @@ class SourcesSpec extends AnyFunSuite {
       spark, dir.toString, schema, "etype", "uid", "at")
     val rows = log.orderBy("id").collect()
     // all 6 records, gzip decoded, key order across prefixes, decode
-    // order within a blob; the empty blob contributes nothing
+    // order within a blob. Ordinal basis (r14): ids are a pure
+    // function of the directory LISTING — the record-less empty blob
+    // consumes ordinal 1 (its key sorts between the two data blobs)
+    // without producing events, exactly as the reference's bucket
+    // iterator walks every listed key and an empty blob yields zero
+    // decodes
     assert(rows.map(_.getAs[String]("eventType")).toSeq ===
       (1 to 6).map(i => s"e$i"))
     val decoded = rows.map { r =>
       val id = r.getAs[Long]("id")
       (id >> JsonBlobSource.OffsetBits, id & ((1L << JsonBlobSource.OffsetBits) - 1))
     }.toSeq
-    assert(decoded === Seq((0L, 0L), (0L, 1L), (0L, 2L), (1L, 0L), (1L, 1L), (1L, 2L)))
+    assert(decoded === Seq((0L, 0L), (0L, 1L), (0L, 2L), (2L, 0L), (2L, 1L), (2L, 2L)))
 
     // mid-blob resume — the reference's "all after mid jan 1" case
     // (cursor 2020/01/01/...|0): only the REST of that blob arrives
-    val midCursor = (1L << JsonBlobSource.OffsetBits) | 0L
+    val midCursor = (2L << JsonBlobSource.OffsetBits) | 0L
     val resumed = new graft.events.EventLog(log).after(midCursor).collect()
     assert(resumed.map(_.getAs[String]("eventType")).toSeq === Seq("e5", "e6"))
     // eof resume — reference "all after 2019 ... |eof": all of 2020
@@ -139,7 +144,7 @@ class SourcesSpec extends AnyFunSuite {
     val res = Runner.runToHead(Spec(new graft.events.EventLog(log), store,
       Consumer("rblob", _ => ())))
     assert(res.consumed === 2L)
-    assert(store.get("rblob") === Some((1L << JsonBlobSource.OffsetBits) | 2L))
+    assert(store.get("rblob") === Some((2L << JsonBlobSource.OffsetBits) | 2L))
   }
 
   test("storage seam: gzip + concat + mid-blob resume through file:// and a registered non-default FS") {
