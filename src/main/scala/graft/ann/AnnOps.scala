@@ -1422,25 +1422,19 @@ object AnnOps {
         .filter(col("cos_sim") >= 0.28)
         .orderBy("a", "b")
     }, Some("""
-      WITH f AS (
-        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-               CAST(unnest(embedding) AS DOUBLE) AS v
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
         FROM embeddings),
-      n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY vec_id),
       cents AS (
-        SELECT vec_id AS cid FROM embeddings
+        SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e
         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
         LIMIT 64),
-      dots AS (
-        SELECT a.vec_id AS vec_id, b.vec_id AS cid, sum(a.v * b.v) AS dot
-        FROM f a JOIN f b ON a.i = b.i
-        WHERE b.vec_id IN (SELECT cid FROM cents)
-        GROUP BY a.vec_id, b.vec_id),
       scored AS (
-        SELECT dots.vec_id, cid,
-               round(dot / (na.nrm * nb.nrm), 4) AS cs
-        FROM dots JOIN n na ON na.vec_id = dots.vec_id
-                  JOIN n nb ON nb.vec_id = cid),
+        SELECT e.vec_id, c.cid,
+               round(list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm), 4) AS cs
+        FROM e CROSS JOIN cents c),
       assign AS (
         SELECT vec_id, cid FROM (
           SELECT vec_id, cid,
@@ -1448,16 +1442,14 @@ object AnnOps {
           FROM scored) WHERE rk = 1),
       sized AS (
         SELECT vec_id, cid, count(*) OVER (PARTITION BY cid) AS bn FROM assign),
-      pairdots AS (
-        SELECT x.vec_id AS a, y.vec_id AS b, sum(fa.v * fb.v) AS dot
+      pairs AS (
+        SELECT x.vec_id AS a, y.vec_id AS b
         FROM sized x JOIN sized y ON x.cid = y.cid AND x.vec_id < y.vec_id
-             JOIN f fa ON fa.vec_id = x.vec_id
-             JOIN f fb ON fb.vec_id = y.vec_id AND fa.i = fb.i
-        WHERE x.bn <= 500 AND y.bn <= 500
-        GROUP BY x.vec_id, y.vec_id)
-      SELECT a, b, round(dot / (na.nrm * nb.nrm), 4) AS cos_sim
-      FROM pairdots JOIN n na ON na.vec_id = a JOIN n nb ON nb.vec_id = b
-      WHERE round(dot / (na.nrm * nb.nrm), 4) >= 0.28
+        WHERE x.bn <= 500 AND y.bn <= 500)
+      SELECT a, b,
+             round(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 4) AS cos_sim
+      FROM pairs JOIN e ea ON ea.vec_id = a JOIN e eb ON eb.vec_id = b
+      WHERE round(list_dot_product(ea.v, eb.v) / (ea.nrm * eb.nrm), 4) >= 0.28
       ORDER BY a, b""")),
 
     // C73: recall evaluation report — the offline eval loop every ANN
@@ -1805,25 +1797,19 @@ object AnnOps {
           col("cs").as("centrality"))
         .orderBy("cluster", "rk")
     }, Some("""
-      WITH f AS (
-        SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-               CAST(unnest(embedding) AS DOUBLE) AS v
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
         FROM embeddings),
-      n AS (SELECT vec_id, sqrt(sum(v * v)) AS nrm FROM f GROUP BY vec_id),
       cents AS (
-        SELECT vec_id AS cid FROM embeddings
+        SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e
         ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
         LIMIT 64),
-      dots AS (
-        SELECT a.vec_id AS vec_id, b.vec_id AS cid, sum(a.v * b.v) AS dot
-        FROM f a JOIN f b ON a.i = b.i
-        WHERE b.vec_id IN (SELECT cid FROM cents)
-        GROUP BY a.vec_id, b.vec_id),
       scored AS (
-        SELECT dots.vec_id, cid,
-               round(dot / (na.nrm * nb.nrm), 4) AS cs
-        FROM dots JOIN n na ON na.vec_id = dots.vec_id
-                  JOIN n nb ON nb.vec_id = cid),
+        SELECT e.vec_id, c.cid,
+               round(list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm), 4) AS cs
+        FROM e CROSS JOIN cents c),
       assign AS (
         SELECT cid, vec_id, cs FROM (
           SELECT cid, vec_id, cs,
@@ -1838,6 +1824,74 @@ object AnnOps {
       SELECT cid AS cluster, CAST(rk AS INTEGER) AS rk, vec_id,
              cs AS centrality
       FROM ex WHERE rk <= 3 ORDER BY cluster, rk""")),
+
+    // C115 (r14): prototype-distance data pruning (Sorscher et al.
+    // 2022, "Beyond neural scaling laws: beating power law scaling
+    // via data pruning") — the self-supervised pruning rule that
+    // paper shows beats random subsetting when data is abundant: rank
+    // every example by its cosine to its nearest prototype (the
+    // md5-seeded 64-centroid layer shared with dd_semantic/C112) and
+    // keep the HARDEST half per cluster (lowest similarity = farthest
+    // from the prototype = most informative at large data scale;
+    // per-cluster quotas keep the kept set covering all modes instead
+    // of concentrating in the hardest cluster). 100 TB shape: O(N·K)
+    // broadcast assignment (rank-1 through the TopK rewrite), then
+    // per-cluster rank windows partitioned on the 64-way cid key —
+    // emitted as the cluster-level pruning card (sizes + the cs4
+    // cut boundary a downstream filter would apply).
+    ("ann_proto_prune", (s: SparkSession, d: String) => {
+      GraftFunctions.register(s)
+      val c = corpus(s, d)
+      val cents = broadcast(
+        c.orderBy(md5(col("vec_id").cast("string")), col("vec_id")).limit(64)
+          .select(col("vec_id").as("cid"), col("v").as("cv")))
+      val scored = c.join(cents)
+        .selectExpr("vec_id", "cid", "round(cosine_sim(v, cv), 4) AS cs")
+      val assign = graft.plans.TopKPerKeyOps.topK(scored, Seq("vec_id"),
+          Seq(col("cs").desc, col("cid").asc), 1)
+        .select(col("cid"), col("vec_id"), col("cs"))
+      val ranked = assign
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("cid").orderBy(col("cs").asc, col("vec_id").asc)))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("cid")))
+      ranked.filter(col("rk") <=
+          call_function("div", col("n") + lit(1L), lit(2L)))
+        .groupBy("cid")
+        .agg(max("n").cast("long").as("n_members"),
+          count(lit(1)).as("n_kept"), max("cs").as("cut_cs4"))
+        .select(col("cid").as("cluster"), col("n_members"),
+          col("n_kept"), col("cut_cs4"))
+        .orderBy("cluster")
+    }, Some("""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+      cents AS (
+        SELECT vec_id AS cid, v AS cv, nrm AS cnrm FROM e
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT 64),
+      scored AS (
+        SELECT e.vec_id, c.cid,
+               round(list_dot_product(e.v, c.cv) / (e.nrm * c.cnrm), 4) AS cs
+        FROM e CROSS JOIN cents c),
+      assign AS (
+        SELECT cid, vec_id, cs FROM (
+          SELECT cid, vec_id, cs,
+                 row_number() OVER (PARTITION BY vec_id
+                   ORDER BY cs DESC, cid ASC) AS ark
+          FROM scored) WHERE ark = 1),
+      rked AS (
+        SELECT cid, vec_id, cs,
+               row_number() OVER (PARTITION BY cid
+                 ORDER BY cs ASC, vec_id ASC) AS rk,
+               count(*) OVER (PARTITION BY cid) AS n
+        FROM assign),
+      kept AS (SELECT * FROM rked WHERE rk <= (n + 1) // 2)
+      SELECT cid AS cluster, CAST(max(n) AS BIGINT) AS n_members,
+             CAST(count(*) AS BIGINT) AS n_kept, max(cs) AS cut_cs4
+      FROM kept GROUP BY cid ORDER BY cluster""")),
 
     // C79: embedding drift monitoring — the ML-ops check run when an
     // embedding model or upstream corpus changes: per label, squared

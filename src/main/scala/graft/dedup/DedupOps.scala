@@ -983,6 +983,179 @@ object DedupOps {
              CAST(max(e - s) AS BIGINT) AS max_span
       FROM sp2 GROUP BY doc_id ORDER BY doc_id""")),
 
+    // C113b (r14): per-source duplication mass at the Lee et al.
+    // 50-token bar — the corpus-card rollup of dd_suffix_spans (what
+    // C48 dup-inflation is to exact dedup): for every source, how
+    // much of its eligible token mass sits inside ≥50-token
+    // duplicated substrings. This is the number that decides WHICH
+    // sources get the expensive substring-dedup pass at 100 TB — a
+    // source at 0.2% dup mass isn't worth a corpus shuffle, one at
+    // 30% is. Same one-shuffle span machinery as C113 (stride-1
+    // window fingerprints + per-doc interval union), then a
+    // |sources|-row rollup; the denominator is the ELIGIBLE mass
+    // (docs ≥ 50 tokens, the only docs the algorithm can touch), so
+    // ratios are policy-comparable across sources with different
+    // length profiles. Ratios exact-int64 at the ratio4 grain.
+    ("dd_suffix_source", (s: SparkSession, d: String) => {
+      val spans = suffixSpans(spanHashPositions(s, d, W = 50), L = 50)
+        .select("doc_id", "dup_tokens")
+      val src = docs(s, d).select("doc_id", "source")
+      docTokenCounts(s, d, 50)
+        .join(src, "doc_id")
+        .join(spans, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("dup_tokens").isNotNull, 1L).otherwise(0L))
+            .cast("long").as("n_affected"),
+          sum("n_tokens").cast("long").as("n_tokens"),
+          sum(coalesce(col("dup_tokens"), lit(0L))).cast("long").as("dup_tokens"))
+        .withColumn("dup_ratio4",
+          TextOps.ratio4(col("dup_tokens"), col("n_tokens")))
+        .orderBy("source")
+    }, Some("""
+      WITH toks AS (
+        SELECT doc_id, source,
+               string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS t
+        FROM documents),
+      eligible AS (SELECT * FROM toks WHERE len(t) >= 50),
+      spans AS (
+        SELECT doc_id, i,
+               CAST('0x' || substr(md5(array_to_string(t[i:i+49], ' ')), 1, 15) AS BIGINT) AS h
+        FROM eligible, UNNEST(range(1, len(t) - 48)) AS s(i)),
+      owners AS (SELECT h FROM spans GROUP BY h HAVING count(*) >= 2),
+      dup AS (SELECT sp.doc_id, sp.i FROM spans sp JOIN owners USING (h)),
+      cov AS (
+        SELECT doc_id, i,
+               max(i + 50) OVER (PARTITION BY doc_id ORDER BY i
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pe
+        FROM dup),
+      isl AS (
+        SELECT doc_id, i,
+               sum(CASE WHEN pe IS NULL OR pe < i THEN 1 ELSE 0 END)
+                 OVER (PARTITION BY doc_id ORDER BY i
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+        FROM cov),
+      sp2 AS (SELECT doc_id, isl, min(i) AS s, max(i) + 50 AS e
+              FROM isl GROUP BY 1, 2),
+      per_doc AS (SELECT doc_id, CAST(sum(e - s) AS BIGINT) AS dup_tokens
+                  FROM sp2 GROUP BY doc_id)
+      SELECT e.source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN p.dup_tokens IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_affected,
+             CAST(sum(len(e.t)) AS BIGINT) AS n_tokens,
+             CAST(sum(coalesce(p.dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+             ((20000 * CAST(sum(coalesce(p.dup_tokens, 0)) AS BIGINT)
+               + CAST(sum(len(e.t)) AS BIGINT))
+              // (2 * CAST(sum(len(e.t)) AS BIGINT))) / 10000.0 AS dup_ratio4
+      FROM eligible e LEFT JOIN per_doc p USING (doc_id)
+      GROUP BY e.source ORDER BY e.source""")),
+
+    // C114 (r14): split-leakage audit — eval-set contamination by the
+    // TRAINING split, the integrity check behind every "did we dedup
+    // BEFORE splitting?" question (Lee et al. 2022 §6.2 measure this
+    // exact failure: eval examples with near-dups in train inflate
+    // scores). Splits are C39's deterministic md5-bucket rule; a
+    // val/test doc is contaminated if (exact tier) its normalized-text
+    // content fingerprint appears in train — dup direction is
+    // train→eval only, an eval↔eval dup is not leakage — or (winnow
+    // tier) it shares ≥2 winnowed fingerprints (C57b's MOSS candidate
+    // machinery) with a train doc. 100 TB shape: the exact tier joins
+    // 16-byte fingerprints (train side is 80% of the corpus — never
+    // broadcastable, a key-shuffle semi-join); the winnow tier
+    // shuffles only the sparse fingerprint sketch with capped buckets.
+    // Output: per (split, tier) the doc counts and contamination
+    // ratio at the ratio4 grain.
+    ("dd_split_leakage", (s: SparkSession, d: String) => {
+      val b = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("int") % 100
+      val split = when(b < 80, "train").when(b < 90, "val").otherwise("test")
+      val sp = docs(s, d).select(col("doc_id"), split.as("split"),
+        TextOps.fingerprint(col("text")).as("fp"))
+      val evalDocs = sp.filter(col("split") =!= "train")
+      val sizes = evalDocs.groupBy("split").agg(count(lit(1)).as("n_docs"))
+      val trainFp = sp.filter(col("split") === "train").select("fp").distinct()
+      val exactContam = evalDocs.join(trainFp, Seq("fp"), "left_semi")
+        .groupBy("split").agg(count(lit(1)).as("n_contam"))
+      val exactTier = sizes.join(exactContam, Seq("split"), "left")
+        .select(col("split"), lit("exact").as("tier"), col("n_docs"),
+          coalesce(col("n_contam"), lit(0L)).as("n_contam"))
+      val pairs = winnowCandidatePairs(s, docs(s, d)).select("a", "b")
+      val so = sp.select("doc_id", "split")
+      val ps = pairs
+        .join(so.select(col("doc_id").as("a"), col("split").as("sa")), "a")
+        .join(so.select(col("doc_id").as("b"), col("split").as("sb")), "b")
+      val contamIds = ps.filter(col("sa") === "train" && col("sb") =!= "train")
+        .select(col("b").as("doc_id"), col("sb").as("split"))
+        .union(ps.filter(col("sb") === "train" && col("sa") =!= "train")
+          .select(col("a").as("doc_id"), col("sa").as("split")))
+        .distinct()
+      val winContam = contamIds.groupBy("split").agg(count(lit(1)).as("n_contam"))
+      val winTier = sizes.join(winContam, Seq("split"), "left")
+        .select(col("split"), lit("winnow").as("tier"), col("n_docs"),
+          coalesce(col("n_contam"), lit(0L)).as("n_contam"))
+      exactTier.union(winTier)
+        .withColumn("contam_ratio4",
+          TextOps.ratio4(col("n_contam"), col("n_docs")))
+        .orderBy("split", "tier")
+    }, Some("""
+      WITH sp AS (
+        SELECT doc_id,
+               CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 < 80 THEN 'train'
+                    WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 < 90 THEN 'val'
+                    ELSE 'test' END AS split,
+               md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp
+        FROM documents),
+      sizes AS (SELECT split, count(*) AS n_docs FROM sp WHERE split <> 'train' GROUP BY 1),
+      exact_c AS (
+        SELECT split, count(*) AS n_contam FROM sp
+        WHERE split <> 'train'
+          AND fp IN (SELECT DISTINCT fp FROM sp WHERE split = 'train')
+        GROUP BY 1),
+      norm AS (
+        SELECT doc_id,
+               trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nrm
+        FROM documents),
+      pos AS (
+        SELECT doc_id, i - 1 AS p, md5(substr(nrm, i, 20)) AS h,
+               length(nrm) - 19 AS npos
+        FROM norm, unnest(generate_series(1, length(nrm) - 19)) AS t(i)
+        WHERE length(nrm) >= 27),
+      keyed AS (
+        SELECT doc_id, p, npos,
+               min(h || '-' || lpad(CAST(p AS VARCHAR), 10, '0'))
+                 OVER (PARTITION BY doc_id ORDER BY p
+                       ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin
+        FROM pos),
+      fp2 AS (
+        SELECT DISTINCT doc_id, substr(wmin, 1, 32) AS fp
+        FROM keyed WHERE p <= npos - 8),
+      ok AS (SELECT fp FROM fp2 GROUP BY fp HAVING count(*) BETWEEN 2 AND 50),
+      pairs AS (
+        SELECT a.doc_id AS a, b.doc_id AS b
+        FROM fp2 a JOIN ok USING (fp) JOIN fp2 b USING (fp)
+        WHERE a.doc_id < b.doc_id
+        GROUP BY 1, 2 HAVING count(*) >= 2),
+      cross_pairs AS (
+        SELECT CASE WHEN sa.split = 'train' THEN p.b ELSE p.a END AS doc_id,
+               CASE WHEN sa.split = 'train' THEN sb.split ELSE sa.split END AS split
+        FROM pairs p
+        JOIN sp sa ON sa.doc_id = p.a
+        JOIN sp sb ON sb.doc_id = p.b
+        WHERE (sa.split = 'train') <> (sb.split = 'train')),
+      win_c AS (
+        SELECT split, count(*) AS n_contam
+        FROM (SELECT DISTINCT doc_id, split FROM cross_pairs) GROUP BY 1),
+      tiers AS (
+        SELECT s.split, 'exact' AS tier, s.n_docs,
+               coalesce(e.n_contam, 0) AS n_contam
+        FROM sizes s LEFT JOIN exact_c e USING (split)
+        UNION ALL
+        SELECT s.split, 'winnow', s.n_docs, coalesce(w.n_contam, 0)
+        FROM sizes s LEFT JOIN win_c w USING (split))
+      SELECT split, tier, CAST(n_docs AS BIGINT) AS n_docs,
+             CAST(n_contam AS BIGINT) AS n_contam,
+             ((20000 * n_contam + n_docs) // (2 * n_docs)) / 10000.0 AS contam_ratio4
+      FROM tiers ORDER BY split, tier""")),
+
     // C57b: MOSS-style overlap candidates over the winnowed sketch —
     // document pairs sharing ≥2 selected winnow fingerprints (k=20,
     // w=8 ⇒ any shared run ≥27 chars is guaranteed at least one
