@@ -486,18 +486,26 @@ object Queries {
         .filter(col("n_items") >= 20)
         .orderBy("supp_nation", "cust_nation")
     }, Some("""
-      SELECT supp_nation, cust_nation,
-             round(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * CAST(round((1 - l_discount) * 100) AS BIGINT)) / 1e4, 2) AS volume,
-             count(*) AS n_items
-      FROM lineitem
-        JOIN orders ON l_orderkey = o_orderkey
-        JOIN (SELECT s_suppkey, n_name AS supp_nation FROM supplier JOIN nation ON s_nationkey = n_nationkey) sn
-          ON l_suppkey = sn.s_suppkey
-        JOIN (SELECT c_custkey, n_name AS cust_nation FROM customer JOIN nation ON c_nationkey = n_nationkey) cn
-          ON o_custkey = cn.c_custkey
-      WHERE supp_nation < cust_nation
-      GROUP BY supp_nation, cust_nation
-      HAVING count(*) >= 20
+      -- r14: aggregate on nation PAIRS first, name-filter after — the
+      -- WHERE supp_nation < cust_nation form sent DuckDB's planner
+      -- superlinear (10 s at sf0.1, >600 s at sf1); this identical-
+      -- result shape runs 0.15 s / 0.64 s
+      WITH agg AS (
+        SELECT sn.n_name AS supp_nation, cn_map.cust_nation,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * CAST(round((1 - l_discount) * 100) AS BIGINT)) AS vol_e4,
+               count(*) AS n_items
+        FROM lineitem
+          JOIN orders ON l_orderkey = o_orderkey
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation sn ON s_nationkey = sn.n_nationkey
+          JOIN (SELECT c_custkey, n_name AS cust_nation
+                FROM customer JOIN nation ON c_nationkey = n_nationkey) cn_map
+            ON o_custkey = cn_map.c_custkey
+        GROUP BY 1, 2)
+      SELECT supp_nation, cust_nation, round(vol_e4 / 1e4, 2) AS volume, n_items
+      FROM agg
+      WHERE supp_nation < cust_nation AND n_items >= 20
       ORDER BY supp_nation, cust_nation""")),
 
     // B26: shipping-priority split (TPC-H Q12 flavor).

@@ -206,21 +206,38 @@ object TextOps {
           // dominant per-row cost for long docs)
           val nrm = if (withFp) toks.mkString(" ") else ""
           var punct = 0
+          // maximal-run counts in the same char scan: sentence marks
+          // ([.!?]+ runs) and vowel groups ([aeiouy]+ runs, case-
+          // insensitive) -- the Flesch-Kincaid inputs (C65/C116),
+          // run-counted exactly like the regexp_extract_all oracles
+          var snt = 0
+          var syl = 0
+          var inSnt = false
+          var inSyl = false
           var i = 0
           while (i < text.length) {
             val c = text.charAt(i)
             val alnum = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
             val ws = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
             if (!alnum && !ws) punct += 1
+            val isSnt = c == '.' || c == '!' || c == '?'
+            if (isSnt && !inSnt) snt += 1
+            inSnt = isSnt
+            val lc = if (c >= 'A' && c <= 'Z') (c + 32).toChar else c
+            val isSyl = lc == 'a' || lc == 'e' || lc == 'i' || lc == 'o' || lc == 'u' || lc == 'y'
+            if (isSyl && !inSyl) syl += 1
+            inSyl = isSyl
             i += 1
           }
           (id, lang, source, toks.length.toLong,
             toks.toSet.size.toLong, punct.toLong,
             toks.count(stopSet).toLong, text.length.toLong,
-            if (withFp) graft.util.Hashing.md5Hex(nrm) else "")
+            if (withFp) graft.util.Hashing.md5Hex(nrm) else "",
+            snt.toLong, syl.toLong)
         }
       }
-      .toDF("doc_id", "lang", "source", "n", "nd", "punct", "stops", "len", "fp")
+      .toDF("doc_id", "lang", "source", "n", "nd", "punct", "stops", "len", "fp",
+        "snt", "syl")
   }
 
   /** Per-doc DISTINCT char-n-gram 64-bit hashes of the normalized
@@ -2688,51 +2705,62 @@ object TextOps {
     // at-or-below the corpus median borda, borda min/max/avg4).
     ("pipeline_rank_ensemble", (s: SparkSession, d: String) => {
       // signal ints on the 1e4 grid, all-doc universe, zero-guarded
-      // identically on both engines
-      val toks0 = tokens(col("text"))
-      val n = greatest(size(toks0).cast("long"), lit(1L))
-      val punct = size(regexp_extract_all(col("text"),
-        lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
-      val stops = stopwordHits(toks0, stopwords).cast("long")
-      val l = greatest(length(col("text")).cast("long"), lit(1L))
-      val qn = lit(500L) * stops * l + lit(300L) * (l - punct) * n +
+      // identically on both engines. All per-doc counts come from the
+      // ONE-pass typed kernel (docQualityStats' char scan, r14-extended
+      // with sentence/vowel run counts): the Catalyst form — four
+      // regexp_extract_all chains + an interpreted HOF stopword filter
+      // — measured ~7 s of the sf1 wall for the same numbers. Word
+      // count for FK = the token count (maximal [a-z0-9] runs = what
+      // the oracle's regex matches).
+      val st = docQualityStats(s, d, withFp = false)
+      val n = greatest(col("n"), lit(1L))
+      val l = greatest(col("len"), lit(1L))
+      val qn = lit(500L) * col("stops") * l + lit(300L) * (l - col("punct")) * n +
         lit(2L) * least(n, lit(100L)) * n * l
       val qd = lit(1000L) * n * l
       val q4 = call_function("div", qn * 20000L + qd, qd * 2L)
-      val wrd = greatest(size(regexp_extract_all(lower(col("text")),
-        lit("[a-z0-9]+"), lit(0))).cast("long"), lit(1L))
-      val snt = greatest(size(regexp_extract_all(col("text"),
-        lit("[.!?]+"), lit(0))).cast("long"), lit(1L))
-      val sy = size(regexp_extract_all(lower(col("text")),
-        lit("[aeiouy]+"), lit(0))).cast("long")
+      val wrd = greatest(col("n"), lit(1L))
+      val snt = greatest(col("snt"), lit(1L))
+      val sy = col("syl")
       val fnum = lit(39L) * wrd * wrd + lit(1180L) * sy * snt - lit(1559L) * snt * wrd
       val fden = lit(100L) * snt * wrd
       val fk4 = signum(fnum).cast("long") *
         call_function("div", abs(fnum) * 20000L + fden, fden * 2L)
-      val base = docs(s, d).select(col("doc_id"), col("source"),
+      val base = st.select(col("doc_id"), col("source"),
         q4.as("q4"), fk4.as("fk4"))
-      // signal 3: the C60 fastText-shaped linear score (int form)
+      // signal 3: the C60 fastText-shaped linear score (int form).
+      // Weights attach per DISTINCT term (one md5 per vocabulary
+      // entry), not per (doc, term) row — at sf1 the row-wise md5 was
+      // ~5M hashes for a few-thousand-word vocabulary.
       def stubW(t: Column, salt: String): Column =
         (conv(substring(md5(if (salt.isEmpty) t else concat(t, lit(salt))), 1, 8), 16, 10)
           .cast("long") % 20001L) - 10000L
       val dtf = docTermCounts(s, d)
         .filter(length(col("term")) >= 1)
         .select(col("doc_id"), col("term"), col("tf"))
-      val vocab = dtf.groupBy("term").agg(sum("tf").as("nn"))
+      val termTot = dtf.groupBy("term").agg(sum("tf").as("nn"))
+      val vocab = termTot
         .orderBy(col("nn").desc, col("term").asc)
         .limit(256)
         .select(col("term"), stubW(col("term"), "#v").as("wv"))
-      val lin = dtf.join(broadcast(vocab), Seq("term"), "left")
-        .select(col("doc_id"), col("tf"),
-          coalesce(col("wv"), stubW(col("term"), "")).as("w"))
+      val weights = termTot.select("term")
+        .join(broadcast(vocab), Seq("term"), "left")
+        .select(col("term"), coalesce(col("wv"), stubW(col("term"), "")).as("w"))
+      val lin = dtf.join(weights, Seq("term"))
         .groupBy("doc_id")
         .agg(sum("tf").as("n_toks"), sum(col("tf") * col("w")).cast("long").as("num"))
         .select(col("doc_id"),
           (signum(col("num")).cast("long") *
             call_function("div", abs(col("num")) * 2L + col("n_toks"),
               col("n_toks") * 2L)).as("lin4"))
+      // the scored frame feeds FIVE consumers (three rank-map builds,
+      // the borda histogram, the final rollup) and the signals behind
+      // it are regex-heavy corpus scans — materialize the narrow
+      // (doc, source, 3 ints) frame ONCE (measured 49.5 s → ~1 s at
+      // sf1 without it; ~25 bytes/doc, executor-memory safe at any SF)
       val scored = base.join(lin, Seq("doc_id"), "left")
         .withColumn("lin4", coalesce(col("lin4"), lit(0L)))
+        .localCheckpoint()
       // competition rank via the score-domain histogram (≤2e4 rows):
       // rank(v) = 1 + Σ count(strictly better) — broadcast back
       def rankMap(df: DataFrame, c: String, lowerBetter: Boolean): DataFrame = {

@@ -17,15 +17,24 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
-def main(sf_dir, out_dir, runs=2):
+def main(sf_dir, out_dir, runs=2, timeout=None):
     sf_name = pathlib.Path(sf_dir).name
     oracle = json.loads((pathlib.Path(out_dir) / "oracle_sql.json").read_text())
     con = duckdb.connect()
     for t in TABLES:
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     times = {}
+    timeouts = []
     for name in sorted(oracle):
         sql = oracle[name]
+        # per-query watchdog (opt-in): a quadratic/recursive oracle at a
+        # big SF must record "timeout" and move on, not hang the sweep —
+        # duckdb's interrupt() aborts the running statement
+        killer = None
+        if timeout:
+            import threading
+            killer = threading.Timer(timeout, con.interrupt)
+            killer.start()
         try:
             # runs=0: one cold timed execution, no warmup — for large
             # SFs where the multi-minute recursive-CTE oracles would
@@ -39,13 +48,22 @@ def main(sf_dir, out_dir, runs=2):
             times[name] = round(best, 4)
             print(f"  {name}: {times[name]}s")
         except Exception as e:  # noqa: BLE001 - record and continue
-            print(f"  {name}: FAILED {e}")
+            if "INTERRUPT" in str(e).upper():
+                timeouts.append(name)
+                print(f"  {name}: TIMEOUT >{timeout}s")
+            else:
+                print(f"  {name}: FAILED {e}")
+        finally:
+            if killer:
+                killer.cancel()
     payload = {
         "engine": "duckdb",
         "sf": sf_name,
         "total": round(sum(times.values()), 4),
         "queries": times,
     }
+    if timeouts:
+        payload["timeouts"] = {"limit_s": timeout, "queries": sorted(timeouts)}
     out = pathlib.Path(f"BASELINE_TIMES_{sf_name}.json")
     out.write_text(json.dumps(payload) + "\n")
     print(f"wrote {out}: total={payload['total']}s over {len(times)} queries")
@@ -58,4 +76,5 @@ def _timed(con, sql):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 2)
+    main(sys.argv[1], sys.argv[2], int(sys.argv[3]) if len(sys.argv) > 3 else 2,
+         int(sys.argv[4]) if len(sys.argv) > 4 else None)
