@@ -3059,15 +3059,37 @@ object TextOps {
     // id they are already keyed by; fingerprints travel instead of
     // text.
     ("pipeline_snapshot_diff", (s: SparkSession, d: String) => {
-      val dd = docs(s, d).select(col("doc_id"), col("source"), col("text"))
-      val v1 = dd.filter(col("doc_id") % 7 =!= 6)
-        .select(col("doc_id"), col("source"), fingerprint(col("text")).as("fp1"),
-          size(tokens(col("text"))).cast("long").as("tok1"))
-      val v2 = dd.filter(col("doc_id") % 5 =!= 4)
-        .withColumn("t2", when(col("doc_id") % 11 === 0,
-          concat(col("text"), lit(" edited"))).otherwise(col("text")))
-        .select(col("doc_id"), col("source"), fingerprint(col("t2")).as("fp2"),
-          size(tokens(col("t2"))).cast("long").as("tok2"))
+      import s.implicits._
+      // r14: both snapshots' fingerprints come from ONE typed pass —
+      // the Catalyst form ran the 2-regex normalize + md5 + tokens
+      // chain once per branch (4 interpreted regex passes over the
+      // corpus, measured ~4 s of the sf1 wall for identical bytes);
+      // the kernel tokenizes once and re-tokenizes only the ~9%
+      // edited docs. The narrow (id, source, 2 fp, 2 tok) frame is
+      // localCheckpoint'd for the two branch reads.
+      val snap = docs(s, d).select(col("doc_id"), col("source"), col("text"))
+        .as[(Long, String, String)]
+        .mapPartitions { it =>
+          it.map { case (id, source, text0) =>
+            val text = if (text0 == null) "" else text0
+            val toks = tokenize(text)
+            val fp = graft.util.Hashing.md5Hex(toks.mkString(" "))
+            val tok = toks.length.toLong
+            if (id % 11 == 0) {
+              val t2 = tokenize(text + " edited")
+              (id, source, fp, tok,
+                graft.util.Hashing.md5Hex(t2.mkString(" ")), t2.length.toLong)
+            } else (id, source, fp, tok, fp, tok)
+          }
+        }
+        .toDF("doc_id", "source", "fp", "tok", "fpe", "toke")
+        .localCheckpoint()
+      val v1 = snap.filter(col("doc_id") % 7 =!= 6)
+        .select(col("doc_id"), col("source"), col("fp").as("fp1"),
+          col("tok").as("tok1"))
+      val v2 = snap.filter(col("doc_id") % 5 =!= 4)
+        .select(col("doc_id"), col("source"), col("fpe").as("fp2"),
+          col("toke").as("tok2"))
       v1.join(v2, Seq("doc_id", "source"), "full_outer")
         .withColumn("status",
           when(col("fp1").isNull, "added")
