@@ -1893,6 +1893,81 @@ object AnnOps {
              CAST(count(*) AS BIGINT) AS n_kept, max(cs) AS cut_cs4
       FROM kept GROUP BY cid ORDER BY cluster""")),
 
+    // C94c (r14): graph-tier hierarchy health audit — the index card
+    // an operator reads before trusting the two-layer structure C94
+    // searches and C94b maintains: per L1 parent, how many of its L2
+    // child cells are occupied, the member mass under the parent, the
+    // largest cell, and the skew ratio (max cell / mean cell). A
+    // parent whose subtree holds half the corpus or whose largest
+    // child dwarfs the mean is where search latency and insert
+    // contention will concentrate at 100 TB — this query is the
+    // monitoring hook for re-seeding decisions. The assignment is the
+    // EXACT hierCell rule (shared kernel), so the whole seeds→parents→
+    // hierarchical-argmax distribution is SQL-hash-checked — the
+    // structural pin behind C94's recall numbers. One kernel scan +
+    // a 256-row groupBy + a 16-row rollup.
+    ("ann_graph_cells", (s: SparkSession, d: String) => {
+      import s.implicits._
+      val c = corpus(s, d)
+      val (seeds, nL1, parentOf, kidsArr) = graphLayers(c)
+      val assign = graphCellAssign(c, seeds, kidsArr, nL1)
+        .select("vec_id", "cid2")
+      val parents = parentOf.zipWithIndex
+        .map { case (p, c2) => (c2, p) }.toSeq.toDF("cid2", "parent")
+      val cellCounts = assign.groupBy("cid2").agg(count(lit(1)).as("n"))
+      cellCounts.join(broadcast(parents), "cid2")
+        .groupBy("parent")
+        .agg(count(lit(1)).as("n_cells"), sum("n").cast("long").as("n_members"),
+          max("n").cast("long").as("max_cell"))
+        .withColumn("skew4",
+          graft.text.TextOps.ratio4(col("max_cell") * col("n_cells"),
+            col("n_members")))
+        .orderBy("parent")
+    }, Some("""
+      WITH e AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v,
+               sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                     CAST(embedding AS DOUBLE[]))) AS nrm
+        FROM embeddings),
+      l2 AS (
+        SELECT vec_id, v, nrm,
+               CAST(row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1 AS INTEGER) AS cid2
+        FROM e ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT 256),
+      l1 AS (SELECT * FROM l2 WHERE cid2 < 16),
+      par AS (
+        SELECT c2.cid2,
+               CASE WHEN c2.cid2 < 16 THEN c2.cid2 ELSE p.pcid END AS parent
+        FROM l2 c2 LEFT JOIN (
+          SELECT cid2, pcid FROM (
+            SELECT c2.cid2, l1.cid2 AS pcid,
+                   row_number() OVER (PARTITION BY c2.cid2
+                     ORDER BY round(list_dot_product(c2.v, l1.v) / (c2.nrm * l1.nrm), 4) DESC,
+                              l1.cid2 ASC) AS rk
+            FROM l2 c2 CROSS JOIN l1) WHERE rk = 1) p ON p.cid2 = c2.cid2),
+      a1 AS (
+        SELECT vec_id, pcid FROM (
+          SELECT e.vec_id, l1.cid2 AS pcid,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round(list_dot_product(e.v, l1.v) / (e.nrm * l1.nrm), 4) DESC,
+                            l1.cid2 ASC) AS rk
+          FROM e CROSS JOIN l1) WHERE rk = 1),
+      a2 AS (
+        SELECT vec_id, cid2 FROM (
+          SELECT e.vec_id, ch.cid2,
+                 row_number() OVER (PARTITION BY e.vec_id
+                   ORDER BY round(list_dot_product(e.v, ch.v) / (e.nrm * ch.nrm), 4) DESC,
+                            ch.cid2 ASC) AS rk
+          FROM e JOIN a1 ON a1.vec_id = e.vec_id
+                 JOIN par ON par.parent = a1.pcid
+                 JOIN l2 ch ON ch.cid2 = par.cid2) WHERE rk = 1),
+      cells AS (SELECT cid2, count(*) AS n FROM a2 GROUP BY 1)
+      SELECT p.parent, CAST(count(*) AS BIGINT) AS n_cells,
+             CAST(sum(n) AS BIGINT) AS n_members,
+             CAST(max(n) AS BIGINT) AS max_cell,
+             ((20000 * max(n) * count(*) + sum(n)) // (2 * sum(n))) / 10000.0 AS skew4
+      FROM cells c JOIN par p ON p.cid2 = c.cid2
+      GROUP BY p.parent ORDER BY p.parent""")),
+
     // C79: embedding drift monitoring — the ML-ops check run when an
     // embedding model or upstream corpus changes: per label, squared
     // L2 distance between the two snapshots' centroids plus the
