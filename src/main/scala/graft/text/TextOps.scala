@@ -322,16 +322,14 @@ object TextOps {
     // frame. But dl (the doc's token count) is doc-LOCAL: the typed
     // kernel that counts terms already holds it, so emit it on every
     // (doc, term, tf) row and both exchanges vanish. The frame feeds
-    // four branches (stats, probe terms, df, contributions), so it is
-    // eagerly localCheckpoint'd — one tokenize pass, and (per the ndcg
-    // note below) localCheckpoint over persist so each min-of-N bench
-    // run pays its own materialization. Remaining exchanges: the
-    // corpus stats agg, the probe-term-bounded df agg, and the
-    // (probe, doc) score agg — floor for a corpus-scan query.
-    // Measured at sf1: NO localCheckpoint here — materializing the
-    // 5M-row string frame costs more than the ≤3 extra pipelined
-    // kernel passes it saves (4.5 s vs 3.4 s walls), and the branches'
-    // scans overlap as independent stages.
+    // four branches (stats, probe terms, df, contributions) but is
+    // deliberately NOT localCheckpoint'd: measured at sf1,
+    // materializing the 5M-row string frame costs more than the ≤3
+    // extra pipelined kernel passes it saves (4.5 s vs 3.4 s walls),
+    // and the branches' scans overlap as independent stages.
+    // Remaining exchanges: the corpus stats agg, the probe-term-
+    // bounded df agg, and the (probe, doc) score agg — floor for a
+    // corpus-scan query.
     val tf = docs(s, d).select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
@@ -2697,8 +2695,12 @@ object TextOps {
     // grade (lower better — simpler text), and the C60 linear-model
     // score (higher better); each doc's borda = Σ competition ranks
     // (1 + #docs strictly better). 100 TB shape: every signal is 1e4-
-    // quantized, so per-signal ranks come from a prefix sum over the
-    // ≤2·10⁴-row score HISTOGRAM (broadcast back to docs) — the
+    // quantized AND range-bounded (q4/lin4 within ±10⁴ by
+    // construction, fk4 clamped to ±10⁶ below — r14 advice: the raw
+    // grade grows with words-per-sentence, so unclamped its distinct
+    // count would track the corpus), so per-signal ranks come from a
+    // prefix sum over a corpus-INDEPENDENT score HISTOGRAM
+    // (broadcast back to docs) — the
     // global rank() the oracle replays never materializes as a
     // corpus sort; the global borda median likewise resolves from the
     // borda histogram. Output: the per-source quality-mix card (docs
@@ -2724,8 +2726,19 @@ object TextOps {
       val sy = col("syl")
       val fnum = lit(39L) * wrd * wrd + lit(1180L) * sy * snt - lit(1559L) * snt * wrd
       val fden = lit(100L) * snt * wrd
-      val fk4 = signum(fnum).cast("long") *
-        call_function("div", abs(fnum) * 20000L + fden, fden * 2L)
+      // FK grade clamped to ±100 (±10⁶ on the 1e4 grid): unlike q4
+      // (ratio-bounded) and lin4 (±10⁴ by construction), the raw
+      // grade grows with words-per-sentence, so without the clamp the
+      // fk4 histogram's distinct-value count grows with the corpus
+      // and the rank map stops being broadcastable. Clamped, every
+      // signal's histogram is corpus-INDEPENDENT (fk4 ≤ 2·10⁶+1
+      // rows, q4/lin4 ≤ 2·10⁴+1) — the precondition the histogram-
+      // rank plan below stands on. Grades past ±100 are gibberish-
+      // text sentinels; competition rank treats the clamp ties
+      // identically on both engines.
+      val fk4 = greatest(least(signum(fnum).cast("long") *
+        call_function("div", abs(fnum) * 20000L + fden, fden * 2L),
+        lit(1000000L)), lit(-1000000L))
       val base = st.select(col("doc_id"), col("source"),
         q4.as("q4"), fk4.as("fk4"))
       // signal 3: the C60 fastText-shaped linear score (int form).
@@ -2815,9 +2828,10 @@ object TextOps {
         SELECT doc_id, source,
                ((20000 * (500 * stops * len + 300 * (len - punct) * n + 2 * least(n, 100) * n * len)
                  + 1000 * n * len) // (2 * 1000 * n * len)) AS q4,
-               sign(39 * w * w + 1180 * sy * snt - 1559 * snt * w)
-                 * ((abs(39 * w * w + 1180 * sy * snt - 1559 * snt * w) * 20000 + 100 * snt * w)
-                    // (2 * 100 * snt * w)) AS fk4
+               greatest(least(
+                 sign(39 * w * w + 1180 * sy * snt - 1559 * snt * w)
+                   * ((abs(39 * w * w + 1180 * sy * snt - 1559 * snt * w) * 20000 + 100 * snt * w)
+                      // (2 * 100 * snt * w)), 1000000), -1000000) AS fk4
         FROM sig),
       t AS (
         SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
@@ -3070,16 +3084,24 @@ object TextOps {
       val snap = docs(s, d).select(col("doc_id"), col("source"), col("text"))
         .as[(Long, String, String)]
         .mapPartitions { it =>
-          it.map { case (id, source, text0) =>
-            val text = if (text0 == null) "" else text0
-            val toks = tokenize(text)
-            val fp = graft.util.Hashing.md5Hex(toks.mkString(" "))
-            val tok = toks.length.toLong
-            if (id % 11 == 0) {
-              val t2 = tokenize(text + " edited")
-              (id, source, fp, tok,
-                graft.util.Hashing.md5Hex(t2.mkString(" ")), t2.length.toLong)
-            } else (id, source, fp, tok, fp, tok)
+          it.map { case (id, source, text) =>
+            // null text propagates as null fp/tok (r14 advice): the
+            // replaced Catalyst fingerprint(text)/concat(text,' edited')
+            // and the oracle's md5(NULL)/NULL||' edited' are both
+            // NULL-in/NULL-out, so the kernel must be too.
+            if (text == null) {
+              (id, source, null: String, None: Option[Long],
+                null: String, None: Option[Long])
+            } else {
+              val toks = tokenize(text)
+              val fp = graft.util.Hashing.md5Hex(toks.mkString(" "))
+              val tok = Some(toks.length.toLong)
+              if (id % 11 == 0) {
+                val t2 = tokenize(text + " edited")
+                (id, source, fp, tok,
+                  graft.util.Hashing.md5Hex(t2.mkString(" ")), Some(t2.length.toLong))
+              } else (id, source, fp, tok, fp, tok)
+            }
           }
         }
         .toDF("doc_id", "source", "fp", "tok", "fpe", "toke")

@@ -29,11 +29,17 @@ def main(sf_dir, out_dir, runs=2, timeout=None):
         sql = oracle[name]
         # per-query watchdog (opt-in): a quadratic/recursive oracle at a
         # big SF must record "timeout" and move on, not hang the sweep —
-        # duckdb's interrupt() aborts the running statement
+        # duckdb's interrupt() aborts the running statement. The timer
+        # callback re-checks a per-query done flag: without it, a query
+        # finishing right at the limit can be interrupted AFTER it
+        # completed but BEFORE killer.cancel(), leaving a pending
+        # interrupt that spuriously aborts the NEXT query.
         killer = None
+        done = []
         if timeout:
             import threading
-            killer = threading.Timer(timeout, con.interrupt)
+            killer = threading.Timer(
+                timeout, lambda: None if done else con.interrupt())
             killer.start()
         try:
             # runs=0: one cold timed execution, no warmup — for large
@@ -45,6 +51,7 @@ def main(sf_dir, out_dir, runs=2, timeout=None):
                 con.sql(sql).fetchall()  # warmup (I/O cache, plan)
                 best = min(
                     _timed(con, sql) for _ in range(runs))
+            done.append(True)  # query finished — a late timer fire is a no-op
             times[name] = round(best, 4)
             print(f"  {name}: {times[name]}s")
         except Exception as e:  # noqa: BLE001 - record and continue
@@ -54,6 +61,7 @@ def main(sf_dir, out_dir, runs=2, timeout=None):
             else:
                 print(f"  {name}: FAILED {e}")
         finally:
+            done.append(True)  # seen by the timer callback before cancel lands
             if killer:
                 killer.cancel()
     payload = {
