@@ -183,6 +183,27 @@ object TextOps {
     out.toArray
   }
 
+  /** The C90 "line" construction: consecutive non-overlapping 8-token
+    * groups of the literal single-space split (the corpus has no
+    * newlines, so this is the deterministic line analog). Exactly
+    * `transform(sequence(0, ceil(n/8)-1), i -> array_join(slice(
+    * split(text,' '), i*8+1, 8), ' '))` — Java split(" ", -1) is the
+    * same literal-space split with trailing empties kept. Shared by
+    * the tx_line_dedup hash pass and its reassembly pass.
+    */
+  def lines8(text: String): Array[String] = {
+    val ws = text.split(" ", -1)
+    val n = (ws.length + 7) / 8
+    Array.tabulate(n) { i =>
+      val from = i * 8
+      val until = math.min(from + 8, ws.length)
+      val sb = new java.lang.StringBuilder()
+      var j = from
+      while (j < until) { if (j > from) sb.append(' '); sb.append(ws(j)); j += 1 }
+      sb.toString
+    }
+  }
+
   /** Per-doc corpus-statistics scalars in ONE typed pass: token count
     * n, distinct-token count nd, punctuation count, stopword hits,
     * char length, and the md5 fingerprint of the normalized text.
@@ -3344,28 +3365,72 @@ object TextOps {
     // docs is boilerplate and is dropped from EVERY doc; docs are
     // reassembled from their kept lines in order. The corpus has no
     // newlines, so a "line" is the deterministic analog: consecutive
-    // non-overlapping 8-token groups. Plan shape at 100 TB: line
-    // construction is a pure per-row array kernel (transform over the
-    // split — no shuffle); the cross-doc duplicate count is one
-    // map-side-combined agg keyed by line text; reassembly collects
-    // only a doc's own lines (bounded by doc length) and orders them
-    // with array_sort — no window, no global sort.
+    // non-overlapping 8-token groups (lines8). Plan shape at 100 TB
+    // (r15 replan, r14 verdict item 1 — line TEXT never shuffles, the
+    // dd_span_dedup discipline): pass 1 emits (doc_id, line_idx,
+    // 64-bit line hash) from one typed kernel — the r14 Catalyst
+    // transform/slice chain was evaluated TWICE (once under the
+    // dup-count agg, once under the join back) and keyed the count
+    // AND the join on full 8-token line STRINGS. The hash frame
+    // (24 B/row) feeds two consumers UNCHECKPOINTED — the bm25
+    // lesson holds here too: re-running the cheap split-only kernel
+    // (measured 1.89 s) beats materializing it (2.02 s with
+    // localCheckpoint at sf1). The
+    // duplicate count and the semi-join key on the 8-byte hash
+    // (collisions: the gramHashes/minhash argument — negligible odds,
+    // and the hash-green gate would catch one at tested SFs). Dropped
+    // line indexes collapse to ONE doc-bounded array per affected
+    // doc; reassembly re-derives line text doc-locally in pass 2, so
+    // the only exchange carrying text is the doc_id join with the
+    // (usually much smaller) dropped-index frame — broadcastable by
+    // AQE when the boilerplate set is small, a co-partitioned join
+    // when it is not. 2.76 s → target ≤1.9 s at sf1 (DuckDB 1.38 s).
     ("tx_line_dedup", (s: SparkSession, d: String) => {
-      val lined = docs(s, d).select(col("doc_id"),
-        expr("""transform(
-            sequence(0, cast(ceil(size(split(text, ' ')) / 8.0) as int) - 1),
-            i -> array_join(slice(split(text, ' '), i * 8 + 1, 8), ' '))""").as("lines"))
-        .select(col("doc_id"), posexplode(col("lines")).as(Seq("line_idx", "line")))
-      val dup = lined.groupBy("line")
+      import s.implicits._
+      val hashes = docs(s, d).select(col("doc_id"), col("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          // null text → no lines (posexplode-of-null parity)
+          if (text == null) Iterator.empty
+          else {
+            val ls = lines8(text)
+            Iterator.tabulate(ls.length)(i =>
+              (id, i, graft.util.Hashing.string64(ls(i))))
+          }
+        }
+        .toDF("doc_id", "line_idx", "h")
+      val dup = hashes.groupBy("h")
         .agg(countDistinct(col("doc_id")).as("nd"))
         .filter(col("nd") >= 3)
-      lined.join(dup, Seq("line"), "left")
+        .select("h")
+      val dropped = hashes.join(dup, Seq("h"), "left_semi")
         .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_lines"),
-          sum(when(col("nd").isNotNull, 1L).otherwise(0L)).cast("long").as("n_dropped"),
-          md5(coalesce(array_join(expr(
-            "transform(array_sort(collect_list(CASE WHEN nd IS NULL THEN struct(line_idx, line) END)), x -> x.line)"),
-            " "), lit(""))).as("kept_md5"))
+        .agg(collect_list(col("line_idx")).as("drop_idx"))
+      docs(s, d).select(col("doc_id"), col("text"))
+        .join(dropped, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("text"),
+          coalesce(col("drop_idx"), expr("cast(array() as array<int>)")).as("drop_idx"))
+        .as[(Long, String, Seq[Int])]
+        .flatMap { case (id, text, dropIdx) =>
+          if (text == null) Iterator.empty
+          else {
+            val ls = lines8(text)
+            val drop = dropIdx.toSet
+            val sb = new java.lang.StringBuilder()
+            var first = true
+            var i = 0
+            while (i < ls.length) {
+              if (!drop.contains(i)) {
+                if (!first) sb.append(' ')
+                sb.append(ls(i)); first = false
+              }
+              i += 1
+            }
+            Iterator.single((id, ls.length.toLong, dropIdx.size.toLong,
+              graft.util.Hashing.md5Hex(sb.toString)))
+          }
+        }
+        .toDF("doc_id", "n_lines", "n_dropped", "kept_md5")
         .orderBy("doc_id")
     }, Some("""
       WITH w AS (

@@ -43,7 +43,14 @@ class PlanShapeSpec extends AnyFunSuite {
     // words-only exchange in the Hamming path, the shared linear-score
     // broadcast, the JL typed kernel, the single-join MERGE
     "ann_binary_hamming", "tx_uncertainty_sample", "ann_jl_report",
-    "q_merge_upsert")
+    "q_merge_upsert",
+    // r14/r15 engineered shapes (r14 verdict item 3): suffix spans'
+    // ONE corpus shuffle, the rank ensemble's histogram ranks (no
+    // corpus sort, one kernel scan), the graph-ANN typed kernel, and
+    // the r15 line-dedup replan (hash-keyed count + semi-join, text
+    // only in the doc-local reassembly branch)
+    "dd_suffix_spans", "dd_suffix_source", "pipeline_rank_ensemble",
+    "ann_graph_search", "ann_graph_cells", "tx_line_dedup")
 
   private case class Shape(shuffles: Int, singleParts: Int,
     broadcasts: Int, topks: Int) {
