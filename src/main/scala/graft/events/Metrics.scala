@@ -76,4 +76,17 @@ object Metrics {
 
   private[events] def recordDisorder(name: String): Unit =
     update(name)(c => c.copy(disorder = c.disorder + 1))
+
+  /** BatchConsumer live buffer length per consumer (reference
+    * rpatterns/metrics.go:5 `batch_consumer_buffer_length` gauge).
+    */
+  private val batchBuffer = TrieMap.empty[String, Int]
+
+  def batchBufferLength(consumerName: String): Int =
+    batchBuffer.getOrElse(consumerName, 0)
+
+  private[events] def recordBatchBuffer(name: String, len: Int): Unit = {
+    batchBuffer.put(name, len)
+    ()
+  }
 }
