@@ -819,7 +819,14 @@ object DedupOps {
                CAST(length(a.w) + length(b.w) AS BIGINT)
                  - CAST(length(list_intersect(a.w, b.w)) AS BIGINT) AS u
         FROM toks a JOIN toks b ON a.lang = b.lang AND a.doc_id <> b.doc_id
-        WHERE a.doc_id < 100),
+        WHERE a.doc_id < 100
+          -- candidates REQUIRE >=1 shared token (r15): the engine
+          -- generates pairs from the shared-hash join, never the
+          -- quadratic all-pairs frame; a zero-overlap (or null-text)
+          -- "neighbor" is not a neighbor. Only visible when a probe
+          -- has <5 overlapping same-lang neighbors (adversarial
+          -- corpus) -- the real corpus never exercised the gap.
+          AND length(list_intersect(a.w, b.w)) >= 1),
       ranked AS (
         SELECT probe, neighbor, ni, u,
                row_number() OVER (PARTITION BY probe

@@ -116,7 +116,13 @@ object TextOps {
   }
 
   /** BPE-ish pre-tokenizer: letter runs, digit runs, single symbols. */
-  val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+  // whitespace is the EXPLICIT class [ \t\n\x0B\f\r] in every
+  // counting pattern (here, punct, URLs) on BOTH engines — r15
+  // adversarial finding: Java's \s includes vertical tab \x0B, RE2's
+  // (DuckDB) does not, so a bare \s silently diverges on VT while
+  // the normalize path happens to agree (VT becomes a space either
+  // way). SURVEY §3 charset contract.
+  val bpeishPattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"
 
   val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to", "in")
 
@@ -144,7 +150,7 @@ object TextOps {
     val toks0 = tokens(text)
     val n = size(toks0).cast("long")
     val nd = size(array_distinct(toks0)).cast("long")
-    val punct = size(regexp_extract_all(text, lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+    val punct = size(regexp_extract_all(text, lit("[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"), lit(0))).cast("long")
     val stops = stopwordHits(toks0, stopwords).cast("long")
     val l = length(text).cast("long")
     !(n < 5L) && !(punct * 10L > l * 3L) &&
@@ -152,8 +158,14 @@ object TextOps {
   }
 
   def ratio4(num: Column, den: Column): Column =
-    call_function("div", (num * 20000L + den).cast("long"), (den * 2L).cast("long"))
-      .cast("double") / 10000.0
+    // den=0 → NULL, matching DuckDB's `x // 0` (r15 adversarial
+    // finding: an empty-text doc has len=0 and ANSI div raised where
+    // the oracle returned NULL; CaseWhen is lazy, so the div never
+    // evaluates on the zero branch)
+    when(den.cast("long") === 0L, lit(null).cast("double"))
+      .otherwise(
+        call_function("div", (num * 20000L + den).cast("long"), (den * 2L).cast("long"))
+          .cast("double") / 10000.0)
 
   /** md5 content fingerprint of the normalized text. */
   def fingerprint(c: Column): Column = md5(normalize(c))
@@ -235,9 +247,20 @@ object TextOps {
           var syl = 0
           var inSnt = false
           var inSyl = false
+          // iterate CODE POINTS, not UTF-16 units (r15 adversarial
+          // hardening): Spark's length() and DuckDB's length() both
+          // count codepoints, so an astral char (emoji, plane-1
+          // letters) must be ONE unit of len and ONE punct hit here
+          // too -- the UTF-16 loop counted its two surrogate halves
+          // twice. All run/class chars are ASCII, so an astral
+          // codepoint is always non-alnum/non-ws/run-breaking; ASCII
+          // corpora are bit-identical either way.
+          var cpLen = 0L
           var i = 0
           while (i < text.length) {
-            val c = text.charAt(i)
+            val cp = text.codePointAt(i)
+            cpLen += 1
+            val c = if (cp <= 0xFFFF) cp.toChar else '\u0000'
             val alnum = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
             val ws = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
             if (!alnum && !ws) punct += 1
@@ -248,11 +271,11 @@ object TextOps {
             val isSyl = lc == 'a' || lc == 'e' || lc == 'i' || lc == 'o' || lc == 'u' || lc == 'y'
             if (isSyl && !inSyl) syl += 1
             inSyl = isSyl
-            i += 1
+            i += Character.charCount(cp)
           }
           (id, lang, source, toks.length.toLong,
             toks.toSet.size.toLong, punct.toLong,
-            toks.count(stopSet).toLong, text.length.toLong,
+            toks.count(stopSet).toLong, cpLen,
             if (withFp) graft.util.Hashing.md5Hex(nrm) else "",
             snt.toLong, syl.toLong)
         }
@@ -356,7 +379,15 @@ object TextOps {
       .mapPartitions { it =>
         it.flatMap { case (id, nullableText) =>
           val text = if (nullableText == null) "" else nullableText
-          val toks = tokenize(text)
+          val toks0 = tokenize(text)
+          // docs that normalize to NOTHING (null/empty/all-CJK text:
+          // tokenize's lone-empty-token case) emit zero rows — the
+          // oracle's `WHERE length(term) >= 1` tier drops them from
+          // t/dl/nn/sumdl, and the kernel must agree or every idf and
+          // length norm in the corpus shifts (r15 adversarial finding)
+          val toks =
+            if (toks0.length == 1 && toks0(0).isEmpty) Array.empty[String]
+            else toks0
           val m = new java.util.HashMap[String, java.lang.Long]()
           var i = 0
           while (i < toks.length) {
@@ -704,7 +735,7 @@ object TextOps {
     }, Some("""
       SELECT doc_id,
              CAST(length(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS INTEGER) AS n_ws_tokens,
-             CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')) AS INTEGER) AS n_bpeish,
+             CAST(length(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 \t\n\x0B\f\r]')) AS INTEGER) AS n_bpeish,
              CAST(length(text) AS INTEGER) AS n_chars
       FROM documents ORDER BY doc_id""")),
 
@@ -717,7 +748,7 @@ object TextOps {
     ("tx_quality", (s: SparkSession, d: String) => {
       val toks = tokens(col("text"))
       val n = size(toks).cast("long")
-      val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+      val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"), lit(0))).cast("long")
       val stops = stopwordHits(toks, stopwords).cast("long")
       val l = length(col("text")).cast("long")
       val qn = lit(500L) * stops * l + lit(300L) * (l - punct) * n +
@@ -734,7 +765,7 @@ object TextOps {
       WITH t AS (
         SELECT doc_id, text,
                CAST(length(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n,
-               CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS punct,
+               CAST(length(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS punct,
                CAST(length(list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) AS stops,
                CAST(length(text) AS BIGINT) AS len
         FROM documents)
@@ -789,7 +820,7 @@ object TextOps {
       WITH t AS (
         SELECT lang,
                CAST(length(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n,
-               CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS punct,
+               CAST(length(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS punct,
                CAST(length(list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) AS stops,
                CAST(length(text) AS BIGINT) AS len
         FROM documents),
@@ -1037,10 +1068,20 @@ object TextOps {
     // scrub is verified against them — redaction order URL-then-email
     // (a URL can contain '@'; the reverse order would corrupt it).
     // Patterns stay in the syntax subset Java regex and RE2 share
-    // (classes, +, {m,}, alternation — no backrefs/lookaround).
+    // (classes, bounded repeats, alternation — no backrefs/
+    // lookaround). The email runs are RFC 5321-bounded (local ≤64,
+    // domain ≤251, TLD ≤63) — r15 adversarial finding: the unbounded
+    // `[class]+@` form is quadratic in Java's backtracking engine (at
+    // every position of a class-run with no '@', greedy consumes the
+    // whole tail then unwinds — a 500 KB single-token doc ran >70 s),
+    // while RE2 stays linear, so only the Spark side exploded. The
+    // bounds cap the unwind at 64 steps per position (linear) and are
+    // IDENTICAL in both engines' patterns, so match semantics stay in
+    // lockstep (a >64-char local still matches, truncated at its
+    // leftmost-first 64-char suffix — the same rows both sides).
     ("tx_pii_redact", (s: SparkSession, d: String) => {
-      val emailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
-      val urlRe = "https?://[^\\s]+"
+      val emailRe = "[a-z0-9._%+-]{1,64}@[a-z0-9.-]{1,251}\\.[a-z]{2,63}"
+      val urlRe = "https?://[^ \\t\\n\\x0B\\f\\r]+"
       val planted = docs(s, d).select(col("doc_id"),
         concat(col("text"), lit(" contact user"), col("doc_id"),
           lit("@example.com via https://ex.org/d/"), col("doc_id")).as("t"))
@@ -1057,10 +1098,10 @@ object TextOps {
                text || ' contact user' || doc_id || '@example.com via https://ex.org/d/' || doc_id AS t
         FROM documents)
       SELECT doc_id,
-             CAST(length(regexp_extract_all(t, '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}')) AS INTEGER) AS n_emails,
-             CAST(length(regexp_extract_all(t, 'https?://[^\s]+')) AS INTEGER) AS n_urls,
-             md5(regexp_replace(regexp_replace(t, 'https?://[^\s]+', '<URL>', 'g'),
-                 '[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}', '<EMAIL>', 'g')) AS redacted_fp
+             CAST(length(regexp_extract_all(t, '[a-z0-9._%+-]{1,64}@[a-z0-9.-]{1,251}\.[a-z]{2,63}')) AS INTEGER) AS n_emails,
+             CAST(length(regexp_extract_all(t, 'https?://[^ \t\n\x0B\f\r]+')) AS INTEGER) AS n_urls,
+             md5(regexp_replace(regexp_replace(t, 'https?://[^ \t\n\x0B\f\r]+', '<URL>', 'g'),
+                 '[a-z0-9._%+-]{1,64}@[a-z0-9.-]{1,251}\.[a-z]{2,63}', '<EMAIL>', 'g')) AS redacted_fp
       FROM p ORDER BY doc_id""")),
 
     // C34: corpus cross-entropy under a unigram token model — the
@@ -1322,7 +1363,7 @@ object TextOps {
       val toks = tokens(col("text"))
       val n = size(toks).cast("long")
       val nd = size(array_distinct(toks)).cast("long")
-      val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+      val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"), lit(0))).cast("long")
       val stops = stopwordHits(toks, stopwords).cast("long")
       val l = length(col("text")).cast("long")
       docs(s, d).select(col("doc_id"),
@@ -1338,7 +1379,7 @@ object TextOps {
         SELECT doc_id,
                CAST(length(regexp_split_to_array(nrm, ' ')) AS BIGINT) AS n,
                CAST(length(list_distinct(regexp_split_to_array(nrm, ' '))) AS BIGINT) AS nd,
-               CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS punct,
+               CAST(length(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS punct,
                CAST(length(list_filter(regexp_split_to_array(nrm, ' '), x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) AS stops,
                CAST(length(text) AS BIGINT) AS len
         FROM (SELECT doc_id, text, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nrm FROM documents))
@@ -1363,7 +1404,7 @@ object TextOps {
       val toks = tokens(col("text"))
       val n = size(toks).cast("long")
       val nd = size(array_distinct(toks)).cast("long")
-      val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9\\s]"), lit(0))).cast("long")
+      val punct = size(regexp_extract_all(col("text"), lit("[^A-Za-z0-9 \\t\\n\\x0B\\f\\r]"), lit(0))).cast("long")
       val stops = stopwordHits(toks, stopwords).cast("long")
       val l = length(col("text")).cast("long")
       val flags = docs(s, d).select(col("doc_id"), n.as("n"),
@@ -1392,7 +1433,7 @@ object TextOps {
         SELECT doc_id,
                CAST(length(regexp_split_to_array(nrm, ' ')) AS BIGINT) AS n,
                CAST(length(list_distinct(regexp_split_to_array(nrm, ' '))) AS BIGINT) AS nd,
-               CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS punct,
+               CAST(length(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS punct,
                CAST(length(list_filter(regexp_split_to_array(nrm, ' '), x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) AS stops,
                CAST(length(text) AS BIGINT) AS len
         FROM (SELECT doc_id, text, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nrm FROM documents)),
@@ -1609,7 +1650,7 @@ object TextOps {
         SELECT doc_id, lang,
                CAST(length(regexp_split_to_array(nrm, ' ')) AS BIGINT) AS n,
                CAST(length(list_distinct(regexp_split_to_array(nrm, ' '))) AS BIGINT) AS nd,
-               CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS punct,
+               CAST(length(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS punct,
                CAST(length(list_filter(regexp_split_to_array(nrm, ' '), x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) AS stops,
                CAST(length(text) AS BIGINT) AS len,
                CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4) AS INTEGER) % 100 < 80 THEN 'train'
@@ -1651,23 +1692,34 @@ object TextOps {
 
             val nTok = toks.length.toDouble
             var punct = 0
+            // codepoint iteration (r15, the docQualityStats rule):
+            // astral chars count once for len and punct, matching
+            // Spark's and DuckDB's codepoint length()
+            var cpLen = 0L
             var i = 0
             while (i < text.length) {
-              val c = text.charAt(i)
+              val cp = text.codePointAt(i)
+              cpLen += 1
+              val c = if (cp <= 0xFFFF) cp.toChar else '\u0000'
               val alnum = (c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z') || (c >= '0' && c <= '9')
               val ws = c == ' ' || c == '\t' || c == '\n' || c == '\u000B' || c == '\f' || c == '\r'
               if (!alnum && !ws) punct += 1
-              i += 1
+              i += Character.charCount(cp)
             }
             val stops = toks.count(stopSet)
             val markers = markerSets.map(ms => toks.count(ms))
             // exact integer half-up (see ratio4): engine-independent
             val nL = toks.length.toLong
-            val lL = text.length.toLong
+            val lL = cpLen
             val qn = 500L * stops * lL + 300L * (lL - punct) * nL +
               2L * math.min(nL, 100L) * nL * lL
             val qd = 1000L * nL * lL
-            val quality = ((20000L * qn + qd) / (2L * qd)).toDouble / 10000.0
+            // qd=0 (empty text: len 0) -> null quality, the DuckDB
+            // `// 0` NULL the oracle computes; NULL >= 0.35 drops the
+            // doc on both engines (r15 adversarial finding)
+            val quality =
+              if (qd == 0L) None
+              else Some(((20000L * qn + qd) / (2L * qd)).toDouble / 10000.0)
             md.reset()
             val fp = md.digest(toks.mkString(" ").getBytes("UTF-8"))
               .map("%02x".format(_)).mkString
@@ -1696,7 +1748,7 @@ object TextOps {
         SELECT doc_id, text, md5(nrm) AS fp,
                regexp_split_to_array(nrm, ' ') AS w,
                CAST(length(regexp_split_to_array(nrm, ' ')) AS DOUBLE) AS n_tok,
-               CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS DOUBLE) AS punct,
+               CAST(length(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\x0B\f\r]')) AS DOUBLE) AS punct,
                CAST(length(list_filter(regexp_split_to_array(nrm, ' '), x -> x IN ('the','a','of','and','to','in'))) AS DOUBLE) AS stops,
                CAST(length(text) AS DOUBLE) AS len
         FROM norm),
@@ -1730,9 +1782,12 @@ object TextOps {
     // Array functions only — one codegen'd pass over the corpus scan,
     // no explode, no shuffle. Ratios in exact int64 (ratio4).
     ("tx_repetition", (s: SparkSession, d: String) => {
+      // null text → null w → null bi (r15: the r11 form fell through
+      // CASE's ELSE to array() for null w, emitting dup_bigram_frac 0
+      // where the oracle's list_transform(range(1, NULL)) is NULL)
       val withW = docs(s, d).select(col("doc_id"), tokens(col("text")).as("w"))
         .withColumn("bi", expr(
-          "CASE WHEN size(w) >= 2 THEN transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1])) ELSE array() END"))
+          "CASE WHEN w IS NULL THEN NULL WHEN size(w) >= 2 THEN transform(sequence(0, size(w) - 2), i -> concat(w[i], ' ', w[i + 1])) ELSE array() END"))
       withW.select(
         col("doc_id"),
         size(col("w")).as("n_words"),
@@ -2838,7 +2893,7 @@ object TextOps {
       sig AS (
         SELECT doc_id, source,
                greatest(CAST(length(tk) AS BIGINT), 1) AS n,
-               CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS punct,
+               CAST(length(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS punct,
                CAST(length(list_filter(tk, x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) AS stops,
                greatest(CAST(length(text) AS BIGINT), 1) AS len,
                greatest(CAST(length(regexp_extract_all(lower(text), '[a-z0-9]+')) AS BIGINT), 1) AS w,
@@ -2993,7 +3048,7 @@ object TextOps {
       WITH t AS (
         SELECT doc_id, source,
                CAST(length(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n,
-               CAST(length(regexp_extract_all(text, '[^A-Za-z0-9\s]')) AS BIGINT) AS punct,
+               CAST(length(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS punct,
                CAST(length(list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) AS stops,
                CAST(length(text) AS BIGINT) AS len
         FROM documents),
@@ -3215,7 +3270,11 @@ object TextOps {
       val h = docs(s, d)
         .select(col("source"), size(tokens(col("text"))).cast("long").as("v"))
         .groupBy("source", "v").agg(count(lit(1)).as("cnt"))
-      val w = Window.partitionBy("source").orderBy("v")
+      // NULLS LAST pinned explicitly (r15 adversarial finding: a
+      // null-text doc has null v; Spark's asc default is NULLS FIRST,
+      // DuckDB's is NULLS LAST — the cumulative counts, and with them
+      // every quantile cut in a source containing a null doc, shift)
+      val w = Window.partitionBy("source").orderBy(col("v").asc_nulls_last)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       val wp = Window.partitionBy("source")
       h.withColumn("cum", sum("cnt").over(w))
