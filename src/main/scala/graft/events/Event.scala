@@ -82,11 +82,29 @@ object Event {
   * partitioned by date(ts), making the lag/cursor prune a partition
   * prune.
   */
-final class EventLog(val df: DataFrame) {
+final class EventLog(val df: DataFrame,
+    /** per-poll row bound (reference rsql/eventstable.go:105
+      * WithEventLookupLimit, default 1000 there): the most events one
+      * `poll` returns. The logical stream (`after`/`toHead`) stays
+      * unbounded — the limit belongs to the LOADER's slice size, not
+      * the stream contract, exactly like the reference's loader
+      * `LIMIT ?`. Unbounded unless the owning EventsTable sets it.
+      */
+    val lookupLimit: Int = Int.MaxValue) {
 
   /** Events strictly after the cursor — the core StreamFunc contract. */
   def after(cursor: Long): DataFrame =
     df.filter(col("id") > cursor).orderBy("id")
+
+  /** One loader poll: the at-most-`lookupLimit` lowest-id events
+    * after the cursor (rsql/eventstable.go loader semantics — a
+    * consumer loops polls until it reaches the head; the bound caps
+    * per-poll memory/latency, not total progress). The id-ordered
+    * limit compiles to a TakeOrdered — no global sort materializes.
+    */
+  def poll(cursor: Long): DataFrame =
+    if (lookupLimit == Int.MaxValue) after(cursor)
+    else after(cursor).limit(lookupLimit)
 
   /** Current head (max id), or -1 for an empty log. */
   def head(): Long = {
@@ -115,7 +133,7 @@ final class EventLog(val df: DataFrame) {
   def withLag(lagSeconds: Long, now: Column): DataFrame =
     df.filter(col("ts") <= now - expr(s"INTERVAL $lagSeconds SECONDS"))
 
-  def where(f: EventFilter): EventLog = new EventLog(df.filter(f.toColumn))
+  def where(f: EventFilter): EventLog = new EventLog(df.filter(f.toColumn), lookupLimit)
 
   /** rsql/rcache.go: read-through cache of the log's head — the hot
     * tail every live consumer re-reads. Returns a log whose last
@@ -126,7 +144,7 @@ final class EventLog(val df: DataFrame) {
     val h = head()
     val tail = df.filter(col("id") > h - n).cache()
     val cold = df.filter(col("id") <= h - n)
-    new EventLog(cold.unionByName(tail))
+    new EventLog(cold.unionByName(tail), lookupLimit)
   }
 }
 

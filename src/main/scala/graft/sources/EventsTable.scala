@@ -51,7 +51,17 @@ final class EventsTable(spark: SparkSession, dir: String,
       * threads) park on `watcher` instead of sleeping out their
       * backoff — an idle consumer wakes the instant an event lands.
       */
-    notifier: Option[graft.events.EventsNotifier] = None) {
+    notifier: Option[graft.events.EventsNotifier] = None,
+    /** per-poll row bound (reference rsql/eventstable.go:105
+      * WithEventLookupLimit, same default 1000): EventLog.poll slices
+      * at most this many events per lookup. The Go memory concern
+      * mostly doesn't transfer — foreachBatch consumes distributed
+      * and the serve paths already chunk — but the option bounds
+      * per-poll latency/memory for driver-side consumers the same
+      * way the reference's loader `LIMIT ?` does.
+      */
+    lookupLimit: Int = 1000) {
+  require(lookupLimit > 0, "lookupLimit must be positive")
 
   /** The table's watcher for consumer loops (the reference passes the
     * notifier as the default StreamWatcher of every stream() client —
@@ -123,7 +133,7 @@ final class EventsTable(spark: SparkSession, dir: String,
         spark.read.schema(StructType(fullSchema.fields :+
             StructField("date", DateType))).parquet(dir).drop("date")
       else spark.read.schema(fullSchema).parquet(dir)
-    new EventLog(canonicalize(df))
+    new EventLog(canonicalize(df), lookupLimit)
   }
 
   /** Raw frame incl. the partition column (canonical event names) —

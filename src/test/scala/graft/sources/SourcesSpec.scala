@@ -225,6 +225,41 @@ class SourcesSpec extends AnyFunSuite {
     assert(res.finalCursor === 29L)
   }
 
+  test("WithEventLookupLimit: poll returns at most `limit` lowest-id events per lookup") {
+    val dir = Files.createTempDirectory("graft-lookuplim").resolve("log").toString
+    // reference eventstable_test.go:492 uses limit 10 on a larger log
+    val table = new EventsTable(spark, dir, lookupLimit = 10)
+    import spark.implicits._
+    val batch = (0 until 35).map { i =>
+      ("click", i.toLong, java.sql.Timestamp.valueOf(f"2024-01-01 00:${i}%02d:00"), 1.0, "{}")
+    }.toDF("eventType", "foreignId", "ts", "value", "metadata")
+    table.insert(batch)
+    val log = table.log
+    // first poll: the 10 LOWEST ids after the cursor, in id order
+    val p1 = log.poll(-1L).collect().map(_.getAs[Long]("id")).toSeq
+    assert(p1 === (0L to 9L))
+    // a consumer loop advances poll by poll to the head
+    var cursor = -1L
+    var polls = 0
+    var seen = 0L
+    while (cursor < table.head) {
+      val rows = log.poll(cursor).collect()
+      assert(rows.length <= 10)
+      seen += rows.length
+      cursor = rows.map(_.getAs[Long]("id")).max
+      polls += 1
+    }
+    assert(seen === 35L && polls === 4) // 10+10+10+5
+    // the bound survives filter composition
+    val filtered = log.where(graft.events.EventFilter.ofType("click"))
+    assert(filtered.poll(-1L).count() === 10L)
+    // default tables poll unbounded slices (Runner's batchSize is the
+    // runner-side bound; this option is the loader-side one)
+    val unbounded = new EventsTable(spark, dir)
+    assert(unbounded.log.lookupLimit === 1000)
+    assert(unbounded.log.poll(-1L).count() === 35L)
+  }
+
   test("metaColumns materialize typed JSON projections at write; reads skip the parse") {
     val dir = Files.createTempDirectory("graft-typedmeta").resolve("log").toString
     val table = new EventsTable(spark, dir, metaColumns = Seq(
