@@ -535,7 +535,7 @@ object DedupOps {
       WITH g AS (
         SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g'))) AS fp,
                count(*) AS sz
-        FROM documents GROUP BY 1),
+        FROM documents WHERE text IS NOT NULL GROUP BY 1),
       c AS (SELECT sz, count(*) AS n_clusters FROM g WHERE sz >= 2 GROUP BY sz)
       SELECT CAST(sz AS BIGINT) AS sz, n_clusters,
              CAST(n_clusters * sz AS BIGINT) AS n_docs,
@@ -1121,12 +1121,17 @@ object DedupOps {
         SELECT doc_id,
                trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nrm
         FROM documents),
-      pos AS (
+      -- MATERIALIZED (r15): planner hints only, zero semantics
+      -- change. The recursive `reach` otherwise re-derives this whole
+      -- chain (incl. the per-position md5 scan) every iteration — the
+      -- adversarial corpus's denser overlap graph ran >240 s; pinned,
+      -- 25 s. Regular corpora unaffected.
+      pos AS MATERIALIZED (
         SELECT doc_id, i - 1 AS p, md5(substr(nrm, i, 20)) AS h,
                length(nrm) - 19 AS npos
         FROM norm, unnest(generate_series(1, length(nrm) - 19)) AS t(i)
         WHERE length(nrm) >= 27),
-      keyed AS (
+      keyed AS MATERIALIZED (
         SELECT doc_id, p, npos,
                min(h || '-' || lpad(CAST(p AS VARCHAR), 10, '0'))
                  OVER (PARTITION BY doc_id ORDER BY p
@@ -1190,11 +1195,11 @@ object DedupOps {
                  OVER (PARTITION BY doc_id ORDER BY p
                        ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS wmin
         FROM pos),
-      fp AS (
+      fp AS MATERIALIZED (
         SELECT DISTINCT doc_id, substr(wmin, 1, 32) AS fp
         FROM keyed WHERE p <= npos - 8),
-      ok AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) BETWEEN 2 AND 50),
-      pairs AS (
+      ok AS MATERIALIZED (SELECT fp FROM fp GROUP BY fp HAVING count(*) BETWEEN 2 AND 50),
+      pairs AS MATERIALIZED (
         SELECT a.doc_id AS a, b.doc_id AS b, count(*) AS n_shared
         FROM fp a JOIN ok USING (fp) JOIN fp b USING (fp)
         WHERE a.doc_id < b.doc_id
@@ -1339,7 +1344,7 @@ object DedupOps {
         FROM fp a JOIN ok USING (fp) JOIN fp b USING (fp)
         WHERE a.doc_id < b.doc_id
         GROUP BY 1, 2 HAVING count(*) >= 2),
-      e AS (SELECT a AS src, b AS dst FROM pairs
+      e AS MATERIALIZED (SELECT a AS src, b AS dst FROM pairs
             UNION SELECT b, a FROM pairs),
       reach(v, r) AS (
         SELECT src, src FROM e

@@ -232,8 +232,17 @@ object TextOps {
     docs(s, d).select(col("doc_id"), col("lang"), col("source"), col("text"))
       .as[(Long, String, String, String)]
       .mapPartitions { it =>
-        it.map { case (id, lang, source, nullableText) =>
-          val text = if (nullableText == null) "" else nullableText
+        it.flatMap { case (id, lang, source, text) =>
+          // null text → NO stats row (r15 adversarial contract,
+          // SURVEY §3): a doc with no text has no text statistics.
+          // The old null→"" mapping scored null docs as empty docs
+          // (real q4, fp=md5(''), a phantom token), while every
+          // oracle's regex/md5 chain NULL-propagates — the null doc
+          // inflated cluster sizes, bucket token sums, and rank
+          // universes. Consumer oracles carry the matching
+          // `WHERE text IS NOT NULL`.
+          if (text == null) Iterator.empty
+          else Iterator.single {
           val toks = tokenize(text)
           // callers that never read `fp` skip the md5 (it is the
           // dominant per-row cost for long docs)
@@ -278,6 +287,7 @@ object TextOps {
             toks.count(stopSet).toLong, cpLen,
             if (withFp) graft.util.Hashing.md5Hex(nrm) else "",
             snt.toLong, syl.toLong)
+          }
         }
       }
       .toDF("doc_id", "lang", "source", "n", "nd", "punct", "stops", "len", "fp",
@@ -525,24 +535,31 @@ object TextOps {
       .as[(Long, String, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, source, nullableText) =>
-          val text = if (nullableText == null) "" else nullableText
-          val toks = tokenize(text)
-          val m = new java.util.HashMap[String, java.lang.Long]()
-          var i = 0
-          while (i < toks.length) {
-            val c = m.get(toks(i))
-            m.put(toks(i), if (c == null) 1L else c + 1L)
-            i += 1
+          // null text → zero term rows (r15 adversarial): every
+          // oracle derives terms via unnest/string_split of the
+          // normalized text, and NULL unnests to NOTHING — the old
+          // null→"" mapping emitted a '' term row that inflated
+          // df('') and every idf/df-derived score downstream
+          if (nullableText == null) Iterator.empty
+          else {
+            val toks = tokenize(nullableText)
+            val m = new java.util.HashMap[String, java.lang.Long]()
+            var i = 0
+            while (i < toks.length) {
+              val c = m.get(toks(i))
+              m.put(toks(i), if (c == null) 1L else c + 1L)
+              i += 1
+            }
+            val out = new Array[(Long, String, String, Long)](m.size)
+            val eit = m.entrySet().iterator()
+            var j = 0
+            while (eit.hasNext) {
+              val e = eit.next()
+              out(j) = (id, source, e.getKey, e.getValue)
+              j += 1
+            }
+            out.iterator
           }
-          val out = new Array[(Long, String, String, Long)](m.size)
-          val eit = m.entrySet().iterator()
-          var j = 0
-          while (eit.hasNext) {
-            val e = eit.next()
-            out(j) = (id, source, e.getKey, e.getValue)
-            j += 1
-          }
-          out.iterator
         }
       }
       .toDF("doc_id", "source", "term", "tf")
@@ -823,7 +840,7 @@ object TextOps {
                CAST(length(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS punct,
                CAST(length(list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) AS stops,
                CAST(length(text) AS BIGINT) AS len
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
       scored AS (
         SELECT lang, n AS n_tok,
                ((20000 * (500 * stops * len + 300 * (len - punct) * n + 2 * least(n, 100) * n * len)
@@ -1575,7 +1592,11 @@ object TextOps {
       // the corpus and every core stays busy (measured: the fixed-8
       // default is the 10× stress's worst ratio, by design a knob)
       val nShards = GraftConf.getLong(s, GraftConf.SeqpackShards)
-      val base = docs(s, d).select(
+      // null text has no token count and cannot be packed — excluded
+      // identically on both engines (r15 adversarial: the typed
+      // (Long,Long,Long) row rejected the null n_tok outright, and
+      // the oracle's recursive CTE NULL-poisons its fill column)
+      val base = docs(s, d).filter(col("text").isNotNull).select(
         (col("doc_id") % nShards).as("shard"),
         col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_tok"))
@@ -1586,11 +1607,14 @@ object TextOps {
         .toDF("shard", "pack_id", "n_docs", "pack_tokens", "first_doc", "last_doc")
         .orderBy("shard", "pack_id")
     }, Some("""
-      WITH RECURSIVE base AS (
+      WITH RECURSIVE base AS MATERIALIZED (
         SELECT doc_id, doc_id % 8 AS shard,
                CAST(length(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ')) AS BIGINT) AS n_tok
-        FROM documents),
-      ord AS (
+        FROM documents WHERE text IS NOT NULL),
+      -- MATERIALIZED (r15): planner hints, zero semantics change. The
+      -- recursive packer otherwise re-derives the tokenize scan per
+      -- iteration: sf1 ran >600 s (the r14 timeout row); pinned, 10.5 s.
+      ord AS MATERIALIZED (
         SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
         FROM base),
       packed AS (
@@ -1645,7 +1669,7 @@ object TextOps {
       WITH t AS (
         SELECT doc_id, lang, text,
                trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nrm
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
       m AS (
         SELECT doc_id, lang,
                CAST(length(regexp_split_to_array(nrm, ' ')) AS BIGINT) AS n,
@@ -2242,16 +2266,20 @@ object TextOps {
       WITH c AS (
         SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')) AS nrm
         FROM documents),
-      tk AS (
+      -- MATERIALIZED (r15): pure planner hint, zero semantics change.
+      -- On the adversarial corpus's 40k-token doc the un-pinned form
+      -- re-derives the CTE chain per consumer and times out >300 s;
+      -- pinned it runs in 0.1 s. Regular corpora are unaffected.
+      tk AS MATERIALIZED (
         SELECT doc_id,
                generate_subscripts(string_split(nrm, ' '), 1) AS ord,
                unnest(string_split(nrm, ' ')) AS tok
         FROM c WHERE length(nrm) >= 1),
-      bi AS (
+      bi AS MATERIALIZED (
         SELECT a.doc_id, a.tok AS t1, b.tok AS t2
         FROM tk a JOIN tk b ON b.doc_id = a.doc_id AND b.ord = a.ord + 1),
-      bc AS (SELECT doc_id, t1, t2, CAST(count(*) AS BIGINT) AS k FROM bi GROUP BY 1, 2, 3),
-      c2 AS (SELECT t1, t2, CAST(sum(k) AS BIGINT) AS n2 FROM bc GROUP BY 1, 2),
+      bc AS MATERIALIZED (SELECT doc_id, t1, t2, CAST(count(*) AS BIGINT) AS k FROM bi GROUP BY 1, 2, 3),
+      c2 AS MATERIALIZED (SELECT t1, t2, CAST(sum(k) AS BIGINT) AS n2 FROM bc GROUP BY 1, 2),
       c1 AS (SELECT t1, CAST(sum(n2) AS BIGINT) AS n1, CAST(count(*) AS BIGINT) AS d1 FROM c2 GROUP BY 1),
       cts AS (SELECT t2, CAST(count(*) AS BIGINT) AS ct FROM c2 GROUP BY 1),
       tt AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM c2),
@@ -2889,7 +2917,7 @@ object TextOps {
       WITH nrm AS (
         SELECT doc_id, source, text,
                regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' ') AS tk
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
       sig AS (
         SELECT doc_id, source,
                greatest(CAST(length(tk) AS BIGINT), 1) AS n,
@@ -3033,6 +3061,11 @@ object TextOps {
       val qd = lit(1000L) * n * l
       val q = docQualityStats(s, d, withFp = false)
         .select(col("doc_id"), col("source"), ratio4(qn, qd).as("q4"))
+        // scoreless docs (q4 NULL: empty text) can't be preferred or
+        // rejected — excluded from pairing AND the n_docs gate on
+        // both engines (r15 adversarial; Spark's struct max would
+        // otherwise surface a NULL-q4 champion)
+        .filter(col("q4").isNotNull)
       q.groupBy("source")
         .agg(
           max(struct(col("q4").as("q4"), (-col("doc_id")).as("nd"))).as("b"),
@@ -3051,7 +3084,7 @@ object TextOps {
                CAST(length(regexp_extract_all(text, '[^A-Za-z0-9 \t\n\x0B\f\r]')) AS BIGINT) AS punct,
                CAST(length(list_filter(regexp_split_to_array(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9\s]', ' ', 'g'), '\s+', ' ', 'g')), ' '), x -> x IN ('the','a','of','and','to','in'))) AS BIGINT) AS stops,
                CAST(length(text) AS BIGINT) AS len
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
       q AS (
         SELECT doc_id, source,
                ((20000 * (500 * stops * len + 300 * (len - punct) * n + 2 * least(n, 100) * n * len)
@@ -3062,7 +3095,7 @@ object TextOps {
                row_number() OVER (PARTITION BY source ORDER BY q4 DESC, doc_id ASC) AS rb,
                row_number() OVER (PARTITION BY source ORDER BY q4 ASC, doc_id ASC) AS rw,
                count(*) OVER (PARTITION BY source) AS n_docs
-        FROM q)
+        FROM q WHERE q4 IS NOT NULL)
       SELECT b.source, b.doc_id AS chosen_id, b.q4 AS chosen_q4,
              w.doc_id AS rejected_id, w.q4 AS rejected_q4,
              round(b.q4 - w.q4, 4) AS gap4
