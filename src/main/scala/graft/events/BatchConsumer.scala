@@ -31,7 +31,11 @@ import scala.util.control.NonFatal
   *  - synchronous (capacity) flush error → thrown to the enqueue
   *    caller; the buffer is already cleared (batch.go:186-189 +
   *    :192-193 — the stream is expected to reset to the previous
-  *    cursor and replay).
+  *    cursor and replay). The failure ALSO enters the error state
+  *    until `reset()`, so a period flush already ticketed behind the
+  *    failed batch cannot consume-and-commit past it (in the
+  *    reference's single goroutine no later batch can even exist at
+  *    that point; reflex Resets the consumer before re-running).
   *  - asynchronous (period) flush error → the consumer enters an
   *    error state; the NEXT enqueue throws BatchStateException
   *    (batch.go ErrBatchState / :178-183). `reset()` clears the state
@@ -68,6 +72,24 @@ final class BatchConsumer(
     * timer channel instead, batch.go:194)
     */
   private var generation = 0L
+  /** Flush serialization. The reference runs BOTH flush paths in one
+    * goroutine's select loop (batch.go:146-175), so a period flush and
+    * a capacity flush can never overlap. Here they run on different
+    * threads (timer vs enqueue caller), so each batch takes a TICKET
+    * under `lock` at batch-formation time and actual flushes proceed
+    * in ticket order on `flushMonitor` — buffering stays non-blocking
+    * (enqueues of the NEXT batch never wait on `lock` for a flush),
+    * but consume delivery is in batch order and the cursor can never
+    * regress. A failed flush poisons the queue (`failed`): batches
+    * ticketed BEHIND it abort instead of consuming, because their
+    * cursor commit would skip the failed batch's events on replay —
+    * exactly the at-least-once hole the single-goroutine reference
+    * cannot have.
+    */
+  private val flushMonitor = new Object
+  private var nextTicket = 0L
+  private var nowServing = 0L
+  private var lastAckedId = Long.MinValue
   private val timer = new ScheduledThreadPoolExecutor(1, new ThreadFactory {
     def newThread(r: Runnable): Thread = {
       val t = new Thread(r, s"graft-batch-consumer-$name")
@@ -87,6 +109,7 @@ final class BatchConsumer(
   def enqueue(e: Event): Unit = {
     if (flushPeriodMs == 0L && flushLen == 0) throw new InvalidBatchConfigException
     var flushNow: Vector[Event] = null
+    var ticket = -1L
     lock.synchronized {
       if (failed != null) throw new BatchStateException(failed)
       if (buf.isEmpty && flushPeriodMs != 0L) {
@@ -102,12 +125,15 @@ final class BatchConsumer(
         flushNow = buf
         buf = Vector.empty
         generation += 1
+        ticket = nextTicket
+        nextTicket += 1
         Metrics.recordBatchBuffer(name, 0)
       }
     }
-    // outside the lock: consume can be slow; period flushes of the
-    // NEXT batch must not deadlock behind it
-    if (flushNow != null) flush(flushNow)
+    // outside the lock: consume can be slow; buffering of the NEXT
+    // batch must not block behind it. The ticket serializes us with
+    // any period flush already in flight.
+    if (flushNow != null) flush(flushNow, ticket)
   }
 
   private def timerFlush(gen: Long): Unit = {
@@ -117,22 +143,50 @@ final class BatchConsumer(
         val b = buf
         buf = Vector.empty
         generation += 1
+        val t = nextTicket
+        nextTicket += 1
         Metrics.recordBatchBuffer(name, 0)
-        b
+        (b, t)
       }
     }
     if (toFlush != null) {
-      try flush(toFlush)
-      catch {
-        case NonFatal(t) => lock.synchronized { failed = t }
-      }
+      // flush records its own failure into `failed`; nothing to do here
+      try flush(toFlush._1, toFlush._2)
+      catch { case NonFatal(_) => () }
     }
   }
 
-  private def flush(batch: Vector[Event]): Unit = {
-    consume(batch)
-    store.set(name, batch.last.id)
-    store.flush()
+  /** Deliver one batch in ticket order. Waits for all earlier-ticketed
+    * flushes to finish first; aborts (without consuming) if one of
+    * them failed, since committing this batch's cursor would skip the
+    * failed batch's events when the stream replays. Cursor commits
+    * are additionally monotone as a second line of defense.
+    */
+  private def flush(batch: Vector[Event], ticket: Long): Unit = {
+    flushMonitor.synchronized {
+      while (nowServing != ticket) flushMonitor.wait()
+    }
+    try {
+      val earlier = lock.synchronized(failed)
+      if (earlier != null) throw new BatchStateException(earlier)
+      try {
+        consume(batch)
+        val commit = lock.synchronized {
+          if (batch.last.id > lastAckedId) { lastAckedId = batch.last.id; true }
+          else false
+        }
+        if (commit) {
+          store.set(name, batch.last.id)
+          store.flush()
+        }
+      } catch {
+        case NonFatal(t) =>
+          lock.synchronized { if (failed == null) failed = t }
+          throw t
+      }
+    } finally {
+      flushMonitor.synchronized { nowServing += 1; flushMonitor.notifyAll() }
+    }
   }
 
   /** Clear buffer + error state for a clean re-run; returns the

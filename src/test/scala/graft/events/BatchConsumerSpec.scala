@@ -2,7 +2,7 @@ package graft.events
 
 import org.scalatest.funsuite.AnyFunSuite
 import java.sql.Timestamp
-import java.util.concurrent.CopyOnWriteArrayList
+import java.util.concurrent.{CopyOnWriteArrayList, TimeUnit}
 import scala.jdk.CollectionConverters._
 import graft.TestSpark
 
@@ -128,6 +128,77 @@ class BatchConsumerSpec extends AnyFunSuite {
   private def intercepted(bc: BatchConsumer): Boolean =
     try { bc.enqueue(ev(99L)); false }
     catch { case _: BatchConsumer.BatchStateException => true }
+
+  test("slow period flush overlapping a capacity flush: serialized, in-order, monotone cursor") {
+    val sets = new CopyOnWriteArrayList[Long]()
+    val inner = new MemCursorStore()
+    val store = new CursorStore { // records every commit, in order
+      def get(name: String): Option[Long] = inner.get(name)
+      def set(name: String, id: Long): Unit = { sets.add(id); inner.set(name, id) }
+    }
+    val batches = new CopyOnWriteArrayList[Seq[Long]]()
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    @volatile var slowOnce = true
+    val bc = BatchConsumer("bc-overlap", store, b => {
+      if (slowOnce) { slowOnce = false; started.countDown()
+        gate.await(5, TimeUnit.SECONDS); () }
+      batches.add(b.map(_.id)); ()
+    }, flushPeriodMs = 150L, flushLen = 3)
+    try {
+      bc.enqueue(ev(1L)); bc.enqueue(ev(2L)) // partial batch; period flush will take it
+      assert(started.await(5, TimeUnit.SECONDS), "period flush never started")
+      // period flush of [1,2] is now consuming (slow). A capacity flush
+      // of [3,4,5] forms behind it — buffering must NOT block...
+      val t = new Thread(() => { bc.enqueue(ev(3L)); bc.enqueue(ev(4L)); bc.enqueue(ev(5L)) })
+      t.start()
+      // ...but its DELIVERY must wait for the in-flight period flush
+      Thread.sleep(250L)
+      assert(batches.asScala.isEmpty, "capacity flush overtook the in-flight period flush")
+      assert(sets.asScala.isEmpty, "cursor committed while first flush still in flight")
+      gate.countDown()
+      t.join(5000L)
+      assert(await(batches.size == 2))
+      assert(batches.asScala.toSeq === Seq(Seq(1L, 2L), Seq(3L, 4L, 5L)))
+      assert(sets.asScala.toSeq === Seq(2L, 5L)) // monotone, never 5-then-2
+      assert(store.get("bc-overlap") === Some(5L))
+    } finally { gate.countDown(); bc.stop() }
+  }
+
+  test("a FAILED period flush poisons the queued capacity flush: no skip-ahead commit") {
+    val store = new MemCursorStore()
+    val batches = new CopyOnWriteArrayList[Seq[Long]]()
+    val started = new java.util.concurrent.CountDownLatch(1)
+    val gate = new java.util.concurrent.CountDownLatch(1)
+    @volatile var failOnce = true
+    val bc = BatchConsumer("bc-poison", store, b => {
+      if (failOnce) { failOnce = false; started.countDown()
+        gate.await(5, TimeUnit.SECONDS)
+        throw new RuntimeException("bg-boom") }
+      batches.add(b.map(_.id)); ()
+    }, flushPeriodMs = 150L, flushLen = 3)
+    try {
+      bc.enqueue(ev(1L)); bc.enqueue(ev(2L))
+      assert(started.await(5, TimeUnit.SECONDS), "period flush never started")
+      // capacity flush of [3,4,5] queues behind the doomed period flush
+      @volatile var thrown: Throwable = null
+      val t = new Thread(() => {
+        try { bc.enqueue(ev(3L)); bc.enqueue(ev(4L)); bc.enqueue(ev(5L)) }
+        catch { case e: Throwable => thrown = e }
+      })
+      t.start()
+      Thread.sleep(250L) // let the capacity flush reach the queue
+      gate.countDown()   // period flush now fails
+      t.join(5000L)
+      // the queued batch must NOT have been consumed or committed:
+      // committing 5 would permanently skip 1-2 on replay
+      assert(batches.asScala.isEmpty, "poisoned batch was delivered")
+      assert(store.get("bc-poison") === None, "cursor advanced past a failed batch")
+      assert(thrown.isInstanceOf[BatchConsumer.BatchStateException])
+      val err = bc.reset()
+      assert(err.exists(_.getMessage === "bg-boom"))
+    } finally { gate.countDown(); bc.stop() }
+  }
 
   test("Runner composition: micro-batches feed enqueue; the batch store commits per flush") {
     val spark = TestSpark.spark
