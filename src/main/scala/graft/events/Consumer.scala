@@ -58,6 +58,29 @@ object AckConsumer {
       errorMode: ErrorMode = FailFast): Consumer =
     Consumer(name, df => fn(AckBatch(df, id => { store.set(name, id); store.flush() })),
       errorMode)
+
+  /** rpatterns/ack.go noSetStore: reads pass through, the runner's
+    * automatic per-batch commits are DROPPED — under ack semantics
+    * only the consumer's explicit acks may move the cursor (a crash
+    * after an unacked batch must replay it, even though the runner
+    * finished the batch).
+    */
+  final class NoSetStore(underlying: CursorStore) extends CursorStore {
+    def get(name: String): Option[Long] = underlying.get(name)
+    def set(name: String, cursor: Long): Unit = ()
+    override def getStr(name: String): Option[String] = underlying.getStr(name)
+    override def setStr(name: String, cursor: String): Unit = ()
+  }
+
+  /** rpatterns/ack.go NewAckSpec: a runnable Spec whose read position
+    * comes from the ack store but whose ONLY writer is the consumer's
+    * `ack` — the runner's own commit path is a no-op.
+    */
+  def spec(log: EventLog, store: CursorStore, name: String,
+      fn: AckBatch => Unit, batchSize: Int = 1000,
+      errorMode: ErrorMode = FailFast): Spec =
+    Spec(log, new NoSetStore(store), apply(name, store, fn, errorMode),
+      batchSize = batchSize)
 }
 
 /** Spec ties stream source, cursor store and consumer together

@@ -57,6 +57,14 @@ object EventFilter {
   def shardMofN(m: Int, n: Int): EventFilter =
     Raw(shardId(n) === m)
 
-  def shardId(n: Int): Column =
-    conv(substring(md5(col("foreignId").cast("string")), 1, 4), 16, 10).cast("int") % n
+  def shardId(n: Int): Column = shardIdOf(n, col("foreignId"))
+
+  /** shardId with an explicit hash key (parallel.go WithHashOption /
+    * WithHashFn: the reference hashes the CHOSEN key — event id by
+    * default, type or foreign id or a custom fn by option — with
+    * fnv32 mod n; here the same portable md5-prefix hash as
+    * `shardId`, parameterized on the key expression).
+    */
+  def shardIdOf(n: Int, key: Column): Column =
+    conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("int") % n
 }
