@@ -21,7 +21,13 @@ final case class Consumer(
       * errors; returning None eliminates the error (the batch counts
       * as consumed), Some(e) re-raises into the error mode.
       */
-    recover: Option[(Throwable, DataFrame) => Option[Throwable]] = None)
+    recover: Option[(Throwable, DataFrame) => Option[Throwable]] = None,
+    /** reference consumer.go WithErrorCounter: a custom counter hook
+      * ticked when an error SURVIVES recovery (consumer.go:196-200 —
+      * recovered errors don't tick it); the built-in Metrics.errors
+      * counts every raise regardless.
+      */
+    errorCounter: Option[() => Unit] = None)
 
 sealed trait ErrorMode
 /** reference run.go: error → cursor not updated, run aborts. */

@@ -115,6 +115,27 @@ final class AsyncCursorStore(backing: CursorStore, periodMs: Long = 1000L)
 }
 
 object CursorStore {
+  /** rsql/cursorstable.go:116 WithCursorSetCounter: tick a counter on
+    * every durable cursor WRITE (the DB-write metric, not the logical
+    * ack — compose OUTSIDE AsyncCursorStore to count real writes, or
+    * inside to count logical sets). Defaults to the built-in
+    * per-consumer metric (Metrics.cursorSets), matching the
+    * reference's default prometheus counter.
+    */
+  def withSetCounter(underlying: CursorStore,
+      counter: String => Unit = Metrics.recordCursorSet): CursorStore =
+    new CursorStore {
+      def get(name: String): Option[Long] = underlying.get(name)
+      def set(name: String, cursor: Long): Unit = {
+        underlying.set(name, cursor); counter(name)
+      }
+      override def getStr(name: String): Option[String] = underlying.getStr(name)
+      override def setStr(name: String, cursor: String): Unit = {
+        underlying.setStr(name, cursor); counter(name)
+      }
+      override def flush(): Unit = underlying.flush()
+    }
+
   /** rpatterns/cursor.go ReadThroughCursorStore: read falls back,
     * fallback hit is written through, writes go to primary only.
     */

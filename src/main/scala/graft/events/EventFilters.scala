@@ -49,6 +49,36 @@ object EventFilter {
   def metadataInt(path: String)(pred: Column => Column): EventFilter =
     Raw(pred(get_json_object(col("metadata"), path).cast("int")))
 
+  /** filters/metadata.go MetadataEventFilter[T]: deserialize the
+    * metadata payload against a typed schema, then filter on the
+    * TYPED struct. Error taxonomy exactly the reference's:
+    *  - null schema or filter → MetadataEventFilterException at
+    *    CONSTRUCTION (metadata.go:31-33);
+    *  - a payload that fails to deserialize raises a CODED
+    *    deserialization error from the scan (metadata.go
+    *    asDeserializationErr) — the runner wraps it as a filter error,
+    *    so both Errors.isDeserializationErr and Errors.isFilterErr
+    *    match, and dead-letter policies refuse to eat it.
+    * Spark form: from_json is PERMISSIVE (a struct of nulls on
+    * malformed — indistinguishable from `{}`), so the malformed probe
+    * is get_json_object(metadata, '$') IS NULL (null exactly for
+    * unparseable JSON, the whole doc otherwise), turned into an
+    * executor-side raise_error carrying the classification code — a
+    * pure Column plan, no UDF, codegen-friendly on the happy path.
+    */
+  def metadataEventFilter(schema: org.apache.spark.sql.types.StructType,
+      pred: Column => Column): EventFilter = {
+    if (schema == null || pred == null) throw new Errors.MetadataEventFilterException
+    val parsed = from_json(col("metadata"), schema)
+    val malformed = col("metadata").isNotNull && trim(col("metadata")) =!= "" &&
+      get_json_object(col("metadata"), "$").isNull
+    Raw(when(malformed,
+        raise_error(concat(
+          lit(s"deserialization failed [${Errors.DeserializationErrCode}]: "),
+          col("metadata"))))
+      .otherwise(pred(parsed)))
+  }
+
   /** rpatterns/parallel.go `filterOnHash`: shard m-of-n. The hash is a
     * portable md5-prefix (identical in any engine, used by the DuckDB
     * oracle) rather than an engine-private hash; at scale the shard id

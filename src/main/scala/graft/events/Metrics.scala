@@ -14,6 +14,11 @@ final case class ConsumerMetrics(
     processed: Long = 0L,
     /** batch attempts that raised (before any retry succeeded) */
     errors: Long = 0L,
+    /** durable cursor writes (reference rsql/cursorstable.go:116
+      * WithCursorSetCounter's default metric) — only stores wrapped
+      * with CursorStore.withSetCounter tick it
+      */
+    cursorSets: Long = 0L,
     /** events abandoned by BestEffort/DeadLetter after retries */
     skipped: Long = 0L,
     /** wall-clock of the most recent batch, ms */
@@ -58,6 +63,12 @@ object Metrics {
   private[events] def recordError(name: String): Unit =
     update(name)(c => c.copy(errors = c.errors + 1,
       lastActivityMillis = System.currentTimeMillis()))
+
+  /** default WithCursorSetCounter sink (public so user stores outside
+    * this package can adopt the built-in counter too)
+    */
+  def recordCursorSet(name: String): Unit =
+    update(name)(c => c.copy(cursorSets = c.cursorSets + 1))
 
   /** Consumer-activity gauge (reference consumer.go activityTTL +
     * internal/metrics activityGauge): a consumer is active if it

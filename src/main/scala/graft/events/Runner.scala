@@ -117,9 +117,25 @@ object Runner {
     * @return (consumed, skipped)
     */
   private def attempt(spec: Spec, batch: DataFrame, cursor: Long): (Long, Long) = {
-    val cached = batch.cache()
+    // Materializing the cache evaluates the event FILTER; a failure
+    // there means no consumer ever saw the batch, so it is wrapped as
+    // a filter error (reference consumer.go:177 asFilterErr) and
+    // deliberately raised BEFORE the error-mode machinery below:
+    // filter errors are never retried, skipped or dead-lettered —
+    // BestEffort/DeadLetter eating a filter bug would silently drop
+    // events no consumer attempted (errors.go IsFilterErr contract).
+    // cache() is covered too: over a LocalRelation (testkit logs) the
+    // optimizer's ConvertToLocalRelation evaluates the filter at
+    // planning time, so the error can surface before the count.
+    def wrapFilterErr[T](body: => T): T =
+      try body
+      catch {
+        case NonFatal(e) if spec.filter.isDefined =>
+          throw new Errors.FilterException(e)
+      }
+    val cached = wrapFilterErr(batch.cache())
     try {
-      val n = cached.count()
+      val n = wrapFilterErr(cached.count())
       if (n == 0) return (0L, 0L)
       def tryOnce(): Unit =
         try spec.consumer.fn(cached)
@@ -127,8 +143,15 @@ object Runner {
           case NonFatal(e) =>
             Metrics.recordError(spec.consumer.name)
             spec.consumer.recover match {
-              case Some(r) => r(e, cached).foreach(throw _) // None → recovered
-              case None => throw e
+              case Some(r) => r(e, cached).foreach { unrecovered =>
+                // consumer.go:196-200: the custom error counter ticks
+                // only when recovery did NOT eliminate the error
+                spec.consumer.errorCounter.foreach(_.apply())
+                throw unrecovered
+              } // None → recovered
+              case None =>
+                spec.consumer.errorCounter.foreach(_.apply())
+                throw e
             }
         }
       spec.consumer.errorMode match {

@@ -376,4 +376,43 @@ class RunnerSpec extends AnyFunSuite {
     assert(full._1 === 25L) // true head IS the backdated id 30
     assert(Runner.lagPartitioned(table.raw, store, "c-bd") === full)
   }
+
+  test("WithCursorSetCounter: ticks once per durable cursor write (default metric)") {
+    Metrics.reset("c-csc")
+    val store = CursorStore.withSetCounter(new MemCursorStore())
+    val spec = Spec(log, store, Consumer("c-csc", _ => ()), batchSize = 250)
+    Runner.runToHead(spec)
+    assert(Metrics.get("c-csc").cursorSets === 4L) // one write per batch
+    // custom counter hook (the reference's f func()) sees the same count
+    var ticks = 0
+    val custom = CursorStore.withSetCounter(new MemCursorStore(), _ => ticks += 1)
+    Runner.runToHead(Spec(log, custom, Consumer("c-csc2", _ => ()), batchSize = 500))
+    assert(ticks === 2)
+  }
+
+  test("WithErrorCounter: ticks only when an error survives recovery (consumer.go:196-200)") {
+    var ticks = 0
+    val counter = Some(() => { ticks += 1; () })
+    // recovered error: counter must NOT tick
+    val store = new MemCursorStore()
+    Runner.runToHead(Spec(log, store,
+      Consumer("c-ec1", _ => throw new RuntimeException("x"),
+        recover = Some((_, _) => None), errorCounter = counter),
+      batchSize = 1000))
+    assert(ticks === 0)
+    // unrecovered (passed-through) error: ticks once per failed attempt
+    intercept[RuntimeException] {
+      Runner.runToHead(Spec(log, new MemCursorStore(),
+        Consumer("c-ec2", _ => throw new RuntimeException("y"),
+          recover = Some((e, _) => Some(e)), errorCounter = counter),
+        batchSize = 1000))
+    }
+    assert(ticks === 1)
+    // no recover fn + BestEffort retries: every failed attempt ticks
+    Runner.runToHead(Spec(log, new MemCursorStore(),
+      Consumer("c-ec3", _ => throw new RuntimeException("z"),
+        errorMode = BestEffort(retries = 2), errorCounter = counter),
+      batchSize = 1000))
+    assert(ticks === 1 + 3) // initial + 2 retries
+  }
 }

@@ -253,11 +253,12 @@ class SourcesSpec extends AnyFunSuite {
     // the bound survives filter composition
     val filtered = log.where(graft.events.EventFilter.ofType("click"))
     assert(filtered.poll(-1L).count() === 10L)
-    // default tables poll unbounded slices (Runner's batchSize is the
-    // runner-side bound; this option is the loader-side one)
-    val unbounded = new EventsTable(spark, dir)
-    assert(unbounded.log.lookupLimit === 1000)
-    assert(unbounded.log.poll(-1L).count() === 35L)
+    // default tables poll 1000-row slices (the reference default,
+    // rsql/options.go); Runner's batchSize is the runner-side bound,
+    // this option is the loader-side one
+    val dflt = new EventsTable(spark, dir)
+    assert(dflt.log.lookupLimit === 1000)
+    assert(dflt.log.poll(-1L).count() === 35L)
   }
 
   test("metaColumns materialize typed JSON projections at write; reads skip the parse") {

@@ -25,33 +25,44 @@ def main(sf_dir, out_dir, runs=2, timeout=None):
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
     times = {}
     timeouts = []
+    import threading
     for name in sorted(oracle):
         sql = oracle[name]
         # per-query watchdog (opt-in): a quadratic/recursive oracle at a
         # big SF must record "timeout" and move on, not hang the sweep —
-        # duckdb's interrupt() aborts the running statement. The timer
-        # callback re-checks a per-query done flag: without it, a query
-        # finishing right at the limit can be interrupted AFTER it
-        # completed but BEFORE killer.cancel(), leaving a pending
-        # interrupt that spuriously aborts the NEXT query.
+        # duckdb's interrupt() aborts the running statement. Two layers
+        # close the stale-interrupt races (r15 advice): the timer's
+        # check-and-interrupt and the done-flag set hold ONE lock, so
+        # the timer can never interrupt after completion was flagged;
+        # and each query runs on its OWN cursor, so an interrupt that
+        # still lands post-completion (fired between the statement
+        # finishing inside duckdb and the flag set) dies with the
+        # cursor instead of aborting the next query.
+        cur = con.cursor()
         killer = None
         done = []
+        guard = threading.Lock()
+
+        def maybe_interrupt(c=cur, d=done, g=guard):
+            with g:
+                if not d:
+                    c.interrupt()
+
         if timeout:
-            import threading
-            killer = threading.Timer(
-                timeout, lambda: None if done else con.interrupt())
+            killer = threading.Timer(timeout, maybe_interrupt)
             killer.start()
         try:
             # runs=0: one cold timed execution, no warmup — for large
             # SFs where the multi-minute recursive-CTE oracles would
             # otherwise run twice for a number that is minutes either way
             if runs <= 0:
-                best = _timed(con, sql)
+                best = _timed(cur, sql)
             else:
-                con.sql(sql).fetchall()  # warmup (I/O cache, plan)
+                cur.sql(sql).fetchall()  # warmup (I/O cache, plan)
                 best = min(
-                    _timed(con, sql) for _ in range(runs))
-            done.append(True)  # query finished — a late timer fire is a no-op
+                    _timed(cur, sql) for _ in range(runs))
+            with guard:
+                done.append(True)  # under the lock: no late interrupt
             times[name] = round(best, 4)
             print(f"  {name}: {times[name]}s")
         except Exception as e:  # noqa: BLE001 - record and continue
@@ -61,9 +72,11 @@ def main(sf_dir, out_dir, runs=2, timeout=None):
             else:
                 print(f"  {name}: FAILED {e}")
         finally:
-            done.append(True)  # seen by the timer callback before cancel lands
+            with guard:
+                done.append(True)
             if killer:
                 killer.cancel()
+            cur.close()
     payload = {
         "engine": "duckdb",
         "sf": sf_name,
