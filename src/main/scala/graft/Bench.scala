@@ -238,11 +238,20 @@ object Bench {
       //   purpose; ProfQ7 measured broadcast(pruned orders) 1.7x
       //   faster at sf1 and the builder still ships the shuffle
       //   because orders is not broadcastable at the 100 TB shape.
+      // - ev_filter_meta: the parse-at-read FALLBACK for logs written
+      //   without MetaColumn. ProfMeta (r16, sf1=1M rows): scan floor
+      //   0.12 s; get_json_object 1.19 s, from_json 0.96, json_tuple
+      //   0.90 — every real JSON parser pays ~0.9 s/1M rows of
+      //   per-row Jackson cost (only a semantics-breaking regex
+      //   reaches 0.28). The shipped 100 TB form is A7b's write-once
+      //   typed column (ev_filter_meta_typed, 0.03 s-class read).
       val byDesign = Seq(
         "tx_source_overlap_kmv" ->
           "oracle_asymmetry: engine computes exact+sketch, oracle exact-only (C93b)",
         "q7_nation_volume" ->
-          "deliberate_shuffle_join: broadcast wins at sf1 (ProfQ7) but is not a 100 TB plan")
+          "deliberate_shuffle_join: broadcast wins at sf1 (ProfQ7) but is not a 100 TB plan",
+        "ev_filter_meta" ->
+          "parse_at_read_fallback: per-row JSON parse is the operator (ProfMeta: all parsers 0.9-1.2s/1M rows, scan floor 0.12); scale path is the A7b typed column")
         .filter { case (k, _) => results.contains(k) }
         .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
       s""","annotations":{"floor":$floor,"by_design":$byDesign$wb}"""

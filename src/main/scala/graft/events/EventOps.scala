@@ -138,7 +138,14 @@ object EventOps {
     // A7: metadata (JSON props) filter (filters/metadata.go). The
     // JSON field is projected ONCE into a column before filtering —
     // two predicates over the raw extraction would parse the payload
-    // twice per row (measured 2× on a 1M-row log).
+    // twice per row (measured 2× on a 1M-row log). r16 (verdict item
+    // 3, ProfMeta at sf1): the wall IS the per-row JSON parse —
+    // get_json_object 1.19 s / from_json 0.96 / json_tuple 0.90
+    // against a 0.12 s scan floor, so no parser choice changes the
+    // class; get_json_object stays (simplest plan, no generator
+    // node). This row is the parse-at-read FALLBACK and is annotated
+    // by_design in the bench; the 100 TB path is A7b's write-once
+    // typed column below.
     ("ev_filter_meta", (s: SparkSession, d: String) => {
       Event.project(ev(s, d))
         .withColumn("k", get_json_object(col("metadata"), "$.k").cast("int"))
