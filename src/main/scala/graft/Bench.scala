@@ -251,7 +251,13 @@ object Bench {
         "q7_nation_volume" ->
           "deliberate_shuffle_join: broadcast wins at sf1 (ProfQ7) but is not a 100 TB plan",
         "ev_filter_meta" ->
-          "parse_at_read_fallback: per-row JSON parse is the operator (ProfMeta: all parsers 0.9-1.2s/1M rows, scan floor 0.12); scale path is the A7b typed column")
+          "parse_at_read_fallback: per-row JSON parse is the operator (ProfMeta: all parsers 0.9-1.2s/1M rows, scan floor 0.12); scale path is the A7b typed column",
+        // r16 (r15 verdict item 10): plan audited — ONE FileScan, one
+        // stack Generate, partial-agged count(distinct); the residual
+        // vs DuckDB is the 6x row expansion exact per-column NDV
+        // costs in a single pass, not a per-column re-scan.
+        "q_analyze_stats" ->
+          "one_scan_exact_ndv: single FileScan + stack Generate + partial-agged distinct; 6x expansion is the exact-NDV cost (r16 plan audit)")
         .filter { case (k, _) => results.contains(k) }
         .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
       s""","annotations":{"floor":$floor,"by_design":$byDesign$wb}"""

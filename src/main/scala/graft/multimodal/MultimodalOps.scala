@@ -129,9 +129,14 @@ object MultimodalOps {
     // shard at this corpus's payload sizes.
     ("mm_shard_manifest", (s: SparkSession, d: String) => {
       import s.implicits._
+      // null payloads are NOT files (the null-doc universe contract,
+      // SURVEY §3): without the filter the typed (Long,Long,Long)
+      // decode asserts on the NULL byte length — found by the r16
+      // adversarial media corpus
       val media = asMedia(graft.Tables.documents(s, d))
         .select((col("doc_id") % 3).as("shard"), col("doc_id"),
           length(col("payload")).cast("long").as("n_bytes"))
+        .filter(col("n_bytes").isNotNull)
       media.as[(Long, Long, Long)]
         .repartition(col("shard"))
         .sortWithinPartitions("shard", "doc_id")
@@ -142,7 +147,7 @@ object MultimodalOps {
       WITH RECURSIVE base AS (
         SELECT doc_id, doc_id % 3 AS shard,
                CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes
-        FROM documents),
+        FROM documents WHERE text IS NOT NULL),
       ord AS (
         SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
         FROM base),

@@ -60,6 +60,7 @@ object ScaleStress {
     val defaultList = Seq(
       "dd_exact", "dd_minhash_lsh", "dd_simhash", "dd_ngram_jaccard",
       "dd_semantic", "ann_lsh", "ann_ivf", "ann_bruteforce",
+      "ann_graph_search",
       "tx_ngram_profile", "tx_decontaminate", "tx_token_shards",
       "tx_tfidf", "tx_heavy_hitters", "tx_source_mix",
       "pipeline_prepare_corpus",

@@ -90,6 +90,28 @@ def texts():
                      for j in range(12 + i % 9)),
             ["en", "fr", "es", "de", "zh"][i % 5],
             f"src{i % 20}"))
+    # ---- media edges (r16, r15 verdict item 9) ----
+    # The multimodal kernels read documents.text CAST TO BINARY
+    # (MultimodalOps.asMedia), and mm_mime_sniff passes doc_id%7==0
+    # payloads through RAW (unframed). Magic-header rows are therefore
+    # PINNED to indices ≡ 0 (mod 7) so the sniffer sees their leading
+    # bytes untouched: full ASCII-representable magics (GIF8, RIFF/WAVE,
+    # ftyp at bytes 5-8), TRUNCATED magics (RIF, RIFF without WAVE,
+    # bare GIF8), and 1-byte payloads. Non-ASCII magics (JPEG FF D8,
+    # PNG 89 50) cannot round-trip through a UTF-8 text column — the
+    # framed branch covers those detections. Zero-length and NULL
+    # payloads already exist above (empty/whitespace/None texts).
+    def at_mod7(text, lang="en", source="srcm"):
+        while len(rows) % 7 != 0:
+            rows.append((f"media filler pad {len(rows)} data and the of", "en", "srcm"))
+        rows.append((text, lang, source))
+    at_mod7("GIF87a looks like a gif header but is plain text data")
+    at_mod7("RIFF\x00\x00\x00\x00WAVEfmt pcm-ish audio bytes follow here")
+    at_mod7("0123ftypisom an mp4-shaped prefix in a text column")
+    at_mod7("RIF")                      # truncated magic: 3 bytes
+    at_mod7("RIFF0000DATA not wave")    # RIFF without WAVE at bytes 9-12
+    at_mod7("GIF8")                     # exact 4-byte magic, nothing after
+    at_mod7("R")                        # 1-byte payload
     return rows
 
 
