@@ -3185,11 +3185,28 @@ object TextOps {
         .filter(col("nch") > 0)
         .select(col("doc_id"), col("source"), explode(expr(
           "transform(sequence(0, nch - 1), i -> md5(concat_ws(' ', slice(t, i*8+1, 8))))")).as("ch"))
-      val boiler = chunks.groupBy("source", "ch")
+      // r16 replan (worst STRESS_SF10 row, 30.1x at 100x): the r15
+      // plan BROADCAST the boiler set, but template chunks are
+      // corpus-sized under heavy duplication — the exact regime this
+      // operator exists to detect — and the chunk stream was computed
+      // twice (boiler agg + join probe). Now ONE corpus exchange on
+      // (source, ch): the (source,ch,doc) dedup agg runs on it
+      // without a new shuffle, the nd window reuses its clustering,
+      // and the boiler flag is a window column instead of a join.
+      // the chunk stream exchanges ONCE on (source, ch); ReuseExchange
+      // feeds the same shuffle output to the boiler aggregation, the
+      // join probe, and the template rollup, so tokenize+md5 run once.
+      // The boiler side joins co-partitioned with a SHUFFLE_HASH hint:
+      // no broadcast (boiler is corpus-sized under heavy duplication),
+      // no sort-merge (a corpus-wide sort measured 3.8 s at sf0.1
+      // against this plan's ~1.5 s), no new exchange.
+      val chunksRep = chunks.repartition(col("source"), col("ch"))
+      val boiler = chunksRep.groupBy("source", "ch")
         .agg(countDistinct("doc_id").as("nd"))
-        .filter(col("nd") >= 2).select("source", "ch")
-      val perDoc = chunks
-        .join(broadcast(boiler.withColumn("b", lit(1))), Seq("source", "ch"), "left")
+        .filter(col("nd") >= 2)
+        .select(col("source"), col("ch"), lit(1).as("b"))
+      val perDoc = chunksRep
+        .join(boiler.hint("SHUFFLE_HASH"), Seq("source", "ch"), "left")
         .groupBy("doc_id", "source")
         .agg(count(lit(1)).as("n_chunks"),
           sum(when(col("b").isNotNull, 1L).otherwise(0L)).as("n_boiler"))
