@@ -62,10 +62,20 @@ object GraftConf {
       "(threshold ~0.84); 0.5 yields 8x4 (~0.59), admitting more " +
       "candidates at more verify cost.")
 
+  val PrefixBroadcastMaxRows = ConfKey("spark.graft.prefix.broadcastMaxRows",
+    (1L << 22).toString,
+    "Checked-bound threshold for the hybrid prefix-scan operators " +
+      "(ev_lateness's per-block frontier, ev_rfm_segments's monetary " +
+      "histogram): frames whose measured row count is at or under the " +
+      "bound use the window+broadcast prefix form; larger frames take " +
+      "the range-partitioned two-pass (rangeCumHist / Prefix.rangeCumMax) " +
+      "with a co-partitioned join-back. Both paths are exact; the knob " +
+      "exists so tests can force the scale path on small data.")
+
   /** Every key, in the order CONFIG.md documents them. */
   val all: Seq[ConfKey] = Seq(
     TopKRewrite, TopKRewriteMaxK, AnnLshTables, AnnLshProbes, AnnLshMaxBucket,
-    SeqpackShards, DedupMinhashTargetJ)
+    SeqpackShards, DedupMinhashTargetJ, PrefixBroadcastMaxRows)
 
   def getDouble(s: SparkSession, k: ConfKey): Double = get(s, k).toDouble
 

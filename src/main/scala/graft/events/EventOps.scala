@@ -1043,8 +1043,12 @@ object EventOps {
     // it landed; the distribution a streaming deployment reads to SET
     // its watermark delay (A27's withWatermark bound). A global
     // running max doesn't partition, so it's decomposed exactly:
-    // ids bucket into fixed 4096-wide ranges, per-range maxes form a
-    // tiny frame whose EXCLUSIVE prefix max broadcasts back, and the
+    // ids bucket into fixed 4096-wide ranges, the per-range maxes'
+    // EXCLUSIVE prefix max comes from a range-partitioned two-pass
+    // scan (Prefix.rangeCumMax — the block frame is corpus/4096 rows,
+    // so neither an unpartitioned window nor a broadcast survives
+    // scale) joined back co-partitioned on the same exchange the
+    // within-range window needs, and the
     // within-range running max is a window over ≤4096-row partitions
     // — greatest(prefix, within) IS the global frontier (ranges
     // partition the order). Log2 buckets, same convention as A55.
@@ -1059,14 +1063,34 @@ object EventOps {
       val e = raw.select(col("event_id").as("id"),
         col("event_type").as("etype"), esCol.as("es"),
         expr("event_id div 4096").as("grp"))
-      val grpMax = e.groupBy("grp").agg(max("es").as("gmax"))
-      val prior = grpMax
-        .withColumn("prefix", max("gmax").over(Window.orderBy("grp")
-          .rowsBetween(Window.unboundedPreceding, -1)))
-        .select("grp", "prefix")
+      // r16: the per-block frontier is corpus/4096 rows — one per id
+      // block — so its exclusive prefix max must not run as an
+      // unpartitioned window, and the block frame must not broadcast
+      // (244M rows at 10^12 events). Prefix.rangeCumMax computes the
+      // prefix in two range-partitioned passes, and the join back is
+      // a co-partitioned SHUFFLE_HASH on grp — the same exchange the
+      // within-block window needs anyway, so corpus exchange count is
+      // unchanged.
+      // CHECKED-bounded hybrid on the block count: ≤4M blocks (≈16
+      // billion events) → the window+broadcast form with its
+      // precondition verified at runtime; above → Prefix.rangeCumMax
+      // + co-partitioned SHUFFLE_HASH join (the window exchange on
+      // grp exists either way). Both paths exact.
+      val grpMax = e.groupBy("grp").agg(max("es").as("gmax")).localCheckpoint()
+      val prior = if (grpMax.count() <=
+          graft.GraftConf.getLong(s, graft.GraftConf.PrefixBroadcastMaxRows)) {
+        broadcast(grpMax
+          .withColumn("prefix", max("gmax").over(Window.orderBy("grp")
+            .rowsBetween(Window.unboundedPreceding, -1)))
+          .select("grp", "prefix"))
+      } else {
+        graft.util.Prefix.rangeCumMax(s, grpMax, "grp", "gmax")
+          .select("grp", "prefix")
+          .hint("SHUFFLE_HASH")
+      }
       val wIn = Window.partitionBy("grp").orderBy("id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      e.join(broadcast(prior), "grp")
+      e.join(prior, Seq("grp"))
         .select(col("etype"),
           (greatest(max("es").over(wIn), coalesce(col("prefix"), col("es"))) -
             col("es")).as("late"))
@@ -1196,10 +1220,12 @@ object EventOps {
     // event, event count, and purchase cents bucket into data-derived
     // terciles. NO per-user global sort at any scale: each metric's
     // tercile boundaries come from a prefix sum over the metric's
-    // VALUE histogram (recency ≤ calendar days, frequency ≤ max
-    // activity, monetary on the cents grid — all value-domain-bounded
-    // frames, the C43 pattern applied three ways), and users join the
-    // tiny (value → bucket) maps by broadcast. Buckets are
+    // VALUE histogram. Recency (≤ calendar days) and frequency
+    // (distinct counts ≤ O(√Σevents)) are value-domain-bounded — the
+    // C43 pattern, tiny maps broadcast back. Monetary is NOT (r16):
+    // per-user cent SUMS are near-distinct per user, so that
+    // histogram's prefix runs range-partitioned (rangeCumHist) and
+    // joins back co-partitioned, never broadcast. Buckets are
     // value-atomic: equal metric values share a bucket.
     ("ev_rfm_segments", (s: SparkSession, d: String) => {
       import org.apache.spark.sql.types.{LongType, TimestampNTZType}
@@ -1218,15 +1244,38 @@ object EventOps {
         sum(when(col("etype") === "purchase", col("cents")).otherwise(0L)).as("m"))
       // global frontier = max over per-user maxes — no second log scan
       val maxDay = u0.agg(max("last_day").as("max_day"))
+      // the user frame feeds FOUR consumers (r/f histogram, m
+      // histogram, bucket join, final rollup) and the m histogram's
+      // range pass is EAGER (rangeCumHist checkpoints), which would
+      // sever exchange reuse and re-run the event-log aggregation —
+      // materialize the narrow (fid, r, f, m) frame once instead
       val u = u0.crossJoin(broadcast(maxDay))
         .select(col("fid"), (col("max_day") - col("last_day")).as("r"), col("f"), col("m"))
-      // ONE melted histogram job builds all three value→bucket maps
-      // (metric-partitioned prefix sums over the tiny value frames)
-      // instead of three separate event-log re-aggregations
-      val hm = u.select(explode(array(
-          struct(lit("r").as("metric"), col("r").as("v")),
-          struct(lit("f").as("metric"), col("f").as("v")),
-          struct(lit("m").as("metric"), col("m").as("v")))).as("x"))
+        .localCheckpoint()
+      // ONE melted histogram job builds the r and f value→bucket maps
+      // (metric-partitioned prefix sums over genuinely value-bounded
+      // frames: recency ≤ calendar days, distinct frequencies ≤
+      // O(√Σevents) since distinct counts sum to the event total).
+      // The MONETARY histogram is different (r16): m is a per-user
+      // SUM of cents, so its distinct values track the USER count —
+      // its prefix sum runs as the range-partitioned two-pass
+      // (TextOps.rangeCumHist) and the value→bucket map joins back
+      // co-partitioned on m, never broadcast.
+      // CHECKED-bounded hybrid on the m histogram size: the count is
+      // one small job over the checkpointed user frame. ≤4M distinct
+      // sums → m folds into the same melted window+broadcast map
+      // build as r/f (r15's exact lazy plan), its precondition now
+      // verified at runtime instead of assumed; above → the
+      // range-partitioned prefix sum (rangeCumHist) with a
+      // co-partitioned SHUFFLE_HASH join-back. Both paths exact.
+      val mSmall = u.groupBy("m").agg(count(lit(1)).as("cnt")).count() <=
+        graft.GraftConf.getLong(s, graft.GraftConf.PrefixBroadcastMaxRows)
+      val melted =
+        Seq(struct(lit("r").as("metric"), col("r").as("v")),
+          struct(lit("f").as("metric"), col("f").as("v"))) ++
+        (if (mSmall) Seq(struct(lit("m").as("metric"), col("m").as("v")))
+         else Seq.empty)
+      val hm = u.select(explode(array(melted: _*)).as("x"))
         .select(col("x.metric").as("metric"), col("x.v").as("v"))
         .groupBy("metric", "v").agg(count(lit(1)).as("cnt"))
         .withColumn("cum_excl", coalesce(sum("cnt").over(
@@ -1238,9 +1287,20 @@ object EventOps {
       def bmap(metric: String): DataFrame = broadcast(
         hm.filter(col("metric") === metric)
           .select(col("v").as(metric + "_v"), col("b").as(metric + "_b")))
+      val mMap =
+        if (mSmall) bmap("m")
+        else {
+          val mHist = u.groupBy("m").agg(count(lit(1)).as("cnt"))
+          val (mCum, mTotal, _) =
+            graft.text.TextOps.rangeCumHist(s, mHist, "m", "cnt")
+          mCum.select(col("m").as("m_v"),
+            call_function("div", col("cum_excl") * 3L, lit(mTotal))
+              .cast("int").as("m_b"))
+            .hint("SHUFFLE_HASH")
+        }
       u.join(bmap("r"), col("r") === col("r_v"))
         .join(bmap("f"), col("f") === col("f_v"))
-        .join(bmap("m"), col("m") === col("m_v"))
+        .join(mMap, col("m") === col("m_v"))
         .groupBy("r_b", "f_b", "m_b")
         .agg(count(lit(1)).as("n_users"),
           (sum("m") / 100.0).as("total_monetary"))

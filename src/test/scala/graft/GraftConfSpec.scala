@@ -16,7 +16,8 @@ class GraftConfSpec extends AnyFunSuite {
       "spark.graft.ann.lsh.probes" -> "2",
       "spark.graft.ann.lsh.maxBucket" -> "10000",
       "spark.graft.seqpack.shards" -> "8",
-      "spark.graft.dedup.minhash.targetJ" -> "0.8")
+      "spark.graft.dedup.minhash.targetJ" -> "0.8",
+      "spark.graft.prefix.broadcastMaxRows" -> (1L << 22).toString)
     assert(GraftConf.all.map(k => k.key -> k.default).toMap === expected)
     assert(GraftConf.all.map(_.key).distinct.size === GraftConf.all.size)
   }
