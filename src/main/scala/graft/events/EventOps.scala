@@ -672,10 +672,13 @@ object EventOps {
         .withColumn("blk", floor(col("id") / 4096L))
       val wIn = Window.partitionBy("blk").orderBy("id")
         .rowsBetween(Window.unboundedPreceding, -1)
-      val wBlk = Window.orderBy("blk")
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val blkMax = base.groupBy("blk").agg(max("sec").as("bmax"))
-        .withColumn("pmax_prev", max("bmax").over(wBlk)).drop("bmax")
+      // checked-bounded prefix max over the per-block frame — one row
+      // per 4096-id block, which TRACKS the corpus (Prefix.cumExcl:
+      // window form only when the measured size passes the bound)
+      val (blkPfx, smallBlk) = graft.util.Prefix.cumExcl(s,
+        base.groupBy("blk").agg(max("sec").as("bmax")), "blk", "bmax", "max")
+      val blkMax0 = blkPfx.select(col("blk"), col("prefix").as("pmax_prev"))
+      val blkMax = if (smallBlk) broadcast(blkMax0) else blkMax0.hint("SHUFFLE_HASH")
       val late = base
         .withColumn("pmax_in", max("sec").over(wIn))
         .join(blkMax, "blk")
@@ -1071,23 +1074,14 @@ object EventOps {
       // a co-partitioned SHUFFLE_HASH on grp — the same exchange the
       // within-block window needs anyway, so corpus exchange count is
       // unchanged.
-      // CHECKED-bounded hybrid on the block count: ≤4M blocks (≈16
-      // billion events) → the window+broadcast form with its
-      // precondition verified at runtime; above → Prefix.rangeCumMax
-      // + co-partitioned SHUFFLE_HASH join (the window exchange on
-      // grp exists either way). Both paths exact.
-      val grpMax = e.groupBy("grp").agg(max("es").as("gmax")).localCheckpoint()
-      val prior = if (grpMax.count() <=
-          graft.GraftConf.getLong(s, graft.GraftConf.PrefixBroadcastMaxRows)) {
-        broadcast(grpMax
-          .withColumn("prefix", max("gmax").over(Window.orderBy("grp")
-            .rowsBetween(Window.unboundedPreceding, -1)))
-          .select("grp", "prefix"))
-      } else {
-        graft.util.Prefix.rangeCumMax(s, grpMax, "grp", "gmax")
-          .select("grp", "prefix")
-          .hint("SHUFFLE_HASH")
-      }
+      // checked-bounded hybrid on the block count (Prefix.cumExcl:
+      // ≤ the bound → window+broadcast with the precondition verified
+      // at runtime; above → range two-pass + co-partitioned
+      // SHUFFLE_HASH — the window exchange on grp exists either way)
+      val (grpPfx, smallGrp) = graft.util.Prefix.cumExcl(s,
+        e.groupBy("grp").agg(max("es").as("gmax")), "grp", "gmax", "max")
+      val prior0 = grpPfx.select("grp", "prefix")
+      val prior = if (smallGrp) broadcast(prior0) else prior0.hint("SHUFFLE_HASH")
       val wIn = Window.partitionBy("grp").orderBy("id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
       e.join(prior, Seq("grp"))
@@ -1259,7 +1253,7 @@ object EventOps {
       // The MONETARY histogram is different (r16): m is a per-user
       // SUM of cents, so its distinct values track the USER count —
       // its prefix sum runs as the range-partitioned two-pass
-      // (TextOps.rangeCumHist) and the value→bucket map joins back
+      // (Prefix.rangeCumHist) and the value→bucket map joins back
       // co-partitioned on m, never broadcast.
       // CHECKED-bounded hybrid on the m histogram size: the count is
       // one small job over the checkpointed user frame. ≤4M distinct
@@ -1292,7 +1286,7 @@ object EventOps {
         else {
           val mHist = u.groupBy("m").agg(count(lit(1)).as("cnt"))
           val (mCum, mTotal, _) =
-            graft.text.TextOps.rangeCumHist(s, mHist, "m", "cnt")
+            graft.util.Prefix.rangeCumHist(s, mHist, "m", "cnt")
           mCum.select(col("m").as("m_v"),
             call_function("div", col("cum_excl") * 3L, lit(mTotal))
               .cast("int").as("m_b"))
@@ -1551,12 +1545,13 @@ object EventOps {
       val blocks = ev(s, d)
         .select(expr("event_id div 4096").as("blk"))
         .groupBy("blk").agg(count(lit(1)).as("cnt"))
-      val tot = blocks.agg(sum("cnt").as("total"))
-      blocks.crossJoin(broadcast(tot))
-        .withColumn("cum_excl", coalesce(sum("cnt").over(Window.orderBy("blk")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      // checked-bounded prefix sum over the block frame (corpus/4096
+      // rows — Prefix.cumExcl picks window vs range path by size)
+      val (pfx, _) = graft.util.Prefix.cumExcl(s, blocks, "blk", "cnt", "sum")
+      val tot = pfx.agg(sum("cnt").as("total"))
+      pfx.crossJoin(broadcast(tot))
         .withColumn("chunk",
-          call_function("div", col("cum_excl") * 16L, col("total")).cast("int"))
+          call_function("div", col("prefix") * 16L, col("total")).cast("int"))
         .groupBy("chunk")
         .agg((min("blk") * 4096L).as("from_id"),
           ((max("blk") + 1L) * 4096L - 1L).as("to_id"),
@@ -1657,14 +1652,15 @@ object EventOps {
       val e = raw.select(col("event_id").as("id"),
         col("event_type").as("etype"), esCol.as("es"),
         expr("event_id div 4096").as("grp"))
-      val grpMax = e.groupBy("grp").agg(max("es").as("gmax"))
-      val prior = grpMax
-        .withColumn("prefix", max("gmax").over(Window.orderBy("grp")
-          .rowsBetween(Window.unboundedPreceding, -1)))
-        .select("grp", "prefix")
+      // checked-bounded prefix max over the per-block frontier frame
+      // (corpus/4096 rows — same Prefix.cumExcl discipline as A62)
+      val (grpPfx, smallGrp) = graft.util.Prefix.cumExcl(s,
+        e.groupBy("grp").agg(max("es").as("gmax")), "grp", "gmax", "max")
+      val prior0 = grpPfx.select("grp", "prefix")
+      val prior = if (smallGrp) broadcast(prior0) else prior0.hint("SHUFFLE_HASH")
       val wIn = Window.partitionBy("grp").orderBy("id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val late = e.join(broadcast(prior), "grp")
+      val late = e.join(prior, "grp")
         .select(col("etype"),
           (greatest(max("es").over(wIn), coalesce(col("prefix"), col("es"))) -
             col("es")).as("late"))

@@ -53,11 +53,16 @@ object Patterns {
   /** rsql/gapfill.go: detect id gaps (candidates for noop fill).
     * Two-level, like every corpus-sized ordered pass here: in-block
     * gaps come from a window PARTITIONED by coarse id block;
-    * cross-block gaps from lag over the tiny (block, min, max) frame
-    * — empty blocks fall inside those boundary gaps naturally. No
-    * single partition ever sorts the full id set.
+    * cross-block gaps from the exclusive prefix MAX over the (block,
+    * max-id) frame — ids partition by block in order, so the running
+    * max over earlier blocks IS the previous non-empty block's max id
+    * (what the r15 `lag` computed), and Prefix.cumExcl keeps that
+    * frame (corpus/4096 rows) off a single partition when it outgrows
+    * the checked bound. Empty blocks fall inside those boundary gaps
+    * naturally. No single partition ever sorts the full id set.
     */
   def gaps(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
     val t = events.select(col("id"))
       .withColumn("blk", call_function("div", col("id"), lit(4096L)))
     val local = Window.partitionBy("blk").orderBy("id")
@@ -65,9 +70,12 @@ object Patterns {
       .withColumn("prev", lag("id", 1).over(local))
       .filter(col("prev").isNotNull && col("id") - col("prev") > 1)
       .select((col("prev") + 1).as("gap_start"), (col("id") - 1).as("gap_end"))
-    val bw = Window.orderBy("blk")
-    val between = t.groupBy("blk").agg(min("id").as("mn"), max("id").as("mx"))
-      .withColumn("pmx", lag("mx", 1).over(bw))
+    val bAgg = t.groupBy("blk").agg(min("id").as("mn"), max("id").as("mx"))
+    val (pfx, small) = graft.util.Prefix.cumExcl(
+      s, bAgg.select("blk", "mx"), "blk", "mx", "max")
+    val pmx0 = pfx.select(col("blk"), col("prefix").as("pmx"))
+    val pmx = if (small) broadcast(pmx0) else pmx0.hint("SHUFFLE_HASH")
+    val between = bAgg.join(pmx, "blk")
       .filter(col("pmx").isNotNull && col("mn") - col("pmx") > 1)
       .select((col("pmx") + 1).as("gap_start"), (col("mn") - 1).as("gap_end"))
     inBlock.unionByName(between)

