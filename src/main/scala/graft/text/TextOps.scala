@@ -3167,14 +3167,16 @@ object TextOps {
       // (source, ch): the (source,ch,doc) dedup agg runs on it
       // without a new shuffle, the nd window reuses its clustering,
       // and the boiler flag is a window column instead of a join.
-      // the chunk stream exchanges ONCE on (source, ch); ReuseExchange
-      // feeds the same shuffle output to the boiler aggregation, the
-      // join probe, and the template rollup, so tokenize+md5 run once.
-      // The boiler side joins co-partitioned with a SHUFFLE_HASH hint:
-      // no broadcast (boiler is corpus-sized under heavy duplication),
-      // no sort-merge (a corpus-wide sort measured 3.8 s at sf0.1
-      // against this plan's ~1.5 s), no new exchange.
-      val chunksRep = chunks.repartition(col("source"), col("ch"))
+      // the chunk stream exchanges ONCE on (source, ch) and is
+      // MATERIALIZED there (localCheckpoint): the boiler aggregation,
+      // the join probe and the template rollup all read the same
+      // blocks, so tokenize+md5 run once (ReuseExchange alone left
+      // the probe and agg branches as two separate exchanges). The
+      // boiler side joins co-partitioned with a SHUFFLE_HASH hint: no
+      // broadcast (boiler is corpus-sized under heavy duplication —
+      // the regime this operator exists to detect), no sort-merge (a
+      // corpus-wide sort measured 3.8 s at sf0.1 against ~1.2 s).
+      val chunksRep = chunks.repartition(col("source"), col("ch")).localCheckpoint()
       val boiler = chunksRep.groupBy("source", "ch")
         .agg(countDistinct("doc_id").as("nd"))
         .filter(col("nd") >= 2)

@@ -50,7 +50,13 @@ class PlanShapeSpec extends AnyFunSuite {
     // the r15 line-dedup replan (hash-keyed count + semi-join, text
     // only in the doc-local reassembly branch)
     "dd_suffix_spans", "dd_suffix_source", "pipeline_rank_ensemble",
-    "ann_graph_search", "ann_graph_cells", "tx_line_dedup")
+    "ann_graph_search", "ann_graph_cells", "tx_line_dedup",
+    // r16 engineered shapes: tx_boilerplate's single (source,ch)
+    // exchange + SHUFFLE_HASH probe (no boiler broadcast),
+    // tx_vocab_coverage's TakeOrdered-bounded ranking, and the
+    // checked-bounded prefix hybrids
+    "tx_boilerplate", "tx_vocab_coverage", "ev_lateness",
+    "ev_rfm_segments")
 
   private case class Shape(shuffles: Int, singleParts: Int,
     broadcasts: Int, topks: Int) {
