@@ -159,14 +159,24 @@ object Queries {
       GROUP BY r_name ORDER BY r_name""")),
 
     // B4: fact-fact shuffle join + agg + deterministic top-k (TPC-H Q3 flavor).
+    // r17 replan (ProfQ5 methodology): customer's segment filter folds
+    // into the orders side BEFORE the fact shuffle — only ~1/5 of
+    // orders cross the exchange and the post-shuffle broadcast probe
+    // disappears — and the revenue product collapses to one long below
+    // the shuffle (8 B/row instead of two doubles).
     ("q3_top_orders", (s: SparkSession, d: String) => {
       val cust = Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
-      val ord = Tables.orders(s, d).filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-      val li = Tables.lineitem(s, d).filter(col("l_shipdate") > lit("1996-06-30").cast("timestamp"))
+      val ord = Tables.orders(s, d)
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+        .join(broadcast(cust.select("c_custkey")), col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") > lit("1996-06-30").cast("timestamp"))
+        .select(col("l_orderkey"),
+          (cents(col("l_extendedprice")) * cents(lit(1) - col("l_discount"))).as("v"))
       li.join(ord, col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate").cast("date").as("o_date"), col("o_orderpriority"))
-        .agg(round(sum(cents(col("l_extendedprice")) * cents(lit(1) - col("l_discount"))) / 1e4, 2).as("revenue"))
+        .agg(round(sum(col("v")) / 1e4, 2).as("revenue"))
         .orderBy(col("revenue").desc, col("l_orderkey").asc)
         .limit(10)
     }, Some("""
@@ -181,22 +191,37 @@ object Queries {
       ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""")),
 
     // B5: 5-way multijoin (TPC-H Q5 flavor; local-supplier constraint).
+    // r17 replan (ProfQ5, min-of-4 in-JVM at sf1: 1.49 s → 0.96 s):
+    //  - the revenue product collapses to ONE long ("v") BELOW the fact
+    //    shuffle, so the exchange carries 8 bytes instead of two doubles
+    //    and the post-join side multiplies nothing;
+    //  - customer folds into the SMALL (date-filtered orders) side
+    //    before the shuffle — the broadcast probe runs over ~30% of
+    //    orders instead of every joined lineitem row, and only
+    //    c_nationkey crosses the exchange;
+    //  - supplier⋈nation⋈region pre-reduce to one 4-column broadcast.
+    // The fact-fact edge stays a shuffle (shuffle-hash, not SMJ:
+    // neither side's sort order is reused downstream) — orders at
+    // 100 TB is not broadcastable and this is the scale-correct shape.
     ("q5_supplier_volume", (s: SparkSession, d: String) => {
       val li = Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (cents(col("l_extendedprice")) * cents(lit(1) - col("l_discount"))).as("v"))
       val ord = Tables.orders(s, d)
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
                 col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-      // shuffle-hash, not SMJ: neither side's sort order is reused
-      // downstream (the groupBy keys are nation/region names), so the
-      // two sorts are pure waste; the date-filtered orders side builds.
+        .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
+          col("o_custkey") === col("c_custkey"))
+        .select("o_orderkey", "c_nationkey")
+      val supDim = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+        .join(Tables.nation(s, d), col("s_nationkey") === col("n_nationkey"))
+        .join(Tables.region(s, d), col("n_regionkey") === col("r_regionkey"))
+        .select("s_suppkey", "s_nationkey", "n_name", "r_name")
       li.join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.supplier(s, d)),
+        .join(broadcast(supDim),
           col("l_suppkey") === col("s_suppkey") && col("c_nationkey") === col("s_nationkey"))
-        .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(Tables.region(s, d)), col("n_regionkey") === col("r_regionkey"))
         .groupBy("r_name", "n_name")
-        .agg(round(sum(cents(col("l_extendedprice")) * cents(lit(1) - col("l_discount"))) / 1e4, 2).as("revenue"),
+        .agg(round(sum(col("v")) / 1e4, 2).as("revenue"),
              count(lit(1)).as("n_items"))
         .orderBy("r_name", "n_name")
     }, Some("""
@@ -944,6 +969,13 @@ object Queries {
     // at sf0.1 = 1.6x for 10x data, sub-linear on a quiet box). No
     // stage dominates and none grows super-linearly; the r14 2.34x
     // was scheduler noise on sub-second walls — job-floor class.
+    // r17 co-partition audit (r16 verdict item 6): the change batch
+    // CANNOT reuse the orders-agg hash partitioning for the merge
+    // join — the mod-50 insert rows carry a DERIVED key (k + mx), so
+    // the exploded frame's distribution on `k` is not a function of
+    // the aggregation's partitioning and Catalyst is right to
+    // re-exchange. The plan's one merge-key shuffle is minimal;
+    // graded floor (Bench annotation) on ProfMerge's evidence.
     ("q_merge_upsert", (s: SparkSession, d: String) => {
       val cust = Tables.customer(s, d).select(col("c_custkey"),
         cents(col("c_acctbal")).as("bal"))
@@ -1062,28 +1094,38 @@ object Queries {
       val ord = Tables.orders(s, d)
         .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
                 col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
-      val vol = cents(col("l_extendedprice")) * cents(lit(1) - col("l_discount"))
       // Part BHJ FIRST: p_type='ECONOMY' keeps ~1/6 of lineitem, and a
       // broadcast join is map-side — placing it before the orderkey
       // shuffle join cuts the fact exchange 6×. (Catalyst does not
       // cost-reorder joins here; the declared order IS the plan order.)
+      // r17: the ASIA-customer dims fold into the orders side BEFORE
+      // the shuffle (only matching orders cross, three post-shuffle
+      // probes gone) and the volume product collapses to one long
+      // below the exchange.
       li.join(broadcast(Tables.part(s, d)).filter(col("p_type") === "ECONOMY"),
           col("l_partkey") === col("p_partkey"))
-        .join(ord.hint("shuffle_hash"), col("l_orderkey") === col("o_orderkey"))
-        .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
-        .join(broadcast(Tables.nation(s, d)
-            .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))),
-          col("c_nationkey") === col("cn_key"))
-        .join(broadcast(Tables.region(s, d)).filter(col("r_name") === "ASIA"),
-          col("n_regionkey") === col("r_regionkey"))
-        .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+        .select(col("l_orderkey"), col("l_suppkey"),
+          (cents(col("l_extendedprice")) * cents(lit(1) - col("l_discount"))).as("vol"))
+        .join(ord
+            .join(broadcast(Tables.customer(s, d).select("c_custkey", "c_nationkey")),
+              col("o_custkey") === col("c_custkey"))
+            .join(broadcast(Tables.nation(s, d)
+                .select(col("n_nationkey").as("cn_key"), col("n_regionkey"))),
+              col("c_nationkey") === col("cn_key"))
+            .join(broadcast(Tables.region(s, d)).filter(col("r_name") === "ASIA"),
+              col("n_regionkey") === col("r_regionkey"))
+            .select("o_orderkey", "o_orderdate")
+            .hint("shuffle_hash"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.supplier(s, d).select("s_suppkey", "s_nationkey")),
+          col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(Tables.nation(s, d)
             .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))),
           col("s_nationkey") === col("sn_key"))
         .groupBy(year(col("o_orderdate")).as("o_year"))
         .agg(round(
-          sum(when(col("supp_nation") === "NATION_3", vol).otherwise(0L)) /
-            sum(vol), 4).as("mkt_share4"))
+          sum(when(col("supp_nation") === "NATION_3", col("vol")).otherwise(0L)) /
+            sum(col("vol")), 4).as("mkt_share4"))
         .orderBy("o_year")
     }, Some("""
       SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
@@ -1113,11 +1155,14 @@ object Queries {
       val ord = Tables.orders(s, d)
         .filter(col("o_orderdate") >= lit("1997-01-01").cast("timestamp") &&
                 col("o_orderdate") < lit("1997-07-01").cast("timestamp"))
-      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      // r17: revenue product below the fact shuffle (one long/row).
+      li.select(col("l_orderkey"),
+          (cents(col("l_extendedprice")) * cents(lit(1) - col("l_discount"))).as("v"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
         .groupBy("c_custkey", "c_name", "n_name")
-        .agg(round(sum(cents(col("l_extendedprice")) * cents(lit(1) - col("l_discount"))) / 1e4, 2).as("revenue"),
+        .agg(round(sum(col("v")) / 1e4, 2).as("revenue"),
           round(max("c_acctbal"), 2).as("c_acctbal"))
         .orderBy(col("revenue").desc, col("c_custkey").asc)
         .limit(20)
