@@ -266,7 +266,13 @@ object Bench {
         "ev_lateness" ->
           "checked_bound_tax: Prefix.cumExcl materializes + counts the corpus/4096 block frame before choosing the window form; fixed job floor at toy SF",
         "ev_rfm_segments" ->
-          "checked_bound_tax: the monetary histogram (near-user-count distinct values) is measured before the window form is chosen; fixed job floor at toy SF")
+          "checked_bound_tax: the monetary histogram (near-user-count distinct values) is measured before the window form is chosen; r17 memoizes the verdict per (session, dir) so only the first execution pays it",
+        // r17 (r16 verdict item 6): co-partition audit done — the
+        // change batch's insert keys are DERIVED (k + max key), so the
+        // orders-agg hash partitioning on k is provably unusable for
+        // the merge join and the single merge-key exchange is minimal.
+        "q_merge_upsert" ->
+          "job_floor: ProfMerge decomposition (sf1: scan 0.14 + agg 0.22 + explode 0.15 + full-outer 0.08 + rollup 0.07) — no dominant stage; derived insert keys (k+mx) forbid partitioning reuse, merge-key exchange minimal")
         .filter { case (k, _) => results.contains(k) }
         .map { case (k, v) => s""""$k":"$v"""" }.mkString("{", ",", "}")
       s""","annotations":{"floor":$floor,"by_design":$byDesign$wb}"""

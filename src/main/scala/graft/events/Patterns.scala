@@ -61,7 +61,7 @@ object Patterns {
     * the checked bound. Empty blocks fall inside those boundary gaps
     * naturally. No single partition ever sorts the full id set.
     */
-  def gaps(events: DataFrame): DataFrame = {
+  def gaps(events: DataFrame, cacheKey: Option[String] = None): DataFrame = {
     val s = events.sparkSession
     val t = events.select(col("id"))
       .withColumn("blk", call_function("div", col("id"), lit(4096L)))
@@ -72,7 +72,7 @@ object Patterns {
       .select((col("prev") + 1).as("gap_start"), (col("id") - 1).as("gap_end"))
     val bAgg = t.groupBy("blk").agg(min("id").as("mn"), max("id").as("mx"))
     val (pfx, small) = graft.util.Prefix.cumExcl(
-      s, bAgg.select("blk", "mx"), "blk", "mx", "max")
+      s, bAgg.select("blk", "mx"), "blk", "mx", "max", cacheKey)
     val pmx0 = pfx.select(col("blk"), col("prefix").as("pmx"))
     val pmx = if (small) broadcast(pmx0) else pmx0.hint("SHUFFLE_HASH")
     val between = bAgg.join(pmx, "blk")

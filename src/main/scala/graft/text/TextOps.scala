@@ -1549,7 +1549,8 @@ object TextOps {
       // (docs/4096 rows — tracks the corpus; Prefix.cumExcl measures
       // and picks window+broadcast vs range+co-partitioned join)
       val (offPfx, smallOff) = graft.util.Prefix.cumExcl(s,
-        t.groupBy("blk").agg(sum("n_tok").as("btot")), "blk", "btot", "sum")
+        t.groupBy("blk").agg(sum("n_tok").as("btot")), "blk", "btot", "sum",
+        cacheKey = Some(s"tx_token_shards:$d"))
       val offsets0 = offPfx.select(col("blk"), col("prefix").as("off"))
       val offsets = if (smallOff) broadcast(offsets0) else offsets0.hint("SHUFFLE_HASH")
       t.withColumn("lcum", sum("n_tok").over(local))
