@@ -75,7 +75,7 @@ class AnnRecallSpec extends AnyFunSuite {
   test("graph path (two-layer): >=90% top-1 recall of planted perturbed clones") {
     // r14 bar for the C94 hierarchy (r13 verdict item 5): the L1 beam
     // walk + L2 descent must keep planted-clone recall at the LSH/IVF
-    // bar even though the rerank now touches only ef2=6 cells of ≤256
+    // bar even though the rerank now touches only ef2=8 cells of ≤256
     val recall = AnnOps.plantedCloneRecall(spark, TestSpark.sf,
       graft.SparkEntry.queries("ann_graph_search"))
     assert(recall >= 0.9, s"two-layer graph planted-clone recall $recall")
