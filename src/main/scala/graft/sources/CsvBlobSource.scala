@@ -130,4 +130,14 @@ object CsvBlobSource {
         to_json(struct(col("blob_key"), col("off"), col("ragged"))).as("metadata"),
         col("ragged"))
   }
+
+  /** Per-bucket poll loop with the reference's fixed-delay backoff
+    * (rblob WithBackoff) — same wiring as [[JsonBlobSource.poll]].
+    */
+  def poll(backoffMs: Long = 60000L,
+      stop: graft.events.Poller.PollStats => Boolean,
+      sleep: Long => Unit = Thread.sleep,
+      watcher: Option[graft.events.StreamWatcher] = None)(
+      body: () => Long): graft.events.Poller.PollStats =
+    JsonBlobSource.poll(backoffMs, stop, sleep, watcher)(body)
 }

@@ -21,10 +21,35 @@ import org.apache.spark.sql.expressions.Window
   * table adds 2 = processed for the mark-done transition the
   * reference performs via its status UPDATE.
   */
-final class ErrorsTable(spark: SparkSession, dir: String)
+final class ErrorsTable(spark: SparkSession, dir: String,
+    options: Seq[ErrorsTable.Opt] = Nil)
     extends graft.events.ErrorStore {
 
   val table = new EventsTable(spark, dir)
+
+  private val recordOnly = options.contains(ErrorsTable.RecordOnly)
+  private val customInserter = options.collectFirst {
+    case ErrorsTable.ErrorInserter(f) => f
+  }
+  private val eventInserter = options.collectFirst {
+    case ErrorsTable.ErrorEventInserter(f) => f
+  }
+  private val counter = options.collectFirst {
+    case ErrorsTable.ErrorCounter(f) => f
+  }
+
+  /** The streamable companion surface a retry processor consumes
+    * (rsql errorstable.go: the default eventInserter writes a
+    * companion `<errors>_events` table; this event-sourced mapping
+    * exposes the records log itself — zero copies). Under
+    * `RecordOnly` (rsql WithErrorRecordOnly) the records still
+    * persist and `errors()` still reports the full lifecycle, but
+    * this surface is EMPTY — nothing to stream, exactly the
+    * reference's nullEventInserter.
+    */
+  def stream: graft.events.EventLog =
+    if (recordOnly) new graft.events.EventLog(table.log.df.limit(0))
+    else table.log
 
   private def esc(s: String): String =
     s.replace("\\", "\\\\").replace("\"", "\\\"")
@@ -39,11 +64,21 @@ final class ErrorsTable(spark: SparkSession, dir: String)
 
   def recordReturningId(consumerName: String, eventId: Long, msg: String): Long = {
     import spark.implicits._
-    val meta =
-      s"""{"consumer":"${esc(consumerName)}","event_id":$eventId,"msg":"${esc(msg)}","status":1}"""
-    table.insert(Seq(
-      ("error_recorded", eventId, new java.sql.Timestamp(System.currentTimeMillis()), 0.0, meta))
-      .toDF("eventType", "foreignId", "ts", "value", "metadata"))
+    val id = customInserter match {
+      case Some(f) => f(consumerName, eventId, msg)
+      case None =>
+        val meta =
+          s"""{"consumer":"${esc(consumerName)}","event_id":$eventId,"msg":"${esc(msg)}","status":1}"""
+        table.insert(Seq(
+          ("error_recorded", eventId, new java.sql.Timestamp(System.currentTimeMillis()), 0.0, meta))
+          .toDF("eventType", "foreignId", "ts", "value", "metadata"))
+    }
+    // rsql WithErrorEventInserter: a custom companion-event emission
+    // (tee into the caller's own events table). The default needs no
+    // call — the record IS the stream event here.
+    eventInserter.foreach(f => f(consumerName, eventId, msg))
+    counter.foreach(f => f(consumerName))
+    id
   }
 
   /** Append a status-change event for an existing error id (the
@@ -87,4 +122,36 @@ final class ErrorsTable(spark: SparkSession, dir: String)
       .orderBy("error_id")
       .select("event_id", "msg")
       .collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+}
+
+/** Functional options mirroring rsql/errorstable.go's ErrorsOption
+  * family (:135 WithErrorInserter, :144 WithErrorEventInserter, :152
+  * WithErrorRecordOnly, :160 WithErrorCounter). Field-name options
+  * (:69-129) have no counterpart by design: the event-sourced mapping
+  * has no SQL column names to rebind — `errors()` is a view, renames
+  * are a `.withColumnRenamed` at the call site.
+  */
+object ErrorsTable {
+  sealed trait Opt
+
+  /** Record errors durably but do NOT enable streaming of them: the
+    * `stream` surface stays empty (rsql nullEventInserter).
+    */
+  case object RecordOnly extends Opt
+
+  /** Custom record insertion seam: (consumer, eventId, msg) → error
+    * id. Replaces the default `error_recorded` append; `errors()`
+    * only sees what the custom inserter chooses to write.
+    */
+  final case class ErrorInserter(f: (String, Long, String) => Long) extends Opt
+
+  /** Custom companion-event emission, called after each record —
+    * the tee-into-your-own-events-table seam.
+    */
+  final case class ErrorEventInserter(f: (String, Long, String) => Unit) extends Opt
+
+  /** Counts successfully recorded errors per consumer (rsql
+    * WithErrorCounter; default metric lives in Consumer metrics).
+    */
+  final case class ErrorCounter(f: String => Unit) extends Opt
 }

@@ -258,6 +258,27 @@ object JsonBlobSource {
         to_json(struct(col("blob_key"), col("off"))).as("metadata"))
   }
 
+  /** Per-bucket poll loop with the reference's backoff semantics
+    * (rblob/blob.go:32 WithBackoff: "the backoff duration before
+    * querying the underlying bucket for new blobs", default one
+    * minute, a FIXED delay — not a ladder). Wired into the Poller
+    * seam with initial == max so an idle source re-lists every
+    * `backoffMs`, exactly the reference's cadence; a productive poll
+    * re-polls immediately, and a `watcher` (wake-on-insert) short-
+    * circuits the park like everywhere else in the engine.
+    *
+    * `body` is one poll over this bucket — typically "list keys after
+    * the cursor, consume new records, return how many".
+    */
+  def poll(backoffMs: Long = 60000L,
+      stop: graft.events.Poller.PollStats => Boolean,
+      sleep: Long => Unit = Thread.sleep,
+      watcher: Option[graft.events.StreamWatcher] = None)(
+      body: () => Long): graft.events.Poller.PollStats =
+    graft.events.Poller.run(
+      initialBackoffMs = backoffMs, maxBackoffMs = backoffMs,
+      stop = stop, sleep = sleep, watcher = watcher)(body)
+
   /** Live tail of the blob directory as a stream (new blobs appear as
     * they land, like the reference's bucket polling).
     */

@@ -68,7 +68,7 @@ class ErrorsTableSpec extends AnyFunSuite {
     // reflex-style retry processor: CONSUME the error log like any
     // other event stream (grpc-error-table parity: errors are events)
     val seen = scala.collection.mutable.ArrayBuffer.empty[Long]
-    Runner.runToHead(Spec(et.table.log, new MemCursorStore(),
+    Runner.runToHead(Spec(et.stream, new MemCursorStore(),
       Consumer("retrier", b =>
         b.filter(col("eventType") === "error_recorded")
           .select("id").collect().foreach(r => seen += r.getLong(0)))))
@@ -76,5 +76,63 @@ class ErrorsTableSpec extends AnyFunSuite {
     et.markStatus(seen.head, 2)
     assert(et.errors().filter(col("consumer") === "flaky")
       .select("status").collect().head.getInt(0) === 2)
+  }
+
+  test("WithErrorRecordOnly: records persist, the stream surface is silent") {
+    val dir = Files.createTempDirectory("graft-errt3").resolve("errors").toString
+    val et = new ErrorsTable(spark, dir, Seq(ErrorsTable.RecordOnly))
+
+    val id = et.recordReturningId("c1", 7L, "kaput")
+    et.markStatus(id, 2)
+
+    // the durable record lifecycle is intact (rsql record-only still
+    // INSERTs + UPDATEs the consumer_errors rows)
+    val rows = et.errors().collect()
+    assert(rows.length === 1)
+    assert(rows.head.getAs[Int]("status") === 2)
+
+    // ...but nothing streams: no error_recorded, no error_status —
+    // a retry processor attached to the stream surface sees zero events
+    assert(et.stream.df.isEmpty)
+    val seen = scala.collection.mutable.ArrayBuffer.empty[String]
+    Runner.runToHead(Spec(et.stream, new MemCursorStore(),
+      Consumer("retrier", b =>
+        b.select("eventType").collect().foreach(r => seen += r.getString(0)))))
+    assert(seen.isEmpty)
+  }
+
+  test("custom inserter seams: ErrorInserter replaces the record write, ErrorEventInserter tees, ErrorCounter counts") {
+    val base = Files.createTempDirectory("graft-errt4")
+    val et = new ErrorsTable(spark, base.resolve("errors").toString)
+    val teeTable = new EventsTable(spark, base.resolve("tee").toString)
+
+    import spark.implicits._
+    val recorded = scala.collection.mutable.ArrayBuffer.empty[(String, Long, String)]
+    var counted = 0
+    val custom = new ErrorsTable(spark, base.resolve("custom").toString, Seq(
+      ErrorsTable.ErrorInserter { (c, eid, msg) =>
+        recorded += ((c, eid, msg)); 1000L + recorded.size
+      },
+      ErrorsTable.ErrorEventInserter { (c, eid, _) =>
+        teeTable.insert(Seq(("consumer_error", eid,
+          java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 0.0,
+          s"""{"consumer":"$c"}"""))
+          .toDF("eventType", "foreignId", "ts", "value", "metadata")); ()
+      },
+      ErrorsTable.ErrorCounter(_ => counted += 1)))
+
+    assert(custom.recordReturningId("cX", 11L, "m1") === 1001L)
+    assert(custom.recordReturningId("cX", 12L, "m2") === 1002L)
+    // the custom inserter owns persistence: the default log saw
+    // nothing (its backing table was never even created)
+    assert(custom.table.head === -1L)
+    assert(recorded.toSeq === Seq(("cX", 11L, "m1"), ("cX", 12L, "m2")))
+    // the tee received one companion event per record
+    assert(teeTable.log.df.filter(col("eventType") === "consumer_error")
+      .count() === 2L)
+    assert(counted === 2)
+    // the default-wired table is unaffected by the custom one
+    et.record("cY", 13L, "m3")
+    assert(et.errors().count() === 1L)
   }
 }

@@ -525,4 +525,27 @@ class SourcesSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](table.insert(overflow))
     assert(table.head === 1L)
   }
+
+  test("rblob WithBackoff: per-source poll delay is FIXED, not a ladder, and resets nothing") {
+    // rblob/blob.go:32 — the bucket re-list delay is a constant
+    // duration (default one minute). The source's poll seam must park
+    // exactly backoffMs between idle polls: no doubling (that's the
+    // rpatterns ladder, a different knob), custom value observed.
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val consumedAt = Iterator(0L, 0L, 5L, 0L)
+    val stats = JsonBlobSource.poll(
+      backoffMs = 250L,
+      stop = st => st.polls >= 4,
+      sleep = ms => sleeps += ms)(() => consumedAt.next())
+    assert(stats.polls === 4 && stats.consumed === 5L && stats.idlePolls === 3)
+    // parked after polls 1, 2 (idle) and NOT after poll 3 (productive);
+    // every park is exactly the configured fixed delay
+    assert(sleeps.toSeq === Seq(250L, 250L))
+
+    // CsvBlobSource shares the wiring
+    val sleeps2 = scala.collection.mutable.ArrayBuffer.empty[Long]
+    CsvBlobSource.poll(backoffMs = 40L, stop = _.polls >= 3,
+      sleep = ms => sleeps2 += ms)(() => 0L)
+    assert(sleeps2.toSeq === Seq(40L, 40L))
+  }
 }
