@@ -67,6 +67,14 @@ final class BatchConsumer(
   private val lock = new Object
   private var buf = Vector.empty[Event]
   private var failed: Throwable = null
+  /** First event id of the failed flush — the replay-coverage mark
+    * for the bridge's auto-reset (see `consumer`): a re-delivery
+    * starting at or before this id provably replays every event the
+    * failed flush lost, so the error state may clear and the retry
+    * succeed; one starting after it must keep aborting (committing
+    * its cursor would skip the lost events).
+    */
+  private var failedLowId = Long.MaxValue
   /** bumps on every flush/reset; a pending timer for an older
     * generation is stale and must no-op (the reference discards the
     * timer channel instead, batch.go:194)
@@ -181,7 +189,9 @@ final class BatchConsumer(
         }
       } catch {
         case NonFatal(t) =>
-          lock.synchronized { if (failed == null) failed = t }
+          lock.synchronized {
+            if (failed == null) { failed = t; failedLowId = batch.head.id }
+          }
           throw t
       }
     } finally {
@@ -197,6 +207,7 @@ final class BatchConsumer(
   def reset(): Option[Throwable] = lock.synchronized {
     val err = Option(failed)
     failed = null
+    failedLowId = Long.MaxValue
     buf = Vector.empty
     generation += 1
     Metrics.recordBatchBuffer(name, 0)
@@ -219,12 +230,31 @@ final class BatchConsumer(
     Consumer(name, df => {
       val spark = df.sparkSession
       import spark.implicits._
-      df.select(col("id"), col("eventType"), col("foreignId"), col("ts"),
-          col("value"), col("metadata"), col("trace"))
+      val evs = df.select(col("id"), col("eventType"), col("foreignId"),
+          col("ts"), col("value"), col("metadata"), col("trace"))
         .orderBy(col("id"))
         .as[Event]
         .collect()
-        .foreach(enqueue)
+      // r17 (r16 advice): reset-before-rerun, made SAFE. The
+      // reference clears the error state before re-running a failed
+      // stream from the processed cursor; here the state auto-clears
+      // exactly when this delivery's first id is at or before the
+      // failed flush's first id — i.e. the replay provably covers
+      // every event that flush lost. A BestEffort/DeadLetter retry of
+      // the failing batch therefore CAN succeed again (the r16
+      // regression), while a later-starting delivery still aborts
+      // with BatchStateException — committing its cursor would skip
+      // the lost events on the eventual rerun.
+      if (evs.nonEmpty) lock.synchronized {
+        if (failed != null && evs.head.id <= failedLowId) {
+          failed = null
+          failedLowId = Long.MaxValue
+          buf = Vector.empty
+          generation += 1
+          Metrics.recordBatchBuffer(name, 0)
+        }
+      }
+      evs.foreach(enqueue)
     })
   }
 }

@@ -60,6 +60,29 @@ object Errors {
   def isMetadataEventFilterErr(t: Throwable): Boolean =
     matches(t, classOf[MetadataEventFilterException], MetadataEventFilterErrCode)
 
+  /** r17 (r16 advice, medium): does this failure originate in
+    * EVALUATING a filter expression, as opposed to reading or
+    * scheduling the batch? Matches the engine's own coded raises
+    * (filter / deserialization codes riding a raise_error column),
+    * Spark's expression-runtime class (`SparkRuntimeException` —
+    * raise_error, ANSI eval failures), and UDF-execution failures by
+    * their error-class marker. Transient source/IO/executor errors
+    * (FileReadException, shuffle fetch failures, executor loss)
+    * deliberately do NOT match: the reference wraps only errors
+    * raised by the filter function itself (consumer.go asFilterErr),
+    * so everything else must stay eligible for the normal
+    * error-mode/retry machinery.
+    */
+  def isFilterOriginated(t: Throwable): Boolean =
+    isFilterErr(t) || isDeserializationErr(t) ||
+    chain(t).exists { e =>
+      // class-name match: SparkRuntimeException is private[spark] in
+      // its Scala signature, so an isInstanceOf won't compile here
+      e.getClass.getName == "org.apache.spark.SparkRuntimeException" ||
+      Option(e.getMessage).exists(m =>
+        m.contains("USER_RAISED_EXCEPTION") || m.contains("FAILED_EXECUTE_UDF"))
+    }
+
   /** errors.go IsExpected: true for errors that are part of normal
     * streaming operation (stop/interrupt — the JVM analog of
     * context.Canceled / ErrStopped; head-reached is a return value

@@ -65,12 +65,26 @@ object EventFilter {
     * unparseable JSON, the whole doc otherwise), turned into an
     * executor-side raise_error carrying the classification code — a
     * pure Column plan, no UDF, codegen-friendly on the happy path.
+    *
+    * Edge payloads (r17, r16 advice):
+    *  - the valid JSON literal `null` also nulls the probe, so it is
+    *    excluded explicitly — Go's json.Unmarshal("null", &T)
+    *    SUCCEEDS leaving T zero-valued, and the pred here sees the
+    *    all-null struct (any comparison predicate drops the row,
+    *    matching the zero-value non-match);
+    *  - empty/whitespace metadata IS malformed — json.Unmarshal("")
+    *    fails ("unexpected end of JSON input"), so the old silent
+    *    drop is now the reference's deserialization error;
+    *  - SQL NULL metadata stays a non-match (documented divergence:
+    *    the reference's events always carry a []byte payload, so a
+    *    Go-side nil never reaches its deserializer in practice).
     */
   def metadataEventFilter(schema: org.apache.spark.sql.types.StructType,
       pred: Column => Column): EventFilter = {
     if (schema == null || pred == null) throw new Errors.MetadataEventFilterException
     val parsed = from_json(col("metadata"), schema)
-    val malformed = col("metadata").isNotNull && trim(col("metadata")) =!= "" &&
+    val malformed = col("metadata").isNotNull &&
+      trim(col("metadata")) =!= "null" &&
       get_json_object(col("metadata"), "$").isNull
     Raw(when(malformed,
         raise_error(concat(
@@ -94,7 +108,15 @@ object EventFilter {
     * default, type or foreign id or a custom fn by option — with
     * fnv32 mod n; here the same portable md5-prefix hash as
     * `shardId`, parameterized on the key expression).
+    *
+    * A NULL key hashes as the empty string (r17, r16 advice):
+    * md5(null) is null, which would compare null against EVERY
+    * shard's id — the event silently matching no shard while each
+    * shard's cursor advances past it, breaking the disjoint-and-
+    * complete contract. Coalescing to "" lands all null-keyed events
+    * deterministically in one shard instead.
     */
   def shardIdOf(n: Int, key: Column): Column =
-    conv(substring(md5(key.cast("string")), 1, 4), 16, 10).cast("int") % n
+    conv(substring(md5(coalesce(key.cast("string"), lit(""))), 1, 4), 16, 10)
+      .cast("int") % n
 }

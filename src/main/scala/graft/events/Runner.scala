@@ -127,10 +127,16 @@ object Runner {
     // cache() is covered too: over a LocalRelation (testkit logs) the
     // optimizer's ConvertToLocalRelation evaluates the filter at
     // planning time, so the error can surface before the count.
+    // r17 (r16 advice): the wrap is NARROW — only failures whose
+    // cause chain carries a filter-evaluation marker classify
+    // (Errors.isFilterOriginated); a transient read/fetch error on a
+    // filtered spec flows into the error-mode/retry path below, like
+    // the reference, instead of aborting unretried as a filter bug.
     def wrapFilterErr[T](body: => T): T =
       try body
       catch {
-        case NonFatal(e) if spec.filter.isDefined =>
+        case NonFatal(e)
+            if spec.filter.isDefined && Errors.isFilterOriginated(e) =>
           throw new Errors.FilterException(e)
       }
     val cached = wrapFilterErr(batch.cache())

@@ -223,4 +223,56 @@ class BatchConsumerSpec extends AnyFunSuite {
       assert(bc.bufferLength === 200)
     } finally bc.stop()
   }
+
+  test("bridge auto-reset: BestEffort retry succeeds after a transient consume error (r16 advice)") {
+    val spark = TestSpark.spark
+    val log = EventLog(spark, TestSpark.sf) // ids 0..999
+    val readStore = new MemCursorStore()
+    val ackStore = new MemCursorStore()
+    val flushes = new CopyOnWriteArrayList[Int]()
+    val failOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    // flushLen == batchSize: the failed flush starts at the retried
+    // batch's first id, so the replay covers it and the error clears
+    val bc = BatchConsumer("bc-retry", ackStore,
+      b => {
+        if (failOnce.getAndSet(false)) throw new RuntimeException("transient")
+        flushes.add(b.size); ()
+      },
+      flushPeriodMs = 0L, flushLen = 250)
+    try {
+      val res = Runner.runToHead(Spec(log, readStore,
+        bc.consumer.copy(errorMode = BestEffort(retries = 2)), batchSize = 250))
+      assert(res.consumed === 1000L && res.skipped === 0L)
+      assert(flushes.asScala.toSeq === Seq(250, 250, 250, 250))
+      assert(ackStore.get("bc-retry") === Some(999L))
+    } finally bc.stop()
+  }
+
+  test("bridge auto-reset does NOT clear when the replay starts past the failed flush's events") {
+    val spark = TestSpark.spark
+    val log = EventLog(spark, TestSpark.sf)
+    val readStore = new MemCursorStore()
+    val ackStore = new MemCursorStore()
+    val flushes = new CopyOnWriteArrayList[Int]()
+    val failOnce = new java.util.concurrent.atomic.AtomicBoolean(true)
+    // flushLen 500 > batchSize 250: the failing flush [0..499] holds
+    // a PRIOR batch's events; retrying batch [250..499] must keep
+    // aborting — a successful retry would commit the cursor past the
+    // lost [0..249] and skip them forever
+    val bc = BatchConsumer("bc-noclear", ackStore,
+      b => {
+        if (failOnce.getAndSet(false)) throw new RuntimeException("transient")
+        flushes.add(b.size); ()
+      },
+      flushPeriodMs = 0L, flushLen = 500)
+    try {
+      val res = Runner.runToHead(Spec(log, readStore,
+        bc.consumer.copy(errorMode = BestEffort(retries = 2)), batchSize = 250))
+      // batch1 buffered fine; every later batch aborts on the poisoned
+      // state (BatchStateException) and is skipped, never committed
+      assert(res.consumed === 250L && res.skipped === 750L)
+      assert(flushes.asScala.isEmpty)
+      assert(ackStore.get("bc-noclear") === None)
+    } finally bc.stop()
+  }
 }
