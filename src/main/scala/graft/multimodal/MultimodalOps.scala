@@ -218,7 +218,12 @@ object MultimodalOps {
     ("mm_embed_ann", (s: SparkSession, d: String) => {
       graft.functions.GraftFunctions.register(s)
       import s.implicits._
+      // null payloads are NOT files (the null-doc universe contract,
+      // SURVEY §3): unfiltered they reach the typed encoder as a null
+      // Array[Byte] (NPE), and a zero-histogram embedding would rank
+      // NaN-cosine above every real neighbor — r17 adversarial rows
       val emb = asMedia(graft.Tables.documents(s, d))
+        .filter(col("payload").isNotNull)
         .select(col("doc_id"), col("payload")).as[(Long, Array[Byte])]
         .map { case (id, bytes) =>
           // STUB encoder: byte histogram folded into 16 dims, L2-normalized
@@ -243,8 +248,12 @@ object MultimodalOps {
 
     // C14: frame sampling for video payloads — every 2nd frame.
     ("mm_frame_sample", (s: SparkSession, d: String) => {
+      // null payloads are NOT files (null-doc contract): previously
+      // they fell out only incidentally (null n_frames → null
+      // sequence → explode drops the row); the filter makes the
+      // contract explicit and keeps the typed math null-free — r17
       val media = asMedia(graft.Tables.documents(s, d))
-        .filter(col("kind") === "video")
+        .filter(col("kind") === "video" && col("payload").isNotNull)
         .withColumn("n_frames", (floor(length(col("payload")) / 100) + 1).cast("int"))
         .withColumn("sha", sha2(col("payload"), 256))
       media
@@ -257,7 +266,7 @@ object MultimodalOps {
       WITH v AS (
         SELECT doc_id, sha256(text) AS sha,
                CAST(octet_length(encode(text)) // 100 + 1 AS INTEGER) AS n_frames
-        FROM documents WHERE doc_id % 3 = 2)
+        FROM documents WHERE doc_id % 3 = 2 AND text IS NOT NULL)
       SELECT doc_id, CAST(unnest(generate_series(0, n_frames - 1, 2)) AS INTEGER) AS frame_idx,
              md5(sha || ':' || CAST(unnest(generate_series(0, n_frames - 1, 2)) AS VARCHAR)) AS frame_sha
       FROM v ORDER BY doc_id, frame_idx""")),

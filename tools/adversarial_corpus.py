@@ -112,6 +112,22 @@ def texts():
     at_mod7("RIFF0000DATA not wave")    # RIFF without WAVE at bytes 9-12
     at_mod7("GIF8")                     # exact 4-byte magic, nothing after
     at_mod7("R")                        # 1-byte payload
+
+    # ---- r17: frame-sample + embed-stub edges (r16 verdict item 10) ----
+    # mm_frame_sample consumes only doc_id % 3 == 2 (video) payloads,
+    # and mm_embed_ann byte-histograms EVERY payload. Pin a NULL, a
+    # 1-byte, and 100-byte-boundary payloads to video positions so the
+    # frame arithmetic and the null-doc contract are exercised on the
+    # branch that reads them.
+    def at_mod3_2(text, lang="en", source="srcv"):
+        while len(rows) % 3 != 2:
+            rows.append((f"video filler pad {len(rows)} data and of", "en", "srcv"))
+        rows.append((text, lang, source))
+    at_mod3_2(None)          # null video payload: not a file, no frames
+    at_mod3_2("Q")           # 1-byte video: exactly one frame (idx 0)
+    at_mod3_2("f" * 99)      # 99 bytes: still a single frame
+    at_mod3_2("g" * 100)     # 100 bytes: two frames, sampling keeps idx 0
+    at_mod3_2("h" * 201)     # 201 bytes: three frames, samples idx 0 and 2
     return rows
 
 
