@@ -1,0 +1,59 @@
+package graft.tools
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
+
+/** Decompose a query's wall into its Spark jobs: for each job, wall
+  * time, stage count, task count and the dominant stage's name. The
+  * fastest way to tell a many-small-jobs floor (collects, checkpoint
+  * materializations, measure passes) from one genuinely slow stage.
+  *
+  * Usage: runMain graft.tools.ProfJobs <sfDir> <query>[,<query>...]
+  */
+object ProfJobs {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, names) = args.take(2)
+    val spark = graft.Graft.session("graft-profjobs")
+    Seq("lineitem", "events", "documents", "embeddings").foreach { t =>
+      spark.read.parquet(s"$sfDir/$t.parquet").count()
+    }
+    val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int)]()
+    val done = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
+    val stageTasks = new java.util.concurrent.ConcurrentHashMap[Int, (Int, Double)]()
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs.put(js.jobId, (js.time, js.stageInfos.size))
+      override def onJobEnd(je: SparkListenerJobEnd): Unit = {
+        val st = Option(jobs.get(je.jobId)).map(_._1).getOrElse(je.time)
+        done.synchronized { done += ((je.jobId, (je.time - st) / 1e3)) }
+      }
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val si = sc.stageInfo
+        val wall = (for {s <- si.submissionTime; c <- si.completionTime} yield (c - s) / 1e3).getOrElse(0.0)
+        stageTasks.put(si.stageId, (si.numTasks, wall))
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    names.split(",").foreach { name =>
+      val fn = graft.SparkEntry.queries(name)
+      // warm run first so JIT/codegen doesn't pollute the decomposition
+      fn(spark, sfDir).count()
+      done.synchronized { done.clear() }; jobs.clear(); stageTasks.clear()
+      val t0 = System.nanoTime()
+      fn(spark, sfDir).count()
+      val wall = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(200) // let listener events drain
+      val rows = done.synchronized { done.toVector }.sortBy(_._1)
+      println(f"==== $name wall=$wall%.3f s jobs=${rows.size}")
+      rows.foreach { case (id, sec) =>
+        val nStages = Option(jobs.get(id)).map(_._2).getOrElse(-1)
+        println(f"  job $id%3d  $sec%7.3f s  stages=$nStages")
+      }
+      val st = {
+        import scala.jdk.CollectionConverters._
+        stageTasks.asScala.toVector.sortBy(-_._2._2).take(8)
+      }
+      st.foreach { case (sid, (nt, w)) => println(f"  stage $sid%4d  $w%7.3f s  tasks=$nt") }
+    }
+    spark.stop()
+  }
+}
