@@ -680,8 +680,8 @@ object AnnOps {
     ("ann_rerank_stub", (s: SparkSession, d: String) => {
       val cands = topK(probeScores(s, d, probeMax = 16), 20)
       val scored = cands.withColumn("score",
-        conv(substring(md5(concat_ws("_", col("probe"), col("neighbor"))), 1, 8), 16, 10)
-          .cast("long") % 10001L)
+        graft.functions.GraftFunctions.md5PrefixLong(
+          concat_ws("_", col("probe"), col("neighbor")), 8) % 10001L)
       val w = Window.partitionBy("probe")
         .orderBy(col("score").desc, col("neighbor").asc)
       scored.withColumn("rrk", row_number().over(w))

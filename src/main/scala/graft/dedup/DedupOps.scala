@@ -1072,8 +1072,8 @@ object DedupOps {
     // Output: per (split, tier) the doc counts and contamination
     // ratio at the ratio4 grain.
     ("dd_split_leakage", (s: SparkSession, d: String) => {
-      val b = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("int") % 100
+      val b = graft.functions.GraftFunctions.md5PrefixLong(
+        col("doc_id").cast("string"), 4).cast("int") % 100
       val split = when(b < 80, "train").when(b < 90, "val").otherwise("test")
       val sp = docs(s, d).select(col("doc_id"), split.as("split"),
         TextOps.fingerprint(col("text")).as("fp"))

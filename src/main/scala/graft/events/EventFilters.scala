@@ -117,6 +117,6 @@ object EventFilter {
     * deterministically in one shard instead.
     */
   def shardIdOf(n: Int, key: Column): Column =
-    conv(substring(md5(coalesce(key.cast("string"), lit(""))), 1, 4), 16, 10)
-      .cast("int") % n
+    graft.functions.GraftFunctions.md5PrefixLong(
+      coalesce(key.cast("string"), lit("")), 4).cast("int") % n
 }

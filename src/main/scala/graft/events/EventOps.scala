@@ -882,8 +882,8 @@ object EventOps {
     // fraction. Pure int math on one distinct-user frame.
     ("ev_shard_rebalance", (s: SparkSession, d: String) => {
       val d4 = (x: Column, y: Column) => call_function("div", x, y)
-      val h = conv(substring(md5(col("fid").cast("string")), 1, 4), 16, 10)
-        .cast("long")
+      val h = graft.functions.GraftFunctions.md5PrefixLong(
+        col("fid").cast("string"), 4)
       val users = Event.project(ev(s, d))
         .select(col("foreignId").as("fid")).distinct()
         .withColumn("h", h)

@@ -88,6 +88,16 @@ object GraftFunctions {
       s"jaccard_sorted expects 2 arguments, got ${other.size}")
   }
 
+  /** Column-level entry for Md5PrefixLong — built directly from the
+    * expression (no registry lookup), so call sites need no session
+    * registration. Bit-identical to
+    * `conv(substring(md5(c), 1, n), 16, 10).cast("long")`.
+    */
+  def md5PrefixLong(c: org.apache.spark.sql.Column, n: Int): org.apache.spark.sql.Column =
+    org.apache.spark.sql.GraftSqlBridge.column(Md5PrefixLong(
+      org.apache.spark.sql.GraftSqlBridge.expr(c),
+      org.apache.spark.sql.catalyst.expressions.Literal(n)))
+
   /** Spark's native runtime-filter Bloom expressions, surfaced as SQL
     * functions (they ship in catalyst for join runtime filters but are
     * not in the public registry): `bloom_filter_agg(longCol[, nItems
@@ -140,6 +150,8 @@ object GraftFunctions {
       "bloom_filter_agg", bloomAggBuilder, "built-in")
     spark.sessionState.functionRegistry.createOrReplaceTempFunction(
       "might_contain", mightContainBuilder, "built-in")
+    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+      "md5_prefix_long", Md5PrefixLong.builder, "built-in")
   }
 }
 

@@ -25,6 +25,55 @@ object MultimodalOps {
     * round-robin. At 100 TB the payload column comes straight from
     * parquet and this projection disappears.
     */
+  /** Codepoints of `text` in Spark's length()/substring() units (one
+    * slot per codepoint, surrogate pairs collapse to one) — the array
+    * the dHash / VAD kernels index the way the declarative
+    * `ascii(substring(text, j, 1))` chain does.
+    */
+  private def codepoints(text: String): Array[Int] = {
+    val n = text.codePointCount(0, text.length)
+    val cps = new Array[Int](n)
+    var i = 0
+    var k = 0
+    while (i < text.length) {
+      val cp = text.codePointAt(i)
+      cps(k) = cp
+      k += 1
+      i += Character.charCount(cp)
+    }
+    cps
+  }
+
+  /** 63-bit dHash over the 64-cell proportional grid — bit-identical
+    * to the declarative transform/aggregate chain it replaced (r17:
+    * the interpreted HOFs allocated one UTF8String per CHARACTER via
+    * ascii(substring(text, j, 1)); ProfJobs measured the signature
+    * stage at ~10 CPU-seconds at sf0.1 for work that is one linear
+    * byte scan). Exact int64 cross-multiplied comparisons, no
+    * division — the same bits both engines compute.
+    */
+  private[multimodal] def phash64(text: String): Long = {
+    val cps = codepoints(text)
+    val L = cps.length.toLong
+    var ph = 0L
+    var prevS = 0L
+    var prevW = 0L
+    var b = 0
+    while (b < 64) {
+      val from = (b * L / 64).toInt
+      val until = ((b + 1) * L / 64).toInt
+      var acc = 0L
+      var j = from
+      while (j < until) { acc += cps(j); j += 1 }
+      val w = (until - from).toLong
+      if (b > 0 && prevS * w > acc * prevW) ph |= (1L << (b - 1))
+      prevS = acc
+      prevW = w
+      b += 1
+    }
+    ph
+  }
+
   def asMedia(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
@@ -438,19 +487,17 @@ object MultimodalOps {
       val planted = base.filter(col("doc_id") % 97 === 0)
         .select((-col("doc_id") - 1L).as("doc_id"),
           concat(lit("z"), expr("substring(text, 2)")).as("text"))
-      val sigs = base.unionByName(planted)
-        .withColumn("L", length(col("text")).cast("long"))
-        .withColumn("ss", expr(
-          """transform(sequence(0, 63), i -> aggregate(
-               sequence(CAST(i * L DIV 64 AS INT) + 1, CAST((i + 1) * L DIV 64 AS INT)),
-               CAST(0 AS BIGINT), (acc, j) -> acc + ascii(substring(text, j, 1))))"""))
-        .withColumn("ln", expr(
-          "transform(sequence(0, 63), i -> CAST((i + 1) * L DIV 64 - i * L DIV 64 AS BIGINT))"))
-        .withColumn("ph", expr(
-          """aggregate(sequence(0, 62), CAST(0 AS BIGINT), (acc, i) ->
-               acc + IF(ss[i] * ln[i + 1] > ss[i + 1] * ln[i],
-                        shiftleft(CAST(1 AS BIGINT), i), CAST(0 AS BIGINT)))"""))
-        .select("doc_id", "ph")
+      // r17: the signature is a typed one-scan kernel (phash64) —
+      // bit-identical to the former transform/aggregate HOF chain,
+      // which was interpreted per row and allocated one UTF8String
+      // per character (the query's dominant CPU at every SF).
+      val sigs = {
+        import s.implicits._
+        base.unionByName(planted)
+          .as[(Long, String)]
+          .mapPartitions(_.map { case (id, text) => (id, phash64(text)) })
+          .toDF("doc_id", "ph")
+      }
       val banded = sigs.select(col("doc_id"), col("ph"), explode(expr(
           """transform(sequence(0, 3), b ->
                struct(b AS band, shiftrightunsigned(ph, b * 16) & 65535 AS bh))""")).as("e"))
@@ -520,32 +567,47 @@ object MultimodalOps {
     // FULL 16-byte windows (the trailing partial frame is out of
     // scope, like the phash grid rule); docs below one frame drop.
     ("mm_vad_segments", (s: SparkSession, d: String) => {
+      import s.implicits._
+      // r17: frame energies + the segment fold run in ONE typed scan
+      // (same exact int64 arithmetic as the former per-row HOF chain,
+      // which was interpreted and allocated one UTF8String per
+      // character). Filters stay declarative so null/short docs drop
+      // before the kernel, as before.
       graft.Tables.documents(s, d)
         .filter(col("doc_id") % 3 === 1 && length(col("text")) >= 16)
         .select(col("doc_id"), col("text"))
-        .withColumn("nf", (length(col("text")).cast("long") / 16L).cast("long"))
-        .withColumn("fr", expr(
-          """transform(sequence(0, CAST(nf AS INT) - 1), i -> aggregate(
-               sequence(i * 16 + 1, i * 16 + 16),
-               CAST(0 AS BIGINT), (acc, j) -> acc + ascii(substring(text, j, 1))))"""))
-        .withColumn("total", expr(
-          "aggregate(fr, CAST(0 AS BIGINT), (acc, x) -> acc + x)"))
-        .withColumn("act", expr("transform(fr, x -> x * nf > total)"))
-        .withColumn("st", expr(
-          """aggregate(act,
-               struct(CAST(0 AS BIGINT) AS nseg, CAST(0 AS BIGINT) AS cur, CAST(0 AS BIGINT) AS best),
-               (acc, x) -> IF(x,
-                 struct(CAST(acc.nseg + IF(acc.cur = 0, 1, 0) AS BIGINT) AS nseg,
-                        CAST(acc.cur + 1 AS BIGINT) AS cur,
-                        CAST(greatest(acc.best, acc.cur + 1) AS BIGINT) AS best),
-                 struct(acc.nseg AS nseg, CAST(0 AS BIGINT) AS cur, acc.best AS best)))"""))
-        .select(col("doc_id"), col("nf").as("n_frames"),
-          expr("CAST(size(filter(act, x -> x)) AS BIGINT)").as("n_active"),
-          col("st.nseg").as("n_segments"),
-          col("st.best").as("longest_run"),
-          call_function("div",
-            expr("CAST(size(filter(act, x -> x)) AS BIGINT)") * 20000L + col("nf"),
-            col("nf") * 2L).as("active_ratio4"))
+        .as[(Long, String)]
+        .mapPartitions(_.map { case (id, text) =>
+          val cps = codepoints(text)
+          val nf = cps.length / 16
+          val fr = new Array[Long](nf)
+          var total = 0L
+          var i = 0
+          while (i < nf) {
+            var acc = 0L
+            var j = i * 16
+            val until = j + 16
+            while (j < until) { acc += cps(j); j += 1 }
+            fr(i) = acc
+            total += acc
+            i += 1
+          }
+          var nseg = 0L; var cur = 0L; var best = 0L; var nact = 0L
+          i = 0
+          while (i < nf) {
+            if (fr(i) * nf > total) {
+              if (cur == 0L) nseg += 1L
+              cur += 1L
+              if (cur > best) best = cur
+              nact += 1L
+            } else cur = 0L
+            i += 1
+          }
+          val nfL = nf.toLong
+          (id, nfL, nact, nseg, best, (nact * 20000L + nfL) / (nfL * 2L))
+        })
+        .toDF("doc_id", "n_frames", "n_active", "n_segments",
+          "longest_run", "active_ratio4")
         .orderBy("doc_id")
     }, Some("""
       WITH a0 AS (

@@ -339,8 +339,8 @@ object TextOps {
     */
   def linearScoreS4(s: SparkSession, d: String): DataFrame = {
     def stubW(t: Column, salt: String): Column =
-      (conv(substring(md5(if (salt.isEmpty) t else concat(t, lit(salt))), 1, 8), 16, 10)
-        .cast("long") % 20001L) - 10000L
+      (graft.functions.GraftFunctions.md5PrefixLong(
+        if (salt.isEmpty) t else concat(t, lit(salt)), 8) % 20001L) - 10000L
     val d4 = (x: Column, y: Column) => call_function("div", x, y)
     val dtf = docTermCounts(s, d)
       .filter(length(col("term")) >= 1)
@@ -1351,8 +1351,8 @@ object TextOps {
     // corpus grows. 80/10/10 on the md5 bucket; reported per (lang,
     // split) so mixture skew across splits is visible at a glance.
     ("tx_splits", (s: SparkSession, d: String) => {
-      val b = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("int") % 100
+      val b = graft.functions.GraftFunctions.md5PrefixLong(
+        col("doc_id").cast("string"), 4).cast("int") % 100
       val split = when(b < 80, "train").when(b < 90, "val").otherwise("test")
       docs(s, d).select(col("lang"), split.as("split"),
           length(col("text")).as("len"))
@@ -1490,8 +1490,8 @@ object TextOps {
     // so replays/retries keep the same sample at any scale; plus the
     // per-stratum reweighting factor to hit a uniform target mixture.
     ("tx_stratified_sample", (s: SparkSession, d: String) => {
-      val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("int") % 100
+      val bucket = graft.functions.GraftFunctions.md5PrefixLong(
+        col("doc_id").cast("string"), 4).cast("int") % 100
       val sampled = docs(s, d)
         .withColumn("in_sample", (bucket < 20).cast("int"))
       // corpus total folds into the plan as a broadcast 1-row frame —
@@ -1649,8 +1649,8 @@ object TextOps {
       // instead of five declarative regex/HOF columns — same values,
       // ~4x less per-row work at sf1; the split hash stays declarative
       // (one cheap md5 on the doc id)
-      val b = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("int") % 100
+      val b = graft.functions.GraftFunctions.md5PrefixLong(
+        col("doc_id").cast("string"), 4).cast("int") % 100
       val split = when(b < 80, "train").when(b < 90, "val").otherwise("test")
       val base = docQualityStats(s, d)
         .select(col("doc_id"), col("lang"), col("n"), col("nd"),
@@ -2414,8 +2414,8 @@ object TextOps {
     // division at the end.
     ("tx_linear_score", (s: SparkSession, d: String) => {
       def stubW(t: Column, salt: String): Column =
-        (conv(substring(md5(if (salt.isEmpty) t else concat(t, lit(salt))), 1, 8), 16, 10)
-          .cast("long") % 20001L) - 10000L
+        (graft.functions.GraftFunctions.md5PrefixLong(
+          if (salt.isEmpty) t else concat(t, lit(salt)), 8) % 20001L) - 10000L
       val dtf = docTermCounts(s, d)
         .filter(length(col("term")) >= 1)
         .select(col("doc_id"), col("term"), col("tf"))
@@ -2862,8 +2862,8 @@ object TextOps {
       // entry), not per (doc, term) row — at sf1 the row-wise md5 was
       // ~5M hashes for a few-thousand-word vocabulary.
       def stubW(t: Column, salt: String): Column =
-        (conv(substring(md5(if (salt.isEmpty) t else concat(t, lit(salt))), 1, 8), 16, 10)
-          .cast("long") % 20001L) - 10000L
+        (graft.functions.GraftFunctions.md5PrefixLong(
+          if (salt.isEmpty) t else concat(t, lit(salt)), 8) % 20001L) - 10000L
       val dtf = docTermCounts(s, d)
         .filter(length(col("term")) >= 1)
         .select(col("doc_id"), col("term"), col("tf"))
@@ -2900,11 +2900,24 @@ object TextOps {
       // count, not assumed from the clamp. The three corpus
       // aggregations submit concurrently (they were parallel
       // subtrees of one job before r16; futures keep that overlap).
-      def rankMap(df: DataFrame, c: String, lowerBetter: Boolean): DataFrame = {
-        val hist = df.groupBy(c).agg(count(lit(1)).as("cnt")).collect()
+      // ONE job builds all three clamp-bounded histograms (r17: the
+      // three per-signal groupBy+collect jobs ran concurrently but
+      // still cost three passes over `scored` plus three job floors;
+      // a single explode -> (sig, v) count pass collects the same
+      // rows). Prefix sums stay driver-side on the collected
+      // histograms — same r15/r16 no-SinglePartition-window plan.
+      val hist3 = scored.select(explode(array(
+          struct(lit("q4").as("sig"), col("q4").as("v")),
+          struct(lit("fk4").as("sig"), col("fk4").as("v")),
+          struct(lit("lin4").as("sig"), col("lin4").as("v")))).as("sv"))
+        .groupBy(col("sv.sig").as("sig"), col("sv.v").as("v"))
+        .agg(count(lit(1)).as("cnt")).collect()
+        .groupBy(_.getString(0))
+      def rankMap(c: String, lowerBetter: Boolean): DataFrame = {
+        val hist = hist3.getOrElse(c, Array.empty[org.apache.spark.sql.Row])
         require(hist.length <= 2000001,
           s"$c rank map has ${hist.length} distinct values — score clamp broken, not broadcastable")
-        val sorted = hist.map(r => (r.getLong(0), r.getLong(1)))
+        val sorted = hist.map(r => (r.getLong(1), r.getLong(2)))
           .sortBy(p => if (lowerBetter) p._1 else -p._1)
         val out = new Array[(Long, Long)](sorted.length)
         var run = 0L
@@ -2915,14 +2928,10 @@ object TextOps {
         import s.implicits._
         s.createDataset(out.toIndexedSeq).toDF(c, "rk" + c)
       }
-      import scala.concurrent.{Await, Future}
-      import scala.concurrent.duration.Duration
-      import scala.concurrent.ExecutionContext.Implicits.global
       val maps = Seq(
-        Future(rankMap(scored, "q4", lowerBetter = false)),
-        Future(rankMap(scored, "fk4", lowerBetter = true)),
-        Future(rankMap(scored, "lin4", lowerBetter = false)))
-        .map(Await.result(_, Duration.Inf))
+        rankMap("q4", lowerBetter = false),
+        rankMap("fk4", lowerBetter = true),
+        rankMap("lin4", lowerBetter = false))
       val ranked = scored
         .join(broadcast(maps(0)), "q4")
         .join(broadcast(maps(1)), "fk4")
@@ -3031,8 +3040,8 @@ object TextOps {
       val counts = toks.groupBy("doc_id").agg(count(lit(1)).as("n_toks"))
       val wIsl = Window.partitionBy("doc_id").orderBy("idx")
       val spans = toks
-        .filter((conv(substring(md5(concat_ws("-", col("doc_id"), col("idx"))), 1, 4), 16, 10)
-          .cast("long") % 100L) < 15L)
+        .filter((graft.functions.GraftFunctions.md5PrefixLong(
+          concat_ws("-", col("doc_id"), col("idx")), 4) % 100L) < 15L)
         .withColumn("island", col("idx") - row_number().over(wIsl))
         .groupBy("doc_id")
         .agg(countDistinct("island").as("n_spans"), count(lit(1)).as("n_masked"))
@@ -3832,8 +3841,8 @@ object TextOps {
     // bits of divergence.
     ("tx_split_kl", (s: SparkSession, d: String) => {
       import s.implicits._
-      val bkt = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
-        .cast("int") % 100
+      val bkt = graft.functions.GraftFunctions.md5PrefixLong(
+        col("doc_id").cast("string"), 4).cast("int") % 100
       val sp = when(bkt < 80, "train").when(bkt < 90, "val").otherwise("test")
       val tc = docTermCounts(s, d)
         .withColumn("split", sp)

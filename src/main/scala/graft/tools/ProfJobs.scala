@@ -19,6 +19,7 @@ object ProfJobs {
     val jobs = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Int)]()
     val done = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
     val stageTasks = new java.util.concurrent.ConcurrentHashMap[Int, (Int, Double)]()
+    val stageMetrics = new java.util.concurrent.ConcurrentHashMap[Int, (Double, Double, Double, Double)]()
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
         jobs.put(js.jobId, (js.time, js.stageInfos.size))
@@ -30,6 +31,10 @@ object ProfJobs {
         val si = sc.stageInfo
         val wall = (for {s <- si.submissionTime; c <- si.completionTime} yield (c - s) / 1e3).getOrElse(0.0)
         stageTasks.put(si.stageId, (si.numTasks, wall))
+        val m = si.taskMetrics
+        if (m != null) stageMetrics.put(si.stageId,
+          (m.executorRunTime / 1e3, m.executorDeserializeTime / 1e3,
+            m.jvmGCTime / 1e3, m.executorCpuTime / 1e9))
       }
     }
     spark.sparkContext.addSparkListener(listener)
@@ -52,7 +57,10 @@ object ProfJobs {
         import scala.jdk.CollectionConverters._
         stageTasks.asScala.toVector.sortBy(-_._2._2).take(8)
       }
-      st.foreach { case (sid, (nt, w)) => println(f"  stage $sid%4d  $w%7.3f s  tasks=$nt") }
+      st.foreach { case (sid, (nt, w)) =>
+        val (run, deser, gc, cpu) = Option(stageMetrics.get(sid)).getOrElse((0.0, 0.0, 0.0, 0.0))
+        println(f"  stage $sid%4d  $w%7.3f s  tasks=$nt  sumRun=$run%6.3f deser=$deser%5.3f gc=$gc%5.3f cpu=$cpu%6.3f")
+      }
     }
     spark.stop()
   }

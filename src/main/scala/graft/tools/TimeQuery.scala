@@ -20,7 +20,8 @@ object TimeQuery {
         fn(spark, sfDir).count()
         (System.nanoTime() - t0) / 1e9
       }
-      val t = (1 to 2).map(_ => once()).min
+      val runs = sys.env.get("SPARK_GRAFT_TIME_RUNS").map(_.toInt).getOrElse(2)
+      val t = (1 to runs).map(_ => once()).min
       println(f"TIME $name%-28s $t%8.3f s")
     }
     spark.stop()

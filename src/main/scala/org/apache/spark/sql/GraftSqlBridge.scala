@@ -14,6 +14,9 @@ object GraftSqlBridge {
   def expr(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
     classic.ExpressionUtils.expression(c)
 
+  def column(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    classic.ExpressionUtils.column(e)
+
   def sessionUUID(s: SparkSession): String = s match {
     case c: classic.SparkSession => c.sessionUUID
     case other => String.valueOf(System.identityHashCode(other))
