@@ -31,18 +31,12 @@ object Graft {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-      // Coalesce post-shuffle partitions by SIZE, not to the session's
-      // parallelism: with the default parallelismFirst=true a 5 MB
-      // shuffle still fans out to `cpus` reduce tasks, and measured
-      // per-task overhead (task setup + codegen instances + memory
-      // manager contention) grows superlinearly with task count —
-      // ProfJobs r17: an identical 116k-row aggregation burned 6.8 s
-      // of CPU across 32 tasks vs 0.66 s across 8. Size-based
-      // coalescing is the scale-adaptive form: partition count derives
-      // from actual shuffle bytes (advisory 64 MB default), so big
-      // inputs still get full parallelism while small stages stop
-      // paying 32 task floors.
-      .config("spark.sql.adaptive.coalescePartitions.parallelismFirst", "false")
+      // parallelismFirst stays at its default (true): r17 measured the
+      // size-based alternative (false, advisory 64 MB) serializing
+      // every 1-64 MB shuffle to ONE reduce task — the TPC-H join
+      // cluster regressed 3-4x at sf0.1 (q5 0.6 -> 2.7 s) for no gain
+      // elsewhere, since the default's 1 MB minPartitionSize already
+      // coalesces the genuinely tiny stages.
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Producers write timestamp[us] with isAdjustedToUTC=false; default
