@@ -38,6 +38,12 @@ object Graft {
       // elsewhere, since the default's 1 MB minPartitionSize already
       // coalesces the genuinely tiny stages.
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // minPartitionSize stays at its default (1m): r17 measured 128k
+      // fleet-wide and it regressed the tail hard (every 1-2-exchange
+      // query +0.05-0.15 s from 32-task scheduling where 1-3 tasks
+      // carried the bytes, ev_gaps 0.41 -> 2.67 s) without helping the
+      // CPU-dense targets it was meant for — those get explicit
+      // repartition pins instead.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // Producers write timestamp[us] with isAdjustedToUTC=false; default
       // NTZ inference would surface those as TIMESTAMP_NTZ and break

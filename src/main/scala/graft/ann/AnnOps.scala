@@ -333,35 +333,100 @@ object AnnOps {
         .limit(nCentroids)
         .select(col("vec_id").as("cid"), col("v").as("cv")))
 
+  /** The centroid layer collected to (cid, vector) rows — K rows by
+    * construction, the driver-side form the in-row scorers below embed
+    * as array literals.
+    */
+  private def collectCents(cents: DataFrame): Seq[(Long, Seq[Double])] =
+    cents.collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSeq
+
+  /** All K centroid scores for the current row's `v` as one
+    * array<struct<cs, ncid>> literal-backed expression: the SAME
+    * codegen cosine_sim per centroid, ncid = -cid so the
+    * lexicographic struct MAX realizes the (cs desc, cid asc)
+    * tiebreak in-row — no explode, no join, no exchange.
+    */
+  private def centScoreArray(cents: Seq[(Long, Seq[Double])]): Column =
+    array(cents.map { case (cid, cv) =>
+      struct(
+        call_function("cosine_sim", col("v"), typedLit(cv)).as("cs"),
+        lit(-cid).as("ncid"))
+    }: _*)
+
   /** Per-vector list assignment against a centroid layer: argmax
     * cosine, ties to the lower cid — ONE rule, shared verbatim by the
-    * batch path (here, through the codegen cosine + TopKPerKey rank-1)
-    * and replicated float-for-float by the streaming maintainer
-    * (IvfStreamingParitySpec proves batch parity across micro-batches).
+    * batch path and replicated float-for-float by the streaming
+    * maintainer (IvfStreamingParitySpec proves batch parity across
+    * micro-batches). r17: the K-way scoring runs IN-ROW against the
+    * collected centroid literals (same cosine_sim expression, same
+    * values, same tiebreak as the rank-1 TopKPerKey it replaces) —
+    * the old form exploded the corpus K-fold and pushed N·K rows,
+    * each carrying the 64-double vector, through an exchange that
+    * decided nothing the row itself couldn't (guide §2.3/§2.4).
     */
   def ivfAssignments(s: SparkSession, c: DataFrame, cents: DataFrame): DataFrame = {
     GraftFunctions.register(s)
-    val scored = c.join(cents)
-      .selectExpr("vec_id", "v", "cid", "cosine_sim(v, cv) AS cs")
-    graft.plans.TopKPerKeyOps.topK(scored, Seq("vec_id"),
-        Seq(col("cs").desc, col("cid").asc), 1)
-      .select(col("cid"), col("vec_id"), col("v"))
+    val best = array_max(centScoreArray(collectCents(cents)))
+    c.withColumn("best", best)
+      .select((-col("best").getField("ncid")).as("cid"), col("vec_id"), col("v"))
+  }
+
+  /** Per-probe top-nProbe centroids by (cs desc, cid asc), in-row over
+    * the same centroid literals: sort the K-struct array with an
+    * explicit comparator (interpreted HOF — |probes| rows only) and
+    * explode the first nProbe.
+    */
+  private def probeListsInRow(c: DataFrame, cents: Seq[(Long, Seq[Double])],
+      nProbe: Int): DataFrame = {
+    val sorted = array_sort(centScoreArray(cents),
+      (l, r) => when(l.getField("cs") > r.getField("cs"), -1)
+        .when(l.getField("cs") < r.getField("cs"), 1)
+        // ncid = -cid: cid asc == ncid desc
+        .when(l.getField("ncid") > r.getField("ncid"), -1)
+        .when(l.getField("ncid") < r.getField("ncid"), 1)
+        .otherwise(0))
+    c.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("probe"), col("v").as("pv"),
+        explode(slice(sorted, 1, nProbe)).as("cand"))
+      .select((-col("cand").getField("ncid")).as("cid"), col("probe"), col("pv"))
+  }
+
+  /** probeListsInRow with the 4dp-ROUNDED cosine the PQ path scores by
+    * (ann_ivf_pq's oracle rounds before ranking; ann_ivf's does not).
+    */
+  private def probeListsInRowRounded(c: DataFrame,
+      cents: Seq[(Long, Seq[Double])], nProbe: Int): DataFrame = {
+    val arr = array(cents.map { case (cid, cv) =>
+      struct(
+        round(call_function("cosine_sim", col("v"), typedLit(cv)), 4).as("cs"),
+        lit(-cid).as("ncid"))
+    }: _*)
+    val sorted = array_sort(arr,
+      (l, r) => when(l.getField("cs") > r.getField("cs"), -1)
+        .when(l.getField("cs") < r.getField("cs"), 1)
+        .when(l.getField("ncid") > r.getField("ncid"), -1)
+        .when(l.getField("ncid") < r.getField("ncid"), 1)
+        .otherwise(0))
+    c.filter(col("vec_id") < 16)
+      .select(col("vec_id").as("probe"),
+        explode(slice(sorted, 1, nProbe)).as("cand"))
+      .select(col("probe"), (-col("cand").getField("ncid")).as("cid"))
   }
 
   /** IVF top-5 over an explicit corpus frame — the ann_ivf body,
-    * parameterized for the planted-clone oracle variant.
+    * parameterized for the planted-clone oracle variant. r17 shape:
+    * ONE corpus pass (in-row list assignment fused with the broadcast
+    * probe-list join + candidate cosine + bounded top-k heaps); the
+    * centroid sample and the 16-probe list build are K- and
+    * probe-bounded side jobs.
     */
   private def ivfTopK(s: SparkSession, c: DataFrame): DataFrame = {
     GraftFunctions.register(s)
     val nProbe = 4
-    val cents = ivfCentroids(c)
-    val scored = c.join(cents)
-      .selectExpr("vec_id", "v", "cid", "cosine_sim(v, cv) AS cs")
-    val assign = ivfAssignments(s, c, cents)
-    val probeLists = graft.plans.TopKPerKeyOps.topK(
-        scored.filter(col("vec_id") < 16), Seq("vec_id"),
-        Seq(col("cs").desc, col("cid").asc), nProbe)
-      .select(col("cid"), col("vec_id").as("probe"), col("v").as("pv"))
+    val centRows = collectCents(ivfCentroids(c))
+    val assign = c.withColumn("best", array_max(centScoreArray(centRows)))
+      .select((-col("best").getField("ncid")).as("cid"), col("vec_id"), col("v"))
+    val probeLists = probeListsInRow(c, centRows, nProbe)
     val cand = broadcast(probeLists)
       .join(assign.select(col("cid"), col("vec_id").as("neighbor"), col("v").as("nv")), "cid")
       .filter(col("probe") =!= col("neighbor"))
@@ -786,12 +851,24 @@ object AnnOps {
         .map { case (r, i) => (i, r.getSeq[Double](1)) }.toSeq
       var assign: DataFrame = null
       for (pass <- 1 to passes) {
-        val centDf = broadcast(cents.toDF("cid", "cv"))
-        val scored = c.join(centDf)
-          .selectExpr("vec_id", "v", "cid", "round(cosine_sim(v, cv), 4) AS cs")
-        assign = graft.plans.TopKPerKeyOps.topK(scored, Seq("vec_id"),
-            Seq(col("cs").desc, col("cid").asc), 1)
-          .select(col("vec_id"), col("v"), col("cid"))
+        // r17: the assignment is an IN-ROW argmax over the K=8 driver-
+        // side centroids as array literals — the broadcast-join +
+        // rank-1 form this replaces exploded the corpus 8x and pushed
+        // N·K rows EACH CARRYING THE 64-double vector through the
+        // TopKPerKey exchange (guide §2.3/§2.4: that shuffle decides
+        // nothing the row itself can't). Same arithmetic: the same
+        // cosine_sim expression against the same centroid values,
+        // same round(.,4), and the (cs desc, cid asc) tiebreak is the
+        // lexicographic max of struct(cs, -cid). Map-only: zero
+        // exchanges per pass.
+        val cands = array(cents.map { case (cid, cv) =>
+          struct(
+            round(call_function("cosine_sim", col("v"), typedLit(cv)), 4).as("cs"),
+            lit(-cid).as("ncid"))
+        }: _*)
+        assign = c
+          .withColumn("best", array_max(cands))
+          .select(col("vec_id"), col("v"), (-col("best").getField("ncid")).as("cid"))
         if (pass < passes) {
           // 4dp-rounded means (HALF_UP in Spark SQL = half-away-from-
           // zero, matching DuckDB round) — rounding INSIDE the engine,
@@ -1036,18 +1113,20 @@ object AnnOps {
       val c = corpus(s, d)
       val seeds = c.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
         .limit(16).collect().map(_.getSeq[Double](1))
-      // coarse quantizer: cid = seed rank; 4dp cosine + cid tiebreak
-      val cents = broadcast(seeds.toSeq.zipWithIndex
-        .map { case (v, i) => (i, v) }.toDF("cid", "cv"))
-      val scored = c.join(cents)
-        .selectExpr("vec_id", "v", "cid", "round(cosine_sim(v, cv), 4) AS cs")
-      val assign = graft.plans.TopKPerKeyOps.topK(scored, Seq("vec_id"),
-          Seq(col("cs").desc, col("cid").asc), 1)
-        .select(col("vec_id"), col("cid"))
-      val plists = broadcast(graft.plans.TopKPerKeyOps.topK(
-          scored.filter(col("vec_id") < 16), Seq("vec_id"),
-          Seq(col("cs").desc, col("cid").asc), nProbe)
-        .select(col("vec_id").as("probe"), col("cid")))
+      // coarse quantizer: cid = seed rank; 4dp cosine + cid tiebreak.
+      // r17: scored in-row against the seed literals (kmeans/ivf
+      // idiom) — the old cross-join exploded the corpus 16x and ran
+      // TWO TopKPerKey exchanges carrying the 64-double vectors.
+      val centRows: Seq[(Long, Seq[Double])] =
+        seeds.toSeq.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      val scoreArr = array(centRows.map { case (cid, cv) =>
+        struct(
+          round(call_function("cosine_sim", col("v"), typedLit(cv)), 4).as("cs"),
+          lit(-cid).as("ncid"))
+      }: _*)
+      val bestCid = (-array_max(scoreArr).getField("ncid")).cast("int")
+      val plists = broadcast(probeListsInRowRounded(c, centRows, nProbe)
+        .select(col("probe"), col("cid").cast("int").as("cid")))
       // PQ codebook = the SAME seeds (j = cid); codes via the native kernel
       val flat = (for {
         p <- 0 until 8
@@ -1073,12 +1152,17 @@ object AnnOps {
           .scaleByPowerOfTen(4).longValueExact())
       }).toDF("probe", "p", "code", "de4"))
       val cbRow = broadcast(Seq(Tuple1(flat.toSeq)).toDF("cbflat"))
+      // r17: coarse assignment and PQ codes are both per-row maps, so
+      // they fuse into ONE corpus pass — the old codes⋈assign shuffle
+      // join on vec_id re-ran the corpus scan per side and exchanged
+      // corpus-sized frames to attach a value the row could compute.
       val codes = c.crossJoin(cbRow)
-        .selectExpr("vec_id", "pq_assign(v, cbflat) AS a")
-        .select(col("vec_id"), posexplode(expr(
+        .select(col("vec_id"), bestCid.as("cid"),
+          expr("pq_assign(v, cbflat)").as("a"))
+        .select(col("vec_id"), col("cid"), posexplode(expr(
           "transform(sequence(0, 7), p -> CAST(a[2 * p + 1] AS INT))"))
           .as(Seq("p", "code")))
-      val dist = codes.join(assign, "vec_id")
+      val dist = codes
         .join(plists, "cid")
         .filter(col("probe") =!= col("vec_id"))
         .join(lut, Seq("probe", "p", "code"))

@@ -1218,7 +1218,13 @@ object DedupOps {
     // at corpus scale the exact verify touches |candidates| docs, not
     // the corpus. Ratios in exact int64 (the ratio4 grain).
     ("dd_containment", (s: SparkSession, d: String) => {
+      // r17: the winnow candidate chain fed THREE consumers (candIds
+      // reads `pairs` twice through the union, the verify join once)
+      // and exchange reuse never fires across the typed winnow kernel
+      // (ProfReuse) — materialize the pair list (|pairs| rows, two
+      // longs) so the sketch chain runs once.
       val pairs = winnowCandidatePairs(s, docs(s, d)).select("a", "b")
+        .localCheckpoint()
       val candIds = pairs.select(col("a").as("doc_id"))
         .union(pairs.select(col("b").as("doc_id"))).distinct()
       // each candidate doc's gram set as ONE sorted hash array: the
@@ -1226,17 +1232,22 @@ object DedupOps {
       // linear-merge expression counts the intersection in codegen —
       // the gram-occurrence explode-join form this replaced shuffled
       // |pairs|·|grams/doc| skinny rows twice (42 s → 6.9 s at sf1).
-      // The groupBy's exchange doubles as the reuse point both
-      // verify-join sides read (a typed kernel emitting arrays
-      // directly measured ~12% SLOWER min-of-3: without that exchange
-      // the kernel re-runs per side, and forcing one costs more than
-      // the skinny-row shuffle it saves).
+      // r17: the exchange was SUPPOSED to double as the reuse point
+      // both verify-join sides read, but typed-kernel subtrees never
+      // exchange-reuse (ProfReuse) — the gram kernel ran once per
+      // side. localCheckpoint the |candidates|-bounded array frame so
+      // it runs once; the explicit repartition pins the CPU-dense
+      // array_sort aggregation at full parallelism (AQE coalesced its
+      // byte-small exchange to ONE task: 0.5 s of single-threaded CPU
+      // at sf0.1 — ProfJobs stage 76).
       val gramSets = TextOps.gramHashes(s,
           docs(s, d).join(candIds, "doc_id"), 20)
         .toDF("doc_id", "gh")
+        .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
         .groupBy("doc_id")
         .agg(array_sort(collect_list("gh")).as("sh"))
         .select(col("doc_id"), col("sh"), size(col("sh")).cast("long").as("n"))
+        .localCheckpoint()
       pairs
         .join(gramSets.select(col("doc_id").as("a"), col("sh").as("sha"), col("n").as("na")), "a")
         .join(gramSets.select(col("doc_id").as("b"), col("sh").as("shb"), col("n").as("nb")), "b")

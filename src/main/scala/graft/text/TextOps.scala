@@ -342,9 +342,14 @@ object TextOps {
       (graft.functions.GraftFunctions.md5PrefixLong(
         if (salt.isEmpty) t else concat(t, lit(salt)), 8) % 20001L) - 10000L
     val d4 = (x: Column, y: Column) => call_function("div", x, y)
+    // r17: dtf feeds the vocab TakeOrdered AND the score join, and
+    // typed-kernel subtrees never exchange-reuse (ProfReuse) — the
+    // tokenize kernel ran twice per caller. One materialization of
+    // the (doc_id, term, tf) frame serves both.
     val dtf = docTermCounts(s, d)
       .filter(length(col("term")) >= 1)
       .select(col("doc_id"), col("term"), col("tf"))
+      .localCheckpoint()
     val vocab = dtf.groupBy("term").agg(sum("tf").as("n"))
       .orderBy(col("n").desc, col("term").asc)
       .limit(256)
@@ -1242,8 +1247,13 @@ object TextOps {
       // vocab²-bounded; AQE picks broadcast joins here, and at a
       // 100 TB vocab they degrade to shuffle joins of aggregated
       // (small) sides, never of raw occurrences.
-      val biK = docBigramCounts(s, d)
+      // r17: biK feeds the model chain AND the final join, c2 feeds
+      // c1 AND the join — typed-kernel subtrees are never
+      // exchange-reused (ProfReuse), so the kernel ran 3x (ProfJobs:
+      // three 0.9-1.4 s corpus stages). Materialize each level once.
+      val biK = docBigramCounts(s, d).localCheckpoint()
       val c2 = biK.groupBy("h1", "h2").agg(sum("k").as("n2"))
+        .localCheckpoint()
       val c1 = c2.groupBy("h1").agg(sum("n2").as("n1"))
       biK.join(c2, Seq("h1", "h2")).join(c1, Seq("h1"))
         .groupBy("doc_id")
@@ -2242,8 +2252,15 @@ object TextOps {
     // are the per-bigram P (identical IEEE op order both engines) and
     // the 4dp-rounded final mean. D = 0.75 (the Chen–Goodman default).
     ("tx_kn_surprisal", (s: SparkSession, d: String) => {
-      val biK = docBigramCounts(s, d)
+      // r17: the bigram kernel frame feeds the model build AND the
+      // final per-doc join, and c2 feeds four consumers — none of
+      // which Spark dedupes across a typed-kernel subtree (ProfReuse),
+      // so the corpus pass ran 5x. Materialize biK once (4 int64s per
+      // distinct per-doc bigram — the guide §8 "compute the proxy
+      // once" shape) and the vocab²-bounded c2 once on top of it.
+      val biK = docBigramCounts(s, d).localCheckpoint()
       val c2 = biK.groupBy("h1", "h2").agg(sum("k").as("n2"))
+        .localCheckpoint()
       val c1 = c2.groupBy("h1").agg(sum("n2").as("n1"), count(lit(1)).as("d1"))
       val cts = c2.groupBy("h2").agg(count(lit(1)).as("ct"))
       val tt = c2.agg(count(lit(1)).as("tt"))
@@ -3975,8 +3992,21 @@ object TextOps {
     // TakeOrdered on (pmi4 desc, bigram asc) — the key frame is never
     // globally sorted.
     ("tx_pmi_collocations", (s: SparkSession, d: String) => {
+      // r17: ONE corpus kernel pass. The three marginal consumers
+      // (bTot, la, rb) are aggregations over c2, but Spark never
+      // reuses the exchange under a typed MapPartitions subtree
+      // (ProfReuse: a 2-consumer kernel frame runs its scan stage
+      // twice even with AQE off and exchange.reuse=true — the
+      // DeduplicateRelations clones canonicalize unequal), so the
+      // un-materialized form ran the bigram kernel FOUR times
+      // concurrently (ProfJobs: 4 jobs, each a 32-task stage with
+      // sumRun 21-26 s on ~1.5 s of CPU — pure oversubscription).
+      // c2 is the vocab²-bounded distinct-bigram frame (931 rows at
+      // sf0.1), so the eager materialization is control-plane-sized
+      // while the saved passes are corpus-sized.
       val c2 = docBigramTermCounts(s, d)
         .groupBy("a", "b").agg(sum("k").as("n_ab"))
+        .localCheckpoint()
       val bTot = c2.agg(sum("n_ab").as("bb"))
       val la = c2.groupBy("a").agg(sum("n_ab").as("n_a"))
       val rb = c2.groupBy("b").agg(sum("n_ab").as("n_b"))

@@ -20,6 +20,7 @@ object ProfJobs {
     val done = scala.collection.mutable.ArrayBuffer[(Int, Double)]()
     val stageTasks = new java.util.concurrent.ConcurrentHashMap[Int, (Int, Double)]()
     val stageMetrics = new java.util.concurrent.ConcurrentHashMap[Int, (Double, Double, Double, Double)]()
+    val stageNames = new java.util.concurrent.ConcurrentHashMap[Int, String]()
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
         jobs.put(js.jobId, (js.time, js.stageInfos.size))
@@ -31,6 +32,7 @@ object ProfJobs {
         val si = sc.stageInfo
         val wall = (for {s <- si.submissionTime; c <- si.completionTime} yield (c - s) / 1e3).getOrElse(0.0)
         stageTasks.put(si.stageId, (si.numTasks, wall))
+        stageNames.put(si.stageId, si.name.take(120))
         val m = si.taskMetrics
         if (m != null) stageMetrics.put(si.stageId,
           (m.executorRunTime / 1e3, m.executorDeserializeTime / 1e3,
@@ -59,7 +61,8 @@ object ProfJobs {
       }
       st.foreach { case (sid, (nt, w)) =>
         val (run, deser, gc, cpu) = Option(stageMetrics.get(sid)).getOrElse((0.0, 0.0, 0.0, 0.0))
-        println(f"  stage $sid%4d  $w%7.3f s  tasks=$nt  sumRun=$run%6.3f deser=$deser%5.3f gc=$gc%5.3f cpu=$cpu%6.3f")
+        val nm = Option(stageNames.get(sid)).getOrElse("")
+        println(f"  stage $sid%4d  $w%7.3f s  tasks=$nt  sumRun=$run%6.3f deser=$deser%5.3f gc=$gc%5.3f cpu=$cpu%6.3f  $nm")
       }
     }
     spark.stop()
