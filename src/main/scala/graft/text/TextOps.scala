@@ -380,16 +380,20 @@ object TextOps {
     // doc_id-keyed shuffle join re-attaching dl to the contribution
     // frame. But dl (the doc's token count) is doc-LOCAL: the typed
     // kernel that counts terms already holds it, so emit it on every
-    // (doc, term, tf) row and both exchanges vanish. The frame feeds
-    // four branches (stats, probe terms, df, contributions) but is
-    // deliberately NOT localCheckpoint'd: measured at sf1,
-    // materializing the 5M-row string frame costs more than the ≤3
-    // extra pipelined kernel passes it saves (4.5 s vs 3.4 s walls),
-    // and the branches' scans overlap as independent stages.
-    // Remaining exchanges: the corpus stats agg, the probe-term-
-    // bounded df agg, and the (probe, doc) score agg — floor for a
+    // (doc, term, tf) row and both exchanges vanish. The corpus-sized
+    // string frame is still deliberately NOT localCheckpoint'd
+    // (measured at sf1: materializing the 5M-row string frame costs
+    // more than the extra pipelined kernel passes it saves); r17
+    // instead cuts the kernel passes 4 → 2 structurally (see below).
+    // Remaining exchanges: the corpus stats agg, the probe-bounded
+    // df agg, and the (probe, doc) score agg — floor for a
     // corpus-scan query.
-    val tf = docs(s, d).select(col("doc_id"), col("text"))
+    // r17: the kernel is parameterized by its input frame so the
+    // probe-terms branch runs it over a SCAN-FILTERED 8-doc input
+    // (doc_id < 8 pushes to parquet below the opaque lambda) instead
+    // of a full corpus pass — the tx_decontaminate idiom.
+    def termFrame(input: DataFrame) = input
+      .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { it =>
         it.flatMap { case (id, nullableText) =>
@@ -425,10 +429,20 @@ object TextOps {
         }
       }
       .toDF("doc_id", "term", "tf", "dl", "fst")
+    val tf = termFrame(docs(s, d))
     // nn = docs with ≥1 token (the dl frame's row count in the r13
     // plan); sumdl = Σ dl = Σ tf over the whole frame — one agg.
     val stats = tf.agg(sum("fst").as("nn"), sum("tf").as("sumdl"))
-    val qterms = broadcast(tf.filter(col("doc_id") < 8)
+    // r17: probe terms come from a SCAN-FILTERED 8-doc kernel run
+    // (doc_id < 8 pushes to the parquet scan below the lambda — the
+    // tx_decontaminate idiom) instead of a full corpus pass; that
+    // drops the 4-branch shape to 3 corpus kernel passes. A fuller
+    // restructure (df derived from a localCheckpoint'd probe join)
+    // was measured 1.9 -> 4.5 s in-JVM at sf0.1: the 1.2M-row string
+    // materialization plus the serial barrier cost far more than the
+    // concurrent duplicate pass it saved — same verdict as the sf1
+    // measurement that keeps `tf` itself un-checkpointed.
+    val qterms = broadcast(termFrame(docs(s, d).filter(col("doc_id") < 8))
       .select(col("doc_id").as("probe"), col("term")))
     val df = tf.join(qterms.select("term").distinct(), Seq("term"), "left_semi")
       .groupBy("term").agg(count(lit(1)).as("df"))
@@ -2881,10 +2895,17 @@ object TextOps {
       def stubW(t: Column, salt: String): Column =
         (graft.functions.GraftFunctions.md5PrefixLong(
           if (salt.isEmpty) t else concat(t, lit(salt)), 8) % 20001L) - 10000L
+      // r17: dtf feeds the lin join AND (via termTot) the vocab
+      // TakeOrdered AND the weights join — typed-kernel subtrees
+      // never exchange-reuse (ProfReuse), so the tokenize kernel ran
+      // 3x here. Materialize dtf once and the |vocab|-bounded termTot
+      // once on top of it.
       val dtf = docTermCounts(s, d)
         .filter(length(col("term")) >= 1)
         .select(col("doc_id"), col("term"), col("tf"))
+        .localCheckpoint()
       val termTot = dtf.groupBy("term").agg(sum("tf").as("nn"))
+        .localCheckpoint()
       val vocab = termTot
         .orderBy(col("nn").desc, col("term").asc)
         .limit(256)
@@ -4216,8 +4237,15 @@ object TextOps {
   /** capped top-V word-frequency vocabulary — the driver-side model
     * input (V rows, never the corpus). */
   private def bpeVocab(s: SparkSession, d: String): Seq[(String, Long)] =
-    docTermCounts(s, d).filter(length(col("term")) >= 1)
-      .groupBy("term").agg(sum("tf").as("n"))
+    bpeVocabFrom(docTermCounts(s, d).filter(length(col("term")) >= 1))
+
+  /** bpeVocab over a caller-supplied (…, term, tf) frame — lets the
+    * pricing queries derive the vocabulary from the SAME materialized
+    * kernel frame they later count with (r17: the separate bpeVocab
+    * call was a second full tokenize pass; ProfReuse shows typed
+    * subtrees never share). */
+  private def bpeVocabFrom(dtf: DataFrame): Seq[(String, Long)] =
+    dtf.groupBy("term").agg(sum("tf").as("n"))
       .orderBy(col("n").desc, col("term").asc).limit(BpeVocabCap)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
 
