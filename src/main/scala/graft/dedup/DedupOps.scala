@@ -423,6 +423,11 @@ object DedupOps {
   private def cappedBucketPairs(grouped: DataFrame, keys: Seq[String],
       maxBucket: Int): DataFrame = {
     graft.functions.GraftFunctions.register(grouped.sparkSession)
+    // r17: an explicit full-parallelism repartition pin here (the
+    // collect_capped stage AQE-coalesces to ~4 CPU-dense tasks at
+    // sf0.1) was measured and REVERTED — it regressed all 7 banded
+    // consumers by 0.1-0.5 s: the pinned 32-task scheduling cost more
+    // than the straggler it removed on every caller.
     grouped.groupBy(keys.map(col): _*)
       .agg(expr(s"collect_capped(doc_id, $maxBucket)").as("ids"))
       .filter(size(col("ids")).between(2, maxBucket))
