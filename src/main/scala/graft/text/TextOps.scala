@@ -4072,36 +4072,37 @@ object TextOps {
     // gain DCG with rank weights w(r) = round(10⁴/log2(r+1)) — log2
     // of a small int then one division, identical IEEE both engines,
     // quantized once — so DCG/IDCG are int64 SUMS and NDCG the exact
-    // half-up rational. IDCG's ideal ranking is a per-probe top-10 on
-    // (rel desc, doc asc) through the rank-filter rewrite; relevance
-    // rows exist only for docs sharing a query term. r13 replan: rel
-    // IS the row count of bm25Scores' own joined frame, so the shared
-    // (probe, doc, score4, rel) frame feeds both rankings — ZERO
-    // extra corpus passes (was one) — and the probe-bounded frame is
-    // eagerly localCheckpoint'ed so both window branches read
-    // materialized blocks: the corpus pass runs ONCE per execution.
-    // localCheckpoint over .persist() is deliberate twice: (a) a
-    // CacheManager entry is plan-keyed, so a min-of-N bench loop
-    // would silently reuse run 1's cache and the recorded wall would
-    // stop being a full-execution number, and (b) ReuseExchange can't
-    // dedupe the branches itself — column pruning strips score4 from
-    // the idcg subtree, so the two exchange subplans are not
-    // structurally identical (verified on the executed plan). An
-    // explicit pre-repartition on probe measured SLOWER (ProfNdcg:
-    // 2.0 s vs 1.4 s sf0.1) — the extra shuffle job outweighs the
-    // per-branch exchange of a 40 k-row frame. Lineage truncation is
-    // safe: the frame is ≤|probes|×|docs-sharing-a-term| rows.
+    // half-up rational. r13 replan: rel IS the row count of
+    // bm25Scores' own joined frame, so the shared (probe, doc,
+    // score4, rel) frame feeds both rankings — ZERO extra corpus
+    // passes. r17 replan: the two rankings no longer fork into
+    // checkpointed branches at all (see in-entry comment).
     ("tx_ndcg_eval", (s: SparkSession, d: String) => {
-      val scores = bm25Scores(s, d).localCheckpoint()
+      // r17 replan: BOTH rankings ride ONE exchange — the system rank
+      // and the ideal rank are chained windows over the same
+      // probe-partitioned frame (same partitioning, two in-partition
+      // sorts), and dcg/idcg fold in ONE aggregation with the rank
+      // cutoffs as conditions. The branch+join form this replaces
+      // exchanged the (checkpointed) score frame twice and joined the
+      // halves back — 4 exchanges and an eager materialization for
+      // arithmetic each row can carry itself. Identical sums: wgt and
+      // the ≤10 cutoffs are untouched, and every probe with rows has
+      // a rank-1 row in both orderings, so the output probe set is
+      // the same as the old inner join's.
+      val scores = bm25Scores(s, d)
       def wgt(rk: Column): Column =
         floor(lit(10000.0) / log2(rk + 1) + 0.5).cast("long")
       val wS = Window.partitionBy("probe").orderBy(col("score4").desc, col("doc_id").asc)
-      val dcg = scores.withColumn("rk", row_number().over(wS)).filter(col("rk") <= 10)
-        .groupBy("probe").agg(sum(col("rel") * wgt(col("rk"))).as("dcg_e4"))
       val wI = Window.partitionBy("probe").orderBy(col("rel").desc, col("doc_id").asc)
-      val idcg = scores.withColumn("rk", row_number().over(wI)).filter(col("rk") <= 10)
-        .groupBy("probe").agg(sum(col("rel") * wgt(col("rk"))).as("idcg_e4"))
-      dcg.join(idcg, "probe")
+      scores
+        .withColumn("rkS", row_number().over(wS))
+        .withColumn("rkI", row_number().over(wI))
+        .groupBy("probe")
+        .agg(
+          sum(when(col("rkS") <= 10, col("rel") * wgt(col("rkS")))
+            .otherwise(0L)).as("dcg_e4"),
+          sum(when(col("rkI") <= 10, col("rel") * wgt(col("rkI")))
+            .otherwise(0L)).as("idcg_e4"))
         .select(col("probe"), col("dcg_e4"), col("idcg_e4"),
           call_function("div",
             col("dcg_e4") * 20000L + col("idcg_e4"),
