@@ -21,12 +21,14 @@ object ProfJobs {
     val stageTasks = new java.util.concurrent.ConcurrentHashMap[Int, (Int, Double)]()
     val stageMetrics = new java.util.concurrent.ConcurrentHashMap[Int, (Double, Double, Double, Double)]()
     val stageNames = new java.util.concurrent.ConcurrentHashMap[Int, String]()
+    val jobSpans = new java.util.concurrent.ConcurrentHashMap[Int, (Long, Long)]()
     val listener = new SparkListener {
       override def onJobStart(js: SparkListenerJobStart): Unit =
         jobs.put(js.jobId, (js.time, js.stageInfos.size))
       override def onJobEnd(je: SparkListenerJobEnd): Unit = {
         val st = Option(jobs.get(je.jobId)).map(_._1).getOrElse(je.time)
         done.synchronized { done += ((je.jobId, (je.time - st) / 1e3)) }
+        jobSpans.put(je.jobId, (st, je.time))
       }
       override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
         val si = sc.stageInfo
@@ -45,12 +47,26 @@ object ProfJobs {
       // warm run first so JIT/codegen doesn't pollute the decomposition
       fn(spark, sfDir).count()
       done.synchronized { done.clear() }; jobs.clear(); stageTasks.clear()
+      jobSpans.clear()
       val t0 = System.nanoTime()
       fn(spark, sfDir).count()
       val wall = (System.nanoTime() - t0) / 1e9
       Thread.sleep(200) // let listener events drain
       val rows = done.synchronized { done.toVector }.sortBy(_._1)
       println(f"==== $name wall=$wall%.3f s jobs=${rows.size}")
+      // driver-side gaps: time between one job's end and the next
+      // job's start (planning/codegen/collect processing)
+      locally {
+        import scala.jdk.CollectionConverters._
+        val spans = jobSpans.asScala.toVector.sortBy(_._2._1)
+        var gap = 0.0
+        spans.sliding(2).foreach {
+          case Vector((_, (_, e1)), (_, (s2, _))) if s2 > e1 => gap += (s2 - e1) / 1e3
+          case _ =>
+        }
+        println(f"  driver gap between jobs: $gap%.3f s")
+      }
+      jobSpans.clear()
       rows.foreach { case (id, sec) =>
         val nStages = Option(jobs.get(id)).map(_._2).getOrElse(-1)
         println(f"  job $id%3d  $sec%7.3f s  stages=$nStages")
