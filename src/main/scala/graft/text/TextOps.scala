@@ -313,7 +313,9 @@ object TextOps {
           var i = 0
           val max = norm.length - n
           while (i <= max) {
-            set.add(graft.util.Hashing.string64(norm.substring(i, i + n)))
+            // r17: range hash — value-identical to
+            // string64(substring), no String per position
+            set.add(graft.util.Hashing.string64Range(norm, i, n))
             i += 1
           }
           scala.jdk.CollectionConverters.IteratorHasAsScala(set.iterator())
@@ -631,6 +633,73 @@ object TextOps {
     val len = if (nrm == null) 0 else nrm.length
     val npos = len - k + 1
     if (npos < w) return (math.max(npos, 0), Array.empty, Array.empty)
+    // r17 fast path: normalized text is [a-z0-9 ]-only (ASCII) in
+    // practice, so the per-position md5 can run over a byte window
+    // into a reused buffer (md5Hex allocated a substring + a 32-char
+    // hex String per position — the dominant cost of the winnow
+    // kernel at 10 s CPU per sf0.1 pass). The digest packs into two
+    // big-endian longs whose unsigned order IS the hex string's
+    // lexicographic order (hex digits are monotone in nibble value),
+    // so the window-min selection is bit-identical; hex strings are
+    // built only for SELECTED positions (~2/(w+1) of them). The
+    // returned hashes array is sparse — callers only read selected
+    // indices (WinnowSpec pins that contract).
+    var ascii = true
+    var ci = 0
+    while (ascii && ci < len) {
+      if (nrm.charAt(ci) > 127) ascii = false
+      ci += 1
+    }
+    if (!ascii) return winnowDocGeneric(nrm, k, w, npos)
+    val bytes = nrm.getBytes(java.nio.charset.StandardCharsets.US_ASCII)
+    val out = new Array[Byte](16)
+    val hi = new Array[Long](npos)
+    val lo = new Array[Long](npos)
+    var i = 0
+    while (i < npos) {
+      graft.util.Hashing.md5DigestInto(bytes, i, k, out)
+      var h = 0L; var l = 0L
+      var b = 0
+      while (b < 8) { h = (h << 8) | (out(b) & 0xffL); b += 1 }
+      while (b < 16) { l = (l << 8) | (out(b) & 0xffL); b += 1 }
+      hi(i) = h; lo(i) = l
+      i += 1
+    }
+    def less(a: Int, b: Int): Boolean = {
+      val c = java.lang.Long.compareUnsigned(hi(a), hi(b))
+      if (c != 0) c < 0 else java.lang.Long.compareUnsigned(lo(a), lo(b)) < 0
+    }
+    val sel = new java.util.LinkedHashSet[Integer]()
+    var j = 0
+    while (j <= npos - w) {
+      var best = j
+      var t = j + 1
+      while (t < j + w) {
+        if (less(t, best)) best = t
+        t += 1
+      }
+      sel.add(best)
+      j += 1
+    }
+    val hashes = new Array[String](npos)
+    val arr = new Array[Int](sel.size)
+    val it = sel.iterator()
+    var n = 0
+    while (it.hasNext) {
+      val p = it.next().intValue()
+      arr(n) = p
+      graft.util.Hashing.md5DigestInto(bytes, p, k, out)
+      hashes(p) = graft.util.Hashing.hex16(out)
+      n += 1
+    }
+    (npos, arr, hashes)
+  }
+
+  /** The pre-r17 reference path (any text, full hash array) — kept for
+    * non-ASCII inputs where byte windows ≠ char windows.
+    */
+  private def winnowDocGeneric(nrm: String, k: Int, w: Int,
+      npos: Int): (Int, Array[Int], Array[String]) = {
     val hashes = new Array[String](npos)
     var i = 0
     while (i < npos) {

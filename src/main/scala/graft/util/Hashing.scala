@@ -18,6 +18,47 @@ object Hashing {
     (MurmurHash3.stringHash(s, 0x9747b28c).toLong << 32) |
       (MurmurHash3.stringHash(s, 0x85ebca6b).toLong & 0xffffffffL)
 
+  /** MurmurHash3.stringHash over a char RANGE — value-identical to
+    * stringHash(s.substring(from, from + len), seed) without the
+    * substring allocation (the same pairwise-char loop the Scala
+    * implementation runs; Hash64RangeSpec pins the parity).
+    */
+  private def rangeStringHash(s: String, from: Int, len: Int, seed: Int): Int = {
+    var h = seed
+    var i = 0
+    while (i + 1 < len) {
+      val data = (s.charAt(from + i) << 16) + s.charAt(from + i + 1)
+      h = MurmurHash3.mix(h, data)
+      i += 2
+    }
+    if (i < len) h = MurmurHash3.mixLast(h, s.charAt(from + i).toInt)
+    MurmurHash3.finalizeHash(h, len)
+  }
+
+  /** string64 of a char window — identical value to
+    * string64(s.substring(from, from + len)), zero allocation. The
+    * per-position n-gram kernels (gramHashes and friends) call this
+    * npos times per document; the substring form allocated a String
+    * per position.
+    */
+  def string64Range(s: String, from: Int, len: Int): Long =
+    (rangeStringHash(s, from, len, 0x9747b28c).toLong << 32) |
+      (rangeStringHash(s, from, len, 0x85ebca6b).toLong & 0xffffffffL)
+
+  /** Lower-case hex of a 16-byte digest buffer (md5Hex's tail, split
+    * out for callers that hash into a reused buffer).
+    */
+  def hex16(d: Array[Byte]): String = {
+    val sb = new java.lang.StringBuilder(32)
+    var i = 0
+    while (i < 16) {
+      sb.append(Character.forDigit((d(i) >> 4) & 0xf, 16))
+      sb.append(Character.forDigit(d(i) & 0xf, 16))
+      i += 1
+    }
+    sb.toString
+  }
+
   // one digest per executor thread, reset per call — getInstance in a
   // per-character hot loop (CDC boundary scan) is avoidable allocation
   private val md5Local = new ThreadLocal[java.security.MessageDigest] {
