@@ -292,8 +292,24 @@ object Bench {
     // backstop for an intermittently-runnable external job the
     // 5-sample max might miss between bursts.
     val degraded = runnableStart > 2 || (loadStart > 1.5 && loadStart5 > 1.5)
-    val envInfo = s""","env":{"cpus":${Runtime.getRuntime.availableProcessors},"load_avg_start":${r3(loadStart)},"load_avg_start5":${r3(loadStart5)},"runnable_start":$runnableStart,"load_avg_end":${r3(loadEnd)},"pass_loads":${passLoads.result().mkString("[", ",", "]")},"degraded":$degraded}"""
-    val json = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$effectiveRuns,"sweep":${runsPerQuery > 1},"queries":$qs,"sf":"$sfDir"$envInfo$annotations$joinCompare$annExtra$duckCompare}"""
+    // r18 (r17 verdict item: "env.cpus lies at low core counts"): echo
+    // the EFFECTIVE executor-thread count (Graft.defaultCpus — what the
+    // session's local[N] master actually ran with), so an 8-core driver
+    // run is distinguishable from the artifact alone. The host's
+    // physical core count stays alongside as host_cpus.
+    val envInfo = s""","env":{"cpus":${Graft.defaultCpus},"host_cpus":${Runtime.getRuntime.availableProcessors},"load_avg_start":${r3(loadStart)},"load_avg_start5":${r3(loadStart5)},"runnable_start":$runnableStart,"load_avg_end":${r3(loadEnd)},"pass_loads":${passLoads.result().mkString("[", ",", "]")},"degraded":$degraded}"""
+    // r18 (r17 verdict "What's wrong" #3 — cold-cost visibility for the
+    // session caches): record each query's FIRST run alongside the min
+    // in the full artifact, so the cache-bearing rows
+    // (dd_minhash_lsh / tx_bloom_decontaminate / pipeline_doremi_mix /
+    // dd_simhash …) keep their cold signature/gram-build cost visible
+    // next to the warm min. First runs also carry per-query JIT, so
+    // first_run >> min is only cache evidence on the annotated rows.
+    val qsFirst = timings.map { case (k, runs) => s"\"" + k + "\":" + r3(runs.head) }
+      .mkString("{", ",", "}")
+    val qsSpread = spreads.map { case (k, v) => s"\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","runs_per_query":$effectiveRuns,"sweep":${runsPerQuery > 1},"queries":$qs,"queries_first_run":$qsFirst,"queries_spread":$qsSpread,"sf":"$sfDir"$envInfo$annotations$joinCompare$annExtra$duckCompare}"""
     // stdout gets tail-truncated by harnesses — always keep the full
     // per-query JSON in a file too (path overridable via env), plus an
     // immutable timestamped copy: the mutable file is overwritten on
@@ -327,9 +343,32 @@ object Bench {
     // (~1.2 KB) so the whole line survives inside the tail window even
     // with sbt's trailing success banner after it; the complete
     // per-query map is the line above and BENCH_LOCAL.json.
-    val slowest = results.toSeq.sortBy(-_._2).take(10)
-      .map { case (k, v) => s"\"$k\":[${r3(v)},${r3(spreads(k))}]" }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"runs_per_query":$effectiveRuns,"sweep":${runsPerQuery > 1},"sf":"${new java.io.File(sfDir).getName}"$envInfo$vsDuck$annExtra$joinCompare,"slowest_min_spread":$slowest,"full":"$out"}""")
+    // r18 (r17 verdict item 2: PERF's per_query table was empty both
+    // rounds — the harness parses the last JSON line of a 2000-char
+    // stdout tail, and the FULL 242-entry queries map is >5.5 KB of
+    // names alone, so it can never fit there). Best achievable within
+    // the physical limit: the summary line carries a "queries" map of
+    // the SLOWEST rows, as many as fit the tail budget (~60 — they
+    // cover most of the fleet total), so the driver can compute real
+    // per-query deltas and the c8-vs-c32 scaling block for the rows
+    // that matter. queries_included/queries_total make the truncation
+    // explicit; the complete map (plus first-run times and spreads) is
+    // the full line above and the file at "full". No query is removed
+    // from the bench or from the full artifact.
+    val sfName = new java.io.File(sfDir).getName
+    val sorted = results.toSeq.sortBy(-_._2)
+    val prefix = s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},"runs_per_query":$effectiveRuns,"sweep":${runsPerQuery > 1},"sf":"$sfName"$envInfo$vsDuck$annExtra$joinCompare,"full":"$out","queries_total":${results.size},"queries_included":"""
+    val suffixFixedLen = 30 // ,"queries":{...}} + the included count digits
+    var budget = 1900 - prefix.length - suffixFixedLen
+    val entries = Vector.newBuilder[String]
+    var included = 0
+    sorted.foreach { case (k, v) =>
+      val e = s"\"$k\":${r3(v)}"
+      if (budget - (e.length + 1) >= 0) {
+        entries += e; budget -= e.length + 1; included += 1
+      }
+    }
+    println(prefix + included + s""","queries":${entries.result().mkString("{", ",", "}")}}""")
     spark.stop()
   }
 
