@@ -1017,8 +1017,13 @@ object TextOps {
         }
         .toDF("true_lang", "pred_lang")
         .groupBy("true_lang", "pred_lang").agg(count(lit(1)).as("n"))
-      val totals = cells.groupBy("true_lang").agg(sum("n").as("tot"))
-      cells.join(broadcast(totals), "true_lang")
+      // r18: the totals were a second aggregation over `cells` joined
+      // back — and typed-kernel subtrees never exchange-reuse
+      // (ProfReuse), so the corpus kernel ran TWICE (ProfJobs: two
+      // ~0.33 s duplicate stages). A window over the ≤|langs|² cell
+      // frame computes the same per-true_lang total on ONE kernel pass.
+      cells
+        .withColumn("tot", sum("n").over(Window.partitionBy("true_lang")))
         .select(col("true_lang"), col("pred_lang"), col("n"),
           ratio4(col("n"), col("tot")).as("share4"))
         .orderBy("true_lang", "pred_lang")
@@ -2679,12 +2684,18 @@ object TextOps {
           when(col("lang") === "en", 1L).otherwise(0L).as("label")), "doc_id")
         .select(d4(col("s4") + 10000L, lit(2L)).as("p_e4"), col("label"))
         .withColumn("bin", least(lit(9L), d4(col("p_e4"), lit(1000L))))
+      // r18: bins is consumed TWICE (the per-bin rows and the ECE
+      // summary row of the union) and each consumer re-instantiated
+      // the whole vocab+join+corpus-agg subtree (ProfJobs: two ~0.5 s
+      // duplicate stages, 15 jobs). The frame is ≤10 rows by
+      // construction — materialize it once and both branches read it.
       val bins = labeled.groupBy("bin")
         .agg(count(lit(1)).as("n"), sum("p_e4").as("sp"), sum("label").as("npos"))
         .select(col("bin"), col("n"),
           d4(col("sp") * 2L + col("n"), col("n") * 2L).as("mean_pred_e4"),
           d4(col("npos") * 20000L + col("n"), col("n") * 2L).as("pos_rate_e4"))
         .withColumn("gap_e4", abs(col("mean_pred_e4") - col("pos_rate_e4")))
+        .localCheckpoint()
       val ece = bins.agg(sum("n").as("nn"), sum(col("n") * col("gap_e4")).as("sg"))
         .select(lit(-1L).as("bin"), col("nn").as("n"),
           lit(null).cast("long").as("mean_pred_e4"),
