@@ -391,27 +391,32 @@ object AnnOps {
       .select((-col("cand").getField("ncid")).as("cid"), col("probe"), col("pv"))
   }
 
-  /** probeListsInRow with the 4dp-ROUNDED cosine the PQ path scores by
-    * (ann_ivf_pq's oracle rounds before ranking; ann_ivf's does not).
+  /** Driver-side replica of the codegen cosine_sim loop — the same
+    * fused dot/norm accumulation in the same order, so the IEEE result
+    * is bit-identical (pinned by CosineRound4ParitySpec). Lets bounded
+    * probe-side frames (16 probes × K centroids) be computed on the
+    * driver instead of paying a corpus-scan broadcast-build job.
     */
-  private def probeListsInRowRounded(c: DataFrame,
-      cents: Seq[(Long, Seq[Double])], nProbe: Int): DataFrame = {
-    val arr = array(cents.map { case (cid, cv) =>
-      struct(
-        round(call_function("cosine_sim", col("v"), typedLit(cv)), 4).as("cs"),
-        lit(-cid).as("ncid"))
-    }: _*)
-    val sorted = array_sort(arr,
-      (l, r) => when(l.getField("cs") > r.getField("cs"), -1)
-        .when(l.getField("cs") < r.getField("cs"), 1)
-        .when(l.getField("ncid") > r.getField("ncid"), -1)
-        .when(l.getField("ncid") < r.getField("ncid"), 1)
-        .otherwise(0))
-    c.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("probe"),
-        explode(slice(sorted, 1, nProbe)).as("cand"))
-      .select(col("probe"), (-col("cand").getField("ncid")).as("cid"))
+  def cosineSimLocal(x: Seq[Double], y: Seq[Double]): Double = {
+    val n = math.min(x.length, y.length)
+    var dot = 0.0; var nx = 0.0; var ny = 0.0
+    var i = 0
+    while (i < n) {
+      val xi = x(i); val yi = y(i)
+      dot += xi * yi; nx += xi * xi; ny += yi * yi
+      i += 1
+    }
+    dot / (math.sqrt(nx) * math.sqrt(ny))
   }
+
+  /** Driver-side replica of Spark's round(col, 4) on DoubleType:
+    * HALF_UP over the Double.toString decimal form (what
+    * scala.math.BigDecimal(d) constructs), NaN/Inf passed through —
+    * the exact RoundBase semantics (pinned by CosineRound4ParitySpec).
+    */
+  def round4Local(d: Double): Double =
+    if (d.isNaN || d.isInfinite) d
+    else BigDecimal(d).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
 
   /** IVF top-5 over an explicit corpus frame — the ann_ivf body,
     * parameterized for the planted-clone oracle variant. r17 shape:
@@ -1111,8 +1116,23 @@ object AnnOps {
       import s.implicits._
       val nProbe = 2
       val c = corpus(s, d)
-      val seeds = c.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
-        .limit(16).collect().map(_.getSeq[Double](1))
+      // r18: the two bounded driver collects (seed sample, probe rows)
+      // are independent jobs — submit them concurrently (guide §2.6)
+      // so the second scan back-fills the first's tail.
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val seedsF = Future {
+        c.orderBy(md5(col("vec_id").cast("string")), col("vec_id"))
+          .limit(16).collect().map(_.getSeq[Double](1))
+      }
+      val probesF = Future {
+        // sort the ≤16 collected rows on the driver — an orderBy here
+        // added a range-partitioning exchange before the collect
+        c.filter(col("vec_id") < 16)
+          .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+          .sortBy(_._1)
+      }
+      val seeds = Await.result(seedsF, scala.concurrent.duration.Duration.Inf)
       // coarse quantizer: cid = seed rank; 4dp cosine + cid tiebreak.
       // r17: scored in-row against the seed literals (kmeans/ivf
       // idiom) — the old cross-join exploded the corpus 16x and ran
@@ -1125,18 +1145,34 @@ object AnnOps {
           lit(-cid).as("ncid"))
       }: _*)
       val bestCid = (-array_max(scoreArr).getField("ncid")).cast("int")
-      val plists = broadcast(probeListsInRowRounded(c, centRows, nProbe)
-        .select(col("probe"), col("cid").cast("int").as("cid")))
       // PQ codebook = the SAME seeds (j = cid); codes via the native kernel
       val flat = (for {
         p <- 0 until 8
         j <- 0 until 16
         i <- 0 until 8
       } yield seeds(j)(p * 8 + i)).toArray
-      val probes = c.filter(col("vec_id") < 16).orderBy("vec_id")
-        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
-      val lut = broadcast((for {
-        (pid, qv) <- probes.toSeq
+      val probes = Await.result(probesF, scala.concurrent.duration.Duration.Inf)
+      // r18: the probe lists are a 16×nProbe frame whose inputs (probe
+      // vectors, centroid rows) are already on the driver — build them
+      // here with the spec-pinned cosine/round4 replicas (bit-identical
+      // to round(cosine_sim(v, cv), 4) + the (cs desc, cid asc) sort)
+      // instead of paying a corpus-scan broadcast-build job per run.
+      val plistRows = probes.toSeq.zipWithIndex.flatMap { case ((pid, qv), pidx) =>
+        centRows.map { case (cid, cv) =>
+          (pid, cid.toInt, round4Local(cosineSimLocal(qv, cv))) }
+          // numeric double compare (−0.0 == 0.0 ties to cid asc), the
+          // exact SQL comparator the in-row array_sort form used; both
+          // sorts are stable over the cid-ascending input order
+          .sortWith { case ((_, c1, s1), (_, c2, s2)) =>
+            if (s1 > s2) true else if (s1 < s2) false else c1 < c2 }
+          .take(nProbe).map { case (p, cid2, _) => (p, cid2, pidx) }
+      }
+      val plists = broadcast(plistRows.toDF("probe", "cid", "pidx"))
+      // ADC lookup table flattened to ONE array literal indexed by
+      // (pidx·128 + p·16 + code) — de4 entries identical to the old
+      // (probe, p, code, de4) broadcast relation.
+      val lutFlat: Seq[Long] = (for {
+        (_, qv) <- probes.toSeq
         p <- 0 until 8
         j <- 0 until 16
       } yield {
@@ -1147,27 +1183,34 @@ object AnnOps {
           sum += diff * diff
           i += 1
         }
-        (pid, p, j, java.math.BigDecimal.valueOf(sum)
+        java.math.BigDecimal.valueOf(sum)
           .setScale(4, java.math.RoundingMode.HALF_UP)
-          .scaleByPowerOfTen(4).longValueExact())
-      }).toDF("probe", "p", "code", "de4"))
+          .scaleByPowerOfTen(4).longValueExact()
+      })
+      val lutLit = typedLit(lutFlat)
       val cbRow = broadcast(Seq(Tuple1(flat.toSeq)).toDF("cbflat"))
       // r17: coarse assignment and PQ codes are both per-row maps, so
       // they fuse into ONE corpus pass — the old codes⋈assign shuffle
       // join on vec_id re-ran the corpus scan per side and exchanged
       // corpus-sized frames to attach a value the row could compute.
-      val codes = c.crossJoin(cbRow)
+      // r18: the ADC distance is per-(probe, neighbor)-row arithmetic
+      // too — 8 LUT lookups summed in exact int64 — so the posexplode
+      // (8× row expansion), the LUT join and the (probe, neighbor)
+      // re-aggregation EXCHANGE all collapse into one codegen
+      // projection on the same corpus pass. Sum order is irrelevant
+      // for int64 adds: dist_e4 values are bit-identical.
+      val codeAt = (p: Int) => element_at(col("a"), lit(2 * p + 2)).cast("int")
+      val distE4 = (0 until 8).map { p =>
+        element_at(lutLit,
+          (col("pidx") * 128 + lit(p * 16) + codeAt(p) + 1).cast("int"))
+      }.reduce(_ + _)
+      val dist = c.crossJoin(cbRow)
         .select(col("vec_id"), bestCid.as("cid"),
           expr("pq_assign(v, cbflat)").as("a"))
-        .select(col("vec_id"), col("cid"), posexplode(expr(
-          "transform(sequence(0, 7), p -> CAST(a[2 * p + 1] AS INT))"))
-          .as(Seq("p", "code")))
-      val dist = codes
         .join(plists, "cid")
         .filter(col("probe") =!= col("vec_id"))
-        .join(lut, Seq("probe", "p", "code"))
-        .groupBy(col("probe"), col("vec_id").as("neighbor"))
-        .agg(sum("de4").cast("long").as("dist_e4"))
+        .select(col("probe"), col("vec_id").as("neighbor"),
+          distE4.cast("long").as("dist_e4"))
       graft.plans.TopKPerKeyOps.topK(dist, Seq("probe"),
           Seq(col("dist_e4").asc, col("neighbor").asc), 5)
         .withColumn("rk", row_number().over(

@@ -13,6 +13,16 @@ object ProfJobs {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, names) = args.take(2)
     val spark = graft.Graft.session("graft-profjobs")
+    // A/B knob: GRAFT_PROF_CONFS="k=v;k2=v2" applies runtime confs
+    // before profiling (e.g. spark.sql.adaptive.enabled=false) so a
+    // conf's effect on the job/gap decomposition is measurable in one
+    // JVM without touching the shipped session.
+    sys.env.get("GRAFT_PROF_CONFS").foreach(_.split(";").filter(_.contains("="))
+      .foreach { kv =>
+        val Array(k, v) = kv.split("=", 2)
+        spark.conf.set(k.trim, v.trim)
+        System.err.println(s"[profjobs] conf $k=$v")
+      })
     Seq("lineitem", "events", "documents", "embeddings").foreach { t =>
       spark.read.parquet(s"$sfDir/$t.parquet").count()
     }
