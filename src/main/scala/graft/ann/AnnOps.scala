@@ -371,26 +371,6 @@ object AnnOps {
       .select((-col("best").getField("ncid")).as("cid"), col("vec_id"), col("v"))
   }
 
-  /** Per-probe top-nProbe centroids by (cs desc, cid asc), in-row over
-    * the same centroid literals: sort the K-struct array with an
-    * explicit comparator (interpreted HOF — |probes| rows only) and
-    * explode the first nProbe.
-    */
-  private def probeListsInRow(c: DataFrame, cents: Seq[(Long, Seq[Double])],
-      nProbe: Int): DataFrame = {
-    val sorted = array_sort(centScoreArray(cents),
-      (l, r) => when(l.getField("cs") > r.getField("cs"), -1)
-        .when(l.getField("cs") < r.getField("cs"), 1)
-        // ncid = -cid: cid asc == ncid desc
-        .when(l.getField("ncid") > r.getField("ncid"), -1)
-        .when(l.getField("ncid") < r.getField("ncid"), 1)
-        .otherwise(0))
-    c.filter(col("vec_id") < 16)
-      .select(col("vec_id").as("probe"), col("v").as("pv"),
-        explode(slice(sorted, 1, nProbe)).as("cand"))
-      .select((-col("cand").getField("ncid")).as("cid"), col("probe"), col("pv"))
-  }
-
   /** Driver-side replica of the codegen cosine_sim loop — the same
     * fused dot/norm accumulation in the same order, so the IEEE result
     * is bit-identical (pinned by CosineRound4ParitySpec). Lets bounded
@@ -427,11 +407,33 @@ object AnnOps {
     */
   private def ivfTopK(s: SparkSession, c: DataFrame): DataFrame = {
     GraftFunctions.register(s)
+    import s.implicits._
     val nProbe = 4
-    val centRows = collectCents(ivfCentroids(c))
+    // r18 (ann_ivf_pq treatment): the centroid sample and the 16-row
+    // probe collect are independent bounded jobs — run them
+    // concurrently, and build the probe lists on the driver with the
+    // spec-pinned cosineSimLocal replica (bit-identical to the in-row
+    // array_sort form it replaces) instead of a broadcast-build job.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val centsF = Future { collectCents(ivfCentroids(c)) }
+    val probesF = Future {
+      c.filter(col("vec_id") < 16)
+        .collect().map(r => (r.getLong(0), r.getSeq[Double](1)))
+    }
+    val centRows = Await.result(centsF, scala.concurrent.duration.Duration.Inf)
+    val probeRows = Await.result(probesF, scala.concurrent.duration.Duration.Inf)
     val assign = c.withColumn("best", array_max(centScoreArray(centRows)))
       .select((-col("best").getField("ncid")).as("cid"), col("vec_id"), col("v"))
-    val probeLists = probeListsInRow(c, centRows, nProbe)
+    val probeLists = probeRows.toSeq.flatMap { case (pid, pv) =>
+      centRows.map { case (cid, cv) => (cid, pid, cosineSimLocal(pv, cv)) }
+        // numeric double compare, ties to cid asc — the exact SQL
+        // comparator probeListsInRow used; both sorts are stable over
+        // the cid-ascending input order
+        .sortWith { case ((c1, _, s1), (c2, _, s2)) =>
+          if (s1 > s2) true else if (s1 < s2) false else c1 < c2 }
+        .take(nProbe).map { case (cid, p, _) => (cid, p, pv) }
+    }.toDF("cid", "probe", "pv")
     val cand = broadcast(probeLists)
       .join(assign.select(col("cid"), col("vec_id").as("neighbor"), col("v").as("nv")), "cid")
       .filter(col("probe") =!= col("neighbor"))
