@@ -352,13 +352,22 @@ object TextOps {
       .filter(length(col("term")) >= 1)
       .select(col("doc_id"), col("term"), col("tf"))
       .localCheckpoint()
-    val vocab = dtf.groupBy("term").agg(sum("tf").as("n"))
+    // r18 (the pipeline_rank_ensemble discipline): weights attach per
+    // DISTINCT term — one md5 stub per vocabulary entry — instead of
+    // per (doc, term) row. termTot is read by the vocab TakeOrdered
+    // and the weights projection as two cheap concurrent aggs over the
+    // checkpointed dtf RDD (a checkpoint here was A/B-measured: the
+    // barrier cost more than the duplicate agg it saved).
+    val termTot = dtf.groupBy("term").agg(sum("tf").as("n"))
+    val vocab = termTot
       .orderBy(col("n").desc, col("term").asc)
       .limit(256)
       .select(col("term"), stubW(col("term"), "#v").as("wv"))
-    dtf.join(broadcast(vocab), Seq("term"), "left")
-      .select(col("doc_id"), col("tf"),
-        coalesce(col("wv"), stubW(col("term"), "")).as("w"))
+    val weights = termTot.select("term")
+      .join(broadcast(vocab), Seq("term"), "left")
+      .select(col("term"), coalesce(col("wv"), stubW(col("term"), "")).as("w"))
+    dtf.join(weights, Seq("term"))
+      .select(col("doc_id"), col("tf"), col("w"))
       .groupBy("doc_id")
       .agg(sum("tf").as("n_toks"), sum(col("tf") * col("w")).cast("long").as("num"))
       .select(col("doc_id"),
